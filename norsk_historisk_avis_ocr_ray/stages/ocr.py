@@ -1,0 +1,170 @@
+"""OCR engines and the fused layout+OCR actor stage.
+
+Engine plugin surface (the analogue of the reference's engine registry,
+``engines/__init__.py:4-16`` + the ``process_file`` protocol, ``CLAUDE.md``):
+an ``OcrEngine`` has ``load()`` (called once per actor — model/language data
+is per-worker state, reference M1/M2) and ``ocr_region(img) -> str``.
+
+``LayoutOcrStage`` is the hot stateful stage: a callable class passed to
+``map_batches(..., concurrency=N)`` so Ray runs it as an actor pool. Per
+batch it resolves media payloads, runs layout analysis (``stages.layout``),
+crops regions and OCRs each — emitting *text-only* region rows so no image
+bytes ever enter the downstream stream or the ``groupby(doc_id)`` shuffle
+(the reference's per-file sequential loop is ``tesseract_engine.py:152-178``).
+
+Error policy (fixes reference behavior where one API error aborts the whole
+file, ``claude_vision_engine.py:320-321``): any per-row failure emits a row
+with an ``error`` message and empty text — the job never aborts, and lineage
+counts errors per partition.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.codec import decode_image
+from ..synth import barcode
+from .layout import OVERLAP_PX, split_columns
+
+
+class MockBarcodeOcr:
+    """Deterministic OCR: reads the pixel barcode of synthetic pages."""
+
+    name = "mock-barcode"
+
+    def load(self) -> None:  # nothing to load; real engines load models here
+        pass
+
+    def ocr_region(self, img: np.ndarray) -> str:
+        return barcode.read_barcode(img)
+
+
+class TesseractOcr:
+    """Adapter for a real tesseract engine (reference M1).
+
+    Not usable in this container (no tesseract binary / pytesseract); the
+    adapter exists so the actor-pool plumbing is identical for a real engine:
+    ``load`` resolves the binary + language data once per actor
+    (reference ``tesseract_engine.py:119-123``), ``ocr_region`` runs one region.
+    """
+
+    name = "tesseract"
+
+    def __init__(self, lang: str = "nor"):
+        self.lang = lang
+        self._pytesseract = None
+
+    def load(self) -> None:
+        try:
+            import pytesseract  # type: ignore
+        except ImportError as e:  # pragma: no cover - environment-dependent
+            raise NotImplementedError(
+                "pytesseract is not installed in this environment; use "
+                "MockBarcodeOcr for deterministic runs or install tesseract"
+            ) from e
+        self._pytesseract = pytesseract
+
+    def ocr_region(self, img: np.ndarray) -> str:  # pragma: no cover
+        return self._pytesseract.image_to_string(img, lang=self.lang)
+
+
+OUT_FIELDS = [
+    ("doc_id", pa.string()),
+    ("in_offset", pa.int32()),
+    ("region_idx", pa.int32()),
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("error", pa.string()),
+    ("n_cols", pa.int32()),
+]
+OUT_SCHEMA = pa.schema(OUT_FIELDS)
+
+
+class LayoutOcrStage:
+    """Actor-pool stage: exploded span rows → OCR'd region rows.
+
+    Parameters
+    ----------
+    engine_factory : callable returning an OcrEngine (constructed + loaded
+        once per actor).
+    pages_ref : ``ray.ObjectRef`` of a dict ``media_ref -> (bytes, w, h, codec)``
+        (broadcast media resolution: ``ray.put`` once on the driver, fetched
+        zero-copy from the local object store per actor), or None when the
+        batch already carries ``image/width/height/codec`` columns (join-based
+        resolution for page tables too big to broadcast).
+    """
+
+    def __init__(
+        self,
+        engine_factory: Callable[[], Any] = MockBarcodeOcr,
+        pages_ref: Any = None,
+        overlap_px: int = OVERLAP_PX,
+    ):
+        self.engine = engine_factory()
+        self.engine.load()
+        self.overlap_px = overlap_px
+        self.pages: dict[str, tuple[bytes, int, int, str]] | None = None
+        if pages_ref is not None:
+            import ray
+
+            self.pages = ray.get(pages_ref)
+
+    # -- helpers -------------------------------------------------------------
+
+    def _payload(self, row: dict) -> tuple[bytes, int, int, str]:
+        ref = row["media_ref"]
+        if self.pages is not None:
+            if ref not in self.pages:
+                raise KeyError(f"media_ref not found: {ref!r}")
+            return self.pages[ref]
+        if row.get("image") is None:
+            raise KeyError(f"media_ref unresolved (no image payload): {ref!r}")
+        return row["image"], row["width"], row["height"], row.get("codec") or "raw-zlib"
+
+    def _process_media(self, row: dict, out: "_RowSink") -> None:
+        buf, width, height, codec = self._payload(row)
+        img = decode_image(buf, width, height, codec)
+        layout = split_columns(img, overlap_px=self.overlap_px)
+        for region_idx, (kind, (x0, y0, x1, y1)) in enumerate(layout.regions):
+            text = self.engine.ocr_region(img[y0:y1, x0:x1])
+            out.add(row["doc_id"], row["in_offset"], region_idx, "text", text,
+                    row["media_ref"], None, layout.n_cols)
+
+    # -- batch entry ----------------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = _RowSink()
+        cols = {name: batch[name].to_pylist() for name in batch.column_names}
+        n = batch.num_rows
+        for i in range(n):
+            row = {name: cols[name][i] for name in cols}
+            kind = row["kind"]
+            if kind == "media":
+                try:
+                    self._process_media(row, out)
+                except Exception as e:  # per-row error column, never job abort
+                    out.add(row["doc_id"], row["in_offset"], 0, "text", "",
+                            row["media_ref"], f"{type(e).__name__}: {e}", 0)
+            elif kind == "empty":
+                out.add(row["doc_id"], row["in_offset"], 0, "empty", "", "", None, 0)
+            else:  # passthrough text span
+                out.add(row["doc_id"], row["in_offset"], 0, "text",
+                        row["text"] or "", "", None, 0)
+        return out.table()
+
+
+class _RowSink:
+    def __init__(self):
+        self.cols: list[list] = [[] for _ in OUT_FIELDS]
+
+    def add(self, *values) -> None:
+        for c, v in zip(self.cols, values):
+            c.append(v)
+
+    def table(self) -> pa.Table:
+        arrays = [pa.array(c, type=f[1]) for c, f in zip(self.cols, OUT_FIELDS)]
+        return pa.Table.from_arrays(arrays, schema=OUT_SCHEMA)
