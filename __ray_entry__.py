@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``     — flagship span-extraction pipeline on sf0.001.
+- ``queries()``   — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the large-scale dedup/similarity/text-analysis suite).
+- ``oracle_sql()``— DuckDB-equivalent SQL for every SQL-expressible query;
+  non-SQL-expressible ops (LSH/SimHash candidates, IVF ANN, OCR pipeline,
+  language-ID heuristic) are intentionally omitted → rows-only check.
 """
 
 from __future__ import annotations
@@ -18,27 +16,228 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: plain documents → span docs → extract (clean +
+    reflow + correction + reading-order repack)."""
+    from norsk_historisk_avis_ocr_ray.pipelines.docs_adapter import read_span_docs
+    from norsk_historisk_avis_ocr_ray.pipelines.extract import extract
+
+    docs = read_span_docs(SF_SMOKE)
+    return extract(docs, None, ocr_concurrency=2, corrector_concurrency=2)
+
+
+def _extract_docs(sf_dir: str) -> Any:
+    """Span pipeline over the plain documents table (correction off so the
+    result is SQL-expressible; correction is covered by the golden pytest
+    corpus). Returns flat strings per doc."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from norsk_historisk_avis_ocr_ray.pipelines.docs_adapter import read_span_docs
+    from norsk_historisk_avis_ocr_ray.pipelines.extract import extract
+
+    out = extract(read_span_docs(sf_dir), None, correction=False,
+                  ocr_concurrency=4, corrector_concurrency=2)
+
+    def flat(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "combined": t["combined"],
+            "transcribed": t["transcribed"],
+        })
+
+    return out.map_batches(flat, batch_format="pyarrow")
+
+
+def _ocr_extract(sf_dir: str) -> Any:
+    """The full image pipeline (layout → mock OCR → clean → repack →
+    correction) over a deterministic synthetic page corpus sized by sf.
+    Not SQL-expressible — rows-only check; exact golden span equality is
+    asserted in tests/test_pipeline_golden.py."""
+    import pyarrow as pa
+
+    import ray
+    from norsk_historisk_avis_ocr_ray.pipelines.extract import extract
+    from norsk_historisk_avis_ocr_ray.synth.corpus import make_corpus
+
+    n_docs = 200 if "0.01" in sf_dir else 60
+    tables = make_corpus(n_docs, seed=42)
+    docs = ray.data.from_arrow(tables["documents"])
+    out = extract(docs, tables["pages"], ocr_concurrency=4)
+
+    def flat(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "combined": t["combined"],
+                         "transcribed": t["transcribed"],
+                         "n_errors": t["n_errors"]})
+
+    return out.map_batches(flat, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from norsk_historisk_avis_ocr_ray.functions import dedup, relational, similarity, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction
+        "extract_docs": _extract_docs,
+        "ocr_extract": _ocr_extract,
+        # relational / wide operators
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "q_customers_per_region": relational.q_customers_per_region,
+        "q_events_tumbling": relational.q_events_tumbling,
+        "q_top_users": relational.q_top_users,
+        # text analysis
+        "text_token_stats": textstats.text_token_stats,
+        "quality_score": textstats.quality_score,
+        "doc_fingerprint": textstats.doc_fingerprint,
+        "lang_id": textstats.lang_id,
+        # dedup
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash": dedup.dedup_minhash,
+        "dedup_simhash": dedup.dedup_simhash,
+        "simhash_signatures": dedup.simhash_signatures,
+        # similarity search
+        "ann_topk": similarity.ann_topk,
+        "embedding_neardup": similarity.embedding_neardup,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_docs": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN length(trim(text)) BETWEEN 1 AND 2 THEN ''
+                        ELSE rtrim(text) END AS combined,
+                   CASE WHEN length(trim(text)) BETWEEN 1 AND 2 THEN ''
+                        ELSE regexp_replace(trim(regexp_replace(
+                                 regexp_replace(rtrim(text), '-\n\\s*', '', 'g'),
+                                 '\n+', ' ', 'g')), '  +', ' ', 'g')
+                   END AS transcribed
+            FROM documents
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(sum(l_quantity) / count(*), 6) AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 6) AS avg_price,
+                   round(sum(l_discount) / count(*), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-01-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o.o_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   o.o_orderdate, o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1999-01-01'
+              AND l.l_shipdate > TIMESTAMP '1999-01-01'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "q_customers_per_region": """
+            SELECT r.r_name, count(*) AS n_customers,
+                   round(sum(c.c_acctbal), 2) AS sum_acctbal
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name
+            ORDER BY r.r_name
+        """,
+        "q_events_tumbling": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY event_type, win
+            ORDER BY event_type, win
+        """,
+        "q_top_users": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events
+            GROUP BY user_id
+            ORDER BY total_value DESC, user_id
+            LIMIT 20
+        """,
+        "text_token_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+                   round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                         / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio
+            FROM documents
+        """,
+        "quality_score": """
+            WITH s AS (
+                SELECT doc_id,
+                       length(text)::DOUBLE AS n_chars,
+                       (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END)::DOUBLE AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(0.5 * least(n_tokens / 100.0, 1.0)
+                       + 0.5 * least(greatest(((n_chars - greatest(n_tokens - 1, 0))
+                                               / greatest(n_tokens, 1) - 2.0) / 8.0, 0.0), 1.0),
+                         6) AS quality
+            FROM s
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint
+            FROM documents
+            GROUP BY md5(text)
+            ORDER BY doc_id
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                       WHERE vec_id < 10),
+                 scored AS (
+                     SELECT q.query_id, e.vec_id,
+                            list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])) AS c
+                     FROM q, embeddings e
+                     WHERE e.vec_id <> q.query_id
+                 ),
+                 ranked AS (
+                     SELECT query_id, vec_id, c,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY c DESC, vec_id) AS rn
+                     FROM scored
+                 )
+            SELECT query_id, vec_id, round(c, 6) AS cos
+            FROM ranked WHERE rn <= 5
+            ORDER BY query_id, cos DESC, vec_id
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+            ORDER BY a, b
+        """,
+        # rows-only (not SQL-expressible): ocr_extract, lang_id,
+        # dedup_minhash, dedup_simhash, simhash_signatures, ann_ivf_topk
+    }

@@ -1,0 +1,240 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The large-scale-pipeline workhorses, expressed Ray-Data-first:
+
+- **exact**: content hash per batch (vectorized) → ``groupby(hash)`` →
+  first-per-group. One shuffle over (hash, doc_id) pairs only.
+- **MinHash + LSH**: per-batch shingling + 128-permutation MinHash (numpy) →
+  explode to (band, band_hash, doc_id) rows → ``groupby`` on the band key →
+  candidate pairs within buckets → n-gram Jaccard verification. The shuffle
+  moves 16 small rows per doc, never the text.
+- **SimHash**: 64-bit signed-projection fingerprint per doc; candidate
+  blocking on 16-bit chunks (Hamming ≤ 3 ⇒ at least one of 4 chunks equal),
+  verify by Hamming distance.
+
+Hashing uses crc32-seeded 64-bit mixing — deterministic across worker
+processes (Python's builtin ``hash`` is salted per process and must never be
+used in a distributed pipeline).
+
+Verification fetches candidate texts from a broadcast dict (``ray.put`` once);
+at 10^12-doc scale you would instead hash-join the (a, b) pair list back to
+the documents table twice — same dataflow, noted here for the scale path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+MERSENNE = (1 << 61) - 1
+NUM_PERM = 128
+BANDS = 16
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+
+def _hash64(token: str) -> int:
+    """Deterministic 64-bit token hash (crc32 of two salts, combined)."""
+    b = token.encode("utf-8")
+    return (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+
+
+def word_shingles(text: str, k: int = 3) -> set[int]:
+    toks = (text or "").lower().split()
+    if len(toks) < k:
+        return {_hash64(" ".join(toks))} if toks else set()
+    return {_hash64(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)}
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = word_shingles(a, k), word_shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+def _docs(sf_dir: str) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+# --- exact dedup --------------------------------------------------------------
+
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Survivors of exact-content dedup: min(doc_id) per md5(text)."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+                for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "fingerprint": pa.array(md5s, pa.string())})
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(1, "doc_id")
+
+    ds = (_docs(sf_dir)
+          .map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
+          .groupby("fingerprint")
+          .map_groups(first, batch_format="pandas"))
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "fingerprint"]]
+
+
+# --- MinHash + LSH -------------------------------------------------------------
+
+class MinHasher:
+    """Per-batch shingle→MinHash→LSH-band stage (actor: permutation params
+    generated once)."""
+
+    def __init__(self, num_perm: int = NUM_PERM, bands: int = BANDS, k: int = 3):
+        rng = np.random.default_rng(1729)
+        self.a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows = num_perm // bands
+        self.k = k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = word_shingles(text, self.k)
+        if not sh:
+            return np.full(self.num_perm, MERSENNE, dtype=np.uint64)
+        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        # (a*x + b) mod p over the object-dtype-free uint64 ring then fold to p
+        prod = (self.a[:, None] * x[None, :] + self.b[:, None]) % MERSENNE
+        return prod.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, bands, band_hashes = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            sig = self.signature(text)
+            for bi in range(self.bands):
+                chunk = sig[bi * self.rows:(bi + 1) * self.rows]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                doc_ids.append(doc_id)
+                bands.append(bi)
+                band_hashes.append(h)
+        return pa.table({
+            "doc_id": pa.array(doc_ids),
+            "band": pa.array(bands, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.string()),
+        })
+
+
+def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    ids = sorted(group["doc_id"].tolist())
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": []})
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pd.DataFrame({"a": a, "b": b})
+
+
+def minhash_candidates(docs: Dataset, concurrency: int = 4) -> Dataset:
+    """documents → distinct LSH candidate pairs (a < b)."""
+    band_rows = docs.map_batches(MinHasher, batch_format="pyarrow",
+                                 batch_size=4096, concurrency=concurrency,
+                                 num_cpus=1)
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas")
+    # distinct (a, b): a pair can match in several bands
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """Near-duplicate pairs with verified word-3-gram Jaccard ≥ threshold."""
+    docs = _docs(sf_dir)
+    texts_ref = ray.put({
+        r["doc_id"]: r["text"]
+        for b in docs.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    })
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(texts_ref)
+        jac = [round(ngram_jaccard(texts[a], texts[b]), 6)
+               for a, b in zip(batch["a"], batch["b"])]
+        batch = batch.assign(jaccard=jac)
+        return batch[batch["jaccard"] >= threshold]
+
+    out = minhash_candidates(docs).map_batches(verify, batch_format="pandas")
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# --- SimHash -------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    toks = (text or "").lower().split()
+    if not toks:
+        return 0
+    hashes = np.fromiter((_hash64(t) for t in toks), dtype=np.uint64,
+                         count=len(toks))
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash_signatures(sf_dir: str) -> Dataset:
+    def sig(t: pa.Table) -> pa.Table:
+        hs = [simhash64(x) for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "simhash": pa.array([f"{h:016x}" for h in hs], pa.string())})
+    return _docs(sf_dir).map_batches(sig, batch_format="pyarrow", batch_size=8192)
+
+
+def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs by SimHash Hamming ≤ max_hamming, blocked on 16-bit
+    chunks (pigeonhole: Hamming ≤ 3 ⇒ ≥1 of 4 chunks identical)."""
+    sigs = simhash_signatures(sf_dir)
+
+    def explode_chunks(t: pa.Table) -> pa.Table:
+        doc_ids, chunks, vals, full = [], [], [], []
+        for doc_id, hx in zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist()):
+            h = int(hx, 16)
+            for c in range(4):
+                doc_ids.append(doc_id)
+                chunks.append(c)
+                vals.append((h >> (16 * c)) & 0xFFFF)
+                full.append(hx)
+        return pa.table({"doc_id": pa.array(doc_ids), "chunk": pa.array(chunks, pa.int32()),
+                         "val": pa.array(vals, pa.int32()), "simhash": pa.array(full)})
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(group["doc_id"], group["simhash"]))
+        a, b, ham = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = bin(int(rows[i][1], 16) ^ int(rows[j][1], 16)).count("1")
+                if d <= max_hamming:
+                    a.append(rows[i][0]); b.append(rows[j][0]); ham.append(d)
+        return pd.DataFrame({"a": a, "b": b, "hamming": ham})
+
+    pairs = (sigs.map_batches(explode_chunks, batch_format="pyarrow")
+                 .groupby(["chunk", "val"])
+                 .map_groups(bucket_pairs, batch_format="pandas")
+                 .groupby(["a", "b"])
+                 .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    df = pairs.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return df.sort_values(["a", "b"]).reset_index(drop=True)

@@ -1,0 +1,206 @@
+"""Generic relational operators over the TPC-H-ish test tables.
+
+These exercise the engine's wide-operator repertoire — partial-then-final
+aggregation (combiner before the shuffle), hash join, broadcast join,
+tumbling-window aggregation, top-k — each with an exact DuckDB SQL oracle
+(see __ray_entry__.oracle_sql). Patterns:
+
+- *pre-aggregate inside map_batches*: per-batch partial sums keyed by the
+  group columns, so the ``groupby`` shuffle moves one row per (group, batch)
+  instead of every input row.
+- *broadcast join*: dimension tables (region/nation/customer) are ``ray.put``
+  once and probed per batch — no shuffle.
+- *hash join*: ``Dataset.join`` only when both sides are large
+  (orders ⨝ lineitem).
+
+All float outputs are rounded to fixed decimals in both the Ray and SQL
+versions so value-hash comparison is stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+Q1_CUTOFF = np.datetime64("1998-01-01", "us")
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = np.datetime64("1999-01-01", "us")
+WINDOW_S = 3600
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- Q1: pricing summary (filter → partial agg → final agg) -----------------
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(Q1_CUTOFF)))
+        df = t.select(["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_discount", "l_tax"]).to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["charge"] = df["disc_price"] * (1 + df["l_tax"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_charge=("charge", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("sum_charge", alias_name="sum_charge"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("count_order", alias_name="count_order"),
+    )
+    df = final.to_pandas()
+    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(6)
+    df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(6)
+    df["avg_disc"] = (df["sum_disc"] / df["count_order"]).round(6)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        df[c] = df[c].round(2)
+    df = df.drop(columns=["sum_disc"])
+    return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+# --- Q3-ish: top orders by revenue (broadcast semi + hash join + top-k) -----
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    cust_tbl = pa.concat_tables(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .iter_batches(batch_format="pyarrow"))
+    keys = cust_tbl.filter(
+        pc.equal(cust_tbl["c_mktsegment"], Q3_SEGMENT))["c_custkey"].to_pylist()
+    seg_keys = ray.put(sorted(keys))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(seg_keys)
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(Q3_DATE)))
+        mask = pc.is_in(t["o_custkey"], value_set=pa.array(keys, pa.int64()))
+        return t.filter(mask).select(["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    orders_f = orders.map_batches(filter_orders, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(Q3_DATE)))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(),
+                           "rev": rev.to_numpy()})
+        g = df.groupby("l_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_agg = (li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+                .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue")))
+
+    joined = li_agg.join(orders_f.rename_columns({"o_orderkey": "l_orderkey"}),
+                         join_type="inner", num_partitions=8, on=("l_orderkey",))
+    df = joined.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df = df.rename(columns={"l_orderkey": "o_orderkey"})
+    df = df.sort_values(["revenue", "o_orderkey"],
+                        ascending=[False, True]).head(10)
+    return df[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]].reset_index(drop=True)
+
+
+# --- customers per region (two-level broadcast join) -------------------------
+
+def q_customers_per_region(sf_dir: str) -> pd.DataFrame:
+    nation = pa.concat_tables(
+        _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+        .iter_batches(batch_format="pyarrow"))
+    region = pa.concat_tables(
+        _read(sf_dir, "region", ["r_regionkey", "r_name"])
+        .iter_batches(batch_format="pyarrow"))
+    r_names = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    n2r = {n: r_names[r] for n, r in zip(nation["n_nationkey"].to_pylist(),
+                                         nation["n_regionkey"].to_pylist())}
+    lookup = ray.put(n2r)
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def add_region(t: pa.Table) -> pa.Table:
+        m = ray.get(lookup)
+        names = [m[k] for k in t["c_nationkey"].to_pylist()]
+        return pa.table({
+            "r_name": pa.array(names, pa.string()),
+            "c_acctbal": t["c_acctbal"],
+        })
+
+    out = (cust.map_batches(add_region, batch_format="pyarrow")
+               .groupby("r_name")
+               .aggregate(Count(alias_name="n_customers"),
+                          Sum("c_acctbal", alias_name="sum_acctbal")))
+    df = out.to_pandas()
+    df["sum_acctbal"] = df["sum_acctbal"].round(2)
+    return df.sort_values("r_name").reset_index(drop=True)
+
+
+# --- events: tumbling-window aggregation -------------------------------------
+
+def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy()  # datetime64[us]
+        win = (ts.astype("datetime64[s]").astype(np.int64) // WINDOW_S).astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                           "win": win, "value": t["value"].to_numpy()})
+        g = df.groupby(["event_type", "win"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+             .groupby(["event_type", "win"])
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sum_value", alias_name="sum_value")))
+    df = out.to_pandas()
+    df["sum_value"] = df["sum_value"].round(4)
+    df["n"] = df["n"].astype(np.int64)
+    return df.sort_values(["event_type", "win"]).reset_index(drop=True)
+
+
+# --- events: top users by total value (agg + top-k) --------------------------
+
+def q_top_users(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(),
+                           "value": t["value"].to_numpy()})
+        g = df.groupby("user_id", as_index=False).agg(
+            n_events=("value", "size"), total_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+             .groupby("user_id")
+             .aggregate(Sum("n_events", alias_name="n_events"),
+                        Sum("total_value", alias_name="total_value")))
+    df = out.to_pandas()
+    df["total_value"] = df["total_value"].round(4)
+    df["n_events"] = df["n_events"].astype(np.int64)
+    df = df.sort_values(["total_value", "user_id"], ascending=[False, True]).head(20)
+    return df[["user_id", "n_events", "total_value"]].reset_index(drop=True)

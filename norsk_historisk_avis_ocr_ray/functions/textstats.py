@@ -1,0 +1,126 @@
+"""Text-analysis operators over a documents table: token counting, quality
+scoring, language-ID, fingerprinting.
+
+All are stateless, fully vectorized ``map_batches`` stages (Arrow compute /
+numpy); language-ID holds its stopword profiles as per-actor state. These are
+the per-document scoring primitives a large-scale training-data pipeline runs
+before filtering/dedup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+from .textops import whitespace_token_counts
+
+PUNCT_CLASS = r"[.,;:!?]"
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _stats_batch(t: pa.Table) -> pa.Table:
+    text = t["text"]
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_tokens = whitespace_token_counts(text)
+    stripped = pc.replace_substring_regex(text, PUNCT_CLASS, "")
+    n_punct = pc.subtract(n_chars, pc.utf8_length(stripped).cast(pa.int64()))
+    nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+    punct_ratio = np.round(
+        n_punct.to_numpy(zero_copy_only=False) / np.maximum(nc, 1.0), 6)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_chars": n_chars,
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_punct": n_punct,
+        "punct_ratio": pa.array(punct_ratio, pa.float64()),
+    })
+
+
+def text_token_stats(sf_dir: str) -> Dataset:
+    """Per-doc char/token/punctuation stats (SQL-oracled)."""
+    return _docs(sf_dir).map_batches(_stats_batch, batch_format="pyarrow",
+                                     batch_size=8192)
+
+
+def quality_score(sf_dir: str) -> Dataset:
+    """Heuristic quality score in [0,1]: token-count saturation + mean word
+    length band — the usual cheap pre-filter for web-scale text."""
+
+    def score(t: pa.Table) -> pa.Table:
+        s = _stats_batch(t)
+        n_tokens = s["n_tokens"].to_numpy().astype(np.float64)
+        n_chars = s["n_chars"].to_numpy().astype(np.float64)
+        # mean word length over non-space chars
+        wlen = (n_chars - np.maximum(n_tokens - 1, 0)) / np.maximum(n_tokens, 1)
+        len_part = np.minimum(n_tokens / 100.0, 1.0)
+        wlen_part = np.clip((wlen - 2.0) / 8.0, 0.0, 1.0)
+        q = np.round(0.5 * len_part + 0.5 * wlen_part, 6)
+        return pa.table({"doc_id": t["doc_id"],
+                         "quality": pa.array(q, pa.float64())})
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                     batch_size=8192)
+
+
+def doc_fingerprint(sf_dir: str) -> Dataset:
+    """Per-doc content fingerprint: md5 of the text (the exact-dedup key;
+    SQL-oracled). SimHash fingerprints live in functions.dedup."""
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        md5s = [hashlib.md5((x or "").encode("utf-8")).hexdigest() for x in texts]
+        return pa.table({"doc_id": t["doc_id"],
+                         "fingerprint": pa.array(md5s, pa.string())})
+
+    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow", batch_size=8192)
+
+
+# --- language identification (stateful stopword profiles) --------------------
+
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "was", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "für"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pas", "avec", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "no", "con", "para"},
+    "nb": {"og", "i", "det", "som", "en", "av", "på", "til", "er", "for", "ikke"},
+}
+
+
+class LangIdStage:
+    """Actor-pool stage: n-gram/stopword language scoring (profiles compiled
+    once per actor)."""
+
+    def __init__(self):
+        self.profiles = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+        self.langs = sorted(self.profiles)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds, scores = [], []
+        for text in batch["text"]:
+            toks = (text or "").lower().split()
+            n = max(len(toks), 1)
+            best_lang, best = "und", 0.0
+            for lang in self.langs:
+                hits = sum(1 for w in toks if w in self.profiles[lang])
+                s = hits / n
+                if s > best:
+                    best, best_lang = s, lang
+            preds.append(best_lang if best > 0.05 else "und")
+            scores.append(round(best, 6))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "lang_pred": preds, "lang_score": scores})
+
+
+def lang_id(sf_dir: str) -> Dataset:
+    return _docs(sf_dir).map_batches(LangIdStage, batch_format="pandas",
+                                     batch_size=4096, concurrency=2, num_cpus=1)
