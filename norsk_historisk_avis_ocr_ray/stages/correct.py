@@ -114,7 +114,15 @@ class NorwegianNormalizer:
 
 
 class CorrectorStage:
-    """Actor-pool stage: adds ``transcribed``/``corrected``/``diff`` columns."""
+    """Adds ``transcribed``/``corrected``/``diff`` columns.
+
+    Usable two ways: as an actor-pool callable class
+    (``map_batches(CorrectorStage, concurrency=N)``) or, via
+    ``correct_batch``, as stateless tasks with a per-process cached instance —
+    the task form lets Ray fuse it with the repack ``map_groups`` stage and
+    scale both elastically on CPUs the OCR pool leaves free (no fixed pool to
+    misconfigure), while the lexicon is still built once per worker process.
+    """
 
     def __init__(self, enabled: bool = True, emit_diff: bool = True):
         self.enabled = enabled
@@ -142,3 +150,16 @@ class CorrectorStage:
         batch = batch.append_column("corrected", pa.array(corrected, pa.bool_()))
         batch = batch.append_column("diff", pa.array(diffs, pa.string()))
         return batch
+
+
+_PROCESS_STAGE: dict[tuple[bool, bool], CorrectorStage] = {}
+
+
+def correct_batch(batch: pa.Table, enabled: bool = True,
+                  emit_diff: bool = True) -> pa.Table:
+    """Task-form corrector: per-worker-process cached CorrectorStage."""
+    key = (enabled, emit_diff)
+    stage = _PROCESS_STAGE.get(key)
+    if stage is None:
+        stage = _PROCESS_STAGE[key] = CorrectorStage(enabled, emit_diff)
+    return stage(batch)

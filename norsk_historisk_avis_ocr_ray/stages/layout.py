@@ -38,10 +38,15 @@ def find_band_dividers(
     band_height: int = 200,
     drift_px: int = 15,
     min_band_frac: float = 0.50,
+    dark: np.ndarray | None = None,
 ) -> list[int]:
-    """Detect ink divider lines via horizontal-band vertical projections."""
+    """Detect ink divider lines via horizontal-band vertical projections.
+
+    The dark mask is materialized per ~band slab (≤200 rows ≈ 0.5–1 MB) so it
+    stays cache-resident instead of a full-page boolean round-trip to DRAM —
+    the layout stage's dominant cost is memory traffic, not arithmetic.
+    ``dark`` may pass a precomputed full-page mask (kept for API compat)."""
     height, width = img.shape
-    dark = img < threshold
     n_bands = max(1, height // band_height)
 
     band_peaks: list[list[int]] = []
@@ -51,7 +56,8 @@ def find_band_dividers(
         band_h = y1 - y0
         if band_h < 20:
             continue
-        v_profile = dark[y0:y1].sum(axis=0)
+        slab = dark[y0:y1] if dark is not None else img[y0:y1] < threshold
+        v_profile = slab.sum(axis=0)
         mask = v_profile >= band_h * 0.8
         peaks = _run_centers(mask, width)
         band_peaks.append(peaks)
@@ -119,30 +125,12 @@ def find_gap_boundaries(
     if seg_width < 50 or height < 50:
         return []
 
-    light = img[y_start:y_end, x_start:x_end] >= threshold  # rows × seg_width
-
-    # Positions inside a light run of length >= min_gap_px. Runs are per-row:
-    # the leading pad in `starts` resets at each row start, so raveling is safe.
-    starts = light.copy()
-    starts[:, 1:] &= ~light[:, :-1]
-    flat = light.ravel()
-    run_ids = np.cumsum(starts.ravel())  # id of current/most-recent run
-    run_sizes = np.bincount(run_ids[flat], minlength=int(run_ids[-1]) + 1 if run_ids.size else 1)
-    inside = flat & (run_sizes[run_ids] >= min_gap_px)
-    coverage = inside.reshape(height, seg_width).sum(axis=0).astype(np.float64)
-
-    # 15px centered moving average, edge-truncated, normalized by height.
-    half_w = 7
-    csum = np.concatenate(([0.0], np.cumsum(coverage)))
-    idx = np.arange(seg_width)
-    lo = np.maximum(0, idx - half_w)
-    hi = np.minimum(seg_width, idx + half_w + 1)
-    smoothed = (csum[hi] - csum[lo]) / (hi - lo) / height
-
     n_expected = round(seg_width / expected_col_width)
     if n_expected < 2:
         return []
 
+    g = min_gap_px
+    half_w = 7
     search_radius = int(expected_col_width * 0.3)
     boundaries = []
     for b in range(1, n_expected):
@@ -151,10 +139,35 @@ def find_gap_boundaries(
         w_hi = min(seg_width - 50, expected_rx + search_radius)
         if w_lo >= w_hi:
             continue
-        window = smoothed[w_lo:w_hi + 1]
-        best_rx = w_lo + int(np.argmax(window))  # first max, as in the reference scan
-        if smoothed[best_rx] >= min_coverage:
-            boundaries.append(x_start + best_rx)
+        # Gap coverage is only ever *read* inside [w_lo, w_hi]; compute it on
+        # a slice extended by the ±7 smoothing margin and the (g-1) opening
+        # margin — exact, since run-membership ("j lies in a light run of
+        # length >= g") equals "some all-light g-window contains j", which is
+        # local within g-1 pixels.
+        c0 = max(0, w_lo - half_w - (g - 1))
+        c1 = min(seg_width, w_hi + 1 + half_w + (g - 1))
+        light = img[y_start:y_end, x_start + c0:x_start + c1] >= threshold
+        cs = np.zeros((height, light.shape[1] + 1), dtype=np.int32)
+        np.cumsum(light, axis=1, out=cs[:, 1:])
+        ok = (cs[:, g:] - cs[:, :-g]) == g          # window [k, k+g) all light
+        okc = np.zeros((height, ok.shape[1] + 1), dtype=np.int32)
+        np.cumsum(ok, axis=1, out=okc[:, 1:])
+        idx = np.arange(c1 - c0)                    # slice-relative positions
+        k_hi = np.minimum(idx, (c1 - c0) - g) + 1   # covering windows [k_lo, k_hi)
+        k_lo = np.maximum(idx - g + 1, 0)
+        # windows straddling the slice edge exist only when the slice edge is
+        # the segment edge (c0==0 / c1==seg_width) — the clamps above are then
+        # exactly the reference's behavior at the segment boundary.
+        coverage = ((okc[:, k_hi] - okc[:, k_lo]) > 0).sum(axis=0).astype(np.float64)
+
+        # 15px centered moving average (never clamped: w_lo-7 >= 43 > 0).
+        csum = np.concatenate(([0.0], np.cumsum(coverage)))
+        j = np.arange(w_lo - c0, w_hi + 1 - c0)
+        smoothed = (csum[j + half_w + 1] - csum[j - half_w]) / (2 * half_w + 1) / height
+
+        best = int(np.argmax(smoothed))             # first max, as in the reference
+        if smoothed[best] >= min_coverage:
+            boundaries.append(x_start + w_lo + best)
     return boundaries
 
 
@@ -162,6 +175,7 @@ def detect_title_region(
     img: np.ndarray,
     boundaries: list[int],
     threshold: int = DARK_THRESHOLD,
+    dark: np.ndarray | None = None,
 ) -> tuple[tuple[int, int, int, int] | None, list[int]]:
     """Find a multi-column title region at the top of the page.
 
@@ -177,7 +191,19 @@ def detect_title_region(
     large_gap_min = 40
     scan_limit = int(height * 0.40)
     blank_frac = 0.01
-    dark_top = img[:scan_limit] < threshold
+    if dark is not None:
+        dark_top = dark[:scan_limit]
+        row_counts = None
+    else:
+        # one slab-wise pass (slabs stay cache-resident): per-row dark counts
+        # per column strip via segmented reduction at the boundary offsets
+        bounds = np.asarray(boundaries[:-1], dtype=np.intp)
+        row_counts = np.empty((scan_limit, len(bounds)), dtype=np.int64)
+        for y0 in range(0, scan_limit, 256):
+            y1 = min(y0 + 256, scan_limit)
+            slab = img[y0:y1] < threshold
+            row_counts[y0:y1] = np.add.reduceat(slab, bounds, axis=1)
+        dark_top = None
 
     body_start_y = []
     for ci in range(n_cols):
@@ -186,7 +212,10 @@ def detect_title_region(
         if col_width < 30:
             body_start_y.append(0)
             continue
-        counts = dark_top[:, x0:x1].sum(axis=1)
+        if row_counts is not None:
+            counts = row_counts[:, ci]
+        else:
+            counts = dark_top[:, x0:x1].sum(axis=1)
         blank = counts < col_width * blank_frac
         # Last run of >= large_gap_min blank rows that *ends* (hits a non-blank
         # row) before scan_limit; body starts at the row after it.

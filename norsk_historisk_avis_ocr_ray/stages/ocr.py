@@ -102,16 +102,24 @@ class LayoutOcrStage:
         self,
         engine_factory: Callable[[], Any] = MockBarcodeOcr,
         pages_ref: Any = None,
+        page_index_ref: Any = None,
         overlap_px: int = OVERLAP_PX,
     ):
         self.engine = engine_factory()
         self.engine.load()
         self.overlap_px = overlap_px
         self.pages: dict[str, tuple[bytes, int, int, str]] | None = None
+        self.store = None
         if pages_ref is not None:
             import ray
 
             self.pages = ray.get(pages_ref)
+        elif page_index_ref is not None:
+            import ray
+
+            from ..sources.pagestore import PageStore
+
+            self.store = PageStore(ray.get(page_index_ref))
 
     # -- helpers -------------------------------------------------------------
 
@@ -121,6 +129,8 @@ class LayoutOcrStage:
             if ref not in self.pages:
                 raise KeyError(f"media_ref not found: {ref!r}")
             return self.pages[ref]
+        if self.store is not None:
+            return self.store.get(ref)
         if row.get("image") is None:
             raise KeyError(f"media_ref unresolved (no image payload): {ref!r}")
         return row["image"], row["width"], row["height"], row.get("codec") or "raw-zlib"
@@ -155,6 +165,56 @@ class LayoutOcrStage:
                 out.add(row["doc_id"], row["in_offset"], 0, "text",
                         row["text"] or "", "", None, 0)
         return out.table()
+
+
+PAGE_OUT_FIELDS = [
+    ("media_ref", pa.string()),
+    ("region_idx", pa.int32()),
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("error", pa.string()),
+    ("n_cols", pa.int32()),
+]
+PAGE_OUT_SCHEMA = pa.schema(PAGE_OUT_FIELDS)
+
+
+class PageOcrStage:
+    """Actor-pool stage over the *pages* dataset itself (the dataflow media
+    mode): each batch row carries its own image bytes (zero-copy from the
+    object store), so no broadcast table and no keyed lookups — the scalable
+    default. Emits text-only region rows keyed by ``media_ref``; the pipeline
+    joins them back to the documents' media spans (a text-only hash join).
+    """
+
+    def __init__(self, engine_factory: Callable[[], Any] = MockBarcodeOcr,
+                 overlap_px: int = OVERLAP_PX):
+        self.engine = engine_factory()
+        self.engine.load()
+        self.overlap_px = overlap_px
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        imgs = batch["image"].to_pylist()
+        widths = batch["width"].to_pylist()
+        heights = batch["height"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        cols: list[list] = [[] for _ in PAGE_OUT_FIELDS]
+
+        def add(*values):
+            for c, v in zip(cols, values):
+                c.append(v)
+
+        for ref, buf, w, h, codec in zip(refs, imgs, widths, heights, codecs):
+            try:
+                img = decode_image(buf, w, h, codec or "raw-zlib")
+                layout = split_columns(img, overlap_px=self.overlap_px)
+                for region_idx, (kind, (x0, y0, x1, y1)) in enumerate(layout.regions):
+                    text = self.engine.ocr_region(img[y0:y1, x0:x1])
+                    add(ref, region_idx, "text", text, None, layout.n_cols)
+            except Exception as e:  # per-row error, never job abort
+                add(ref, 0, "text", "", f"{type(e).__name__}: {e}", 0)
+        arrays = [pa.array(c, type=f[1]) for c, f in zip(cols, PAGE_OUT_FIELDS)]
+        return pa.Table.from_arrays(arrays, schema=PAGE_OUT_SCHEMA)
 
 
 class _RowSink:

@@ -34,23 +34,45 @@ REPACKED_SCHEMA = pa.schema([
 ])
 
 
-def repack_group(group: pa.Table) -> pa.Table:
-    group = group.sort_by([("in_offset", "ascending"), ("region_idx", "ascending")])
-    doc_id = group["doc_id"][0].as_py()
-    in_offsets = group["in_offset"].to_pylist()
-    region_idxs = group["region_idx"].to_pylist()
-    kinds = group["kind"].to_pylist()
-    texts = group["text"].to_pylist()
-    refs = group["media_ref"].to_pylist()
-    errors = group["error"].to_pylist() if "error" in group.column_names else [None] * len(kinds)
+def repack_table(tbl: pa.Table) -> pa.Table:
+    """Repack region rows for one or many documents (rows need not be sorted;
+    all rows of a doc must be present — the caller guarantees co-location,
+    either via groupby(doc_id) or shard-local processing)."""
+    tbl = tbl.sort_by([("doc_id", "ascending"), ("in_offset", "ascending"),
+                       ("region_idx", "ascending")])
+    doc_ids = tbl["doc_id"].to_pylist()
+    in_offsets = tbl["in_offset"].to_pylist()
+    region_idxs = tbl["region_idx"].to_pylist()
+    kinds = tbl["kind"].to_pylist()
+    texts = tbl["text"].to_pylist()
+    refs = tbl["media_ref"].to_pylist()
+    errors = tbl["error"].to_pylist() if "error" in tbl.column_names else [None] * len(kinds)
 
+    out_rows: list[dict] = []
+    cur_doc = None
     spans: list[dict] = []
     section_texts: list[str] = []
     n_errors = 0
     prev_key = None
-    for io, ri, kind, text, ref, err in zip(
-        in_offsets, region_idxs, kinds, texts, refs, errors
+
+    def flush():
+        if cur_doc is None:
+            return
+        combined = "\n\n".join(section_texts)
+        reflowed = (reflow_text(t) for t in section_texts)
+        transcribed_raw = "\n\n".join(t for t in reflowed if t)
+        out_rows.append({"doc_id": cur_doc, "spans": list(spans),
+                         "combined": combined,
+                         "transcribed_raw": transcribed_raw,
+                         "n_errors": n_errors})
+
+    for doc_id, io, ri, kind, text, ref, err in zip(
+        doc_ids, in_offsets, region_idxs, kinds, texts, refs, errors
     ):
+        if doc_id != cur_doc:
+            flush()
+            cur_doc = doc_id
+            spans, section_texts, n_errors, prev_key = [], [], 0, None
         key = (io, ri)
         if key == prev_key:
             continue  # duplicate doc ingested twice — keep first
@@ -63,18 +85,11 @@ def repack_group(group: pa.Table) -> pa.Table:
         spans.append({"kind": "text", "text": text, "media_ref": ref or "",
                       "offset": len(spans)})
         section_texts.append(text)
+    flush()
 
-    combined = "\n\n".join(section_texts)
-    reflowed = [reflow_text(t) for t in section_texts]
-    transcribed_raw = "\n\n".join(t for t in reflowed if t)
+    return pa.Table.from_pylist(out_rows, schema=REPACKED_SCHEMA)
 
-    return pa.Table.from_pylist(
-        [{
-            "doc_id": doc_id,
-            "spans": spans,
-            "combined": combined,
-            "transcribed_raw": transcribed_raw,
-            "n_errors": n_errors,
-        }],
-        schema=REPACKED_SCHEMA,
-    )
+
+def repack_group(group: pa.Table) -> pa.Table:
+    """Per-group form for ``groupby("doc_id").map_groups`` (one doc)."""
+    return repack_table(group)

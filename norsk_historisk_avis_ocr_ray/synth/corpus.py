@@ -109,8 +109,9 @@ def _span(kind: str, text: str, media_ref: str, offset: int) -> dict:
 
 
 class CorpusBuilder:
-    def __init__(self, seed: int = 42):
+    def __init__(self, seed: int = 42, prefix: str = ""):
         self.rng = np.random.default_rng(seed)
+        self.prefix = prefix  # doc_id/media_ref namespace (parallel sharding)
         self.doc_rows: list[dict] = []
         self.page_rows: list[dict] = []
         self.golden_rows: list[dict] = []
@@ -122,7 +123,7 @@ class CorpusBuilder:
 
     def _new_page(self, tiny: bool = False) -> tuple[str, pagegen.PageTruth]:
         rng = self.rng
-        ref = f"page-{self._page_seq:06d}"
+        ref = f"{self.prefix}page-{self._page_seq:06d}"
         self._page_seq += 1
         if tiny:
             img, truth = pagegen.render_tiny_page(rng)
@@ -227,7 +228,7 @@ class CorpusBuilder:
             else:
                 kinds.append("dup")
         for i, kind in enumerate(kinds):
-            doc_id = f"doc-{i:06d}"
+            doc_id = f"{self.prefix}doc-{i:06d}"
             if kind == "dup":
                 self.add_doc(doc_id, "media")
                 # exact duplicate row (ingest dedup case): same doc_id + spans
@@ -270,6 +271,35 @@ def make_corpus(n_docs: int, seed: int = 42) -> dict[str, pa.Table]:
         "golden": b.golden_table(),
         "golden_layout": b.layout_table(),
     }
+
+
+def write_corpus_parallel(out_dir: str, n_docs: int, seed: int = 42,
+                          n_shards: int = 32) -> None:
+    """Generate and write the corpus with Ray tasks, one shard per task
+    (deterministic: shard seed = seed + shard index, ids namespaced by shard).
+    Requires an initialized Ray session. Layout: documents/, pages/, golden/
+    directories of per-shard parquet files + a _SUCCESS marker."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def build_shard(shard: int, shard_docs: int) -> int:
+        b = CorpusBuilder(seed=seed + shard, prefix=f"s{shard:03d}-")
+        b.build(shard_docs)
+        for name, tbl in (("documents", b.documents_table()),
+                          ("pages", b.pages_table()),
+                          ("golden", b.golden_table())):
+            os.makedirs(os.path.join(out_dir, name), exist_ok=True)
+            pq.write_table(tbl, os.path.join(out_dir, name,
+                                             f"part-{shard:04d}.parquet"))
+        return shard_docs
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_docs + n_shards - 1) // n_shards
+    sizes = [min(per, n_docs - i * per) for i in range(n_shards)]
+    sizes = [s for s in sizes if s > 0]
+    ray.get([build_shard.remote(i, s) for i, s in enumerate(sizes)])
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write(f"{n_docs} {seed}\n")
 
 
 def write_corpus(out_dir: str, n_docs: int, seed: int = 42,

@@ -1,0 +1,82 @@
+"""Multimodal stage tests: real transforms over the native codecs, stubbed
+decodes raise cleanly, and the actor-pool plumbing works inside map_batches."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+from norsk_historisk_avis_ocr_ray.sources.codec import decode_image, encode_image
+from norsk_historisk_avis_ocr_ray.stages.multimodal import (
+    AudioFrameSampleStage,
+    ImageFeatureStage,
+    ImageResizeStage,
+    VideoFrameSampleStage,
+)
+
+
+def image_batch(n=3, w=800, h=600):
+    rows = []
+    for i in range(n):
+        img = np.full((h, w), 255, np.uint8)
+        img[i::7] = 30
+        rows.append({"media_ref": f"m{i}", "image": encode_image(img),
+                     "width": w, "height": h, "codec": "raw-zlib"})
+    return pa.Table.from_pylist(rows)
+
+
+def test_resize_caps_max_side():
+    out = ImageResizeStage(max_side=200)(image_batch())
+    for w, h, buf in zip(out["width"].to_pylist(), out["height"].to_pylist(),
+                         out["image"].to_pylist()):
+        assert max(w, h) == 200
+        assert decode_image(buf, w, h).shape == (h, w)
+
+
+def test_resize_noop_when_small():
+    out = ImageResizeStage(max_side=5000)(image_batch())
+    assert out["width"].to_pylist() == [800] * 3
+
+
+def test_features_shape_and_determinism():
+    b = image_batch()
+    f1 = ImageFeatureStage()(b)["features"].to_pylist()
+    f2 = ImageFeatureStage()(b)["features"].to_pylist()
+    assert f1 == f2
+    assert all(len(v) == 3 + ImageFeatureStage.N_BINS for v in f1)
+
+
+def test_audio_frame_sampling():
+    pcm = (np.arange(20000) % 997).astype(np.int16)
+    batch = pa.Table.from_pylist([
+        {"media_ref": "a0", "audio": pcm.tobytes(), "codec": "pcm16"}])
+    out = AudioFrameSampleStage(frame_samples=1024, hop=4096)(batch)
+    assert out.num_rows == len(range(0, 20000 - 1024 + 1, 4096))
+    first = np.frombuffer(out["frame"][0].as_py(), dtype=np.int16)
+    assert np.array_equal(first, pcm[:1024])
+
+
+def test_audio_unsupported_codec_raises():
+    batch = pa.Table.from_pylist([
+        {"media_ref": "a0", "audio": b"xx", "codec": "mp3"}])
+    with pytest.raises(NotImplementedError):
+        AudioFrameSampleStage()(batch)
+
+
+def test_video_frame_sampling():
+    w, h, n = 16, 8, 25
+    frames = np.stack([np.full((h, w), i, np.uint8) for i in range(n)])
+    batch = pa.Table.from_pylist([{
+        "media_ref": "v0", "video": frames.tobytes(), "width": w, "height": h,
+        "codec": "rawvideo-gray"}])
+    out = VideoFrameSampleStage(every_k=10)(batch)
+    assert out["frame_idx"].to_pylist() == [0, 10, 20]
+    img0 = decode_image(out["image"][0].as_py(), w, h)
+    assert (img0 == 0).all()
+
+
+def test_feature_stage_in_actor_pool():
+    ds = ray.data.from_arrow(image_batch(8))
+    out = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                         batch_size=4, concurrency=2, num_cpus=1)
+    assert out.count() == 8
