@@ -89,6 +89,7 @@ def _image_features(sf_dir: str) -> Any:
     pages = make_corpus(n_docs, seed=42)["pages"]
     ds = ray.data.from_arrow(pages.select(
         ["media_ref", "image", "width", "height", "codec"]))
+    ds = ds.repartition(8)  # from_arrow yields ONE block → one actor task
     out = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
                          batch_size=32, concurrency=2, num_cpus=1)
 

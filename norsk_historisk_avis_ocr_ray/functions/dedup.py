@@ -77,13 +77,14 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": t["doc_id"],
                          "fingerprint": pa.array(md5s, pa.string())})
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, "doc_id")
+    from ray.data.aggregate import Min
 
+    # vectorized hash aggregate (NOT per-group Python: min-per-key is exactly
+    # keep-first dedup and runs as a partial+final combine)
     ds = (_docs(sf_dir)
           .map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
           .groupby("fingerprint")
-          .map_groups(first, batch_format="pandas"))
+          .aggregate(Min("doc_id", alias_name="doc_id")))
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)[
         ["doc_id", "fingerprint"]]
 
@@ -130,30 +131,32 @@ class MinHasher:
         })
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(group["doc_id"].tolist())
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []})
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"a": a, "b": b})
-
-
 def minhash_candidates(docs: Dataset, concurrency: int = 2) -> Dataset:
-    # NOTE: the actor pool must not reserve every CPU of the session or the
-    # downstream groupby tasks starve (streaming-executor deadlock).
-    """documents → distinct LSH candidate pairs (a < b)."""
+    """documents → distinct LSH candidate pairs (a < b).
+
+    Bucket pairing is a self-join on the band key (vectorized hash join —
+    per-bucket Python loops over tens of thousands of tiny groups are the
+    slow anti-pattern), followed by a vectorized count-aggregate for
+    distinctness. The actor pool must not reserve every CPU of the session or
+    the downstream join/aggregate tasks starve (streaming-executor deadlock).
+    """
+    from ray.data.aggregate import Count
+
     band_rows = docs.map_batches(MinHasher, batch_format="pyarrow",
                                  batch_size=4096, concurrency=concurrency,
-                                 num_cpus=1)
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
-    # distinct (a, b): a pair can match in several bands
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+                                 num_cpus=1).materialize()  # joined with itself
+    joined = band_rows.join(band_rows, join_type="inner", num_partitions=4,
+                            on=("band", "band_hash"), right_suffix="_r")
+
+    def ordered(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.less(t["doc_id"], t["doc_id_r"])
+        t = t.filter(keep)
+        return pa.table({"a": t["doc_id"], "b": t["doc_id_r"]})
+
+    pairs = joined.map_batches(ordered, batch_format="pyarrow")
+    return (pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+            .select_columns(["a", "b"]))
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
@@ -219,21 +222,31 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         return pa.table({"doc_id": pa.array(doc_ids), "chunk": pa.array(chunks, pa.int32()),
                          "val": pa.array(vals, pa.int32()), "simhash": pa.array(full)})
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(group["doc_id"], group["simhash"]))
-        a, b, ham = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin(int(rows[i][1], 16) ^ int(rows[j][1], 16)).count("1")
-                if d <= max_hamming:
-                    a.append(rows[i][0]); b.append(rows[j][0]); ham.append(d)
-        return pd.DataFrame({"a": a, "b": b, "hamming": ham})
+    from ray.data.aggregate import Min
 
-    pairs = (sigs.map_batches(explode_chunks, batch_format="pyarrow")
-                 .groupby(["chunk", "val"])
-                 .map_groups(bucket_pairs, batch_format="pandas")
-                 .groupby(["a", "b"])
-                 .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    chunk_rows = sigs.map_batches(explode_chunks,
+                                  batch_format="pyarrow").materialize()
+    joined = chunk_rows.join(chunk_rows, join_type="inner", num_partitions=4,
+                             on=("chunk", "val"), right_suffix="_r")
+
+    def verify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.less(t["doc_id"], t["doc_id_r"]))
+        a = t["doc_id"].to_pylist()
+        b = t["doc_id_r"].to_pylist()
+        keep_a, keep_b, ham = [], [], []
+        for x, y, hx, hy in zip(a, b, t["simhash"].to_pylist(),
+                                t["simhash_r"].to_pylist()):
+            d = bin(int(hx, 16) ^ int(hy, 16)).count("1")
+            if d <= max_hamming:
+                keep_a.append(x); keep_b.append(y); ham.append(d)
+        return pa.table({"a": pa.array(keep_a, pa.int64()),
+                         "b": pa.array(keep_b, pa.int64()),
+                         "hamming": pa.array(ham, pa.int64())})
+
+    pairs = (joined.map_batches(verify, batch_format="pyarrow")
+                   .groupby(["a", "b"])
+                   .aggregate(Min("hamming", alias_name="hamming")))
     df = pairs.to_pandas()
     if df.empty:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),

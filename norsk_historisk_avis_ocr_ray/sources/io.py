@@ -1,0 +1,34 @@
+"""Table IO: Lance-first with parquet fallback.
+
+BASELINE.json specifies Lance tables of interleaved documents; this container
+has no Lance library, so readers/writers prefer ``ray.data.read_lance`` /
+``Dataset.write_lance`` when the ``lance`` package is importable and fall
+back to parquet (identical schema and partition layout) otherwise. All
+pipeline code is format-agnostic: it only sees ``ray.data.Dataset``.
+"""
+
+from __future__ import annotations
+
+import ray
+from ray.data import Dataset
+
+
+def _have_lance() -> bool:
+    try:
+        import lance  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def read_documents(path: str, **kwargs) -> Dataset:
+    if path.endswith(".lance") and _have_lance():
+        return ray.data.read_lance(path, **kwargs)
+    return ray.data.read_parquet(path, **kwargs)
+
+
+def write_output(ds: Dataset, path: str, **kwargs) -> None:
+    if path.endswith(".lance") and _have_lance():
+        ds.write_lance(path, **kwargs)
+    else:
+        ds.write_parquet(path, **kwargs)

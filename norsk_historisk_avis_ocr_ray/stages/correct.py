@@ -131,23 +131,28 @@ class CorrectorStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         raws = batch["transcribed_raw"].to_pylist()
-        transcribed, corrected, diffs = [], [], []
+        transcribed, corrected, diffs, n_edits = [], [], [], []
         for raw in raws:
             raw = raw or ""
             if not self.enabled or not raw:
                 transcribed.append(raw)
                 corrected.append(False)
                 diffs.append("No changes detected.")
+                n_edits.append(0)
                 continue
             fixed = self.normalizer.correct(raw)
             transcribed.append(fixed)
             changed = fixed != raw
             corrected.append(changed)
+            # token-level edit count (the normalizer never inserts/deletes)
+            n_edits.append(sum(a != b for a, b in zip(raw.split(), fixed.split()))
+                           if changed else 0)
             diffs.append(readable_diff(raw, fixed) if self.emit_diff
                          else ("changed" if changed else "No changes detected."))
         batch = batch.drop_columns(["transcribed_raw"])
         batch = batch.append_column("transcribed", pa.array(transcribed, pa.string()))
         batch = batch.append_column("corrected", pa.array(corrected, pa.bool_()))
+        batch = batch.append_column("n_edits", pa.array(n_edits, pa.int32()))
         batch = batch.append_column("diff", pa.array(diffs, pa.string()))
         return batch
 

@@ -71,6 +71,23 @@ class TesseractOcr:
         return self._pytesseract.image_to_string(img, lang=self.lang)
 
 
+# Engine registry — the analogue of the reference's lazy engine registry
+# (``engines/__init__.py:4-16``): name → factory, injected into the OCR
+# stages via ``engine_factory``.
+ENGINES: dict[str, Callable[[], Any]] = {}
+
+
+def register_engine(name: str, factory: Callable[[], Any]) -> None:
+    ENGINES[name] = factory
+
+
+def get_engine(name: str) -> Callable[[], Any]:
+    try:
+        return ENGINES[name]
+    except KeyError:
+        raise KeyError(f"unknown OCR engine {name!r}; known: {sorted(ENGINES)}")
+
+
 OUT_FIELDS = [
     ("doc_id", pa.string()),
     ("in_offset", pa.int32()),
@@ -228,3 +245,7 @@ class _RowSink:
     def table(self) -> pa.Table:
         arrays = [pa.array(c, type=f[1]) for c, f in zip(self.cols, OUT_FIELDS)]
         return pa.Table.from_arrays(arrays, schema=OUT_SCHEMA)
+
+
+register_engine(MockBarcodeOcr.name, MockBarcodeOcr)
+register_engine(TesseractOcr.name, TesseractOcr)

@@ -1,0 +1,48 @@
+"""T4/T5 semantics: sharpen+contrast prep and the size-ladder encoder."""
+
+import numpy as np
+import pytest
+
+from norsk_historisk_avis_ocr_ray.functions.imageprep import (
+    encode_under_limit,
+    prepare_image,
+)
+from norsk_historisk_avis_ocr_ray.sources.codec import decode_image
+from norsk_historisk_avis_ocr_ray.stages.ocr import get_engine, ENGINES
+
+
+def test_prepare_image_boosts_contrast():
+    img = np.full((60, 60), 128, np.uint8)
+    img[20:40, 20:40] = 90
+    out = prepare_image(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # contrast boost widens the spread around the mean
+    assert out[30, 30] < 90
+    assert int(out.max()) - int(out.min()) > int(img.max()) - int(img.min())
+
+
+def test_prepare_image_deterministic():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(50, 70), dtype=np.uint8)
+    assert np.array_equal(prepare_image(img), prepare_image(img))
+
+
+def test_encode_under_limit_noop_when_small():
+    img = np.full((100, 100), 200, np.uint8)
+    buf, w, h = encode_under_limit(img, max_bytes=1 << 20)
+    assert (w, h) == (100, 100)
+    assert np.array_equal(decode_image(buf, w, h), img)
+
+
+def test_encode_under_limit_rescales():
+    img = np.full((2000, 2000), 200, np.uint8)   # 4 MB decoded
+    buf, w, h = encode_under_limit(img, max_bytes=1 << 20)  # 1 MiB limit
+    assert w * h <= 1 << 20
+    assert w < 2000 and h < 2000
+    assert decode_image(buf, w, h).shape == (h, w)
+
+
+def test_engine_registry():
+    assert get_engine("mock-barcode") is ENGINES["mock-barcode"]
+    with pytest.raises(KeyError):
+        get_engine("nope")
