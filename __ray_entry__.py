@@ -26,7 +26,7 @@ def entry() -> Any:
     from norsk_historisk_avis_ocr_ray.pipelines.extract import extract
 
     docs = read_span_docs(SF_SMOKE)
-    return extract(docs, None, ocr_concurrency=2, corrector_concurrency=2)
+    return extract(docs, None, ocr_concurrency=2)
 
 
 def _extract_docs(sf_dir: str) -> Any:
@@ -40,7 +40,7 @@ def _extract_docs(sf_dir: str) -> Any:
     from norsk_historisk_avis_ocr_ray.pipelines.extract import extract
 
     out = extract(read_span_docs(sf_dir), None, correction=False,
-                  ocr_concurrency=4, corrector_concurrency=2)
+                  ocr_concurrency=4)
 
     def flat(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -63,7 +63,7 @@ def _ocr_extract(sf_dir: str) -> Any:
     from norsk_historisk_avis_ocr_ray.pipelines.extract import extract
     from norsk_historisk_avis_ocr_ray.synth.corpus import make_corpus
 
-    n_docs = 200 if "0.01" in sf_dir else 60
+    n_docs = 60 if "0.001" in sf_dir else 200  # note: "0.01" ⊂ "0.001"
     tables = make_corpus(n_docs, seed=42)
     docs = ray.data.from_arrow(tables["documents"])
     out = extract(docs, tables["pages"], ocr_concurrency=4)
@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customers_per_region": relational.q_customers_per_region,
         "q_events_tumbling": relational.q_events_tumbling,
         "q_top_users": relational.q_top_users,
+        "q_distinct_brands": relational.q_distinct_brands,
+        "q_count_distinct_custs": relational.q_count_distinct_custs,
+        "q_running_user_value": relational.q_running_user_value,
         # text analysis
         "text_token_stats": textstats.text_token_stats,
         "quality_score": textstats.quality_score,
@@ -204,6 +207,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             ORDER BY total_value DESC, user_id
             LIMIT 20
+        """,
+        "q_distinct_brands": """
+            SELECT p_brand, p_type, count(*) AS n_parts,
+                   round(min(p_retailprice), 2) AS min_price
+            FROM part
+            GROUP BY p_brand, p_type
+            ORDER BY p_brand, p_type
+        """,
+        "q_count_distinct_custs": """
+            SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q_running_user_value": """
+            SELECT event_id, user_id, running_value FROM (
+                SELECT event_id, user_id,
+                       round(sum(value) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING), 4)
+                           AS running_value
+                FROM events)
+            ORDER BY event_id DESC LIMIT 100
         """,
         "text_token_stats": """
             SELECT doc_id,

@@ -1,0 +1,78 @@
+"""Non-interactive job CLI — the Ray-native replacement for the reference's
+interactive picker loop (``ocr.py:73-196``): engine chosen by flag from the
+registry, resume handled by the manifest anti-join instead of done-marker
+files, one command per batch run.
+
+    python -m norsk_historisk_avis_ocr_ray.cli run \
+        --corpus /data/corpus --out /data/out --engine mock-barcode
+
+    python -m norsk_historisk_avis_ocr_ray.cli extract \
+        --docs /data/documents --pages /data/pages --out /data/out
+
+``run`` is the resumable shard-local job (co-partitioned corpus);
+``extract`` is the general shuffle pipeline for arbitrary layouts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="norsk_historisk_avis_ocr_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="resumable shard-local extraction")
+    pr.add_argument("--corpus", required=True,
+                    help="dir with documents/ and pages/ parquet shards")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--engine", default="mock-barcode")
+    pr.add_argument("--no-correction", action="store_true")
+    pr.add_argument("--num-cpus", type=int, default=None)
+
+    pe = sub.add_parser("extract", help="general shuffle pipeline")
+    pe.add_argument("--docs", required=True)
+    pe.add_argument("--pages", default=None)
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--engine", default="mock-barcode")
+    pe.add_argument("--ocr-concurrency", type=int, default=8)
+    pe.add_argument("--no-correction", action="store_true")
+    pe.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+
+    from .stages.ocr import get_engine
+
+    engine_factory = get_engine(args.engine)
+
+    if args.cmd == "run":
+        from .pipelines.run import run_resumable
+
+        summary = run_resumable(args.corpus, args.out,
+                                engine_factory=engine_factory,
+                                correction=not args.no_correction)
+        print(json.dumps(summary))
+    else:
+        from .pipelines.extract import extract
+        from .sources.io import read_documents, write_output
+
+        docs = read_documents(args.docs)
+        out = extract(docs, args.pages, engine_factory=engine_factory,
+                      ocr_concurrency=args.ocr_concurrency,
+                      correction=not args.no_correction)
+        write_output(out, args.out)
+        print(json.dumps({"output": args.out}))
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

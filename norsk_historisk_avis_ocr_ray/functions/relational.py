@@ -204,3 +204,65 @@ def q_top_users(sf_dir: str) -> pd.DataFrame:
     df["n_events"] = df["n_events"].astype(np.int64)
     df = df.sort_values(["total_value", "user_id"], ascending=[False, True]).head(20)
     return df[["user_id", "n_events", "total_value"]].reset_index(drop=True)
+
+
+# --- distinct / count-distinct --------------------------------------------
+
+def q_distinct_brands(sf_dir: str) -> pd.DataFrame:
+    """Distinct (p_brand, p_type) pairs with part counts + min price —
+    exercises the distinct/groupby path with a vectorized aggregate."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_type", "p_retailprice"])
+    out = (ds.groupby(["p_brand", "p_type"])
+             .aggregate(Count(alias_name="n_parts"),
+                        Min("p_retailprice", alias_name="min_price")))
+    df = out.to_pandas()
+    df["min_price"] = df["min_price"].round(2)
+    df["n_parts"] = df["n_parts"].astype(np.int64)
+    return df.sort_values(["p_brand", "p_type"]).reset_index(drop=True)
+
+
+def q_count_distinct_custs(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT o_custkey) per order priority: two-level aggregation —
+    dedup on (priority, custkey) first (partial inside map_batches, then a
+    grouped first-per-key), then count per priority. The scalable exact
+    distinct-count pattern (no driver-side set)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (ds.map_batches(local_dedup, batch_format="pyarrow",
+                            batch_size=65536)
+               .groupby(["o_orderpriority", "o_custkey"])
+               .aggregate(Count(alias_name="_n"))
+               .select_columns(["o_orderpriority", "o_custkey"]))
+    out = pairs.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_customers"))
+    df = out.to_pandas()
+    df["n_customers"] = df["n_customers"].astype(np.int64)
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# --- ordered window: running sum per user ------------------------------------
+
+def q_running_user_value(sf_dir: str) -> pd.DataFrame:
+    """Per-user running total of event values in (ts, event_id) order — the
+    ordered-window operator as groupby(user).map_groups over sorted groups.
+    Returns the final 100 events by event_id for a bounded result."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["running_value"] = g["value"].cumsum().round(4)
+        return g[["event_id", "user_id", "running_value"]]
+
+    df = (ds.groupby("user_id")
+            .map_groups(running, batch_format="pandas")
+            .to_pandas())
+    df = df.sort_values("event_id").tail(100).reset_index(drop=True)
+    return df

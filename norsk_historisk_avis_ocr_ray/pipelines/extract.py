@@ -72,11 +72,37 @@ def extract(
     corrector_concurrency: int | tuple[int, int] | None = None,
     correction: bool = True,
     emit_diff: bool = True,
-    media_resolution: str = "broadcast",
+    media_resolution: str = "auto",
     skew_split_width: int | None = 2400,
 ) -> Dataset:
     """documents + pages → output Dataset (doc_id, spans, combined,
-    transcribed, corrected, diff, n_errors)."""
+    transcribed, corrected, n_edits, diff, n_errors).
+
+    media_resolution: 'auto' picks 'dataflow' whenever a pages source is
+    given (the scale path) and 'broadcast' for pages=None (text-only input);
+    explicit values: 'dataflow' | 'store' | 'broadcast'.
+    """
+    if media_resolution == "auto":
+        media_resolution = "broadcast" if pages is None else "dataflow"
+
+    # Deadlock guard: actor pools that reserve every CPU of the session
+    # starve the task operators (read/clean/sort/join aggregators) and the
+    # streaming executor stalls forever. Clamp the total actor budget to
+    # session CPUs minus task headroom, corrector pool included.
+    avail = int(ray.cluster_resources().get("CPU", 8))
+    budget = max(1, avail - 2)
+    n_corr = 0 if corrector_concurrency is None else _int_concurrency(corrector_concurrency)
+    if skew_split_width is not None and media_resolution == "dataflow":
+        # the skew split opens a second pool of at least 1 actor
+        budget = max(1, budget - 1)
+    if _int_concurrency(ocr_concurrency) + n_corr > budget:
+        ocr_concurrency = max(1, budget - n_corr)
+        if _int_concurrency(ocr_concurrency) + n_corr > budget:
+            corrector_concurrency = None  # fall back to task-form corrector
+    if (skew_split_width is not None
+            and _int_concurrency(ocr_concurrency) < 2):
+        skew_split_width = None  # too small for two pools
+
     exploded = docs.map_batches(explode_spans, batch_format="pyarrow")
 
     if media_resolution == "dataflow":
@@ -159,30 +185,6 @@ def extract(
             concurrency=ocr_concurrency,
             num_cpus=1,
         )
-    elif media_resolution == "join":
-        if pages is None:
-            raise ValueError("join resolution requires a pages Dataset")
-        if not isinstance(pages, Dataset):
-            pages = ray.data.from_arrow(pages)
-        pages = pages.select_columns(["media_ref", "image", "width", "height", "codec"])
-        # Split media rows from pass-through rows; only media rows join.
-        exploded = exploded.materialize()  # consumed twice below
-        media = exploded.filter(expr="kind == 'media'")
-        rest = exploded.filter(expr="kind != 'media'")
-        media = media.join(pages, join_type="inner", num_partitions=max(
-            2, pages.num_blocks()), on=("media_ref",))
-        for col, typ in (("image", pa.binary()), ("width", pa.int32()),
-                         ("height", pa.int32()), ("codec", pa.string())):
-            rest = rest.map_batches(
-                _add_null_column(col, typ), batch_format="pyarrow")
-        regions = media.union(rest).map_batches(
-            LayoutOcrStage,
-            fn_constructor_kwargs={"engine_factory": engine_factory},
-            batch_format="pyarrow",
-            batch_size=ocr_batch_size,
-            concurrency=ocr_concurrency,
-            num_cpus=1,
-        )
     else:
         raise ValueError(f"unknown media_resolution {media_resolution!r}")
 
@@ -210,12 +212,6 @@ def extract(
         concurrency=corrector_concurrency,
         num_cpus=1,
     )
-
-
-def _add_null_column(col: str, typ: pa.DataType):
-    def fn(tbl: pa.Table) -> pa.Table:
-        return tbl.append_column(col, pa.nulls(tbl.num_rows, typ))
-    return fn
 
 
 def _int_concurrency(c) -> int:

@@ -22,8 +22,9 @@ def corpus():
 
 def run_extract(corpus, **kwargs):
     docs = ray.data.from_arrow(corpus["documents"])
-    out = extract(docs, corpus["pages"], ocr_concurrency=2,
-                  corrector_concurrency=2, **kwargs)
+    # task-form corrector: 2 OCR actors + 2 corrector actors would reserve
+    # all 4 CPUs of the test session and starve the task operators
+    out = extract(docs, corpus["pages"], ocr_concurrency=2, **kwargs)
     tbl = pa.Table.from_pandas(out.to_pandas())
     return {r["doc_id"]: r for r in tbl.to_pylist()}
 

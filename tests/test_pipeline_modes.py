@@ -78,7 +78,10 @@ def test_sharded(corpus_dir, tmp_path):
     check(out, corpus_dir)
 
 
-def test_task_corrector_matches_actor_corrector(corpus_dir):
+def test_actor_corrector_matches_task_corrector(corpus_dir):
+    # actor-pool corrector form: 1 OCR + 2 corrector actors fit in 4 CPUs
+    # (skew split off — it would open a second OCR pool and starve the join)
     docs, pages = _docs_pages(corpus_dir)
-    out = extract(docs, pages, ocr_concurrency=2, corrector_concurrency=None)
+    out = extract(docs, pages, ocr_concurrency=1, corrector_concurrency=2,
+                  skew_split_width=None)
     check(out, corpus_dir)
