@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_brands": relational.q_distinct_brands,
         "q_count_distinct_custs": relational.q_count_distinct_custs,
         "q_running_user_value": relational.q_running_user_value,
+        "q_sessionize": relational.q_sessionize,
         # text analysis
         "text_token_stats": textstats.text_token_stats,
         "quality_score": textstats.quality_score,
@@ -137,7 +138,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # multimodal
         "image_features": _image_features,
+        # sketches
+        "approx_distinct_users": _approx_distinct_users,
     }
+
+
+def _approx_distinct_users(sf_dir: str) -> Any:
+    from norsk_historisk_avis_ocr_ray.functions.sketch import approx_distinct_users
+    return approx_distinct_users(sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -230,6 +238,30 @@ def oracle_sql() -> dict[str, str]:
                            AS running_value
                 FROM events)
             ORDER BY event_id DESC LIMIT 100
+        """,
+        "q_sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, value,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                FROM events
+            ), marked AS (
+                SELECT *, CASE WHEN sec - lag(sec) OVER w > 1800
+                               THEN 1 ELSE 0 END AS new_session
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+            ), sessioned AS (
+                SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                                 ORDER BY sec, event_id
+                                                 ROWS UNBOUNDED PRECEDING)
+                              AS session_idx
+                FROM marked
+            )
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   max(sec) - min(sec) AS duration_s
+            FROM sessioned
+            GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
         """,
         "text_token_stats": """
             SELECT doc_id,

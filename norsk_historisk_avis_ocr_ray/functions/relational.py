@@ -266,3 +266,39 @@ def q_running_user_value(sf_dir: str) -> pd.DataFrame:
             .to_pandas())
     df = df.sort_values("event_id").tail(100).reset_index(drop=True)
     return df
+
+
+# --- sessionization (streaming-shaped: gap-based session windows) -------------
+
+SESSION_GAP_S = 1800
+
+
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Per-user session windows: a new session starts after a >30-min gap.
+    Ray Data has no event-time watermarks; the batch-engine form is
+    groupby(user).map_groups over ts-sorted groups (SURVEY §2.7 — the engine
+    only ever needs within-key order, carried as data)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        sec = g["ts"].astype("int64") // 1_000_000
+        new_session = (sec.diff() > SESSION_GAP_S).fillna(False)
+        g["session_idx"] = new_session.cumsum().astype(np.int64)
+        g["sec"] = sec  # floored seconds — duration must floor BEFORE diff,
+        # matching the SQL oracle's max(floor(epoch)) - min(floor(epoch))
+        out = g.groupby("session_idx", as_index=False).agg(
+            n_events=("event_id", "size"),
+            sum_value=("value", "sum"),
+            s0=("sec", "min"), s1=("sec", "max"))
+        out["user_id"] = g["user_id"].iloc[0]
+        out["duration_s"] = (out["s1"] - out["s0"]).astype(np.int64)
+        out["sum_value"] = out["sum_value"].round(4)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[["user_id", "session_idx", "n_events", "sum_value",
+                    "duration_s"]]
+
+    df = (ds.groupby("user_id")
+            .map_groups(sessions, batch_format="pandas")
+            .to_pandas())
+    return df.sort_values(["user_id", "session_idx"]).reset_index(drop=True)

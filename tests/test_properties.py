@@ -1,0 +1,91 @@
+"""Property/randomized tests (SURVEY §5.2): operator invariants under
+hypothesis-generated inputs, repack order restoration under shuffles, and the
+KMV sketch accuracy bound."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from norsk_historisk_avis_ocr_ray.functions.textops import (
+    clean_divider_noise,
+    reflow_text,
+)
+from norsk_historisk_avis_ocr_ray.stages.repack import repack_table
+
+text_lines = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=382),
+            max_size=40),
+    max_size=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_lines)
+def test_clean_never_leaves_short_garbage_lines(lines):
+    out = clean_divider_noise("\n".join(lines))
+    for line in out.split("\n"):
+        s = line.strip()
+        assert not (0 < len(s) <= 2)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_lines)
+def test_clean_never_leaves_blank_runs(lines):
+    out = clean_divider_noise("\n".join(lines))
+    assert "\n\n\n" not in out  # runs of 2+ blank lines collapsed to one
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=382),
+               max_size=200))
+def test_reflow_single_line_no_newlines(text):
+    out = reflow_text(text)
+    assert "\n" not in out
+    assert "  " not in out
+    assert out == out.strip()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="ab -\n", max_size=100))
+def test_reflow_idempotent(text):
+    once = reflow_text(text)
+    assert reflow_text(once) == once
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.permutations(list(range(8))))
+def test_repack_restores_offset_order(perm):
+    """Physical row order must never matter — only (in_offset, region_idx)."""
+    rows = [{"doc_id": "d", "in_offset": i, "region_idx": 0, "kind": "text",
+             "text": f"t{i}", "media_ref": "", "error": None}
+            for i in range(8)]
+    shuffled = [rows[i] for i in perm]
+    out = repack_table(pa.Table.from_pylist(shuffled))
+    spans = out["spans"][0].as_py()
+    assert [s["text"] for s in spans] == [f"t{i}" for i in range(8)]
+    assert [s["offset"] for s in spans] == list(range(8))
+
+
+def test_kmv_accuracy():
+    from norsk_historisk_avis_ocr_ray.functions.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+    rng = np.random.default_rng(5)
+    values = [f"user-{i}" for i in rng.integers(0, 5000, size=40000)]
+    exact = len(set(values))
+    # sketch per 10k-chunk, then merge — the distributed pattern
+    sketches = [kmv_sketch(values[i:i + 10000]) for i in range(0, 40000, 10000)]
+    est = kmv_estimate(kmv_merge(sketches))
+    assert abs(est - exact) / exact < 0.15
+
+
+def test_kmv_exact_below_k():
+    from norsk_historisk_avis_ocr_ray.functions.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    est = kmv_estimate(kmv_sketch([f"v{i}" for i in range(100)]))
+    assert est == 100.0
