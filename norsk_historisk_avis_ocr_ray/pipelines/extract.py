@@ -90,7 +90,7 @@ def extract(
     # streaming executor stalls forever. Clamp the total actor budget to
     # session CPUs minus task headroom, corrector pool included.
     avail = int(ray.cluster_resources().get("CPU", 8))
-    budget = max(1, avail - 2)
+    budget = max(1, avail - max(1, avail // 8))
     n_corr = 0 if corrector_concurrency is None else _int_concurrency(corrector_concurrency)
     if skew_split_width is not None and media_resolution == "dataflow":
         # the skew split opens a second pool of at least 1 actor
