@@ -73,7 +73,7 @@ def extract(
     correction: bool = True,
     emit_diff: bool = True,
     media_resolution: str = "auto",
-    skew_split_width: int | None = 2400,
+    skew_split_width: int | None = None,
 ) -> Dataset:
     """documents + pages → output Dataset (doc_id, spans, combined,
     transcribed, corrected, n_edits, diff, n_errors).
@@ -119,10 +119,13 @@ def extract(
         else:
             pages_ds = ray.data.from_arrow(pages.select(
                 ["media_ref", "image", "width", "height", "codec"]))
-        # Explicit skew mitigation (page-size histogram): a 6-column
-        # broadsheet costs ~6× a single-column page, so wide pages go through
-        # the pool in batches 4× smaller — bounding per-task cost variance so
-        # broadsheet-heavy batches don't serialize behind one actor.
+        # Optional explicit skew split (page-size histogram): wide pages go
+        # through a dedicated pool in batches 4× smaller. NOTE: the two
+        # filter branches read the pages source twice — only worth it when
+        # width predicates prune at the read (pages partitioned/row-grouped
+        # by width at ingest); otherwise small ocr_batch_size already bounds
+        # per-task cost variance (a 6-col broadsheet is ~6× a 1-col page),
+        # and the sharded pipeline handles skew by shard-count ≫ core-count.
         if skew_split_width is not None:
             total = _int_concurrency(ocr_concurrency)
             heavy_conc = max(1, total // 3)

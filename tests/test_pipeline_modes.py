@@ -62,6 +62,13 @@ def test_dataflow_mode(corpus_dir):
     check(out, corpus_dir)
 
 
+def test_dataflow_skew_split(corpus_dir):
+    docs, pages = _docs_pages(corpus_dir)
+    out = extract(docs, pages, ocr_concurrency=2, media_resolution="dataflow",
+                  skew_split_width=2400)
+    check(out, corpus_dir)
+
+
 def test_sharded(corpus_dir, tmp_path):
     # shard-local layout: pages must be a co-partitioned directory; the test
     # corpus has one pages file — single-shard equivalent: rewrite as dirs
@@ -80,8 +87,6 @@ def test_sharded(corpus_dir, tmp_path):
 
 def test_actor_corrector_matches_task_corrector(corpus_dir):
     # actor-pool corrector form: 1 OCR + 2 corrector actors fit in 4 CPUs
-    # (skew split off — it would open a second OCR pool and starve the join)
     docs, pages = _docs_pages(corpus_dir)
-    out = extract(docs, pages, ocr_concurrency=1, corrector_concurrency=2,
-                  skew_split_width=None)
+    out = extract(docs, pages, ocr_concurrency=1, corrector_concurrency=2)
     check(out, corpus_dir)
