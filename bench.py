@@ -114,12 +114,19 @@ def main() -> None:
         # BASELINE.md), which a real N→4N *node* scale-out does not share
         # since each node brings its own memory. Pass "--pair 8,32" to
         # measure the bandwidth-capped pair too.
-        def run(ncpu: int) -> dict:
+        def run_once(ncpu: int) -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env, capture_output=True, text=True, check=True).stdout
             return json.loads(out.strip().splitlines()[-1])
+
+        # This VM's performance fluctuates run to run (shared host); take the
+        # best of N per level so the ratio reflects the engine's capability
+        # at each width, not transient noise.
+        repeats = 2
+        if "--repeats" in sys.argv:
+            repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
 
         lo, hi = 4, 16
         if "--pair" in sys.argv:
@@ -133,7 +140,16 @@ def main() -> None:
         ensure_corpus(BENCH_DOCS)
         ray.shutdown()
 
-        r_lo, r_hi = run(lo), run(hi)
+        # Interleave the levels (lo,hi,lo,hi,...) so slow host-level drift
+        # hits both levels equally, then take the best per level.
+        runs_lo, runs_hi = [], []
+        for _ in range(repeats):
+            runs_lo.append(run_once(lo))
+            runs_hi.append(run_once(hi))
+        r_lo = max(runs_lo, key=lambda r: r["pages_per_sec"])
+        r_hi = max(runs_hi, key=lambda r: r["pages_per_sec"])
+        r_lo["all_pages_per_sec"] = [r["pages_per_sec"] for r in runs_lo]
+        r_hi["all_pages_per_sec"] = [r["pages_per_sec"] for r in runs_hi]
         pps_lo = r_lo["pages_per_sec"]
         pps_hi = r_hi["pages_per_sec"]
         eff = (pps_hi / pps_lo) / (hi / lo)
@@ -142,6 +158,8 @@ def main() -> None:
             "cpus_small": lo, "cpus_big": hi,
             "sec_small": r_lo["value"], "sec_big": r_hi["value"],
             "pages_per_sec_small": pps_lo, "pages_per_sec_big": pps_hi,
+            "runs_small": r_lo.get("all_pages_per_sec"),
+            "runs_big": r_hi.get("all_pages_per_sec"),
             "scaling_efficiency": round(eff, 3),
             "pages": r_lo["pages"],
         }))

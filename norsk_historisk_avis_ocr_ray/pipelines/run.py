@@ -113,6 +113,15 @@ def run_resumable(
                     "crashed": True}
         submit_next()
 
+    # Global counters = reduction over per-shard lineage records (reference A2
+    # printed per-page totals to the console; here they are durable data).
+    records = manifest.committed().values()
+    totals = {
+        k: sum(r.get(k, 0) for r in records)
+        for k in ("docs_in", "pages_in", "docs_out", "spans_out", "errors")
+    }
+    totals["wall_s"] = round(sum(r.get("wall_s", 0.0) for r in records), 3)
     return {"committed": done, "pending_left": 0, "crashed": False,
             "total_shards": len(shards),
-            "already_done": len(shards) - len(pending)}
+            "already_done": len(shards) - len(pending),
+            "totals": totals}
