@@ -28,6 +28,8 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
+from .rounding import series_round_half_away as _r
+
 Q1_CUTOFF = np.datetime64("1998-01-01", "us")
 Q3_SEGMENT = "BUILDING"
 Q3_DATE = np.datetime64("1999-01-01", "us")
@@ -71,11 +73,11 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         Sum("count_order", alias_name="count_order"),
     )
     df = final.to_pandas()
-    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(6)
-    df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(6)
-    df["avg_disc"] = (df["sum_disc"] / df["count_order"]).round(6)
+    df["avg_qty"] = _r(df["sum_qty"] / df["count_order"], 6)
+    df["avg_price"] = _r(df["sum_base_price"] / df["count_order"], 6)
+    df["avg_disc"] = _r(df["sum_disc"] / df["count_order"], 6)
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
-        df[c] = df[c].round(2)
+        df[c] = _r(df[c], 2)
     df = df.drop(columns=["sum_disc"])
     return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
@@ -119,7 +121,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     joined = li_agg.join(orders_f.rename_columns({"o_orderkey": "l_orderkey"}),
                          join_type="inner", num_partitions=8, on=("l_orderkey",))
     df = joined.to_pandas()
-    df["revenue"] = df["revenue"].round(2)
+    df["revenue"] = _r(df["revenue"], 2)
     df = df.rename(columns={"l_orderkey": "o_orderkey"})
     df = df.sort_values(["revenue", "o_orderkey"],
                         ascending=[False, True]).head(10)
@@ -155,7 +157,7 @@ def q_customers_per_region(sf_dir: str) -> pd.DataFrame:
                .aggregate(Count(alias_name="n_customers"),
                           Sum("c_acctbal", alias_name="sum_acctbal")))
     df = out.to_pandas()
-    df["sum_acctbal"] = df["sum_acctbal"].round(2)
+    df["sum_acctbal"] = _r(df["sum_acctbal"], 2)
     return df.sort_values("r_name").reset_index(drop=True)
 
 
@@ -178,7 +180,7 @@ def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
              .aggregate(Sum("n", alias_name="n"),
                         Sum("sum_value", alias_name="sum_value")))
     df = out.to_pandas()
-    df["sum_value"] = df["sum_value"].round(4)
+    df["sum_value"] = _r(df["sum_value"], 4)
     df["n"] = df["n"].astype(np.int64)
     return df.sort_values(["event_type", "win"]).reset_index(drop=True)
 
@@ -200,7 +202,7 @@ def q_top_users(sf_dir: str) -> pd.DataFrame:
              .aggregate(Sum("n_events", alias_name="n_events"),
                         Sum("total_value", alias_name="total_value")))
     df = out.to_pandas()
-    df["total_value"] = df["total_value"].round(4)
+    df["total_value"] = _r(df["total_value"], 4)
     df["n_events"] = df["n_events"].astype(np.int64)
     df = df.sort_values(["total_value", "user_id"], ascending=[False, True]).head(20)
     return df[["user_id", "n_events", "total_value"]].reset_index(drop=True)
@@ -218,7 +220,7 @@ def q_distinct_brands(sf_dir: str) -> pd.DataFrame:
              .aggregate(Count(alias_name="n_parts"),
                         Min("p_retailprice", alias_name="min_price")))
     df = out.to_pandas()
-    df["min_price"] = df["min_price"].round(2)
+    df["min_price"] = _r(df["min_price"], 2)
     df["n_parts"] = df["n_parts"].astype(np.int64)
     return df.sort_values(["p_brand", "p_type"]).reset_index(drop=True)
 
@@ -258,7 +260,7 @@ def q_running_user_value(sf_dir: str) -> pd.DataFrame:
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
-        g["running_value"] = g["value"].cumsum().round(4)
+        g["running_value"] = _r(g["value"].cumsum(), 4)
         return g[["event_id", "user_id", "running_value"]]
 
     df = (ds.groupby("user_id")
@@ -293,7 +295,7 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
             s0=("sec", "min"), s1=("sec", "max"))
         out["user_id"] = g["user_id"].iloc[0]
         out["duration_s"] = (out["s1"] - out["s0"]).astype(np.int64)
-        out["sum_value"] = out["sum_value"].round(4)
+        out["sum_value"] = _r(out["sum_value"], 4)
         out["n_events"] = out["n_events"].astype(np.int64)
         return out[["user_id", "session_idx", "n_events", "sum_value",
                     "duration_s"]]

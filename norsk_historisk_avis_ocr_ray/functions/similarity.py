@@ -24,6 +24,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from .rounding import round_half_away
+
 N_QUERIES = 10
 TOP_K = 5
 NEARDUP_T = 0.4
@@ -87,7 +89,7 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
            .groupby("query_id")
            .map_groups(final_topk, batch_format="pandas"))
     df = out.to_pandas()
-    df["cos"] = df["cos"].round(6)
+    df["cos"] = round_half_away(df["cos"].to_numpy(), 6)
     return df.sort_values(["query_id", "cos", "vec_id"],
                           ascending=[True, False, True]).reset_index(drop=True)
 
@@ -108,7 +110,7 @@ def embedding_neardup(sf_dir: str, threshold: float = NEARDUP_T) -> pd.DataFrame
         keep = a < b
         return pa.table({"a": pa.array(a[keep], pa.int64()),
                          "b": pa.array(b[keep], pa.int64()),
-                         "cos": pa.array(np.round(sims[rows, cols][keep], 6),
+                         "cos": pa.array(round_half_away(sims[rows, cols][keep], 6),
                                          pa.float64())})
 
     df = (_emb(sf_dir)
@@ -165,6 +167,6 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
           .groupby("query_id")
           .map_groups(final, batch_format="pandas")
           .to_pandas())
-    df["cos"] = df["cos"].round(6)
+    df["cos"] = round_half_away(df["cos"].to_numpy(), 6)
     return df.sort_values(["query_id", "cos", "vec_id"],
                           ascending=[True, False, True]).reset_index(drop=True)

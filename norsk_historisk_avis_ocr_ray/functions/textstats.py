@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
+from .rounding import round_half_away
 from .textops import whitespace_token_counts
 
 PUNCT_CLASS = r"[.,;:!?]"
@@ -35,7 +36,7 @@ def _stats_batch(t: pa.Table) -> pa.Table:
     stripped = pc.replace_substring_regex(text, PUNCT_CLASS, "")
     n_punct = pc.subtract(n_chars, pc.utf8_length(stripped).cast(pa.int64()))
     nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
-    punct_ratio = np.round(
+    punct_ratio = round_half_away(
         n_punct.to_numpy(zero_copy_only=False) / np.maximum(nc, 1.0), 6)
     return pa.table({
         "doc_id": t["doc_id"],
@@ -64,7 +65,7 @@ def quality_score(sf_dir: str) -> Dataset:
         wlen = (n_chars - np.maximum(n_tokens - 1, 0)) / np.maximum(n_tokens, 1)
         len_part = np.minimum(n_tokens / 100.0, 1.0)
         wlen_part = np.clip((wlen - 2.0) / 8.0, 0.0, 1.0)
-        q = np.round(0.5 * len_part + 0.5 * wlen_part, 6)
+        q = round_half_away(0.5 * len_part + 0.5 * wlen_part, 6)
         return pa.table({"doc_id": t["doc_id"],
                          "quality": pa.array(q, pa.float64())})
 

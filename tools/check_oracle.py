@@ -31,12 +31,13 @@ def to_pandas(result) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # NO float rounding here: the driver's gate hashes exact values, so the
+    # local mirror must too (a .round(6) here masked the round-half-even
+    # divergences that failed the round-1 driver gate).
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].round(6)
         elif np.issubdtype(df[c].dtype, np.integer):
             df[c] = df[c].astype(np.int64)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
@@ -87,7 +88,7 @@ def main() -> int:
             continue
         try:
             pd.testing.assert_frame_equal(got, exp, check_dtype=False,
-                                          check_exact=False, atol=1e-6)
+                                          check_exact=True)
             print(f"ok    {name}: {len(got)} rows match oracle")
         except AssertionError as e:
             print(f"FAIL  {name}: values differ\n{str(e)[:500]}")
