@@ -12,9 +12,11 @@ The large-scale-pipeline workhorses, expressed Ray-Data-first:
   blocking on 16-bit chunks (Hamming ≤ 3 ⇒ at least one of 4 chunks equal),
   verify by Hamming distance.
 
-Hashing uses crc32-seeded 64-bit mixing — deterministic across worker
+Hashing uses blake2b (8-byte digests) — deterministic across worker
 processes (Python's builtin ``hash`` is salted per process and must never be
-used in a distributed pipeline).
+used in a distributed pipeline) with genuinely independent 64 bits per token
+(a crc32-pair scheme used earlier had only ~32 bits of entropy because CRC32
+is linear in its init value).
 
 Verification fetches candidate texts from a broadcast dict (``ray.put`` once);
 at 10^12-doc scale you would instead hash-join the (a, b) pair list back to
@@ -24,7 +26,6 @@ the documents table twice — same dataflow, noted here for the scale path.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -34,15 +35,42 @@ import ray
 from ray.data import Dataset
 
 MERSENNE = (1 << 61) - 1
+_P61 = np.uint64(MERSENNE)
 NUM_PERM = 128
 BANDS = 16
 ROWS_PER_BAND = NUM_PERM // BANDS
 
 
 def _hash64(token: str) -> int:
-    """Deterministic 64-bit token hash (crc32 of two salts, combined)."""
-    b = token.encode("utf-8")
-    return (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+    """Deterministic 64-bit token hash (blake2b 8-byte digest — full 64-bit
+    entropy, unlike crc32 pairs which are linear in the seed)."""
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61 - 1) for uint64 inputs (fold high bits, then subtract)."""
+    v = (x >> np.uint64(61)) + (x & _P61)
+    return np.where(v >= _P61, v - _P61, v)
+
+
+def _modmul61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod (2^61 - 1) without 128-bit ints, for a, x < 2^61.
+
+    Split both into 31/30-bit halves; with p = 2^61 - 1 we have
+    2^61 ≡ 1 and 2^62 ≡ 2 (mod p), so every partial product stays < 2^63
+    and fits uint64. (The round-1 version multiplied uint64s directly and
+    silently overflowed, so it was not the claimed universal family.)"""
+    lo31 = np.uint64(0x7FFFFFFF)
+    a0, a1 = a & lo31, a >> np.uint64(31)          # a = a1*2^31 + a0
+    x0, x1 = x & lo31, x >> np.uint64(31)
+    t = a1 * x1 * np.uint64(2)                     # a1*x1*2^62 ≡ 2*a1*x1
+    m = a1 * x0 + a0 * x1                          # < 2^62
+    m_lo = m & np.uint64((1 << 30) - 1)
+    m_hi = m >> np.uint64(30)
+    # m*2^31 = m_hi*2^61 + m_lo*2^31 ≡ m_hi + m_lo*2^31
+    v = t + m_hi + (m_lo << np.uint64(31)) + a0 * x0   # < 2^63
+    return _mod61(_mod61(v))
 
 
 def word_shingles(text: str, k: int = 3) -> set[int]:
@@ -108,9 +136,10 @@ class MinHasher:
         sh = word_shingles(text, self.k)
         if not sh:
             return np.full(self.num_perm, MERSENNE, dtype=np.uint64)
-        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
-        # (a*x + b) mod p over the object-dtype-free uint64 ring then fold to p
-        prod = (self.a[:, None] * x[None, :] + self.b[:, None]) % MERSENNE
+        x = _mod61(np.fromiter(sh, dtype=np.uint64, count=len(sh)))
+        # true universal family: (a*x + b) mod p with overflow-safe modmul
+        prod = _modmul61(self.a[:, None], x[None, :]) + self.b[:, None]
+        prod = np.where(prod >= _P61, prod - _P61, prod)
         return prod.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -160,23 +189,33 @@ def minhash_candidates(docs: Dataset, concurrency: int = 2) -> Dataset:
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
-    """Near-duplicate pairs with verified word-3-gram Jaccard ≥ threshold."""
+    """Near-duplicate pairs with verified word-3-gram Jaccard ≥ threshold.
+
+    Verification texts arrive by joining the (a, b) candidate list back to
+    the documents table twice (two text-only hash joins) — the candidate
+    list is tiny relative to the corpus, so the joins shuffle candidate rows
+    plus each side's matched texts only. No whole-corpus driver
+    materialization or broadcast (the round-1 ``ray.put({doc_id: text})``
+    was a scale-killer at 10^12 docs)."""
+    from .rounding import round_half_away
+
     docs = _docs(sf_dir)
-    texts_ref = ray.put({
-        r["doc_id"]: r["text"]
-        for b in docs.iter_batches(batch_format="pyarrow")
-        for r in b.to_pylist()
-    })
+    cands = minhash_candidates(docs)
+
+    docs_a = docs.rename_columns({"doc_id": "a", "text": "text_a"})
+    docs_b = docs.rename_columns({"doc_id": "b", "text": "text_b"})
+    joined = (cands.join(docs_a, join_type="inner", num_partitions=4, on=("a",))
+                   .join(docs_b, join_type="inner", num_partitions=4, on=("b",)))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(texts_ref)
-        jac = [round(ngram_jaccard(texts[a], texts[b]), 6)
-               for a, b in zip(batch["a"], batch["b"])]
+        jac = round_half_away(
+            [ngram_jaccard(ta, tb)
+             for ta, tb in zip(batch["text_a"], batch["text_b"])], 6)
         batch = batch.assign(jaccard=jac)
-        return batch[batch["jaccard"] >= threshold]
+        return batch.loc[batch["jaccard"] >= threshold,
+                         ["a", "b", "jaccard"]]
 
-    out = minhash_candidates(docs).map_batches(verify, batch_format="pandas")
-    df = out.to_pandas()
+    df = joined.map_batches(verify, batch_format="pandas").to_pandas()
     if df.empty:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),

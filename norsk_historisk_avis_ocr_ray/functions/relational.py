@@ -255,7 +255,10 @@ def q_count_distinct_custs(sf_dir: str) -> pd.DataFrame:
 def q_running_user_value(sf_dir: str) -> pd.DataFrame:
     """Per-user running total of event values in (ts, event_id) order — the
     ordered-window operator as groupby(user).map_groups over sorted groups.
-    Returns the final 100 events by event_id for a bounded result."""
+    Returns the final 100 events by event_id via a distributed top-k: each
+    batch emits only its local top-100, so the driver merges at most
+    100 × n_blocks rows (never the full event stream)."""
+    TOP_N = 100
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
@@ -263,11 +266,18 @@ def q_running_user_value(sf_dir: str) -> pd.DataFrame:
         g["running_value"] = _r(g["value"].cumsum(), 4)
         return g[["event_id", "user_id", "running_value"]]
 
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= TOP_N:
+            return t
+        ev = t["event_id"].to_numpy()
+        idx = np.argpartition(ev, t.num_rows - TOP_N)[-TOP_N:]
+        return t.take(np.sort(idx))
+
     df = (ds.groupby("user_id")
             .map_groups(running, batch_format="pandas")
+            .map_batches(local_topk, batch_format="pyarrow")
             .to_pandas())
-    df = df.sort_values("event_id").tail(100).reset_index(drop=True)
-    return df
+    return df.sort_values("event_id").tail(TOP_N).reset_index(drop=True)
 
 
 # --- sessionization (streaming-shaped: gap-based session windows) -------------
