@@ -4,19 +4,20 @@
   vision-engine preprocessing of ``claude_vision_engine.py:98-104`` (PIL
   SHARPEN + ImageEnhance.Contrast(1.3)), reimplemented on uint8 arrays.
 - ``encode_under_limit``: the size-ladder of
-  ``claude_vision_engine.py:107-127`` — re-encode at decreasing quality, then
-  rescale ×0.8 and retry, until the *decoded* byte size fits the limit. The
-  reference's knob is JPEG quality (no JPEG codec in this container); the
-  native ladder uses the raw-zlib codec where "quality" steps are byte-exact
-  no-ops, so the ladder reduces to the ×0.8 rescale loop — same control flow,
-  pluggable encoder for a real JPEG backend.
+  ``claude_vision_engine.py:107-127`` — re-encode, and rescale ×0.8 and retry
+  until the encoded payload fits the API limit (the reference compares the
+  raw encoded byte length against 5 MB, ``claude_vision_engine.py:92-95``).
+  The reference's first knob is JPEG quality; PNG (the codec this container
+  encodes) is lossless with no quality knob, so the ladder goes straight to
+  the rescale loop — same control flow, and a JPEG encoder can plug into the
+  ``codec=`` parameter to restore the quality steps.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from ..sources.codec import encode_image
+from ..sources.codec import RAW_ZLIB, encode_image
 
 # PIL's ImageFilter.SHARPEN kernel: 3x3, scale 16.
 _SHARPEN = np.array([[-2, -2, -2],
@@ -44,17 +45,17 @@ def encode_under_limit(
     max_bytes: int = 5 * 1024 * 1024,
     scale_step: float = 0.8,
     max_rounds: int = 20,
+    codec: str = RAW_ZLIB,
 ) -> tuple[bytes, int, int]:
-    """Encode, rescaling ×scale_step until decoded size ≤ max_bytes.
-
-    Returns (payload, width, height). The limit is on *decoded* bytes
-    (h×w for grayscale), matching the reference's 5 MiB API constraint on
-    decoded image bytes."""
+    """Encode with ``codec``, rescaling ×scale_step until the encoded payload
+    is ≤ max_bytes. Returns (payload, width, height) — the reference's ladder
+    with PNG/raw in place of the JPEG quality steps."""
     cur = img
     for _ in range(max_rounds):
         h, w = cur.shape
-        if h * w <= max_bytes:
-            return encode_image(np.ascontiguousarray(cur)), w, h
+        payload = encode_image(np.ascontiguousarray(cur), codec)
+        if len(payload) <= max_bytes:
+            return payload, w, h
         nh, nw = max(1, int(h * scale_step)), max(1, int(w * scale_step))
         ys = (np.arange(nh) * (h / nh)).astype(np.int64)
         xs = (np.arange(nw) * (w / nw)).astype(np.int64)

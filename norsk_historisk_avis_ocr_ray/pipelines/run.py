@@ -53,7 +53,7 @@ def _run_shard(shard: dict, out_dir: str, correction: bool,
 
     n_spans = int(pa.compute.sum(
         pa.compute.list_value_length(out["spans"])).as_py() or 0)
-    return {
+    lineage = {
         "shard": shard["shard"],
         "docs_in": docs.num_rows,
         "pages_in": n_pages,
@@ -63,6 +63,16 @@ def _run_shard(shard: dict, out_dir: str, correction: bool,
         "wall_s": round(time.time() - t0, 3),
         "output": final,
     }
+    # A2 token counters: LLM engines expose a usage dict; make the totals
+    # durable per-shard lineage (the reference printed them to the console,
+    # claude_vision_engine.py:353-356).
+    usage = getattr(engine, "usage", None)
+    if isinstance(usage, dict):
+        lineage["tokens_in"] = int(usage.get("input_tokens", 0))
+        lineage["tokens_out"] = int(usage.get("output_tokens", 0))
+        lineage["api_calls"] = int(usage.get("api_calls", 0))
+        lineage["api_retries"] = int(usage.get("retries", 0))
+    return lineage
 
 
 def run_resumable(
@@ -118,7 +128,8 @@ def run_resumable(
     records = manifest.committed().values()
     totals = {
         k: sum(r.get(k, 0) for r in records)
-        for k in ("docs_in", "pages_in", "docs_out", "spans_out", "errors")
+        for k in ("docs_in", "pages_in", "docs_out", "spans_out", "errors",
+                  "tokens_in", "tokens_out", "api_calls", "api_retries")
     }
     totals["wall_s"] = round(sum(r.get("wall_s", 0.0) for r in records), 3)
     return {"committed": done, "pending_left": 0, "crashed": False,

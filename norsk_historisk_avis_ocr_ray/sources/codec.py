@@ -3,11 +3,16 @@
 The engine treats page images as opaque ``binary`` columns with typed metadata
 (``codec``, ``width``, ``height``) and decodes them only inside the layout /
 OCR stages (reference decodes via pdf2image / PIL,
-``tesseract_engine.py:133-144``). This container has no imaging libraries, so
-the native codec is ``raw-zlib``: zlib-compressed row-major uint8 grayscale.
-PNG/JPEG/PDF decoders are stubbed behind the same contract and raise
-``NotImplementedError`` with a clear message — the Ray-side plumbing (schema,
-batch sizing, actor signature) is identical for a real codec.
+``tesseract_engine.py:133-144``). Native codecs:
+
+- ``raw-zlib`` — zlib-compressed row-major uint8 grayscale (synthetic corpus)
+- ``png``      — real PNG via the pure-numpy codec in ``sources.png``
+- ``pdf``      — embedded-scan extraction via ``sources.pdf`` (scanned-page
+  PDFs carry one image XObject per page; vector rasterization would need
+  poppler and is out of scope for this container)
+
+JPEG decode is stubbed behind the same contract (no DCT/huffman decoder
+here) and raises ``NotImplementedError`` with a clear message.
 """
 
 from __future__ import annotations
@@ -17,24 +22,53 @@ import zlib
 import numpy as np
 
 RAW_ZLIB = "raw-zlib"
+PNG = "png"
 
 
-def encode_image(img: np.ndarray) -> bytes:
-    """uint8 HxW grayscale → zlib bytes (level 1: images are held briefly)."""
+def encode_image(img: np.ndarray, codec: str = RAW_ZLIB) -> bytes:
+    """uint8 HxW grayscale → encoded bytes."""
     if img.dtype != np.uint8 or img.ndim != 2:
         raise ValueError(f"expected uint8 HxW grayscale, got {img.dtype} ndim={img.ndim}")
-    return zlib.compress(np.ascontiguousarray(img).tobytes(), 1)
+    if codec == RAW_ZLIB:
+        return zlib.compress(np.ascontiguousarray(img).tobytes(), 1)
+    if codec == PNG:
+        from .png import encode_png
+
+        return encode_png(np.ascontiguousarray(img))
+    raise ValueError(f"unknown encode codec '{codec}'")
 
 
 def decode_image(buf: bytes, width: int, height: int, codec: str = RAW_ZLIB) -> np.ndarray:
-    """binary payload → uint8 HxW grayscale ndarray."""
+    """binary payload → uint8 HxW grayscale ndarray.
+
+    ``width``/``height`` are the typed-metadata columns; self-describing
+    codecs (png/pdf) validate against them when provided (>0)."""
     if codec == RAW_ZLIB:
         raw = zlib.decompress(buf)
         return np.frombuffer(raw, dtype=np.uint8).reshape(height, width)
-    if codec in ("png", "jpeg", "pdf"):
+    if codec == PNG:
+        from .png import decode_png
+
+        img = decode_png(buf)
+        _check_dims(img, width, height, codec)
+        return img
+    if codec == "pdf":
+        from .pdf import extract_page_image
+
+        img = extract_page_image(buf)
+        _check_dims(img, width, height, codec)
+        return img
+    if codec in ("jpeg", "jpg"):
         raise NotImplementedError(
-            f"codec '{codec}' requires an imaging library not present in this "
+            "codec 'jpeg' requires a DCT/huffman decoder not present in this "
             "environment; plug a decoder into sources.codec.decode_image — the "
             "pipeline stages only depend on the (bytes → HxW uint8) contract"
         )
     raise ValueError(f"unknown codec '{codec}'")
+
+
+def _check_dims(img: np.ndarray, width: int, height: int, codec: str) -> None:
+    if width and height and img.shape != (height, width):
+        raise ValueError(
+            f"{codec} payload is {img.shape[1]}x{img.shape[0]} but metadata "
+            f"says {width}x{height}")

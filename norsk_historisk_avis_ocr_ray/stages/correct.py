@@ -124,10 +124,19 @@ class CorrectorStage:
     misconfigure), while the lexicon is still built once per worker process.
     """
 
-    def __init__(self, enabled: bool = True, emit_diff: bool = True):
+    def __init__(self, enabled: bool = True, emit_diff: bool = True,
+                 corrector_factory=None):
         self.enabled = enabled
         self.emit_diff = emit_diff
-        self.normalizer = NorwegianNormalizer()
+        # corrector slot: anything with correct(text) -> str | None — the
+        # deterministic normalizer by default, stages.llm_ocr.LlmCorrector
+        # for the reference's LLM pass (built once per actor; a None return
+        # falls back to the raw text, tesseract_claude_engine.py:124-137).
+        self.normalizer = (corrector_factory() if corrector_factory
+                           else NorwegianNormalizer())
+        load = getattr(self.normalizer, "load", None)
+        if callable(load):
+            load()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         raws = batch["transcribed_raw"].to_pylist()
@@ -141,6 +150,8 @@ class CorrectorStage:
                 n_edits.append(0)
                 continue
             fixed = self.normalizer.correct(raw)
+            if fixed is None:  # LLM corrector failure → raw-text fallback
+                fixed = raw
             transcribed.append(fixed)
             changed = fixed != raw
             corrected.append(changed)

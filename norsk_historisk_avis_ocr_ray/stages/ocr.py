@@ -38,7 +38,7 @@ class MockBarcodeOcr:
     def load(self) -> None:  # nothing to load; real engines load models here
         pass
 
-    def ocr_region(self, img: np.ndarray) -> str:
+    def ocr_region(self, img: np.ndarray, **_) -> str:
         return barcode.read_barcode(img)
 
 
@@ -67,7 +67,7 @@ class TesseractOcr:
             ) from e
         self._pytesseract = pytesseract
 
-    def ocr_region(self, img: np.ndarray) -> str:  # pragma: no cover
+    def ocr_region(self, img: np.ndarray, **_) -> str:  # pragma: no cover
         return self._pytesseract.image_to_string(img, lang=self.lang)
 
 
@@ -157,7 +157,9 @@ class LayoutOcrStage:
         img = decode_image(buf, width, height, codec)
         layout = split_columns(img, overlap_px=self.overlap_px)
         for region_idx, (kind, (x0, y0, x1, y1)) in enumerate(layout.regions):
-            text = self.engine.ocr_region(img[y0:y1, x0:x1])
+            text = self.engine.ocr_region(img[y0:y1, x0:x1],
+                                          region_kind=kind,
+                                          n_cols=layout.n_cols)
             out.add(row["doc_id"], row["in_offset"], region_idx, "text", text,
                     row["media_ref"], None, layout.n_cols)
 
@@ -226,7 +228,9 @@ class PageOcrStage:
                 img = decode_image(buf, w, h, codec or "raw-zlib")
                 layout = split_columns(img, overlap_px=self.overlap_px)
                 for region_idx, (kind, (x0, y0, x1, y1)) in enumerate(layout.regions):
-                    text = self.engine.ocr_region(img[y0:y1, x0:x1])
+                    text = self.engine.ocr_region(img[y0:y1, x0:x1],
+                                                  region_kind=kind,
+                                                  n_cols=layout.n_cols)
                     add(ref, region_idx, "text", text, None, layout.n_cols)
             except Exception as e:  # per-row error, never job abort
                 add(ref, 0, "text", "", f"{type(e).__name__}: {e}", 0)
@@ -249,3 +253,16 @@ class _RowSink:
 
 register_engine(MockBarcodeOcr.name, MockBarcodeOcr)
 register_engine(TesseractOcr.name, TesseractOcr)
+
+
+def _register_llm_engine() -> None:
+    # optional-import registration: the vision engine needs no SDK to be
+    # constructed/tested (client injected), but keep import failures soft
+    try:
+        from .llm_ocr import AnthropicVisionOcr
+    except Exception:  # pragma: no cover
+        return
+    register_engine(AnthropicVisionOcr.name, AnthropicVisionOcr)
+
+
+_register_llm_engine()

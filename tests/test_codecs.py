@@ -1,0 +1,162 @@
+"""PNG / scanned-PDF codecs (S2/S3): round-trips, filter paths, and the
+e2e extraction run over PNG- and PDF-encoded pages (parity with the
+reference's PIL/poppler ingestion, ``tesseract_engine.py:133-144``)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from norsk_historisk_avis_ocr_ray.sources.codec import decode_image, encode_image
+from norsk_historisk_avis_ocr_ray.sources.pdf import (
+    build_scanned_pdf,
+    extract_page_image,
+)
+from norsk_historisk_avis_ocr_ray.sources.png import decode_png, encode_png
+
+
+def test_png_roundtrip_gray():
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1), (37, 53), (200, 320)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_roundtrip_structured_page():
+    img = np.full((400, 600), 235, np.uint8)
+    img[::7] = 30
+    img[:, 100:105] = 10
+    enc = encode_png(img)
+    assert np.array_equal(decode_png(enc), img)
+    assert len(enc) < img.size // 50  # filters + zlib actually compress
+
+
+def test_png_rgb_decodes_to_luma():
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    out = decode_png(encode_png(rgb))
+    exp = np.clip(np.round(0.299 * rgb[:, :, 0].astype(np.float64)
+                           + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]),
+                  0, 255).astype(np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_png_chunk_framing_and_crc():
+    enc = encode_png(np.zeros((4, 4), np.uint8))
+    assert enc[:8] == b"\x89PNG\r\n\x1a\n"
+    (length,) = struct.unpack(">I", enc[8:12])
+    assert enc[12:16] == b"IHDR" and length == 13
+    crc = struct.unpack(">I", enc[29:33])[0]
+    assert crc == (zlib.crc32(enc[12:29]) & 0xFFFFFFFF)
+
+
+def _manual_png(raw: np.ndarray, filter_id: int) -> bytes:
+    """Build a PNG whose every row uses the given filter (decode-path test)."""
+    h, w = raw.shape
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    lines = []
+    prev = [0] * w
+    for y in range(h):
+        row = raw[y].tolist()
+        out = [filter_id]
+        for i in range(w):
+            left = row[i - 1] if i > 0 else 0
+            ul = prev[i - 1] if i > 0 else 0
+            if filter_id == 3:
+                out.append((row[i] - ((left + prev[i]) >> 1)) & 0xFF)
+            elif filter_id == 4:
+                out.append((row[i] - paeth(left, prev[i], ul)) & 0xFF)
+            else:
+                raise ValueError(filter_id)
+        prev = row
+        lines.extend(out)
+
+    def chunk(tag, p):
+        return (struct.pack(">I", len(p)) + tag + p
+                + struct.pack(">I", zlib.crc32(tag + p) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("filter_id", [3, 4])
+def test_png_average_and_paeth_decode(filter_id):
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 256, (5, 8), dtype=np.uint8)
+    assert np.array_equal(decode_png(_manual_png(raw, filter_id)), raw)
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+
+
+def test_codec_dispatch_png():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    buf = encode_image(img, "png")
+    assert np.array_equal(decode_image(buf, 8, 8, "png"), img)
+    with pytest.raises(ValueError, match="metadata"):
+        decode_image(buf, 9, 9, "png")
+
+
+def test_scanned_pdf_roundtrip():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (120, 90), dtype=np.uint8)
+    pdf = build_scanned_pdf(img)
+    assert pdf.startswith(b"%PDF-1.4")
+    assert np.array_equal(extract_page_image(pdf), img)
+    assert np.array_equal(decode_image(pdf, 90, 120, "pdf"), img)
+
+
+def test_vector_pdf_rejected():
+    with pytest.raises(ValueError, match="vector-content"):
+        extract_page_image(b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n")
+
+
+def test_extract_runs_over_png_and_pdf_pages(ray_session):
+    """e2e: the synthetic golden corpus re-encoded as PNG and scanned-PDF
+    pages produces span-identical output to the raw-zlib run."""
+    import pyarrow as pa
+
+    import ray
+    from norsk_historisk_avis_ocr_ray.pipelines.extract import extract
+    from norsk_historisk_avis_ocr_ray.synth.corpus import make_corpus
+
+    tables = make_corpus(12, seed=42)
+    pages = tables["pages"]
+    imgs = [decode_image(b, w, h, c) for b, w, h, c in zip(
+        pages["image"].to_pylist(), pages["width"].to_pylist(),
+        pages["height"].to_pylist(), pages["codec"].to_pylist())]
+    # half the pages as PNG, half as scanned PDF
+    payloads, codecs = [], []
+    for i, img in enumerate(imgs):
+        if i % 2 == 0:
+            payloads.append(encode_png(img))
+            codecs.append("png")
+        else:
+            payloads.append(build_scanned_pdf(img))
+            codecs.append("pdf")
+    recoded = pa.table({
+        "media_ref": pages["media_ref"],
+        "image": pa.array(payloads, pa.binary()),
+        "width": pages["width"],
+        "height": pages["height"],
+        "codec": pa.array(codecs, pa.string()),
+    })
+    docs = ray.data.from_arrow(tables["documents"])
+    base = extract(docs, pages, ocr_concurrency=2).to_pandas()
+    got = extract(ray.data.from_arrow(tables["documents"]), recoded,
+                  ocr_concurrency=2).to_pandas()
+    base = base.sort_values("doc_id").reset_index(drop=True)
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["combined"].tolist() == base["combined"].tolist()
+    assert got["transcribed"].tolist() == base["transcribed"].tolist()
+    assert int(got["n_errors"].sum()) == 0

@@ -35,11 +35,30 @@ def test_encode_under_limit_noop_when_small():
 
 
 def test_encode_under_limit_rescales():
-    img = np.full((2000, 2000), 200, np.uint8)   # 4 MB decoded
+    # incompressible noise: payload ≈ decoded size, so the ladder must rescale
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(2000, 2000), dtype=np.uint8)
     buf, w, h = encode_under_limit(img, max_bytes=1 << 20)  # 1 MiB limit
-    assert w * h <= 1 << 20
+    assert len(buf) <= 1 << 20
     assert w < 2000 and h < 2000
     assert decode_image(buf, w, h).shape == (h, w)
+
+
+def test_encode_under_limit_payload_semantics():
+    # a compressible page fits the ENCODED-byte limit without rescaling,
+    # matching the reference's check on the raw encoded length
+    img = np.full((2000, 2000), 200, np.uint8)
+    buf, w, h = encode_under_limit(img, max_bytes=1 << 20)
+    assert (w, h) == (2000, 2000)
+    assert len(buf) <= 1 << 20
+
+
+def test_encode_under_limit_png_codec():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(300, 400), dtype=np.uint8)
+    buf, w, h = encode_under_limit(img, max_bytes=1 << 20, codec="png")
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(decode_image(buf, w, h, "png"), img)
 
 
 def test_engine_registry():
