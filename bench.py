@@ -121,9 +121,10 @@ def main() -> None:
                 env=env, capture_output=True, text=True, check=True).stdout
             return json.loads(out.strip().splitlines()[-1])
 
-        # This VM's performance fluctuates run to run (shared host); take the
-        # best of N per level so the ratio reflects the engine's capability
-        # at each width, not transient noise.
+        # This VM's performance fluctuates run to run (shared host). Report
+        # BOTH the median-of-N and best-of-N per level: median is the honest
+        # central estimate (the headline efficiency number), best bounds what
+        # the engine does when the host isn't stealing cycles.
         repeats = 2
         if "--repeats" in sys.argv:
             repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
@@ -146,22 +147,37 @@ def main() -> None:
         for _ in range(repeats):
             runs_lo.append(run_once(lo))
             runs_hi.append(run_once(hi))
-        r_lo = max(runs_lo, key=lambda r: r["pages_per_sec"])
-        r_hi = max(runs_hi, key=lambda r: r["pages_per_sec"])
-        r_lo["all_pages_per_sec"] = [r["pages_per_sec"] for r in runs_lo]
-        r_hi["all_pages_per_sec"] = [r["pages_per_sec"] for r in runs_hi]
-        pps_lo = r_lo["pages_per_sec"]
-        pps_hi = r_hi["pages_per_sec"]
-        eff = (pps_hi / pps_lo) / (hi / lo)
+        import statistics
+        pps_lo_all = [r["pages_per_sec"] for r in runs_lo]
+        pps_hi_all = [r["pages_per_sec"] for r in runs_hi]
+        med_lo = statistics.median(pps_lo_all)
+        med_hi = statistics.median(pps_hi_all)
+        best_lo = max(pps_lo_all)
+        best_hi = max(pps_hi_all)
+        # Paired interleaved ratios: run i at lo vs run i at hi — drift that
+        # spans a (lo, hi) pair cancels; median of those ratios is the most
+        # drift-robust single estimate.
+        paired = [
+            round((h / l) / (hi / lo), 3)
+            for l, h in zip(pps_lo_all, pps_hi_all)
+        ]
         print(json.dumps({
             "metric": "ocr_extract_scaling", "unit": "pages/sec",
             "cpus_small": lo, "cpus_big": hi,
-            "sec_small": r_lo["value"], "sec_big": r_hi["value"],
-            "pages_per_sec_small": pps_lo, "pages_per_sec_big": pps_hi,
-            "runs_small": r_lo.get("all_pages_per_sec"),
-            "runs_big": r_hi.get("all_pages_per_sec"),
-            "scaling_efficiency": round(eff, 3),
-            "pages": r_lo["pages"],
+            "pages_per_sec_small_median": round(med_lo, 2),
+            "pages_per_sec_big_median": round(med_hi, 2),
+            "pages_per_sec_small_best": round(best_lo, 2),
+            "pages_per_sec_big_best": round(best_hi, 2),
+            "runs_small": pps_lo_all,
+            "runs_big": pps_hi_all,
+            "scaling_efficiency": round((med_hi / med_lo) / (hi / lo), 3),
+            "scaling_efficiency_best": round((best_hi / best_lo) / (hi / lo), 3),
+            "paired_efficiencies": paired,
+            "paired_efficiency_median": statistics.median(paired),
+            "aggregation": "median-of-%d per level (headline); best-of-%d and "
+                           "paired interleaved ratios reported alongside"
+                           % (repeats, repeats),
+            "pages": runs_lo[0]["pages"],
         }))
         return
 

@@ -41,12 +41,31 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--no-correction", action="store_true")
     pe.add_argument("--num-cpus", type=int, default=None)
 
+    pd = sub.add_parser("debug-render",
+                        help="S8 debug pass: annotated-page bundles per page")
+    pd.add_argument("--pages", required=True, help="pages parquet dir")
+    pd.add_argument("--out", required=True, help="debug output root")
+    pd.add_argument("--concurrency", type=int, default=4)
+    pd.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
+
+    if args.cmd == "debug-render":
+        from .stages.debug_render import render_debug
+
+        summary = render_debug(args.pages, args.out,
+                               concurrency=args.concurrency)
+        stats = summary.to_pandas()
+        print(json.dumps({"pages": int(len(stats)),
+                          "skipped": int(stats["skipped"].sum()),
+                          "titles": int(stats["title_detected"].sum())}))
+        ray.shutdown()
+        return 0
 
     from .stages.ocr import get_engine
 
