@@ -4,13 +4,14 @@
   vision-engine preprocessing of ``claude_vision_engine.py:98-104`` (PIL
   SHARPEN + ImageEnhance.Contrast(1.3)), reimplemented on uint8 arrays.
 - ``encode_under_limit``: the size-ladder of
-  ``claude_vision_engine.py:107-127`` — re-encode, and rescale ×0.8 and retry
-  until the encoded payload fits the API limit (the reference compares the
-  raw encoded byte length against 5 MB, ``claude_vision_engine.py:92-95``).
-  The reference's first knob is JPEG quality; PNG (the codec this container
-  encodes) is lossless with no quality knob, so the ladder goes straight to
-  the rescale loop — same control flow, and a JPEG encoder can plug into the
-  ``codec=`` parameter to restore the quality steps.
+  ``claude_vision_engine.py:107-127`` — the reference's exact control flow:
+  encode at quality 95, drop the quality by 10 down to 50, then rescale ×0.8
+  and reset quality, until the encoded payload fits the API limit (the
+  reference compares raw encoded byte length against 5 MB,
+  ``claude_vision_engine.py:92-95``). Lossy quality steps run when the codec
+  is ``jpeg`` (the pure-numpy codec in ``sources.jpeg``); lossless codecs
+  (png / raw-zlib) have no quality knob, so their ladder is rescale-only —
+  same loop, quality steps skipped.
 """
 
 from __future__ import annotations
@@ -46,18 +47,30 @@ def encode_under_limit(
     scale_step: float = 0.8,
     max_rounds: int = 20,
     codec: str = RAW_ZLIB,
+    quality_start: int = 95,
+    quality_floor: int = 50,
+    quality_step: int = 10,
 ) -> tuple[bytes, int, int]:
-    """Encode with ``codec``, rescaling ×scale_step until the encoded payload
-    is ≤ max_bytes. Returns (payload, width, height) — the reference's ladder
-    with PNG/raw in place of the JPEG quality steps."""
+    """Encode with ``codec`` until the encoded payload is ≤ max_bytes:
+    lossy codecs walk quality ``95 → 50`` by 10 first, then rescale
+    ×scale_step and reset quality (reference ladder,
+    ``claude_vision_engine.py:107-127``). Returns (payload, width, height)."""
+    lossy = codec == "jpeg" or codec.startswith("jpeg:")
     cur = img
-    for _ in range(max_rounds):
+    quality = quality_start
+    for _ in range(max_rounds * ((quality_start - quality_floor)
+                                 // quality_step + 1)):
         h, w = cur.shape
-        payload = encode_image(np.ascontiguousarray(cur), codec)
+        enc_codec = f"jpeg:{quality}" if lossy else codec
+        payload = encode_image(np.ascontiguousarray(cur), enc_codec)
         if len(payload) <= max_bytes:
             return payload, w, h
+        if lossy and quality > quality_floor:
+            quality -= quality_step  # lower quality first
+            continue
         nh, nw = max(1, int(h * scale_step)), max(1, int(w * scale_step))
         ys = (np.arange(nh) * (h / nh)).astype(np.int64)
         xs = (np.arange(nw) * (w / nw)).astype(np.int64)
         cur = cur[ys][:, xs]
+        quality = quality_start  # reset quality after resize
     raise ValueError("could not fit image under limit")

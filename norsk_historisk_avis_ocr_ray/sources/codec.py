@@ -10,9 +10,8 @@ OCR stages (reference decodes via pdf2image / PIL,
 - ``pdf``      — embedded-scan extraction via ``sources.pdf`` (scanned-page
   PDFs carry one image XObject per page; vector rasterization would need
   poppler and is out of scope for this container)
-
-JPEG decode is stubbed behind the same contract (no DCT/huffman decoder
-here) and raises ``NotImplementedError`` with a clear message.
+- ``jpeg``     — baseline JPEG via the pure-numpy codec in ``sources.jpeg``
+  (encode accepts ``jpeg:<quality>``, e.g. ``jpeg:95``)
 """
 
 from __future__ import annotations
@@ -23,6 +22,7 @@ import numpy as np
 
 RAW_ZLIB = "raw-zlib"
 PNG = "png"
+JPEG = "jpeg"
 
 
 def encode_image(img: np.ndarray, codec: str = RAW_ZLIB) -> bytes:
@@ -35,6 +35,11 @@ def encode_image(img: np.ndarray, codec: str = RAW_ZLIB) -> bytes:
         from .png import encode_png
 
         return encode_png(np.ascontiguousarray(img))
+    if codec == JPEG or codec.startswith("jpeg:"):
+        from .jpeg import encode_jpeg
+
+        quality = int(codec.partition(":")[2]) if ":" in codec else 75
+        return encode_jpeg(np.ascontiguousarray(img), quality)
     raise ValueError(f"unknown encode codec '{codec}'")
 
 
@@ -58,12 +63,12 @@ def decode_image(buf: bytes, width: int, height: int, codec: str = RAW_ZLIB) -> 
         img = extract_page_image(buf)
         _check_dims(img, width, height, codec)
         return img
-    if codec in ("jpeg", "jpg"):
-        raise NotImplementedError(
-            "codec 'jpeg' requires a DCT/huffman decoder not present in this "
-            "environment; plug a decoder into sources.codec.decode_image — the "
-            "pipeline stages only depend on the (bytes → HxW uint8) contract"
-        )
+    if codec in ("jpeg", "jpg") or codec.startswith("jpeg:"):
+        from .jpeg import decode_jpeg
+
+        img = decode_jpeg(buf)
+        _check_dims(img, width, height, codec)
+        return img
     raise ValueError(f"unknown codec '{codec}'")
 
 

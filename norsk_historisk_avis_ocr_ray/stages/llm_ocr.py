@@ -220,10 +220,13 @@ class AnthropicVisionOcr:
 
     def ocr_region(self, img: np.ndarray, region_kind: str = "column",
                    n_cols: int = 1, **_: Any) -> str:
+        # JPEG quality ladder + "image/jpeg" media type — reference parity
+        # (claude_vision_engine.py:107-127); the raw encoded byte length is
+        # what the API limit applies to, not the base64 string.
         payload, _w, _h = encode_under_limit(
-            prepare_image(img), max_bytes=MAX_IMAGE_BYTES, codec="png")
+            prepare_image(img), max_bytes=MAX_IMAGE_BYTES, codec="jpeg")
         b64 = base64.standard_b64encode(payload).decode("ascii")
-        return self._call_api(b64, "image/png",
+        return self._call_api(b64, "image/jpeg",
                               select_user_prompt(region_kind, n_cols))
 
     # -- internals ------------------------------------------------------------

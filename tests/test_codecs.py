@@ -160,3 +160,82 @@ def test_extract_runs_over_png_and_pdf_pages(ray_session):
     assert got["combined"].tolist() == base["combined"].tolist()
     assert got["transcribed"].tolist() == base["transcribed"].tolist()
     assert int(got["n_errors"].sum()) == 0
+
+
+# -- JPEG (pure-numpy baseline codec, sources/jpeg.py) ------------------------
+
+def test_jpeg_roundtrip_near_lossless_at_high_quality():
+    from norsk_historisk_avis_ocr_ray.sources.jpeg import decode_jpeg, encode_jpeg
+
+    g = (np.linspace(0, 255, 200)[None, :] * np.ones((120, 1))).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == g.shape
+    assert np.abs(g.astype(int) - out.astype(int)).max() <= 2
+
+
+def test_jpeg_quality_tradeoff_monotonic():
+    from norsk_historisk_avis_ocr_ray.sources.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 96), dtype=np.uint8)
+    sizes, errs = [], []
+    for q in (95, 75, 50):
+        buf = encode_jpeg(img, q)
+        out = decode_jpeg(buf)
+        sizes.append(len(buf))
+        errs.append(np.abs(img.astype(int) - out.astype(int)).mean())
+    assert sizes[0] > sizes[1] > sizes[2]
+    assert errs[0] < errs[1] < errs[2]
+
+
+def test_jpeg_odd_dimensions():
+    from norsk_historisk_avis_ocr_ray.sources.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((257, 333), 200, np.uint8)
+    img[::13, ::7] = 30
+    out = decode_jpeg(encode_jpeg(img, 90))
+    assert out.shape == (257, 333)
+
+
+def test_jpeg_codec_dispatch_and_quality_param():
+    img = np.tile(np.arange(128, dtype=np.uint8), (64, 1))
+    hi = encode_image(img, "jpeg:95")
+    lo = encode_image(img, "jpeg:50")
+    assert len(hi) > len(lo)
+    out = decode_image(hi, 128, 64, "jpeg")
+    assert out.shape == (64, 128)
+    with pytest.raises(ValueError):  # dims metadata validated
+        decode_image(hi, 10, 10, "jpeg")
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    from norsk_historisk_avis_ocr_ray.sources.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    buf = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8), 75))
+    sof = buf.find(b"\xFF\xC0")
+    buf[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+
+
+def test_jpeg_layout_survives_lossy_cycle():
+    """Layout detection survives a q95 JPEG cycle — T5 parity: lossy payload
+    encoding must not break the geometric extraction path. (The mock pixel
+    barcode intentionally does NOT survive lossy codecs — it stores literal
+    byte values per pixel — so only geometry is asserted here; text parity
+    for JPEG pages is covered by the near-lossless pixel-error bounds.)"""
+    from norsk_historisk_avis_ocr_ray.sources.jpeg import decode_jpeg, encode_jpeg
+    from norsk_historisk_avis_ocr_ray.stages.layout import split_columns
+    from norsk_historisk_avis_ocr_ray.synth import pagegen
+
+    rng = np.random.default_rng(5)
+    img, truth = pagegen.render_page(rng, 2, pagegen.INK, False,
+                                     ["venstre tekst", "hoyre tekst"], "",
+                                     height=1200)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    layout = split_columns(out)
+    assert layout.n_cols == 2
+    assert all(abs(a - b) <= 3
+               for a, b in zip(layout.boundaries, truth.boundaries))

@@ -7,7 +7,7 @@ from norsk_historisk_avis_ocr_ray.functions.imageprep import (
     encode_under_limit,
     prepare_image,
 )
-from norsk_historisk_avis_ocr_ray.sources.codec import decode_image
+from norsk_historisk_avis_ocr_ray.sources.codec import decode_image, encode_image
 from norsk_historisk_avis_ocr_ray.stages.ocr import get_engine, ENGINES
 
 
@@ -65,3 +65,31 @@ def test_engine_registry():
     assert get_engine("mock-barcode") is ENGINES["mock-barcode"]
     with pytest.raises(KeyError):
         get_engine("nope")
+
+
+def test_encode_under_limit_jpeg_quality_ladder():
+    """Reference ladder (claude_vision_engine.py:107-127): quality drops
+    95→50 before any rescale; rescale resets quality."""
+    from norsk_historisk_avis_ocr_ray.sources.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (256, 256), dtype=np.uint8)  # incompressible
+
+    # Generous limit: q95 fits, no rescale.
+    buf, w, h = encode_under_limit(img, max_bytes=1 << 20, codec="jpeg")
+    assert (w, h) == (256, 256)
+
+    # Tight limit that a lower quality satisfies at full size.
+    q95 = len(encode_image(img, "jpeg:95"))
+    q55 = len(encode_image(img, "jpeg:55"))
+    buf, w, h = encode_under_limit(img, max_bytes=(q95 + q55) // 2,
+                                   codec="jpeg")
+    assert (w, h) == (256, 256)  # quality step sufficed — no rescale
+    assert len(buf) <= (q95 + q55) // 2
+    assert decode_jpeg(buf).shape == (256, 256)
+
+    # Limit below what q50 full-size achieves → must rescale.
+    q50 = len(encode_image(img, "jpeg:50"))
+    buf, w, h = encode_under_limit(img, max_bytes=q50 // 2, codec="jpeg")
+    assert w < 256 and h < 256
+    assert len(buf) <= q50 // 2

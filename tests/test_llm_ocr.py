@@ -183,8 +183,10 @@ def test_call_carries_prompt_image_and_params():
     content = call["messages"][0]["content"]
     assert content[1]["text"] == COLUMN_USER_PROMPT
     src = content[0]["source"]
-    assert src["media_type"] == "image/png"
-    decoded = decode_png(base64.standard_b64decode(src["data"]))
+    assert src["media_type"] == "image/jpeg"  # reference parity: JPEG ladder
+    from norsk_historisk_avis_ocr_ray.sources.jpeg import decode_jpeg
+
+    decoded = decode_jpeg(base64.standard_b64decode(src["data"]))
     assert decoded.shape == (64, 48)  # prepared image, same geometry
 
 
