@@ -12,6 +12,8 @@ OCR stages (reference decodes via pdf2image / PIL,
   poppler and is out of scope for this container)
 - ``jpeg``     — baseline JPEG via the pure-numpy codec in ``sources.jpeg``
   (encode accepts ``jpeg:<quality>``, e.g. ``jpeg:95``)
+- ``tiff``     — grayscale TIFF via ``sources.tiff`` (decode: none / LZW /
+  PackBits strips; encode: single-strip uncompressed)
 """
 
 from __future__ import annotations
@@ -40,6 +42,10 @@ def encode_image(img: np.ndarray, codec: str = RAW_ZLIB) -> bytes:
 
         quality = int(codec.partition(":")[2]) if ":" in codec else 75
         return encode_jpeg(np.ascontiguousarray(img), quality)
+    if codec in ("tiff", "tif"):
+        from .tiff import encode_tiff
+
+        return encode_tiff(np.ascontiguousarray(img))
     raise ValueError(f"unknown encode codec '{codec}'")
 
 
@@ -67,6 +73,12 @@ def decode_image(buf: bytes, width: int, height: int, codec: str = RAW_ZLIB) -> 
         from .jpeg import decode_jpeg
 
         img = decode_jpeg(buf)
+        _check_dims(img, width, height, codec)
+        return img
+    if codec in ("tiff", "tif"):
+        from .tiff import decode_tiff
+
+        img = decode_tiff(buf)
         _check_dims(img, width, height, codec)
         return img
     raise ValueError(f"unknown codec '{codec}'")

@@ -239,3 +239,119 @@ def test_jpeg_layout_survives_lossy_cycle():
     assert layout.n_cols == 2
     assert all(abs(a - b) <= 3
                for a, b in zip(layout.boundaries, truth.boundaries))
+
+
+# -- TIFF (pure-numpy codec, sources/tiff.py) ---------------------------------
+
+def _tiff_with_strips(img, comp, strips, e="<"):
+    """Hand-build a TIFF with given compression id and raw strip payloads."""
+    import struct as st
+
+    h, w = img.shape
+    rows_per_strip = (h + len(strips) - 1) // len(strips)
+    n_entries = 10
+    ifd_off = 8
+    # strip data laid out after the IFD
+    data_off = ifd_off + 2 + n_entries * 12 + 4 + 8 * len(strips)
+    offsets, counts = [], []
+    pos = data_off
+    for s in strips:
+        offsets.append(pos)
+        counts.append(len(s))
+        pos += len(s)
+    # offsets/counts arrays (may exceed 4 bytes → store after IFD entries)
+    arr_off = ifd_off + 2 + n_entries * 12 + 4
+    pre = "<" if e == "<" else ">"
+    head = (b"II*\x00" if e == "<" else b"MM\x00*") + st.pack(pre + "I", 8)
+    def entry(tag, typ, cnt, val):
+        if typ == 3 and cnt == 1:  # SHORT values are left-justified
+            return st.pack(pre + "HHIHH", tag, typ, cnt, val, 0)
+        return st.pack(pre + "HHII", tag, typ, cnt, val)
+    if len(strips) == 1:
+        off_entry = entry(273, 4, 1, offsets[0])
+        cnt_entry = entry(279, 4, 1, counts[0])
+        arrs = b""
+        # no external arrays → data starts at arr_off
+        shift = arr_off - data_off
+        offsets = [o + shift for o in offsets]
+        off_entry = entry(273, 4, 1, offsets[0])
+    else:
+        off_entry = entry(273, 4, len(strips), arr_off)
+        cnt_entry = entry(279, 4, len(strips), arr_off + 4 * len(strips))
+        arrs = st.pack(pre + "I" * len(strips), *offsets) \
+            + st.pack(pre + "I" * len(strips), *counts)
+    ifd = st.pack(pre + "H", n_entries)
+    ifd += entry(256, 4, 1, w) + entry(257, 4, 1, h) + entry(258, 3, 1, 8)
+    ifd += entry(259, 3, 1, comp) + entry(262, 3, 1, 1)
+    ifd += off_entry + entry(277, 3, 1, 1) + entry(278, 4, 1, rows_per_strip)
+    ifd += cnt_entry + entry(317, 3, 1, 1)
+    ifd += st.pack(pre + "I", 0)
+    return head + ifd + arrs + b"".join(strips)
+
+
+def test_tiff_roundtrip_uncompressed():
+    from norsk_historisk_avis_ocr_ray.sources.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (33, 47), dtype=np.uint8)
+    out = decode_tiff(encode_tiff(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_tiff_codec_dispatch():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    buf = encode_image(img, "tiff")
+    np.testing.assert_array_equal(decode_image(buf, 8, 8, "tiff"), img)
+    np.testing.assert_array_equal(decode_image(buf, 8, 8, "tif"), img)
+
+
+def test_tiff_packbits_strips_and_big_endian():
+    from norsk_historisk_avis_ocr_ray.sources.tiff import decode_tiff
+
+    img = np.zeros((6, 10), np.uint8)
+    img[1] = 200
+    img[4, 3:7] = 17
+
+    def packbits(row):  # literal-only encoding is valid PackBits
+        out = bytearray()
+        for i in range(0, len(row), 128):
+            lit = row[i:i + 128]
+            out += bytes([len(lit) - 1]) + bytes(lit.tolist())
+        return bytes(out)
+
+    strips = [packbits(img[0:3].ravel()), packbits(img[3:6].ravel())]
+    for e in ("<", ">"):
+        buf = _tiff_with_strips(img, 32773, strips, e=e)
+        np.testing.assert_array_equal(decode_tiff(buf), img)
+
+    # run-compressed form too: 10 x 200 = (257-10+... ) replicate op
+    rep = bytes([256 - 9, 200])  # -9 → repeat next byte 10 times
+    lit = packbits(img[2].ravel())
+    one_row = np.vstack([img[1], img[2]])
+    strips = [rep + lit]
+    buf = _tiff_with_strips(one_row, 32773, strips)
+    np.testing.assert_array_equal(decode_tiff(buf), one_row)
+
+
+def test_tiff_lzw_known_vector():
+    """Hand-verified TIFF-LZW bitstream for b'aaabbb' (codes 256,97,258,98,
+    260,257 at 9 bits): exercises CLEAR, literal, KwKwK, and EOI paths."""
+    from norsk_historisk_avis_ocr_ray.sources.tiff import _unlzw, decode_tiff
+
+    data = bytes([0x80, 0x18, 0x60, 0x46, 0x28, 0x24, 0x04])
+    assert _unlzw(data, 6) == b"aaabbb"
+
+    img = np.frombuffer(b"aaabbb", np.uint8).reshape(2, 3)
+    buf = _tiff_with_strips(img, 5, [data])
+    np.testing.assert_array_equal(decode_tiff(buf), img)
+
+
+def test_tiff_rejects_unsupported():
+    from norsk_historisk_avis_ocr_ray.sources.tiff import decode_tiff
+
+    with pytest.raises(ValueError):
+        decode_tiff(b"PK\x03\x04 not a tiff")
+    img = np.zeros((4, 4), np.uint8)
+    buf = _tiff_with_strips(img, 4, [b"\x00" * 16])  # CCITT G4
+    with pytest.raises(NotImplementedError):
+        decode_tiff(buf)
