@@ -24,11 +24,22 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="norsk_historisk_avis_ocr_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    def engine_flags(sp):
+        # reference config surface (ocr.py:84-116): forwarded to the engine
+        # factory; only the LLM-vision engine consumes them.
+        sp.add_argument("--engine", default="mock-barcode")
+        sp.add_argument("--model", default=None,
+                        help="LLM model id (llm-vision engine)")
+        sp.add_argument("--region", default=None,
+                        help="AWS region for Bedrock (llm-vision engine)")
+        sp.add_argument("--max-tokens", type=int, default=None,
+                        help="max output tokens per OCR call (llm-vision)")
+
     pr = sub.add_parser("run", help="resumable shard-local extraction")
     pr.add_argument("--corpus", required=True,
                     help="dir with documents/ and pages/ parquet shards")
     pr.add_argument("--out", required=True)
-    pr.add_argument("--engine", default="mock-barcode")
+    engine_flags(pr)
     pr.add_argument("--no-correction", action="store_true")
     pr.add_argument("--num-cpus", type=int, default=None)
 
@@ -36,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--docs", required=True)
     pe.add_argument("--pages", default=None)
     pe.add_argument("--out", required=True)
-    pe.add_argument("--engine", default="mock-barcode")
+    engine_flags(pe)
     pe.add_argument("--ocr-concurrency", type=int, default=8)
     pe.add_argument("--no-correction", action="store_true")
     pe.add_argument("--num-cpus", type=int, default=None)
@@ -70,6 +81,14 @@ def main(argv: list[str] | None = None) -> int:
     from .stages.ocr import get_engine
 
     engine_factory = get_engine(args.engine)
+    engine_kwargs = {k: v for k, v in (("model", args.model),
+                                       ("region", args.region),
+                                       ("max_tokens", args.max_tokens))
+                     if v is not None}
+    if engine_kwargs:
+        import functools
+
+        engine_factory = functools.partial(engine_factory, **engine_kwargs)
 
     if args.cmd == "run":
         from .pipelines.run import run_resumable

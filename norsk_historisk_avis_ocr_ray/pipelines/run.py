@@ -22,15 +22,15 @@ import ray
 
 from ..stages.ocr import MockBarcodeOcr
 from ..state.manifest import Manifest
-from .sharded import list_shards, process_shard
+from .sharded import cached_engine, list_shards, process_shard
 
 
 @ray.remote(num_cpus=1)
 def _run_shard(shard: dict, out_dir: str, correction: bool,
                emit_diff: bool, engine_factory: Callable[[], Any]) -> dict:
     t0 = time.time()
-    engine = engine_factory()
-    engine.load()
+    engine = cached_engine(engine_factory)  # once per worker process
+    usage0 = dict(getattr(engine, "usage", None) or {})  # cross-shard baseline
     docs = pq.read_table(shard["docs_file"])
     pages: dict[str, tuple[bytes, int, int, str]] = {}
     n_pages = 0
@@ -68,10 +68,12 @@ def _run_shard(shard: dict, out_dir: str, correction: bool,
     # claude_vision_engine.py:353-356).
     usage = getattr(engine, "usage", None)
     if isinstance(usage, dict):
-        lineage["tokens_in"] = int(usage.get("input_tokens", 0))
-        lineage["tokens_out"] = int(usage.get("output_tokens", 0))
-        lineage["api_calls"] = int(usage.get("api_calls", 0))
-        lineage["api_retries"] = int(usage.get("retries", 0))
+        # engine is cached across shards in this worker: bill the delta
+        for col, key in (("tokens_in", "input_tokens"),
+                         ("tokens_out", "output_tokens"),
+                         ("api_calls", "api_calls"),
+                         ("api_retries", "retries")):
+            lineage[col] = int(usage.get(key, 0)) - int(usage0.get(key, 0))
     return lineage
 
 

@@ -75,18 +75,34 @@ def process_shard(
     return CorrectorStage(enabled=correction, emit_diff=emit_diff)(repacked)
 
 
-_ENGINE_CACHE: dict[int, Any] = {}
+_ENGINE_CACHE: dict[str, Any] = {}
+
+
+def _factory_key(factory: Callable[[], Any]) -> str:
+    """Stable per-worker cache key for an engine factory. ``id()`` is useless
+    here: remote-task arguments are deserialized fresh per task, so identity
+    never repeats — key on the factory's qualified name (+ partial kwargs)."""
+    f = getattr(factory, "func", factory)  # unwrap functools.partial
+    kw = getattr(factory, "keywords", None) or {}
+    return (f"{getattr(f, '__module__', '?')}.{getattr(f, '__qualname__', repr(f))}"
+            f"|{sorted(kw.items())!r}")
+
+
+def cached_engine(engine_factory: Callable[[], Any]) -> Any:
+    """Construct + ``load()`` the engine once per worker process."""
+    key = _factory_key(engine_factory)
+    engine = _ENGINE_CACHE.get(key)
+    if engine is None:
+        engine = engine_factory()
+        engine.load()
+        _ENGINE_CACHE[key] = engine
+    return engine
 
 
 def _shard_task_fn(engine_factory: Callable[[], Any], correction: bool,
                    emit_diff: bool):
     def fn(batch: pa.Table) -> pa.Table:
-        key = id(engine_factory)
-        engine = _ENGINE_CACHE.get(key)
-        if engine is None:
-            engine = engine_factory()
-            engine.load()
-            _ENGINE_CACHE[key] = engine
+        engine = cached_engine(engine_factory)
         outs = []
         for row in batch.to_pylist():
             docs = pq.read_table(row["docs_file"])
