@@ -57,7 +57,7 @@ def find_band_dividers(
         if band_h < 20:
             continue
         slab = dark[y0:y1] if dark is not None else img[y0:y1] < threshold
-        v_profile = slab.sum(axis=0)
+        v_profile = slab.sum(axis=0, dtype=np.int16)  # band_h <= 200 rows
         mask = v_profile >= band_h * 0.8
         peaks = _run_centers(mask, width)
         band_peaks.append(peaks)
@@ -146,19 +146,33 @@ def find_gap_boundaries(
         # local within g-1 pixels.
         c0 = max(0, w_lo - half_w - (g - 1))
         c1 = min(seg_width, w_hi + 1 + half_w + (g - 1))
-        light = img[y_start:y_end, x_start + c0:x_start + c1] >= threshold
-        cs = np.zeros((height, light.shape[1] + 1), dtype=np.int32)
-        np.cumsum(light, axis=1, out=cs[:, 1:])
-        ok = (cs[:, g:] - cs[:, :-g]) == g          # window [k, k+g) all light
-        okc = np.zeros((height, ok.shape[1] + 1), dtype=np.int32)
-        np.cumsum(ok, axis=1, out=okc[:, 1:])
-        idx = np.arange(c1 - c0)                    # slice-relative positions
-        k_hi = np.minimum(idx, (c1 - c0) - g) + 1   # covering windows [k_lo, k_hi)
+        # Row-slab processing: every op here is per-row along x (no vertical
+        # coupling), so rows are processed in 128-row slabs whose temporaries
+        # (~400 KB) stay L2-resident — DRAM traffic per boundary drops to the
+        # raw image read.  The layout stage is bandwidth-bound at high core
+        # counts (this VM's scaling ceiling; see BASELINE.md).  int16
+        # accumulators: cumsums along the slice never exceed its width.
+        sw = c1 - c0
+        idx = np.arange(sw)                         # slice-relative positions
+        k_hi = np.minimum(idx, sw - g) + 1          # covering windows [k_lo, k_hi)
         k_lo = np.maximum(idx - g + 1, 0)
         # windows straddling the slice edge exist only when the slice edge is
         # the segment edge (c0==0 / c1==seg_width) — the clamps above are then
         # exactly the reference's behavior at the segment boundary.
-        coverage = ((okc[:, k_hi] - okc[:, k_lo]) > 0).sum(axis=0).astype(np.float64)
+        coverage = np.zeros(sw, dtype=np.int32)
+        cs = np.zeros((128, sw + 1), dtype=np.int16)
+        okc = np.zeros((128, sw - g + 2), dtype=np.int16)
+        for r0 in range(0, height, 128):
+            r1 = min(r0 + 128, height)
+            nr = r1 - r0
+            light = img[y_start + r0:y_start + r1,
+                        x_start + c0:x_start + c1] >= threshold
+            np.cumsum(light, axis=1, out=cs[:nr, 1:])
+            ok = (cs[:nr, g:] - cs[:nr, :-g]) == g  # window [k, k+g) all light
+            np.cumsum(ok, axis=1, out=okc[:nr, 1:])
+            coverage += ((okc[:nr, k_hi] - okc[:nr, k_lo]) > 0).sum(
+                axis=0, dtype=np.int32)
+        coverage = coverage.astype(np.float64)
 
         # 15px centered moving average (never clamped: w_lo-7 >= 43 > 0).
         csum = np.concatenate(([0.0], np.cumsum(coverage)))
@@ -195,14 +209,17 @@ def detect_title_region(
         dark_top = dark[:scan_limit]
         row_counts = None
     else:
-        # one slab-wise pass (slabs stay cache-resident): per-row dark counts
-        # per column strip via segmented reduction at the boundary offsets
-        bounds = np.asarray(boundaries[:-1], dtype=np.intp)
-        row_counts = np.empty((scan_limit, len(bounds)), dtype=np.int64)
-        for y0 in range(0, scan_limit, 256):
-            y1 = min(y0 + 256, scan_limit)
-            slab = img[y0:y1] < threshold
-            row_counts[y0:y1] = np.add.reduceat(slab, bounds, axis=1)
+        # Per-row dark counts per column strip.  One contiguous-slice pass per
+        # strip (same total bytes as one full-page pass, each temp mask is a
+        # few hundred KB → cache-resident); strip semantics mirror
+        # np.add.reduceat(bounds=boundaries[:-1]): the last strip extends to
+        # the image edge, earlier strips end at the next boundary.
+        row_counts = np.empty((scan_limit, n_cols), dtype=np.int16)
+        for ci in range(n_cols):
+            sl = boundaries[ci]
+            sr = boundaries[ci + 1] if ci < n_cols - 1 else width
+            np.sum(img[:scan_limit, sl:sr] < threshold, axis=1,
+                   dtype=np.int16, out=row_counts[:, ci])
         dark_top = None
 
     body_start_y = []
