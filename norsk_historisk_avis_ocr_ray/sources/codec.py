@@ -89,3 +89,77 @@ def _check_dims(img: np.ndarray, width: int, height: int, codec: str) -> None:
         raise ValueError(
             f"{codec} payload is {img.shape[1]}x{img.shape[0]} but metadata "
             f"says {width}x{height}")
+
+
+def band_profiles(img: np.ndarray, threshold: int,
+                  band_height: int) -> list[tuple[int, np.ndarray]]:
+    """Per-band column dark-count profiles, exactly the bands
+    ``layout.find_band_dividers`` iterates: ``height // band_height`` bands
+    (min 1), bands shorter than 20 rows skipped, the sub-band tail ignored."""
+    height = img.shape[0]
+    n_bands = max(1, height // band_height)
+    out: list[tuple[int, np.ndarray]] = []
+    for b in range(n_bands):
+        y0 = b * band_height
+        y1 = min((b + 1) * band_height, height)
+        if y1 - y0 < 20:
+            continue
+        out.append((y1 - y0,
+                    (img[y0:y1] < threshold).sum(axis=0, dtype=np.int16)))
+    return out
+
+
+def decode_with_band_profiles(
+    buf: bytes, width: int, height: int, codec: str = RAW_ZLIB,
+    threshold: int = 200, band_height: int = 200,
+) -> tuple[np.ndarray, list[tuple[int, np.ndarray]]]:
+    """Decode + band profiles in one cache-hot pass.
+
+    The layout stage's first phase (divider detection) is the only full-image
+    scan, and at high core counts the pipeline is DRAM-bandwidth-bound (see
+    BASELINE.md): re-reading the 6 MB page the decoder just wrote costs a
+    full memory round-trip per page. For ``raw-zlib`` this decompresses in
+    band-sized output chunks and computes each band's column profile while
+    its rows are still in L2 — the full-page *read* disappears from DRAM
+    traffic. Other codecs decode normally and profile afterwards (their
+    decoders are compute-dominated).
+    """
+    if codec != RAW_ZLIB:
+        img = decode_image(buf, width, height, codec)
+        return img, band_profiles(img, threshold, band_height)
+
+    img = np.empty((height, width), dtype=np.uint8)
+    flat = img.reshape(-1)
+    dco = zlib.decompressobj()
+    n_bands = max(1, height // band_height)
+    profiles: list[tuple[int, np.ndarray]] = []
+    next_band = 0
+    data = buf
+    pos = 0
+    total = flat.size
+
+    def emit_done(row_done: int) -> None:
+        nonlocal next_band
+        while next_band < n_bands:
+            y0 = next_band * band_height
+            y1 = min((next_band + 1) * band_height, height)
+            if y1 > row_done:
+                break
+            if y1 - y0 >= 20:
+                profiles.append(
+                    (y1 - y0,
+                     (img[y0:y1] < threshold).sum(axis=0, dtype=np.int16)))
+            next_band += 1
+
+    while pos < total:
+        chunk = dco.decompress(data, min(band_height * width, total - pos))
+        data = dco.unconsumed_tail
+        if not chunk:
+            chunk = dco.flush()
+            if not chunk:
+                raise ValueError("raw-zlib payload truncated")
+        flat[pos:pos + len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
+        pos += len(chunk)
+        emit_done(pos // width)
+    emit_done(height)
+    return img, profiles

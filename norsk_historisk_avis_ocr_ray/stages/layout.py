@@ -39,6 +39,7 @@ def find_band_dividers(
     drift_px: int = 15,
     min_band_frac: float = 0.50,
     dark: np.ndarray | None = None,
+    profiles: list[tuple[int, np.ndarray]] | None = None,
 ) -> list[int]:
     """Detect ink divider lines via horizontal-band vertical projections.
 
@@ -50,17 +51,24 @@ def find_band_dividers(
     n_bands = max(1, height // band_height)
 
     band_peaks: list[list[int]] = []
-    for b in range(n_bands):
-        y0 = b * band_height
-        y1 = min((b + 1) * band_height, height)
-        band_h = y1 - y0
-        if band_h < 20:
-            continue
-        slab = dark[y0:y1] if dark is not None else img[y0:y1] < threshold
-        v_profile = slab.sum(axis=0, dtype=np.int16)  # band_h <= 200 rows
-        mask = v_profile >= band_h * 0.8
-        peaks = _run_centers(mask, width)
-        band_peaks.append(peaks)
+    if profiles is not None:
+        # precomputed during decode (sources.codec.decode_with_band_profiles):
+        # identical bands/threshold, no second full-image pass
+        for band_h, v_profile in profiles:
+            mask = v_profile >= band_h * 0.8
+            band_peaks.append(_run_centers(mask, width))
+    else:
+        for b in range(n_bands):
+            y0 = b * band_height
+            y1 = min((b + 1) * band_height, height)
+            band_h = y1 - y0
+            if band_h < 20:
+                continue
+            slab = dark[y0:y1] if dark is not None else img[y0:y1] < threshold
+            v_profile = slab.sum(axis=0, dtype=np.int16)  # band_h <= 200 rows
+            mask = v_profile >= band_h * 0.8
+            peaks = _run_centers(mask, width)
+            band_peaks.append(peaks)
 
     if not band_peaks:
         return []
@@ -284,11 +292,14 @@ class LayoutResult:
         return max(len(self.boundaries) - 1, 0)
 
 
-def split_columns(img: np.ndarray, overlap_px: int = OVERLAP_PX) -> LayoutResult:
+def split_columns(
+    img: np.ndarray, overlap_px: int = OVERLAP_PX,
+    band_profiles: list[tuple[int, np.ndarray]] | None = None,
+) -> LayoutResult:
     """Full three-phase layout: dividers → gap fallback → title → crop boxes."""
     height, width = img.shape
 
-    divider_xs = find_band_dividers(img)
+    divider_xs = find_band_dividers(img, profiles=band_profiles)
     phase1 = [0] + divider_xs + [width]
 
     seg_widths = sorted(phase1[i + 1] - phase1[i] for i in range(len(phase1) - 1))

@@ -25,9 +25,9 @@ from typing import Any, Callable
 import numpy as np
 import pyarrow as pa
 
-from ..sources.codec import decode_image
+from ..sources.codec import decode_image, decode_with_band_profiles
 from ..synth import barcode
-from .layout import OVERLAP_PX, split_columns
+from .layout import DARK_THRESHOLD, OVERLAP_PX, split_columns
 
 
 class MockBarcodeOcr:
@@ -154,8 +154,10 @@ class LayoutOcrStage:
 
     def _process_media(self, row: dict, out: "_RowSink") -> None:
         buf, width, height, codec = self._payload(row)
-        img = decode_image(buf, width, height, codec)
-        layout = split_columns(img, overlap_px=self.overlap_px)
+        img, profiles = decode_with_band_profiles(
+            buf, width, height, codec, threshold=DARK_THRESHOLD)
+        layout = split_columns(img, overlap_px=self.overlap_px,
+                               band_profiles=profiles)
         for region_idx, (kind, (x0, y0, x1, y1)) in enumerate(layout.regions):
             text = self.engine.ocr_region(img[y0:y1, x0:x1],
                                           region_kind=kind,
@@ -225,8 +227,10 @@ class PageOcrStage:
 
         for ref, buf, w, h, codec in zip(refs, imgs, widths, heights, codecs):
             try:
-                img = decode_image(buf, w, h, codec or "raw-zlib")
-                layout = split_columns(img, overlap_px=self.overlap_px)
+                img, profiles = decode_with_band_profiles(
+                    buf, w, h, codec or "raw-zlib", threshold=DARK_THRESHOLD)
+                layout = split_columns(img, overlap_px=self.overlap_px,
+                                       band_profiles=profiles)
                 for region_idx, (kind, (x0, y0, x1, y1)) in enumerate(layout.regions):
                     text = self.engine.ocr_region(img[y0:y1, x0:x1],
                                                   region_kind=kind,
