@@ -9,8 +9,8 @@ at the scan's native resolution, and needs no external binary.
 
 ``extract_page_image`` parses the first image XObject:
 - ``/FlateDecode`` + DeviceGray/DeviceRGB 8-bit → decoded here (zlib)
-- ``/DCTDecode`` (embedded JPEG) → ``NotImplementedError`` (no JPEG decoder
-  in this container)
+- ``/DCTDecode`` (embedded JPEG) → decoded via the pure-numpy baseline JPEG
+  codec in ``sources.jpeg``
 - vector-content PDFs (no image XObject) → ``ValueError`` telling the user
   to rasterize externally
 
@@ -54,9 +54,14 @@ def extract_page_image(buf: bytes) -> np.ndarray:
                 raise ValueError("PDF image stream not terminated")
             stream = buf[start:end].rstrip(b"\r\n")
         if info.get("dct"):
-            raise NotImplementedError(
-                "PDF embeds a DCTDecode (JPEG) scan; no JPEG decoder in this "
-                "environment")
+            from .jpeg import decode_jpeg
+
+            img = decode_jpeg(bytes(stream))
+            if img.shape != (info["Height"], info["Width"]):
+                raise ValueError(
+                    f"DCTDecode scan is {img.shape[1]}x{img.shape[0]} but the "
+                    f"XObject says {info['Width']}x{info['Height']}")
+            return img
         if not info.get("flate"):
             raise NotImplementedError(
                 "PDF image uses an unsupported filter (only FlateDecode)")
@@ -75,12 +80,25 @@ def extract_page_image(buf: bytes) -> np.ndarray:
         "externally (poppler) before ingest")
 
 
-def build_scanned_pdf(img: np.ndarray) -> bytes:
-    """uint8 HxW grayscale → minimal valid single-page scanned PDF."""
+def build_scanned_pdf(img: np.ndarray, codec: str = "flate") -> bytes:
+    """uint8 HxW grayscale → minimal valid single-page scanned PDF.
+
+    ``codec``: ``"flate"`` (lossless, default) or ``"jpeg"`` / ``"jpeg:<q>"``
+    (DCTDecode XObject via the pure-numpy baseline JPEG encoder)."""
     if img.dtype != np.uint8 or img.ndim != 2:
         raise ValueError("expected uint8 HxW grayscale")
     h, w = img.shape
-    data = zlib.compress(np.ascontiguousarray(img).tobytes(), 6)
+    if codec == "jpeg" or codec.startswith("jpeg:"):
+        from .jpeg import encode_jpeg
+
+        quality = int(codec.partition(":")[2]) if ":" in codec else 75
+        data = encode_jpeg(np.ascontiguousarray(img), quality)
+        pdf_filter = "/DCTDecode"
+    elif codec == "flate":
+        data = zlib.compress(np.ascontiguousarray(img).tobytes(), 6)
+        pdf_filter = "/FlateDecode"
+    else:
+        raise ValueError(f"unknown scanned-PDF codec '{codec}'")
     content = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()
 
     objs = []
@@ -91,7 +109,7 @@ def build_scanned_pdf(img: np.ndarray) -> bytes:
         f"/Resources << /XObject << /Im0 4 0 R >> >> /Contents 5 0 R >>".encode())
     objs.append(
         f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
-        f"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        f"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter {pdf_filter} "
         f"/Length {len(data)} >>".encode() + b"\nstream\n" + data + b"\nendstream")
     objs.append(f"<< /Length {len(content)} >>".encode()
                 + b"\nstream\n" + content + b"\nendstream")

@@ -116,6 +116,23 @@ def test_scanned_pdf_roundtrip():
     assert np.array_equal(decode_image(pdf, 90, 120, "pdf"), img)
 
 
+def test_scanned_pdf_dct_roundtrip():
+    """DCTDecode XObject (embedded JPEG scan) decodes via the numpy JPEG
+    codec — the reference's most common scanned-PDF flavor
+    (tesseract_engine.py:133-141 rasterizes these with poppler)."""
+    from norsk_historisk_avis_ocr_ray.synth import pagegen
+
+    rng = np.random.default_rng(3)
+    img = pagegen.render_page(rng, 2, pagegen.INK, False,
+                              ["dct pdf", "page"], height=400)[0]
+    pdf = build_scanned_pdf(img, codec="jpeg:95")
+    assert b"/DCTDecode" in pdf
+    out = extract_page_image(pdf)
+    assert out.shape == img.shape
+    # lossy: near-lossless at q95 on synthetic pages
+    assert np.mean(np.abs(out.astype(int) - img.astype(int))) < 3.0
+
+
 def test_vector_pdf_rejected():
     with pytest.raises(ValueError, match="vector-content"):
         extract_page_image(b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n")
