@@ -39,7 +39,15 @@ from ..stages.repack import repack_table
 
 
 def list_shards(corpus_dir: str) -> list[dict]:
-    """Pair documents/ and pages/ shard files by part number."""
+    """Pair documents/ and pages/ shard files by part number.
+
+    Shards are returned **largest pages-file first** (LPT order). The task
+    pool schedules blocks roughly in input order, so putting the heaviest
+    shards (broadsheet-dense → biggest image payload → longest layout+OCR
+    time) at the front means the final wave holds only small shards — the
+    straggler tail that otherwise idles ``ncpu - 1`` cores for one big-shard
+    duration shrinks to a small-shard duration. Pure scheduling; per-shard
+    results are unchanged and the output order was never guaranteed."""
     docs_dir = os.path.join(corpus_dir, "documents")
     pages_dir = os.path.join(corpus_dir, "pages")
     pages = {}
@@ -53,6 +61,13 @@ def list_shards(corpus_dir: str) -> list[dict]:
             shards.append({"shard": f.rsplit(".", 1)[0],
                            "docs_file": os.path.join(docs_dir, f),
                            "pages_file": pages.get(f, "")})
+    def weight(s: dict) -> int:
+        try:
+            return os.path.getsize(s["pages_file"]) if s["pages_file"] \
+                else os.path.getsize(s["docs_file"])
+        except OSError:
+            return 0
+    shards.sort(key=weight, reverse=True)
     return shards
 
 
