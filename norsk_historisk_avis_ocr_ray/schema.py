@@ -38,7 +38,7 @@ PAGES_SCHEMA = pa.schema(
         pa.field("image", pa.binary()),    # zlib(raw uint8 H*W, row-major)
         pa.field("width", pa.int32()),
         pa.field("height", pa.int32()),
-        pa.field("codec", pa.string()),    # 'raw-zlib' (synthetic) | 'png' | 'jpeg' (stubs)
+        pa.field("codec", pa.string()),    # raw-zlib | png | jpeg | tiff | pdf (sources.codec)
         pa.field("n_cols", pa.int32()),    # ground-truth column count (layout unit tests)
         pa.field("has_title", pa.bool_()),
         pa.field("dpi", pa.int32()),

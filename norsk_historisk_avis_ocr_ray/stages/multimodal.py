@@ -3,11 +3,12 @@
 Media are carried as ``binary`` columns with typed metadata (codec, dims,
 sample rate); every transform below is an actor-pool ``map_batches`` stage
 whose Ray-side plumbing (schema in/out, batching, per-actor state) is real
-and tested. Decodes that need codec libraries absent from this container
-(PNG/JPEG/audio/video) are stubbed behind ``NotImplementedError`` with the
-contract documented; the native ``raw-zlib`` grayscale codec and all
-numpy-side transforms (resize, features, frame sampling over raw frames) are
-fully functional.
+and tested. Image codecs (raw-zlib/png/jpeg/tiff/pdf — ``sources.codec``)
+are fully functional pure-numpy implementations; only compressed *audio and
+video* decode (mp3/ogg/h264), whose libraries are absent from this
+container, is stubbed behind ``NotImplementedError`` with the contract
+documented. All numpy-side transforms (resize, features, frame sampling
+over raw frames) are fully functional.
 """
 
 from __future__ import annotations
