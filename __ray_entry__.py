@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_count_distinct_custs": relational.q_count_distinct_custs,
         "q_running_user_value": relational.q_running_user_value,
         "q_sessionize": relational.q_sessionize,
+        "q_asof_last_order": relational.q_asof_last_order,
+        "q_topk_per_group": relational.q_topk_per_group,
         # text analysis
         "text_token_stats": textstats.text_token_stats,
         "quality_score": textstats.quality_score,
@@ -290,6 +292,32 @@ def oracle_sql() -> dict[str, str]:
             FROM sessioned
             GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        "q_asof_last_order": """
+            WITH j AS (
+                SELECT e.event_id, e.user_id,
+                       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS last_order_s,
+                       o.o_totalprice AS last_order_price,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_totalprice DESC) AS rn
+                FROM events e
+                JOIN orders o ON o.o_custkey = e.user_id
+                             AND o.o_orderdate <= e.ts
+            )
+            SELECT event_id, user_id, last_order_s, last_order_price
+            FROM j WHERE rn = 1
+            ORDER BY event_id
+        """,
+        "q_topk_per_group": """
+            SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey)
+                           AS rnk
+                FROM orders)
+            WHERE rnk <= 3
+            ORDER BY o_custkey, rnk
         """,
         "text_token_stats": """
             SELECT doc_id,

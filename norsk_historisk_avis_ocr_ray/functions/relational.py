@@ -334,3 +334,102 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
             .map_groups(sessions, batch_format="pandas")
             .to_pandas())
     return df.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
+# --- as-of join: latest order per event ---------------------------------------
+
+def q_asof_last_order(sf_dir: str) -> pd.DataFrame:
+    """As-of join (events ⨝asof orders): for each event, the customer's most
+    recent order with ``o_orderdate <= ts`` (ties on the date broken by max
+    ``o_totalprice``, matching the SQL oracle's deterministic tiebreak).
+
+    Ray Data has no as-of join; the scale form is the *co-grouped merge*:
+    tag both sides with a common schema, union, one ``groupby(key)`` shuffle,
+    then a vectorized ``np.searchsorted`` merge inside each group — within-key
+    order is computed locally, never globally (same partitioning contract as
+    sessionize). Per-key cost is O((n+m) log m); hot keys can be salted by
+    splitting the event side only (orders replicate per salt), documented
+    rather than applied at this scale.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["user_id"].cast(pa.int64()),
+            "t_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"].cast(pa.int64()),
+            "price": pa.nulls(t.num_rows, pa.float64()),
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["o_custkey"].cast(pa.int64()),
+            "t_us": t["o_orderdate"].cast(pa.int64()),
+            "event_id": pa.nulls(t.num_rows, pa.int64()),
+            "price": t["o_totalprice"].cast(pa.float64()),
+        })
+
+    both = ev.map_batches(tag_events, batch_format="pyarrow").union(
+        od.map_batches(tag_orders, batch_format="pyarrow"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        is_event = g["price"].isna()
+        orders = g[~is_event].sort_values(["t_us", "price"], kind="mergesort")
+        events = g[is_event]
+        if orders.empty or events.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                                 "user_id": pd.Series([], dtype=np.int64),
+                                 "last_order_s": pd.Series([], dtype=np.int64),
+                                 "last_order_price": pd.Series([], dtype=np.float64)})
+        ot = orders["t_us"].to_numpy()
+        idx = np.searchsorted(ot, events["t_us"].to_numpy(), side="right") - 1
+        ok = idx >= 0
+        idx = idx[ok]
+        return pd.DataFrame({
+            "event_id": events["event_id"].to_numpy()[ok].astype(np.int64),
+            "user_id": np.full(int(ok.sum()), int(g["key"].iloc[0]), np.int64),
+            "last_order_s": (ot[idx] // 1_000_000).astype(np.int64),
+            "last_order_price": orders["price"].to_numpy()[idx],
+        })
+
+    df = both.groupby("key").map_groups(merge, batch_format="pandas").to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+# --- top-k per group (window row_number <= k) ---------------------------------
+
+TOPK_PER_CUST = 3
+
+
+def q_topk_per_group(sf_dir: str) -> pd.DataFrame:
+    """Top-3 orders per customer by (o_totalprice desc, o_orderkey asc) with
+    dense rank — the windowed top-k operator. Scale pattern: a per-batch
+    *partial* top-k combiner keeps ≤k rows per key per batch, so the
+    ``groupby(o_custkey)`` shuffle moves O(k · keys-per-batch · n_batches)
+    rows instead of the whole orders table; the per-group final pass ranks
+    the survivors."""
+    k = TOPK_PER_CUST
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby("o_custkey").head(k),
+                                    preserve_index=False)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_custkey", "rnk", "o_orderkey", "o_totalprice"]]
+
+    df = (ds.map_batches(local_topk, batch_format="pyarrow", batch_size=65536)
+            .groupby("o_custkey")
+            .map_groups(final_topk, batch_format="pandas")
+            .to_pandas())
+    df["o_custkey"] = df["o_custkey"].astype(np.int64)
+    df["o_orderkey"] = df["o_orderkey"].astype(np.int64)
+    return df.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)

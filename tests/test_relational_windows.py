@@ -1,0 +1,100 @@
+"""As-of join + top-k-per-group vs DuckDB on sf0.001.
+
+These two operators have no single Ray Data primitive: the as-of join is a
+co-grouped union merge (one groupby(key) shuffle, np.searchsorted inside the
+group) and top-k-per-group is a partial per-batch combiner before the group
+shuffle. Both must match the SQL window/ASOF semantics exactly.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("events", "orders"):
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_asof_last_order_matches_duckdb(ray_session, con):
+    from norsk_historisk_avis_ocr_ray.functions.relational import q_asof_last_order
+
+    got = _canon(q_asof_last_order(SF_DIR))
+    exp = _canon(con.sql("""
+        WITH j AS (
+            SELECT e.event_id, e.user_id,
+                   CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS last_order_s,
+                   o.o_totalprice AS last_order_price,
+                   row_number() OVER (PARTITION BY e.event_id
+                                      ORDER BY o.o_orderdate DESC,
+                                               o.o_totalprice DESC) AS rn
+            FROM events e
+            JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ) SELECT event_id, user_id, last_order_s, last_order_price
+          FROM j WHERE rn = 1
+    """).df())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+def test_asof_event_before_all_orders_dropped(ray_session, tmp_path):
+    """An event earlier than every order of its key must not match (inner
+    as-of semantics), and a key with no orders must not crash the merge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from norsk_historisk_avis_ocr_ray.functions.relational import q_asof_last_order
+
+    ts = pa.array(np.array([1_000_000, 5_000_000, 9_000_000], "datetime64[us]"))
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([7, 7, 99], pa.int64()),
+        "ts": ts,
+    }), str(tmp_path / "events.parquet"))
+    od = pa.array(np.array([4_000_000], "datetime64[us]"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([7], pa.int64()),
+        "o_orderdate": od,
+        "o_totalprice": pa.array([123.5], pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+
+    out = q_asof_last_order(str(tmp_path))
+    # event 1 precedes the only order; user 99 has no orders at all
+    assert out["event_id"].tolist() == [2]
+    assert out["last_order_s"].tolist() == [4]
+    assert out["last_order_price"].tolist() == [123.5]
+
+
+def test_topk_per_group_matches_duckdb(ray_session, con):
+    from norsk_historisk_avis_ocr_ray.functions.relational import q_topk_per_group
+
+    got = _canon(q_topk_per_group(SF_DIR))
+    exp = _canon(con.sql("""
+        SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                       AS rnk
+            FROM orders) WHERE rnk <= 3
+    """).df())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+    # every customer contributes at most k rows, ranks are 1..n
+    per = got.groupby("o_custkey")["rnk"].agg(["count", "min", "max"])
+    assert (per["count"] <= 3).all()
+    assert (per["min"] == 1).all()
+    assert (per["max"] == per["count"]).all()
