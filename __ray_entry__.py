@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize": relational.q_sessionize,
         "q_asof_last_order": relational.q_asof_last_order,
         "q_topk_per_group": relational.q_topk_per_group,
+        "q_rolling_avg": relational.q_rolling_avg,
+        "q_group_quantiles": relational.q_group_quantiles,
         # text analysis
         "text_token_stats": textstats.text_token_stats,
         "quality_score": textstats.quality_score,
@@ -318,6 +320,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders)
             WHERE rnk <= 3
             ORDER BY o_custkey, rnk
+        """,
+        "q_rolling_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+                       AS roll_avg_value
+            FROM events
+            ORDER BY event_id
+        """,
+        "q_group_quantiles": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS p50_price,
+                   round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "text_token_stats": """
             SELECT doc_id,

@@ -338,33 +338,42 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
 
 # --- as-of join: latest order per event ---------------------------------------
 
+ASOF_BUCKETS = 256  # power of two: bucket = key & (NB-1)
+
+
 def q_asof_last_order(sf_dir: str) -> pd.DataFrame:
     """As-of join (events ⨝asof orders): for each event, the customer's most
     recent order with ``o_orderdate <= ts`` (ties on the date broken by max
     ``o_totalprice``, matching the SQL oracle's deterministic tiebreak).
 
     Ray Data has no as-of join; the scale form is the *co-grouped merge*:
-    tag both sides with a common schema, union, one ``groupby(key)`` shuffle,
-    then a vectorized ``np.searchsorted`` merge inside each group — within-key
-    order is computed locally, never globally (same partitioning contract as
-    sessionize). Per-key cost is O((n+m) log m); hot keys can be salted by
-    splitting the event side only (orders replicate per salt), documented
-    rather than applied at this scale.
+    tag both sides with a common schema, union, one shuffle on
+    ``bucket = hash(key) % NB`` (many keys per bucket — a raw per-key
+    groupby costs one Ray group invocation per key, which dominated wall
+    time), then one vectorized ``pd.merge_asof(by=key)`` per bucket.
+    Within-key order is computed locally, never globally (same partitioning
+    contract as sessionize). Hot keys can be salted by splitting the event
+    side only (orders replicate per salt), documented rather than applied
+    at this scale.
     """
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
 
     def tag_events(t: pa.Table) -> pa.Table:
+        key = t["user_id"].cast(pa.int64())
         return pa.table({
-            "key": t["user_id"].cast(pa.int64()),
+            "key": key,
+            "bucket": pc.bit_wise_and(key, ASOF_BUCKETS - 1),
             "t_us": t["ts"].cast(pa.int64()),
             "event_id": t["event_id"].cast(pa.int64()),
             "price": pa.nulls(t.num_rows, pa.float64()),
         })
 
     def tag_orders(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].cast(pa.int64())
         return pa.table({
-            "key": t["o_custkey"].cast(pa.int64()),
+            "key": key,
+            "bucket": pc.bit_wise_and(key, ASOF_BUCKETS - 1),
             "t_us": t["o_orderdate"].cast(pa.int64()),
             "event_id": pa.nulls(t.num_rows, pa.int64()),
             "price": t["o_totalprice"].cast(pa.float64()),
@@ -375,25 +384,56 @@ def q_asof_last_order(sf_dir: str) -> pd.DataFrame:
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         is_event = g["price"].isna()
-        orders = g[~is_event].sort_values(["t_us", "price"], kind="mergesort")
-        events = g[is_event]
+        # Orders sorted by (t_us, price): merge_asof takes the LAST match in
+        # sort order, so equal-date ties resolve to max price — the oracle's
+        # (o_orderdate DESC, o_totalprice DESC) row_number()=1 tiebreak.
+        orders = (g[~is_event]
+                  .sort_values(["t_us", "price"], kind="mergesort")
+                  [["key", "t_us", "price", "order_t_us"]])
+        events = (g[is_event]
+                  .sort_values("t_us", kind="mergesort")
+                  [["key", "t_us", "event_id"]])
+        empty = pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                              "user_id": pd.Series([], dtype=np.int64),
+                              "last_order_s": pd.Series([], dtype=np.int64),
+                              "last_order_price": pd.Series([], dtype=np.float64)})
         if orders.empty or events.empty:
-            return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
-                                 "user_id": pd.Series([], dtype=np.int64),
-                                 "last_order_s": pd.Series([], dtype=np.int64),
-                                 "last_order_price": pd.Series([], dtype=np.float64)})
-        ot = orders["t_us"].to_numpy()
-        idx = np.searchsorted(ot, events["t_us"].to_numpy(), side="right") - 1
-        ok = idx >= 0
-        idx = idx[ok]
+            return empty
+        m = pd.merge_asof(events, orders, on="t_us", by="key",
+                          direction="backward", suffixes=("", "_o"))
+        # merge_asof keeps the event's own t_us; recover the matched order's
+        # timestamp by joining back positionally is unnecessary — instead
+        # carry it as a data column on the order side.
+        m = m.dropna(subset=["price"])
+        if m.empty:
+            return empty
         return pd.DataFrame({
-            "event_id": events["event_id"].to_numpy()[ok].astype(np.int64),
-            "user_id": np.full(int(ok.sum()), int(g["key"].iloc[0]), np.int64),
-            "last_order_s": (ot[idx] // 1_000_000).astype(np.int64),
-            "last_order_price": orders["price"].to_numpy()[idx],
+            "event_id": m["event_id"].to_numpy().astype(np.int64),
+            "user_id": m["key"].to_numpy().astype(np.int64),
+            "last_order_s": (m["order_t_us"].to_numpy().astype(np.int64)
+                             // 1_000_000),
+            "last_order_price": m["price"].to_numpy(),
         })
 
-    df = both.groupby("key").map_groups(merge, batch_format="pandas").to_pandas()
+    def add_order_ts(t: pa.Table) -> pa.Table:
+        # Duplicate the order timestamp as a payload column so merge_asof
+        # (which drops the right side's "on" column) still reports it.
+        if "order_t_us" in t.column_names:
+            return t
+        is_order = pc.is_valid(t["price"])
+        order_ts = pc.if_else(is_order, t["t_us"], pa.scalar(None, pa.int64()))
+        return t.append_column("order_t_us", order_ts)
+
+    # Coalesce the union's many small blocks before the sort-based groupby:
+    # the shuffle's sample+exchange task count grows with input block count,
+    # and 128 tiny blocks cost ~4x more than 32 right-sized ones. (At real
+    # scale blocks are already target_max_block_size-full and this coalesce
+    # is a no-op choice, not a semantic one.)
+    df = (both.map_batches(add_order_ts, batch_format="pyarrow")
+              .repartition(32)
+              .groupby("bucket")
+              .map_groups(merge, batch_format="pandas")
+              .to_pandas())
     return df.sort_values("event_id").reset_index(drop=True)
 
 
@@ -413,23 +453,97 @@ def q_topk_per_group(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
     def local_topk(t: pa.Table) -> pa.Table:
+        # Vectorized per-block combiner: one sort + groupby-head over the
+        # whole block (NOT one call per key — a per-group map_groups here
+        # costs one pandas invocation per customer and dominated wall time).
         df = t.to_pandas()
         df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
                             ascending=[True, False, True], kind="mergesort")
         return pa.Table.from_pandas(df.groupby("o_custkey").head(k),
                                     preserve_index=False)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["o_custkey", "rnk", "o_orderkey", "o_totalprice"]]
+    # Tree-reduce: each combiner round keeps <=k rows per key per block and
+    # the repartition merges blocks, so survivors shrink geometrically toward
+    # k rows per key = the size of the query's own output. The driver-side
+    # final therefore materializes O(output) rows, not O(input) — at larger
+    # scale add more halving rounds until the survivor set fits.
+    pruned = (ds.map_batches(local_topk, batch_format="pyarrow",
+                             batch_size=65536)
+                .repartition(32)
+                .map_batches(local_topk, batch_format="pyarrow"))
 
-    df = (ds.map_batches(local_topk, batch_format="pyarrow", batch_size=65536)
-            .groupby("o_custkey")
-            .map_groups(final_topk, batch_format="pandas")
-            .to_pandas())
+    df = pruned.to_pandas()
+    df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                        ascending=[True, False, True], kind="mergesort")
+    df = df.groupby("o_custkey").head(k).reset_index(drop=True)
+    df["rnk"] = (df.groupby("o_custkey").cumcount() + 1).astype(np.int64)
     df["o_custkey"] = df["o_custkey"].astype(np.int64)
     df["o_orderkey"] = df["o_orderkey"].astype(np.int64)
+    df = df[["o_custkey", "rnk", "o_orderkey", "o_totalprice"]]
     return df.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+
+
+# --- rolling window average (ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW) ------
+
+ROLL_WINDOW = 4
+
+
+def q_rolling_avg(sf_dir: str) -> pd.DataFrame:
+    """Per-user rolling mean of ``value`` over the last 4 events (current +
+    3 preceding, ordered by ts then event_id) — the ROWS-frame window
+    aggregate. Partitioning: one shuffle on ``bucket = user_id & (NB-1)``
+    (many users per bucket — per-key map_groups costs one Ray invocation
+    per user), then a vectorized pandas ``groupby(user).rolling`` inside
+    the bucket; within-key order established locally, never a global sort.
+    Rounding is half-away to match the SQL oracle."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.bit_wise_and(t["user_id"].cast(pa.int64()),
+                                      ASOF_BUCKETS - 1))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        avg = (g.groupby("user_id", sort=False)["value"]
+                .rolling(ROLL_WINDOW, min_periods=1).mean()
+                .reset_index(drop=True))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy().astype(np.int64),
+            "user_id": g["user_id"].to_numpy().astype(np.int64),
+            "roll_avg_value": _r(avg, 6).to_numpy(),
+        })
+
+    df = (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(roll, batch_format="pandas")
+            .to_pandas())
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+# --- exact per-group quantiles ------------------------------------------------
+
+def q_group_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact p50/p90 of o_totalprice per o_orderpriority (continuous
+    interpolation, matching DuckDB ``quantile_cont``). With ~5 heavy groups
+    this is the *few-hot-keys* shape: the scale form keeps only the column
+    being ranked in the shuffle (one float per row) and — past ~10^9 rows
+    per group — would switch to a fixed-width histogram / t-digest sketch
+    merged on the driver; at bench scale the exact per-group sort is both
+    cheaper and oracle-exact, so the sketch path is documented, not used."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["o_totalprice"].to_numpy(dtype=np.float64))
+        p50, p90 = np.quantile(v, [0.5, 0.9], method="linear")
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "n_orders": np.array([len(v)], np.int64),
+            "p50_price": _r(pd.Series([p50]), 2).to_numpy(),
+            "p90_price": _r(pd.Series([p90]), 2).to_numpy(),
+        })
+
+    df = (ds.groupby("o_orderpriority")
+            .map_groups(quants, batch_format="pandas")
+            .to_pandas())
+    return df.sort_values("o_orderpriority").reset_index(drop=True)

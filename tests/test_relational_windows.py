@@ -98,3 +98,33 @@ def test_topk_per_group_matches_duckdb(ray_session, con):
     assert (per["count"] <= 3).all()
     assert (per["min"] == 1).all()
     assert (per["max"] == per["count"]).all()
+
+
+def test_rolling_avg_matches_duckdb(ray_session, con):
+    from norsk_historisk_avis_ocr_ray.functions.relational import q_rolling_avg
+
+    got = _canon(q_rolling_avg(SF_DIR))
+    exp = _canon(con.sql("""
+        SELECT event_id, user_id,
+               round(avg(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+                   AS roll_avg_value
+        FROM events
+    """).df())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+def test_group_quantiles_match_duckdb(ray_session, con):
+    from norsk_historisk_avis_ocr_ray.functions.relational import q_group_quantiles
+
+    got = _canon(q_group_quantiles(SF_DIR))
+    exp = _canon(con.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS p50_price,
+               round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+        FROM orders GROUP BY o_orderpriority
+    """).df())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
