@@ -160,20 +160,26 @@ class MinHasher:
         })
 
 
-def minhash_candidates(docs: Dataset, concurrency: int = 2) -> Dataset:
+def minhash_candidates(docs: Dataset) -> Dataset:
     """documents → distinct LSH candidate pairs (a < b).
 
     Bucket pairing is a self-join on the band key (vectorized hash join —
     per-bucket Python loops over tens of thousands of tiny groups are the
     slow anti-pattern), followed by a vectorized count-aggregate for
-    distinctness. The actor pool must not reserve every CPU of the session or
-    the downstream join/aggregate tasks starve (streaming-executor deadlock).
+    distinctness.
+
+    The signature stage runs as a task pool, not an actor pool: MinHasher's
+    only state is 256 seeded permutation constants (microseconds to rebuild
+    per task), so actor-pool startup latency buys nothing and the task form
+    composes with the streaming executor's own parallelism control — the
+    general rule "stateful stage = actor pool" applies when __init__ is
+    *expensive* (model load, index build), which this is not.
     """
     from ray.data.aggregate import Count
 
-    band_rows = docs.map_batches(MinHasher, batch_format="pyarrow",
-                                 batch_size=4096, concurrency=concurrency,
-                                 num_cpus=1).materialize()  # joined with itself
+    hasher = MinHasher()
+    band_rows = docs.map_batches(hasher, batch_format="pyarrow",
+                                 batch_size=1024).materialize()  # self-joined
     joined = band_rows.join(band_rows, join_type="inner", num_partitions=4,
                             on=("band", "band_hash"), right_suffix="_r")
 
@@ -192,18 +198,32 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     """Near-duplicate pairs with verified word-3-gram Jaccard ≥ threshold.
 
     Verification texts arrive by joining the (a, b) candidate list back to
-    the documents table twice (two text-only hash joins) — the candidate
-    list is tiny relative to the corpus, so the joins shuffle candidate rows
-    plus each side's matched texts only. No whole-corpus driver
-    materialization or broadcast (the round-1 ``ray.put({doc_id: text})``
-    was a scale-killer at 10^12 docs)."""
+    the documents table — but a naive hash join would shuffle the FULL
+    corpus text once per side for a candidate list LSH has already pruned
+    to a sliver. So first a *semi-join reduction*: the candidate doc-ids
+    (ints, O(result) — the same size class as the value this function
+    returns) are pulled and broadcast, docs are filtered by ``is_in`` in a
+    plain scan (no shuffle), and only the matched texts enter the two hash
+    joins. No whole-corpus driver materialization or broadcast (the round-1
+    ``ray.put({doc_id: text})`` was a scale-killer at 10^12 docs)."""
+    import pyarrow.compute as pc
+
     from .rounding import round_half_away
 
     docs = _docs(sf_dir)
-    cands = minhash_candidates(docs)
+    cands = minhash_candidates(docs).materialize()
 
-    docs_a = docs.rename_columns({"doc_id": "a", "text": "text_a"})
-    docs_b = docs.rename_columns({"doc_id": "b", "text": "text_b"})
+    pair_ids = cands.to_pandas()  # int pairs only, O(candidates)
+    id_set = pa.array(np.unique(np.concatenate(
+        [pair_ids["a"].to_numpy(), pair_ids["b"].to_numpy()]))
+        if len(pair_ids) else np.array([], np.int64))
+
+    def only_candidates(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=id_set))
+
+    needed = docs.map_batches(only_candidates, batch_format="pyarrow")
+    docs_a = needed.rename_columns({"doc_id": "a", "text": "text_a"})
+    docs_b = needed.rename_columns({"doc_id": "b", "text": "text_b"})
     joined = (cands.join(docs_a, join_type="inner", num_partitions=4, on=("a",))
                    .join(docs_b, join_type="inner", num_partitions=4, on=("b",)))
 
