@@ -258,14 +258,24 @@ def q_count_distinct_custs(sf_dir: str) -> pd.DataFrame:
         df = t.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    pairs = (ds.map_batches(local_dedup, batch_format="pyarrow",
-                            batch_size=65536)
-               .groupby(["o_orderpriority", "o_custkey"])
-               .aggregate(Count(alias_name="_n"))
-               .select_columns(["o_orderpriority", "o_custkey"]))
-    out = pairs.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_customers"))
-    df = out.to_pandas()
+    def count_unique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "n_customers": np.array([g["o_custkey"].nunique()], np.int64),
+        })
+
+    # ONE shuffle (on the 5-value priority key) instead of the previous
+    # two-level groupby chain: the batch-local dedup already shrinks the
+    # exchange to near-distinct (priority, custkey) int pairs, and the final
+    # nunique is a vectorized factorization per group. With only a handful
+    # of hot groups the reduce fan-in is bounded by group count — at larger
+    # group cardinality flip back to the two-level (pair-key) shuffle, which
+    # parallelizes the reduce at the cost of a second exchange.
+    df = (ds.map_batches(local_dedup, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("o_orderpriority")
+            .map_groups(count_unique, batch_format="pandas")
+            .to_pandas())
     df["n_customers"] = df["n_customers"].astype(np.int64)
     return df.sort_values("o_orderpriority").reset_index(drop=True)
 
