@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "embedding_neardup": similarity.embedding_neardup,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
         # multimodal
         "image_features": _image_features,
         # sketches
@@ -404,5 +405,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         # rows-only (not SQL-expressible): ocr_extract, lang_id,
-        # dedup_minhash, dedup_simhash, simhash_signatures, ann_ivf_topk
+        # dedup_minhash, dedup_simhash, simhash_signatures, ann_ivf_topk,
+        # ann_lsh_topk
     }

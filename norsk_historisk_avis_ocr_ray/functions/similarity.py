@@ -315,3 +315,105 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     df = df.astype({"query_id": np.int64, "vec_id": np.int64})
     return df.sort_values(["query_id", "cos", "vec_id"],
                           ascending=[True, False, True]).reset_index(drop=True)
+
+
+# --- LSH-bucketed ANN ----------------------------------------------------------
+
+LSH_TABLES = 8
+LSH_BITS = 8
+
+
+def _lsh_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, T) bucket codes: sign pattern of the projections onto each
+    table's ``LSH_BITS`` hyperplanes, packed into an int."""
+    proj = mat @ planes.reshape(-1, planes.shape[-1]).T  # (n, T*b)
+    bits = (proj > 0).astype(np.int64).reshape(len(mat), LSH_TABLES, LSH_BITS)
+    weights = (1 << np.arange(LSH_BITS, dtype=np.int64))
+    return bits @ weights  # (n, T)
+
+
+def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    """Random-hyperplane LSH approximate top-5 — the bucketed alternative to
+    IVF. T=8 tables of 8 sign bits each; a vector is indexed once per table
+    (the standard T× index-size trade), queries multiprobe every bucket
+    within Hamming distance 1 of their own code, and — exactly as in
+    ``ann_ivf_topk`` — each ``groupby(bucket)`` group scores ONLY the
+    queries probing it, so unprobed buckets do no similarity work. The
+    per-table bucket key is ``table * 2^bits + code`` so one shuffle
+    co-locates all tables' lists. Candidates found in several tables are
+    deduplicated in the per-query final. Approximate; rows-only check with
+    a recall assertion in tests."""
+    rng = np.random.default_rng(271828)
+    emb = _emb(sf_dir)
+    first = emb.take(1)[0]
+    dim = len(first["embedding"])
+    planes = rng.standard_normal((LSH_TABLES, LSH_BITS, dim))
+
+    qids, qmat = _load_queries(sf_dir)
+    q_codes = _lsh_codes(qmat, planes)  # (Q, T)
+    # multiprobe-1: each query probes its code and every 1-bit flip of it
+    probe_by_bucket: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for t in range(LSH_TABLES):
+            base = int(q_codes[qi, t])
+            for code in {base, *(base ^ (1 << b) for b in range(LSH_BITS))}:
+                probe_by_bucket.setdefault(t * (1 << LSH_BITS) + code,
+                                           []).append(qi)
+    probe_by_bucket = {k: np.unique(v) for k, v in probe_by_bucket.items()}
+
+    p_ref = ray.put(planes)
+    q_ref = ray.put((qids, qmat, probe_by_bucket))
+
+    def index_rows(t: pa.Table) -> pa.Table:
+        # One output row per (vector, table): bucket key, id, embedding.
+        # codes is (n, T); transpose-flatten groups rows table-major so the
+        # tiled id/embedding indices line up.
+        planes = ray.get(p_ref)
+        ids, mat = _batch_matrix(t)
+        codes = _lsh_codes(_normalize(mat), planes)  # (n, T)
+        n = len(ids)
+        return pa.table({
+            "bucket": pa.array(
+                (codes + np.arange(LSH_TABLES)[None, :] * (1 << LSH_BITS))
+                .T.reshape(-1), pa.int64()),
+            "vec_id": pa.array(np.tile(ids, LSH_TABLES), pa.int64()),
+            "embedding": t["embedding"].combine_chunks().take(
+                np.tile(np.arange(n), LSH_TABLES)),
+        })
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qids, qmat, probe_by_bucket = ray.get(q_ref)
+        probing = probe_by_bucket.get(int(g["bucket"].iloc[0]))
+        if probing is None or len(probing) == 0:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
+        ids = g["vec_id"].to_numpy()
+        mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        sims = mat @ qmat[probing].T
+        out = []
+        for j, qi in enumerate(probing):
+            qid = int(qids[qi])
+            keep = ids != qid
+            cand_ids, cand = ids[keep], sims[keep, j]
+            order = np.lexsort((cand_ids, -cand))[:TOP_K]
+            out.append(pd.DataFrame({"query_id": qid,
+                                     "vec_id": cand_ids[order],
+                                     "cos": cand[order]}))
+        return pd.concat(out, ignore_index=True)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id")
+        return g.sort_values(["cos", "vec_id"],
+                             ascending=[False, True]).head(TOP_K)
+
+    df = (emb.map_batches(index_rows, batch_format="pyarrow", batch_size=4096)
+             .groupby("bucket")
+             .map_groups(bucket_topk, batch_format="pandas")
+             .groupby("query_id")
+             .map_groups(final, batch_format="pandas")
+             .to_pandas())
+    df["cos"] = round_half_away(df["cos"].to_numpy(), 6)
+    df = df.astype({"query_id": np.int64, "vec_id": np.int64})
+    return df.sort_values(["query_id", "cos", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)

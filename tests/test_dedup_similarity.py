@@ -154,3 +154,20 @@ def test_minhash_signature_similarity_tracks_jaccard():
     est = (sa == sb).mean()
     true = dedup.ngram_jaccard(a, b)
     assert abs(est - true) < 0.2
+
+
+def test_lsh_recall_vs_exact(clustered_emb_dir):
+    """Multi-table multiprobe LSH must reach recall@5 >= 0.85 against the
+    exact brute-force top-k on cluster-coherent data (same rationale as the
+    IVF recall test: noise-dominated embeddings bound recall by bucket
+    collision probability alone, a data property not an index property)."""
+    from norsk_historisk_avis_ocr_ray.functions import similarity
+
+    exact = similarity.ann_topk(clustered_emb_dir)
+    lsh = similarity.ann_lsh_topk(clustered_emb_dir)
+    recalls = []
+    for q in sorted(exact["query_id"].unique()):
+        e = set(exact.loc[exact["query_id"] == q, "vec_id"])
+        i = set(lsh.loc[lsh["query_id"] == q, "vec_id"])
+        recalls.append(len(e & i) / len(e))
+    assert np.mean(recalls) >= 0.85, recalls
