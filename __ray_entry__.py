@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_per_group": relational.q_topk_per_group,
         "q_rolling_avg": relational.q_rolling_avg,
         "q_group_quantiles": relational.q_group_quantiles,
+        # web main-content extraction (HTML boilerplate strip, DOM heuristics)
+        "html_main_content": _html_main_content,
         # text analysis
         "text_token_stats": textstats.text_token_stats,
         "quality_score": textstats.quality_score,
@@ -181,6 +183,11 @@ def _approx_distinct_users(sf_dir: str) -> Any:
     return approx_distinct_users(sf_dir)
 
 
+def _html_main_content(sf_dir: str) -> Any:
+    from norsk_historisk_avis_ocr_ray.functions.htmlextract import html_main_content
+    return html_main_content(sf_dir)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_docs": """
@@ -193,6 +200,9 @@ def oracle_sql() -> dict[str, str]:
                                  '\n+', ' ', 'g')), '  +', ' ', 'g')
                    END AS transcribed
             FROM documents
+        """,
+        "html_main_content": """
+            SELECT doc_id, text AS main_text FROM documents
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
