@@ -230,9 +230,16 @@ def render_page(doc_id: int, text: str, lang: str, source: str) -> str:
 # --- Ray pipeline -------------------------------------------------------------
 
 def _docs(sf_dir: str) -> Dataset:
-    return ray.data.read_parquet(
+    ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"])
+    # Parsing is per-document Python (~1 ms/doc), so parallelism = block
+    # count. A single-file test input yields one block → one task; split it.
+    # At real scale the table arrives as many files/row-groups and this is a
+    # cheap no-op-ish rebalance of small text rows, never the media bytes.
+    if len(ds.input_files()) < 32:
+        ds = ds.repartition(32)
+    return ds
 
 
 def _render_batch(t: pa.Table) -> pa.Table:
