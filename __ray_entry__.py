@@ -355,6 +355,9 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+                       AS n_subtokens,
                    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
                    round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
                          / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio

@@ -24,6 +24,11 @@ from .textops import whitespace_token_counts
 
 PUNCT_CLASS = r"[.,;:!?]"
 
+# GPT-2-style pre-tokenizer split, restricted to RE2 syntax (no lookahead)
+# so the Arrow kernel and the DuckDB oracle — both RE2 — agree exactly:
+# contractions, space-prefixed letter/digit runs, punctuation runs, whitespace.
+BPE_SPLIT = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
@@ -33,6 +38,7 @@ def _stats_batch(t: pa.Table) -> pa.Table:
     text = t["text"]
     n_chars = pc.utf8_length(text).cast(pa.int64())
     n_tokens = whitespace_token_counts(text)
+    n_subtokens = pc.count_substring_regex(text, BPE_SPLIT).cast(pa.int64())
     stripped = pc.replace_substring_regex(text, PUNCT_CLASS, "")
     n_punct = pc.subtract(n_chars, pc.utf8_length(stripped).cast(pa.int64()))
     nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
@@ -42,6 +48,7 @@ def _stats_batch(t: pa.Table) -> pa.Table:
         "doc_id": t["doc_id"],
         "n_chars": n_chars,
         "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_subtokens": n_subtokens,
         "n_punct": n_punct,
         "punct_ratio": pa.array(punct_ratio, pa.float64()),
     })

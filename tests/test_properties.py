@@ -89,3 +89,24 @@ def test_kmv_exact_below_k():
     )
     est = kmv_estimate(kmv_sketch([f"v{i}" for i in range(100)]))
     assert est == 100.0
+
+
+def test_bpe_split_counts_match_python_reference():
+    """The RE2 BPE-ish pre-tokenizer count must agree with a plain-Python
+    re.findall over the same pattern (pins the oracle's semantics)."""
+    import re
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from norsk_historisk_avis_ocr_ray.functions.textstats import BPE_SPLIT
+
+    texts = ["hello world", "it's 2026, really!", "a  b\tc", "",
+             "x9y9 ... e2e", "don't re-run; we'll see 3.14 today"]
+    got = pc.count_substring_regex(pa.array(texts, pa.string()),
+                                   BPE_SPLIT).to_pylist()
+    # Python re lacks \p{..}; hand-written ASCII equivalent (inputs are ASCII)
+    pypat = (r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+"
+             r"| ?[^\sa-zA-Z0-9]+|\s+")
+    assert BPE_SPLIT == (r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+                         r"| ?[^\s\p{L}\p{N}]+|\s+")
+    want = [len(re.findall(pypat, t)) for t in texts]
+    assert got == want
