@@ -334,15 +334,22 @@ def _lsh_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     """Random-hyperplane LSH approximate top-5 — the bucketed alternative to
-    IVF. T=8 tables of 8 sign bits each; a vector is indexed once per table
-    (the standard T× index-size trade), queries multiprobe every bucket
-    within Hamming distance 1 of their own code, and — exactly as in
-    ``ann_ivf_topk`` — each ``groupby(bucket)`` group scores ONLY the
-    queries probing it, so unprobed buckets do no similarity work. The
-    per-table bucket key is ``table * 2^bits + code`` so one shuffle
-    co-locates all tables' lists. Candidates found in several tables are
-    deduplicated in the per-query final. Approximate; rows-only check with
-    a recall assertion in tests."""
+    IVF. T=8 tables of 8 sign bits each; queries multiprobe every bucket
+    within Hamming distance 1 of their own per-table code.
+
+    Unlike IVF, LSH candidate generation needs NO shuffle at all: whether a
+    vector is a candidate for a query depends only on the vector's own codes
+    and the (broadcast) query probe map — never on the other bucket members.
+    So instead of exploding T index rows per vector and co-locating buckets
+    (a first version did; the ``groupby(bucket)`` over T·2^bits tiny groups
+    cost ~14 s at sf0.1 in per-group overhead alone), one fused
+    ``map_batches`` scores each batch's vectors against exactly the queries
+    probing their buckets: per table, batch rows are segmented by code
+    (argsort + unique on the packed code), each segment does one small
+    matmul against its probing queries, (query, vector) hits found by
+    several tables are deduplicated batch-locally, and only per-query local
+    top-k rows leave the task. The lone shuffle is the Q-group final merge.
+    Approximate; rows-only check with a recall assertion in tests."""
     rng = np.random.default_rng(271828)
     emb = _emb(sf_dir)
     first = emb.take(1)[0]
@@ -352,7 +359,7 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     qids, qmat = _load_queries(sf_dir)
     q_codes = _lsh_codes(qmat, planes)  # (Q, T)
     # multiprobe-1: each query probes its code and every 1-bit flip of it
-    probe_by_bucket: dict[int, list[int]] = {}
+    probe_by_bucket: dict[int, np.ndarray] = {}
     for qi in range(len(qids)):
         for t in range(LSH_TABLES):
             base = int(q_codes[qi, t])
@@ -364,52 +371,58 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     p_ref = ray.put(planes)
     q_ref = ray.put((qids, qmat, probe_by_bucket))
 
-    def index_rows(t: pa.Table) -> pa.Table:
-        # One output row per (vector, table): bucket key, id, embedding.
-        # codes is (n, T); transpose-flatten groups rows table-major so the
-        # tiled id/embedding indices line up.
+    def score_batch(t: pa.Table) -> pa.Table:
         planes = ray.get(p_ref)
+        qids, qmat, probe = ray.get(q_ref)
         ids, mat = _batch_matrix(t)
-        codes = _lsh_codes(_normalize(mat), planes)  # (n, T)
-        n = len(ids)
-        return pa.table({
-            "bucket": pa.array(
-                (codes + np.arange(LSH_TABLES)[None, :] * (1 << LSH_BITS))
-                .T.reshape(-1), pa.int64()),
-            "vec_id": pa.array(np.tile(ids, LSH_TABLES), pa.int64()),
-            "embedding": t["embedding"].combine_chunks().take(
-                np.tile(np.arange(n), LSH_TABLES)),
-        })
-
-    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        qids, qmat, probe_by_bucket = ray.get(q_ref)
-        probing = probe_by_bucket.get(int(g["bucket"].iloc[0]))
-        if probing is None or len(probing) == 0:
-            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
-                                 "vec_id": pd.Series([], dtype="int64"),
-                                 "cos": pd.Series([], dtype="float64")})
-        ids = g["vec_id"].to_numpy()
-        mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
-        sims = mat @ qmat[probing].T
-        out = []
-        for j, qi in enumerate(probing):
-            qid = int(qids[qi])
-            keep = ids != qid
-            cand_ids, cand = ids[keep], sims[keep, j]
+        nm = _normalize(mat)
+        codes = _lsh_codes(nm, planes)  # (n, T)
+        qi_parts, rj_parts = [], []
+        for ti in range(LSH_TABLES):
+            col = codes[:, ti]
+            order = np.argsort(col, kind="stable")
+            uniq, starts = np.unique(col[order], return_index=True)
+            bounds = np.append(starts, len(order))
+            base = ti * (1 << LSH_BITS)
+            for u, lo, hi in zip(uniq, bounds[:-1], bounds[1:]):
+                probing = probe.get(base + int(u))
+                if probing is None:
+                    continue
+                rows = order[lo:hi]
+                qi_parts.append(np.repeat(probing, len(rows)))
+                rj_parts.append(np.tile(rows, len(probing)))
+        if not qi_parts:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        qi = np.concatenate(qi_parts)
+        rj = np.concatenate(rj_parts)
+        # dedupe (query, vector) hits repeated across tables
+        key = qi.astype(np.int64) * len(ids) + rj
+        _, first_idx = np.unique(key, return_index=True)
+        qi, rj = qi[first_idx], rj[first_idx]
+        sims = np.einsum("ij,ij->i", nm[rj], qmat[qi])
+        out_q, out_v, out_c = [], [], []
+        for q in np.unique(qi):
+            qid = int(qids[q])
+            m = qi == q
+            cand_ids, cand = ids[rj[m]], sims[m]
+            keep = cand_ids != qid
+            cand_ids, cand = cand_ids[keep], cand[keep]
             order = np.lexsort((cand_ids, -cand))[:TOP_K]
-            out.append(pd.DataFrame({"query_id": qid,
-                                     "vec_id": cand_ids[order],
-                                     "cos": cand[order]}))
-        return pd.concat(out, ignore_index=True)
+            out_q.append(np.full(len(order), qid, np.int64))
+            out_v.append(cand_ids[order])
+            out_c.append(cand[order])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                         "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                         "cos": pa.array(np.concatenate(out_c), pa.float64())})
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("vec_id")
         return g.sort_values(["cos", "vec_id"],
                              ascending=[False, True]).head(TOP_K)
 
-    df = (emb.map_batches(index_rows, batch_format="pyarrow", batch_size=4096)
-             .groupby("bucket")
-             .map_groups(bucket_topk, batch_format="pandas")
+    df = (emb.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
              .groupby("query_id")
              .map_groups(final, batch_format="pandas")
              .to_pandas())
