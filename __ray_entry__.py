@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_stats": textstats.text_token_stats,
         "quality_score": textstats.quality_score,
         "doc_fingerprint": textstats.doc_fingerprint,
+        "winnow_fingerprint": textstats.winnow_fingerprint,
         "lang_id": textstats.lang_id,
         # dedup
         "dedup_exact": dedup.dedup_exact,
@@ -419,5 +420,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rows-only (not SQL-expressible): ocr_extract, lang_id,
         # dedup_minhash, dedup_simhash, simhash_signatures, ann_ivf_topk,
-        # ann_lsh_topk
+        # ann_lsh_topk, winnow_fingerprint
     }

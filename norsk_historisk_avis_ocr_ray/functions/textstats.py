@@ -93,6 +93,53 @@ def doc_fingerprint(sf_dir: str) -> Dataset:
     return _docs(sf_dir).map_batches(fp, batch_format="pyarrow", batch_size=8192)
 
 
+# --- winnowing fingerprint (rolling hash) ------------------------------------
+
+WINNOW_K = 8          # k-gram length (bytes)
+WINNOW_W = 4          # winnowing window (hashes)
+_WINNOW_BASE = np.uint64(1000003)
+_POWERS = _WINNOW_BASE ** np.arange(WINNOW_K - 1, -1, -1, dtype=np.uint64)
+
+
+def winnow_hashes(text: str) -> np.ndarray:
+    """Selected rolling-hash values of ``text`` under standard winnowing
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03): Karp-Rabin hash of every
+    k-gram (vectorized sliding-window dot product in uint64 wraparound
+    arithmetic), then the minimum of each w-hash window, deduplicated.
+    Guarantee: two texts sharing a substring of length ≥ w + k - 1 share
+    at least one selected hash."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) < WINNOW_K:
+        b = np.pad(b, (0, WINNOW_K - len(b)))
+    grams = np.lib.stride_tricks.sliding_window_view(b, WINNOW_K)
+    h = grams.astype(np.uint64) @ _POWERS          # mod 2^64 wraparound
+    if len(h) < WINNOW_W:
+        return np.unique(h)
+    return np.unique(np.lib.stride_tricks.sliding_window_view(
+        h, WINNOW_W).min(axis=1))
+
+
+def winnow_fingerprint(sf_dir: str) -> Dataset:
+    """Per-doc winnowed rolling-hash fingerprint: the count of selected
+    hashes plus a stable digest over them (blake2b of the sorted hash
+    bytes). Rows-only check; the winnowing sharing guarantee and
+    determinism are pinned in pytest."""
+
+    def fp(t: pa.Table) -> pa.Table:
+        counts, digests = [], []
+        for x in t["text"].to_pylist():
+            hs = winnow_hashes(x or "")
+            counts.append(len(hs))
+            digests.append(hashlib.blake2b(hs.tobytes(),
+                                           digest_size=16).hexdigest())
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_fingerprints": pa.array(counts, pa.int64()),
+                         "fp_digest": pa.array(digests, pa.string())})
+
+    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow",
+                                     batch_size=8192)
+
+
 # --- language identification (stateful stopword profiles) --------------------
 
 STOPWORDS = {

@@ -110,3 +110,39 @@ def test_bpe_split_counts_match_python_reference():
                          r"| ?[^\s\p{L}\p{N}]+|\s+")
     want = [len(re.findall(pypat, t)) for t in texts]
     assert got == want
+
+
+def test_winnow_guarantee_and_determinism():
+    """Winnowing (SIGMOD'03): texts sharing a substring of length
+    >= w + k - 1 must share at least one selected hash; selection is
+    deterministic."""
+    import numpy as np
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        WINNOW_K, WINNOW_W, winnow_hashes)
+
+    shared = "x" * 0 + "the quick brown fox jumps over the lazy dog"
+    assert len(shared) >= WINNOW_W + WINNOW_K - 1
+    a = "PREFIX AAA " + shared + " SUFFIX BBB"
+    b = "totally other start " + shared + " and another end"
+    ha, hb = winnow_hashes(a), winnow_hashes(b)
+    assert len(np.intersect1d(ha, hb)) >= 1
+    assert np.array_equal(winnow_hashes(a), ha)
+    # unrelated texts share nothing at this length
+    c = winnow_hashes("0123456789abcdefghij" * 2)
+    assert len(np.intersect1d(ha, c)) == 0
+    # degenerate inputs don't crash
+    assert len(winnow_hashes("")) >= 0
+    assert len(winnow_hashes("ab")) >= 1
+
+
+def test_winnow_fingerprint_query(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        winnow_fingerprint)
+
+    df = winnow_fingerprint("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    assert set(df.columns) == {"doc_id", "n_fingerprints", "fp_digest"}
+    assert (df["n_fingerprints"] > 0).all()
+    # identical text => identical digest is implied by determinism; distinct
+    # word-soup docs should almost all get distinct digests
+    assert df["fp_digest"].nunique() > 450
