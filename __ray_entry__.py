@@ -133,6 +133,99 @@ def _image_features(sf_dir: str) -> Any:
     return out.map_batches(flat, batch_format="pyarrow")
 
 
+def _media_doc_ids(sf_dir: str) -> "Any":
+    import ray
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    if len(ds.input_files()) < 16:
+        ds = ds.repartition(16)  # per-doc Python synth/decode needs blocks
+    return ds
+
+
+def _audio_frame_energy(sf_dir: str) -> Any:
+    """Multimodal audio path: deterministic synthetic PCM16 clips (seeded
+    tone + noise per doc) → actor-pool frame sampling
+    (`AudioFrameSampleStage`) → vectorized per-clip RMS aggregate.
+    Rows-only (binary media pipelines have no SQL form)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Mean
+    from norsk_historisk_avis_ocr_ray.stages.multimodal import AudioFrameSampleStage
+
+    def synth(t: pa.Table) -> pa.Table:
+        refs, bufs = [], []
+        for d in t["doc_id"].to_pylist():
+            rng = np.random.default_rng(1234 + int(d))
+            n = 8000 + int(rng.integers(0, 8000))
+            tt = np.arange(n) / 16000.0
+            freq = 200.0 + (int(d) % 40) * 10.0
+            x = 0.6 * np.sin(2 * np.pi * freq * tt) + 0.1 * rng.standard_normal(n)
+            refs.append(f"audio://{d}")
+            bufs.append(np.clip(x * 32767, -32768, 32767)
+                        .astype(np.int16).tobytes())
+        return pa.table({"media_ref": pa.array(refs, pa.string()),
+                         "audio": pa.array(bufs, pa.binary()),
+                         "codec": pa.array(["pcm16"] * len(refs), pa.string())})
+
+    def energy(t: pa.Table) -> pa.Table:
+        pcm = np.stack([np.frombuffer(b, np.int16)
+                        for b in t["frame"].to_pylist()]).astype(np.float64)
+        rms = np.sqrt((pcm ** 2).mean(axis=1))
+        return pa.table({"media_ref": t["media_ref"],
+                         "rms": pa.array(rms, pa.float64())})
+
+    ds = (_media_doc_ids(sf_dir)
+          .map_batches(synth, batch_format="pyarrow", batch_size=256)
+          .map_batches(AudioFrameSampleStage, batch_format="pyarrow",
+                       batch_size=64, concurrency=2, num_cpus=1)
+          .map_batches(energy, batch_format="pyarrow")
+          .groupby("media_ref")
+          .aggregate(Count(alias_name="n_frames"),
+                     Mean("rms", alias_name="mean_rms")))
+    return ds
+
+
+def _video_frame_sample(sf_dir: str) -> Any:
+    """Multimodal video path: deterministic raw grayscale clips (seeded
+    gradient + noise, 20–50 frames per doc) → actor-pool every-k frame
+    sampling (`VideoFrameSampleStage`, re-encoding sampled frames with the
+    pure-numpy image codec) → per-clip sampled-frame count. Rows-only."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+    from norsk_historisk_avis_ocr_ray.stages.multimodal import VideoFrameSampleStage
+
+    W, H = 32, 24
+
+    def synth(t: pa.Table) -> pa.Table:
+        refs, bufs, ws, hs = [], [], [], []
+        for d in t["doc_id"].to_pylist():
+            rng = np.random.default_rng(4321 + int(d))
+            n = int(rng.integers(20, 51))
+            base = np.linspace(0, 255, W, dtype=np.float64)[None, None, :]
+            clip = (base + rng.integers(0, 32, size=(n, H, W))).clip(0, 255)
+            refs.append(f"video://{d}")
+            bufs.append(clip.astype(np.uint8).tobytes())
+            ws.append(W)
+            hs.append(H)
+        return pa.table({"media_ref": pa.array(refs, pa.string()),
+                         "video": pa.array(bufs, pa.binary()),
+                         "width": pa.array(ws, pa.int32()),
+                         "height": pa.array(hs, pa.int32()),
+                         "codec": pa.array(["rawvideo-gray"] * len(refs),
+                                           pa.string())})
+
+    ds = (_media_doc_ids(sf_dir)
+          .map_batches(synth, batch_format="pyarrow", batch_size=128)
+          .map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                       batch_size=32, concurrency=2, num_cpus=1)
+          .groupby("media_ref")
+          .aggregate(Count(alias_name="n_sampled")))
+    return ds
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from norsk_historisk_avis_ocr_ray.functions import dedup, relational, similarity, textstats
 
@@ -174,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         # multimodal
         "image_features": _image_features,
+        "audio_frame_energy": _audio_frame_energy,
+        "video_frame_sample": _video_frame_sample,
         # sketches
         "approx_distinct_users": _approx_distinct_users,
     }
@@ -420,5 +515,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rows-only (not SQL-expressible): ocr_extract, lang_id,
         # dedup_minhash, dedup_simhash, simhash_signatures, ann_ivf_topk,
-        # ann_lsh_topk, winnow_fingerprint
+        # ann_lsh_topk, winnow_fingerprint, audio_frame_energy,
+        # video_frame_sample
     }
