@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_running_user_value": relational.q_running_user_value,
         "q_sessionize": relational.q_sessionize,
         "q_asof_last_order": relational.q_asof_last_order,
+        "q_range_window_events": relational.q_range_window_events,
         "q_topk_per_group": relational.q_topk_per_group,
         "q_rolling_avg": relational.q_rolling_avg,
         "q_group_quantiles": relational.q_group_quantiles,
@@ -417,6 +418,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, last_order_s, last_order_price
             FROM j WHERE rn = 1
             ORDER BY event_id
+        """,
+        "q_range_window_events": """
+            SELECT e.event_id, e.user_id,
+                   count(*) AS n_recent,
+                   round(sum(p.value), 4) AS sum_recent_value
+            FROM events e
+            JOIN events p ON p.user_id = e.user_id
+                AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) - 3600000000
+                                       AND epoch_us(e.ts)
+            GROUP BY e.event_id, e.user_id
+            ORDER BY e.event_id
         """,
         "q_topk_per_group": """
             SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (

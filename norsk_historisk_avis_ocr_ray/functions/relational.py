@@ -28,6 +28,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
+from .rounding import round_half_away
 from .rounding import series_round_half_away as _r
 
 Q1_CUTOFF = np.datetime64("1998-01-01", "us")
@@ -444,6 +445,74 @@ def q_asof_last_order(sf_dir: str) -> pd.DataFrame:
               .groupby("bucket")
               .map_groups(merge, batch_format="pandas")
               .to_pandas())
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+# --- range join: trailing-window self-join on events --------------------------
+
+RANGE_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_range_window_events(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: for each event, the count and value-sum of the
+    SAME user's events with ``ts ∈ [ts - 1h, ts]`` (inclusive, so every
+    event matches at least itself).
+
+    Ray Data has no range join; the scale form reuses the as-of join's
+    partitioning contract — one shuffle on ``bucket = user_id & (NB-1)``,
+    then everything vectorized per bucket. The windowed aggregate is
+    computed as a prefix-sum difference F(hi) − F(lo): give each (user, ts)
+    row its per-user rank and running value cumsum, then two
+    ``pd.merge_asof`` probes — ``hi`` at ``ts`` (exact matches in) and
+    ``lo`` at ``ts − 1h`` (exact matches OUT, i.e. the last row strictly
+    before the window) — so each event's window aggregate is two O(log n)
+    lookups, never an expanded pair list. Equal-timestamp ties all share
+    the last tie's rank, matching SQL's inclusive BETWEEN semantics
+    exactly. Hot users could be salted on the probe side only, as
+    documented for the as-of join."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        key = t["user_id"].cast(pa.int64())
+        return pa.table({
+            "key": key,
+            "bucket": pc.bit_wise_and(key, ASOF_BUCKETS - 1),
+            "t_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"].cast(pa.int64()),
+            "value": t["value"].cast(pa.float64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ranked = g.sort_values(["key", "t_us"], kind="mergesort")
+        grp = ranked.groupby("key", sort=False)
+        ranked = ranked.assign(rank=grp.cumcount() + 1,
+                               csum=grp["value"].cumsum())
+        right = (ranked[["key", "t_us", "rank", "csum"]]
+                 .sort_values("t_us", kind="mergesort"))
+        probe = g.sort_values("t_us", kind="mergesort")[
+            ["key", "t_us", "event_id"]]
+        hi = pd.merge_asof(probe, right, on="t_us", by="key",
+                           direction="backward", allow_exact_matches=True)
+        lo_probe = probe.assign(t_us=probe["t_us"] - RANGE_WINDOW_US)
+        lo = pd.merge_asof(lo_probe.sort_values("t_us", kind="mergesort"),
+                           right, on="t_us", by="key",
+                           direction="backward", allow_exact_matches=False)
+        lo = lo.set_index("event_id").reindex(hi["event_id"])
+        n = (hi["rank"].to_numpy()
+             - lo["rank"].fillna(0).to_numpy()).astype(np.int64)
+        s = hi["csum"].to_numpy() - lo["csum"].fillna(0.0).to_numpy()
+        return pd.DataFrame({
+            "event_id": hi["event_id"].to_numpy().astype(np.int64),
+            "user_id": hi["key"].to_numpy().astype(np.int64),
+            "n_recent": n,
+            "sum_recent_value": round_half_away(s, 4),
+        })
+
+    df = (ev.map_batches(tag, batch_format="pyarrow")
+            .repartition(32)
+            .groupby("bucket")
+            .map_groups(merge, batch_format="pandas")
+            .to_pandas())
     return df.sort_values("event_id").reset_index(drop=True)
 
 

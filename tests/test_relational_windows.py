@@ -128,3 +128,30 @@ def test_group_quantiles_match_duckdb(ray_session, con):
     """).df())
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+def test_range_window_events_matches_duckdb(ray_session, con):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_range_window_events)
+
+    got = _canon(q_range_window_events(SF_DIR))
+    want = _canon(con.sql("""
+        SELECT e.event_id, e.user_id,
+               count(*) AS n_recent,
+               round(sum(p.value), 4) AS sum_recent_value
+        FROM events e
+        JOIN events p ON p.user_id = e.user_id
+            AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) - 3600000000
+                                   AND epoch_us(e.ts)
+        GROUP BY e.event_id, e.user_id
+        ORDER BY e.event_id
+    """).df())
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_range_window_every_event_matches_itself(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_range_window_events)
+
+    df = q_range_window_events(SF_DIR)
+    assert (df["n_recent"] >= 1).all()
