@@ -272,12 +272,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample": _video_frame_sample,
         # sketches
         "approx_distinct_users": _approx_distinct_users,
+        "approx_top_users": _approx_top_users,
     }
 
 
 def _approx_distinct_users(sf_dir: str) -> Any:
     from norsk_historisk_avis_ocr_ray.functions.sketch import approx_distinct_users
     return approx_distinct_users(sf_dir)
+
+
+def _approx_top_users(sf_dir: str) -> Any:
+    from norsk_historisk_avis_ocr_ray.functions.sketch import approx_top_users
+    return approx_top_users(sf_dir)
 
 
 def _html_main_content(sf_dir: str) -> Any:
@@ -528,5 +534,5 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (not SQL-expressible): ocr_extract, lang_id,
         # dedup_minhash, dedup_simhash, simhash_signatures, ann_ivf_topk,
         # ann_lsh_topk, winnow_fingerprint, audio_frame_energy,
-        # video_frame_sample
+        # video_frame_sample, approx_top_users
     }

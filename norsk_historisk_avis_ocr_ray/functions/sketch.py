@@ -56,3 +56,93 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ds, "user_id")
     return pd.DataFrame({"approx_users": [round(est, 2)]})
+
+
+# --- Count-Min Sketch heavy hitters -------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048          # power of two: index = top bits of the row hash
+CMS_CAND_PER_BATCH = 64   # batch-local exact top candidates carried along
+HH_K = 10
+
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+_CMS_A = np.uint64(0x9E3779B97F4A7C15) * np.arange(1, CMS_DEPTH + 1,
+                                                   dtype=np.uint64)
+_CMS_B = np.uint64(0xD1B54A32D192ED03) * np.arange(1, CMS_DEPTH + 1,
+                                                   dtype=np.uint64)
+_CMS_SHIFT = np.uint64(64 - int(np.log2(CMS_WIDTH)))
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 wraparound): full-entropy
+    64-bit mix of integer keys, deterministic across processes."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * _SM_C1
+    z = (z ^ (z >> np.uint64(27))) * _SM_C2
+    return z ^ (z >> np.uint64(31))
+
+
+def _cms_indices(keys: np.ndarray) -> np.ndarray:
+    """(depth, n) CMS column indices for integer keys."""
+    h = _splitmix64(keys)
+    return ((_CMS_A[:, None] * h[None, :] + _CMS_B[:, None])
+            >> _CMS_SHIFT).astype(np.int64)
+
+
+def cms_count(keys: np.ndarray) -> np.ndarray:
+    """(depth, width) count matrix for one batch of integer keys."""
+    idx = _cms_indices(keys)
+    return np.stack([np.bincount(idx[d], minlength=CMS_WIDTH)
+                     for d in range(CMS_DEPTH)]).astype(np.int64)
+
+
+def cms_estimate(cms: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point estimates (min over rows) for integer keys — never
+    underestimates the true count."""
+    idx = _cms_indices(keys)
+    return np.min(cms[np.arange(CMS_DEPTH)[:, None], idx], axis=0)
+
+
+def approx_top_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate top-10 users by event count via a Count-Min Sketch.
+
+    The same mergeable-sketch dataflow as KMV: each batch emits ONE row —
+    its (depth × width) count matrix plus its batch-local exact top
+    candidates — so the data crossing the wire per batch is a fixed
+    ~64 KiB regardless of batch size. The driver sums the matrices
+    (CMS merge = elementwise add), estimates each candidate's count as the
+    row-minimum, and keeps the top 10. CMS point estimates never
+    underestimate; with width 2048 ≫ distinct users the estimates are
+    exact here, which the pytest pins against a direct pandas count.
+    Rows-only check (approximate by construction at adversarial
+    cardinalities)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cms = cms_count(keys)
+        uniq, counts = np.unique(keys, return_counts=True)
+        top = np.argsort(-counts, kind="stable")[:CMS_CAND_PER_BATCH]
+        return pa.table({
+            "cms": pa.array([cms.tobytes()], pa.binary()),
+            "candidates": pa.array([uniq[top].tobytes()], pa.binary()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    total = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    cand: set[int] = set()
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=64):
+        for raw_cms, raw_cand in zip(b["cms"].to_pylist(),
+                                     b["candidates"].to_pylist()):
+            total += np.frombuffer(raw_cms, dtype=np.int64).reshape(
+                CMS_DEPTH, CMS_WIDTH)
+            cand.update(np.frombuffer(raw_cand, dtype=np.int64).tolist())
+    if not cand:
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "est_events": pd.Series([], dtype=np.int64)})
+    keys = np.array(sorted(cand), dtype=np.int64)
+    est = cms_estimate(total, keys)
+    order = np.lexsort((keys, -est))[:HH_K]
+    return pd.DataFrame({"user_id": keys[order],
+                         "est_events": est[order]})

@@ -146,3 +146,26 @@ def test_winnow_fingerprint_query(ray_session):
     # identical text => identical digest is implied by determinism; distinct
     # word-soup docs should almost all get distinct digests
     assert df["fp_digest"].nunique() > 450
+
+
+def test_cms_never_underestimates_and_finds_exact_top(ray_session):
+    """CMS point estimates are >= the true count by construction; with
+    width >> cardinality the top-10 must equal the exact top-10."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from norsk_historisk_avis_ocr_ray.functions.sketch import approx_top_users
+
+    got = approx_top_users("/root/testdata/sf0.001")
+    exact = (pq.read_table("/root/testdata/sf0.001/events.parquet",
+                           columns=["user_id"]).to_pandas()
+             .value_counts("user_id").rename("n").reset_index())
+    truth = dict(zip(exact["user_id"], exact["n"]))
+    assert len(got) == 10
+    for uid, est in zip(got["user_id"], got["est_events"]):
+        assert est >= truth[int(uid)]
+    exact = exact.sort_values(["n", "user_id"],
+                              ascending=[False, True]).head(10)
+    assert set(got["user_id"]) == set(exact["user_id"])
+    # width 2048 >> distinct users: estimates should in fact be exact
+    assert all(int(e) == truth[int(u)]
+               for u, e in zip(got["user_id"], got["est_events"]))
