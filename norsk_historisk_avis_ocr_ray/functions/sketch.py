@@ -22,9 +22,17 @@ _MAX = np.float64(2**64)
 
 
 def kmv_sketch(values) -> np.ndarray:
-    """k smallest distinct 64-bit hashes of the values (padded with 2^64-1)."""
-    hs = np.unique(np.fromiter((_hash64(str(v)) for v in values),
-                               dtype=np.uint64, count=len(values)))
+    """k smallest distinct 64-bit hashes of the values.
+
+    Integer inputs hash through the vectorized splitmix64 mixer (no
+    per-value Python); anything else falls back to blake2b of the string
+    form. Both are deterministic across processes."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        hs = np.unique(_splitmix64(arr.astype(np.uint64)))
+    else:
+        hs = np.unique(np.fromiter((_hash64(str(v)) for v in values),
+                                   dtype=np.uint64, count=len(values)))
     return hs[:K]
 
 
