@@ -288,20 +288,28 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     joined = chunk_rows.join(chunk_rows, join_type="inner", num_partitions=4,
                              on=("chunk", "val"), right_suffix="_r")
 
+    def _hex16_to_u64(strs: list[str]) -> np.ndarray:
+        # vectorized hex parse: ASCII nibbles -> values -> base-16 dot
+        if not strs:
+            return np.array([], dtype=np.uint64)
+        b = np.array(strs, dtype="S16").view(np.uint8).reshape(-1, 16)
+        v = np.where(b >= 97, b - 87, b - 48).astype(np.uint64)
+        powers = np.uint64(16) ** np.arange(15, -1, -1, dtype=np.uint64)
+        return (v * powers).sum(axis=1, dtype=np.uint64)
+
     def verify(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         t = t.filter(pc.less(t["doc_id"], t["doc_id_r"]))
-        a = t["doc_id"].to_pylist()
-        b = t["doc_id_r"].to_pylist()
-        keep_a, keep_b, ham = [], [], []
-        for x, y, hx, hy in zip(a, b, t["simhash"].to_pylist(),
-                                t["simhash_r"].to_pylist()):
-            d = bin(int(hx, 16) ^ int(hy, 16)).count("1")
-            if d <= max_hamming:
-                keep_a.append(x); keep_b.append(y); ham.append(d)
-        return pa.table({"a": pa.array(keep_a, pa.int64()),
-                         "b": pa.array(keep_b, pa.int64()),
-                         "hamming": pa.array(ham, pa.int64())})
+        ua = _hex16_to_u64(t["simhash"].to_pylist())
+        ub = _hex16_to_u64(t["simhash_r"].to_pylist())
+        # vectorized popcount of the XOR (no np.bitwise_count on numpy 1.x)
+        ham = np.unpackbits((ua ^ ub).view(np.uint8)).reshape(-1, 64).sum(
+            axis=1).astype(np.int64) if len(ua) else np.array([], np.int64)
+        keep = ham <= max_hamming
+        return pa.table({
+            "a": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
+            "b": t["doc_id_r"].to_numpy(zero_copy_only=False)[keep],
+            "hamming": pa.array(ham[keep], pa.int64())})
 
     pairs = (joined.map_batches(verify, batch_format="pyarrow")
                    .groupby(["a", "b"])
