@@ -98,31 +98,31 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
         .iter_batches(batch_format="pyarrow"))
     keys = cust_tbl.filter(
-        pc.equal(cust_tbl["c_mktsegment"], Q3_SEGMENT))["c_custkey"].to_pylist()
-    seg_keys = ray.put(sorted(keys))
+        pc.equal(cust_tbl["c_mktsegment"], Q3_SEGMENT))["c_custkey"]
+    # store the Arrow array itself: workers use it as an is_in value_set
+    # directly, instead of rebuilding a pa.array from a Python list per batch
+    seg_keys = ray.put(keys.combine_chunks().sort())
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
                                       "o_orderpriority"])
 
     def filter_orders(t: pa.Table) -> pa.Table:
-        keys = ray.get(seg_keys)
         t = t.filter(pc.less(t["o_orderdate"], pa.scalar(Q3_DATE)))
-        mask = pc.is_in(t["o_custkey"], value_set=pa.array(keys, pa.int64()))
+        mask = pc.is_in(t["o_custkey"], value_set=ray.get(seg_keys))
         return t.filter(mask).select(["o_orderkey", "o_orderdate",
                                       "o_orderpriority"])
 
     orders_f = pa.concat_tables(
         orders.map_batches(filter_orders, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow"))
-    okeys_ref = ray.put(orders_f["o_orderkey"].to_pylist())
+    okeys_ref = ray.put(orders_f["o_orderkey"].combine_chunks())
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
     def li_partial(t: pa.Table) -> pa.Table:
-        okeys = pa.array(ray.get(okeys_ref), pa.int64())
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(Q3_DATE)))
-        t = t.filter(pc.is_in(t["l_orderkey"], value_set=okeys))
+        t = t.filter(pc.is_in(t["l_orderkey"], value_set=ray.get(okeys_ref)))
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
         df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(),
                            "rev": rev.to_numpy()})
