@@ -183,7 +183,10 @@ def _audio_frame_energy(sf_dir: str) -> Any:
           .groupby("media_ref")
           .aggregate(Count(alias_name="n_frames"),
                      Mean("rms", alias_name="mean_rms")))
-    return ds
+    from norsk_historisk_avis_ocr_ray.functions.collect import ensure_schema
+    return ensure_schema(ds, pa.schema([
+        ("media_ref", pa.string()), ("n_frames", pa.int64()),
+        ("mean_rms", pa.float64())]))
 
 
 def _video_frame_sample(sf_dir: str) -> Any:
@@ -223,7 +226,9 @@ def _video_frame_sample(sf_dir: str) -> Any:
                        batch_size=32, concurrency=2, num_cpus=1)
           .groupby("media_ref")
           .aggregate(Count(alias_name="n_sampled")))
-    return ds
+    from norsk_historisk_avis_ocr_ray.functions.collect import ensure_schema
+    return ensure_schema(ds, pa.schema([
+        ("media_ref", pa.string()), ("n_sampled", pa.int64())]))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

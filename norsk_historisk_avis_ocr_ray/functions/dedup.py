@@ -113,7 +113,11 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
           .map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
           .groupby("fingerprint")
           .aggregate(Min("doc_id", alias_name="doc_id")))
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)[
+    df = ds.to_pandas()
+    if df.empty:  # empty aggregate loses its columns; keep the schema stable
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "fingerprint": pd.Series([], dtype="object")})
+    return df.sort_values("doc_id").reset_index(drop=True)[
         ["doc_id", "fingerprint"]]
 
 
@@ -180,6 +184,11 @@ def minhash_candidates(docs: Dataset) -> Dataset:
     hasher = MinHasher()
     band_rows = docs.map_batches(hasher, batch_format="pyarrow",
                                  batch_size=1024).materialize()  # self-joined
+    if band_rows.count() == 0:
+        # Ray's hash join crashes on schema-less empty sides; an empty
+        # corpus/partition is a routine condition, not an error.
+        return ray.data.from_arrow(pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
     joined = band_rows.join(band_rows, join_type="inner", num_partitions=4,
                             on=("band", "band_hash"), right_suffix="_r")
 
@@ -214,9 +223,12 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     cands = minhash_candidates(docs).materialize()
 
     pair_ids = cands.to_pandas()  # int pairs only, O(candidates)
+    if pair_ids.empty:  # no candidates: skip the joins (empty sides crash)
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
     id_set = pa.array(np.unique(np.concatenate(
-        [pair_ids["a"].to_numpy(), pair_ids["b"].to_numpy()]))
-        if len(pair_ids) else np.array([], np.int64))
+        [pair_ids["a"].to_numpy(), pair_ids["b"].to_numpy()])))
 
     def only_candidates(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t["doc_id"], value_set=id_set))
@@ -257,11 +269,15 @@ def simhash64(text: str) -> int:
 
 
 def simhash_signatures(sf_dir: str) -> Dataset:
+    from .collect import ensure_schema
+
     def sig(t: pa.Table) -> pa.Table:
         hs = [simhash64(x) for x in t["text"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"],
                          "simhash": pa.array([f"{h:016x}" for h in hs], pa.string())})
-    return _docs(sf_dir).map_batches(sig, batch_format="pyarrow", batch_size=8192)
+    return ensure_schema(
+        _docs(sf_dir).map_batches(sig, batch_format="pyarrow", batch_size=8192),
+        pa.schema([("doc_id", pa.int64()), ("simhash", pa.string())]))
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
@@ -285,6 +301,10 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
     chunk_rows = sigs.map_batches(explode_chunks,
                                   batch_format="pyarrow").materialize()
+    if chunk_rows.count() == 0:  # empty corpus: skip the self-join
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
     joined = chunk_rows.join(chunk_rows, join_type="inner", num_partitions=4,
                              on=("chunk", "val"), right_suffix="_r")
 

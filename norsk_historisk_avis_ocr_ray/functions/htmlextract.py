@@ -39,6 +39,7 @@ import random
 import re
 from html.parser import HTMLParser
 
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -265,4 +266,7 @@ def html_main_content(sf_dir: str):
           .map_batches(_render_batch, batch_format="pyarrow", batch_size=256)
           .map_batches(_extract_batch, batch_format="pyarrow", batch_size=256)
           .to_pandas())
+    if df.empty:  # schema-stable empty output
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "main_text": pd.Series([], dtype="object")})
     return df.sort_values("doc_id").reset_index(drop=True)

@@ -28,6 +28,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
+from .collect import collect_table, typed_empty
 from .rounding import round_half_away
 from .rounding import series_round_half_away as _r
 
@@ -74,6 +75,12 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         Sum("count_order", alias_name="count_order"),
     )
     df = final.to_pandas()
+    if df.empty:  # empty input partition/corpus: keep the schema stable
+        return typed_empty(
+            l_returnflag="object", l_linestatus="object", sum_qty="float64",
+            sum_base_price="float64", sum_disc_price="float64",
+            sum_charge="float64", count_order="int64", avg_qty="float64",
+            avg_price="float64", avg_disc="float64")
     df["avg_qty"] = _r(df["sum_qty"] / df["count_order"], 6)
     df["avg_price"] = _r(df["sum_base_price"] / df["count_order"], 6)
     df["avg_disc"] = _r(df["sum_disc"] / df["count_order"], 6)
@@ -94,9 +101,8 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     bounded by the segment+date selectivity; inputs where the filtered
     orderkey set outgrows a broadcast should switch to
     ``Dataset.join(li_agg, orders_f)`` — the shape this replaced."""
-    cust_tbl = pa.concat_tables(
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .iter_batches(batch_format="pyarrow"))
+    cust_tbl = collect_table(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
     keys = cust_tbl.filter(
         pc.equal(cust_tbl["c_mktsegment"], Q3_SEGMENT))["c_custkey"]
     # store the Arrow array itself: workers use it as an is_in value_set
@@ -112,9 +118,11 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         return t.filter(mask).select(["o_orderkey", "o_orderdate",
                                       "o_orderpriority"])
 
-    orders_f = pa.concat_tables(
-        orders.map_batches(filter_orders, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow"))
+    orders_f = collect_table(
+        orders.map_batches(filter_orders, batch_format="pyarrow"),
+        fallback=pa.schema([("o_orderkey", pa.int64()),
+                            ("o_orderdate", pa.timestamp("us")),
+                            ("o_orderpriority", pa.string())]))
     okeys_ref = ray.put(orders_f["o_orderkey"].combine_chunks())
 
     li = _read(sf_dir, "lineitem",
@@ -140,6 +148,10 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_pandas(d, preserve_index=False)
 
     df = li_agg.map_batches(local_top10, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return typed_empty(o_orderkey="int64", revenue="float64",
+                           o_orderdate="datetime64[us]",
+                           o_orderpriority="object")
     df = df.rename(columns={"l_orderkey": "o_orderkey"})
     df = df.sort_values(["revenue", "o_orderkey"],
                         ascending=[False, True]).head(10)
@@ -152,12 +164,10 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 # --- customers per region (two-level broadcast join) -------------------------
 
 def q_customers_per_region(sf_dir: str) -> pd.DataFrame:
-    nation = pa.concat_tables(
-        _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
-        .iter_batches(batch_format="pyarrow"))
-    region = pa.concat_tables(
-        _read(sf_dir, "region", ["r_regionkey", "r_name"])
-        .iter_batches(batch_format="pyarrow"))
+    nation = collect_table(
+        _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]))
+    region = collect_table(
+        _read(sf_dir, "region", ["r_regionkey", "r_name"]))
     r_names = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
     n2r = {n: r_names[r] for n, r in zip(nation["n_nationkey"].to_pylist(),
                                          nation["n_regionkey"].to_pylist())}
@@ -178,6 +188,9 @@ def q_customers_per_region(sf_dir: str) -> pd.DataFrame:
                .aggregate(Count(alias_name="n_customers"),
                           Sum("c_acctbal", alias_name="sum_acctbal")))
     df = out.to_pandas()
+    if df.empty:
+        return typed_empty(r_name="object", n_customers="int64",
+                           sum_acctbal="float64")
     df["sum_acctbal"] = _r(df["sum_acctbal"], 2)
     return df.sort_values("r_name").reset_index(drop=True)
 
@@ -201,6 +214,9 @@ def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
              .aggregate(Sum("n", alias_name="n"),
                         Sum("sum_value", alias_name="sum_value")))
     df = out.to_pandas()
+    if df.empty:
+        return typed_empty(event_type="object", win="int64", n="int64",
+                           sum_value="float64")
     df["sum_value"] = _r(df["sum_value"], 4)
     df["n"] = df["n"].astype(np.int64)
     return df.sort_values(["event_type", "win"]).reset_index(drop=True)
@@ -223,6 +239,9 @@ def q_top_users(sf_dir: str) -> pd.DataFrame:
              .aggregate(Sum("n_events", alias_name="n_events"),
                         Sum("total_value", alias_name="total_value")))
     df = out.to_pandas()
+    if df.empty:
+        return typed_empty(user_id="int64", n_events="int64",
+                           total_value="float64")
     df["total_value"] = _r(df["total_value"], 4)
     df["n_events"] = df["n_events"].astype(np.int64)
     df = df.sort_values(["total_value", "user_id"], ascending=[False, True]).head(20)
@@ -241,6 +260,9 @@ def q_distinct_brands(sf_dir: str) -> pd.DataFrame:
              .aggregate(Count(alias_name="n_parts"),
                         Min("p_retailprice", alias_name="min_price")))
     df = out.to_pandas()
+    if df.empty:
+        return typed_empty(p_brand="object", p_type="object",
+                           n_parts="int64", min_price="float64")
     df["min_price"] = _r(df["min_price"], 2)
     df["n_parts"] = df["n_parts"].astype(np.int64)
     return df.sort_values(["p_brand", "p_type"]).reset_index(drop=True)
@@ -277,6 +299,8 @@ def q_count_distinct_custs(sf_dir: str) -> pd.DataFrame:
             .groupby("o_orderpriority")
             .map_groups(count_unique, batch_format="pandas")
             .to_pandas())
+    if df.empty:
+        return typed_empty(o_orderpriority="object", n_customers="int64")
     df["n_customers"] = df["n_customers"].astype(np.int64)
     return df.sort_values("o_orderpriority").reset_index(drop=True)
 
@@ -308,6 +332,9 @@ def q_running_user_value(sf_dir: str) -> pd.DataFrame:
             .map_groups(running, batch_format="pandas")
             .map_batches(local_topk, batch_format="pyarrow")
             .to_pandas())
+    if df.empty:
+        return typed_empty(event_id="int64", user_id="int64",
+                           running_value="float64")
     return df.sort_values("event_id").tail(TOP_N).reset_index(drop=True)
 
 
@@ -344,6 +371,10 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     df = (ds.groupby("user_id")
             .map_groups(sessions, batch_format="pandas")
             .to_pandas())
+    if df.empty:
+        return typed_empty(user_id="int64", session_idx="int64",
+                           n_events="int64", sum_value="float64",
+                           duration_s="int64")
     return df.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
 
 
@@ -445,6 +476,9 @@ def q_asof_last_order(sf_dir: str) -> pd.DataFrame:
               .groupby("bucket")
               .map_groups(merge, batch_format="pandas")
               .to_pandas())
+    if df.empty:
+        return typed_empty(event_id="int64", user_id="int64",
+                           last_order_s="int64", last_order_price="float64")
     return df.sort_values("event_id").reset_index(drop=True)
 
 
@@ -513,6 +547,9 @@ def q_range_window_events(sf_dir: str) -> pd.DataFrame:
             .groupby("bucket")
             .map_groups(merge, batch_format="pandas")
             .to_pandas())
+    if df.empty:
+        return typed_empty(event_id="int64", user_id="int64",
+                           n_recent="int64", sum_recent_value="float64")
     return df.sort_values("event_id").reset_index(drop=True)
 
 
@@ -552,6 +589,9 @@ def q_topk_per_group(sf_dir: str) -> pd.DataFrame:
                 .map_batches(local_topk, batch_format="pyarrow"))
 
     df = pruned.to_pandas()
+    if df.empty:
+        return typed_empty(o_custkey="int64", rnk="int64",
+                           o_orderkey="int64", o_totalprice="float64")
     df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
                         ascending=[True, False, True], kind="mergesort")
     df = df.groupby("o_custkey").head(k).reset_index(drop=True)
@@ -597,6 +637,9 @@ def q_rolling_avg(sf_dir: str) -> pd.DataFrame:
             .groupby("bucket")
             .map_groups(roll, batch_format="pandas")
             .to_pandas())
+    if df.empty:
+        return typed_empty(event_id="int64", user_id="int64",
+                           roll_avg_value="float64")
     return df.sort_values("event_id").reset_index(drop=True)
 
 
@@ -625,4 +668,7 @@ def q_group_quantiles(sf_dir: str) -> pd.DataFrame:
     df = (ds.groupby("o_orderpriority")
             .map_groups(quants, batch_format="pandas")
             .to_pandas())
+    if df.empty:
+        return typed_empty(o_orderpriority="object", n_orders="int64",
+                           p50_price="float64", p90_price="float64")
     return df.sort_values("o_orderpriority").reset_index(drop=True)

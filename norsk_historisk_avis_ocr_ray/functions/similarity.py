@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from .collect import collect_table, typed_empty
 from .rounding import round_half_away
 
 N_QUERIES = 10
@@ -59,7 +60,9 @@ def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"],
                                filter=pc.field("vec_id") < N_QUERIES)
-    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    tbl = collect_table(ds)
+    if len(tbl) == 0:
+        return np.array([], np.int64), np.zeros((0, 0))
     ids, mat = _batch_matrix(tbl)
     order = np.argsort(ids)
     return ids[order], _normalize(mat[order])
@@ -68,6 +71,8 @@ def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 def ann_topk(sf_dir: str) -> pd.DataFrame:
     """Exact cosine top-5 for queries vec_id < 10 (self excluded)."""
     qids, qmat = _load_queries(sf_dir)
+    if len(qids) == 0:
+        return typed_empty(query_id="int64", vec_id="int64", cos="float64")
     q_ref = ray.put((qids, qmat))
 
     def local_topk(t: pa.Table) -> pa.Table:
@@ -96,6 +101,8 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
            .groupby("query_id")
            .map_groups(final_topk, batch_format="pandas"))
     df = out.to_pandas()
+    if df.empty:
+        return typed_empty(query_id="int64", vec_id="int64", cos="float64")
     df["cos"] = round_half_away(df["cos"].to_numpy(), 6)
     return df.sort_values(["query_id", "cos", "vec_id"],
                           ascending=[True, False, True]).reset_index(drop=True)
@@ -260,11 +267,15 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     masked afterwards). Rows-only check (approximate); recall vs the exact
     ``ann_topk`` is asserted in tests."""
     emb = _emb(sf_dir)
-    first = emb.take(1)[0]
-    dim = len(first["embedding"])
+    head = emb.take(1)
+    if not head:
+        return typed_empty(query_id="int64", vec_id="int64", cos="float64")
+    dim = len(head[0]["embedding"])
     centroids = _kmeans_centroids(emb, dim, IVF_CENTROIDS)
 
     qids, qmat = _load_queries(sf_dir)
+    if len(qids) == 0:
+        return typed_empty(query_id="int64", vec_id="int64", cos="float64")
     q_probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :IVF_NPROBE]
     # inverted probe map: bucket -> indices of queries probing it
     probe_by_bucket = {
@@ -311,6 +322,8 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
              .groupby("query_id")
              .map_groups(final, batch_format="pandas")
              .to_pandas())
+    if df.empty:
+        return typed_empty(query_id="int64", vec_id="int64", cos="float64")
     df["cos"] = round_half_away(df["cos"].to_numpy(), 6)
     df = df.astype({"query_id": np.int64, "vec_id": np.int64})
     return df.sort_values(["query_id", "cos", "vec_id"],
@@ -352,11 +365,15 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     Approximate; rows-only check with a recall assertion in tests."""
     rng = np.random.default_rng(271828)
     emb = _emb(sf_dir)
-    first = emb.take(1)[0]
-    dim = len(first["embedding"])
+    head = emb.take(1)
+    if not head:
+        return typed_empty(query_id="int64", vec_id="int64", cos="float64")
+    dim = len(head[0]["embedding"])
     planes = rng.standard_normal((LSH_TABLES, LSH_BITS, dim))
 
     qids, qmat = _load_queries(sf_dir)
+    if len(qids) == 0:
+        return typed_empty(query_id="int64", vec_id="int64", cos="float64")
     q_codes = _lsh_codes(qmat, planes)  # (Q, T)
     # multiprobe-1: each query probes its code and every 1-bit flip of it
     probe_by_bucket: dict[int, np.ndarray] = {}
@@ -426,6 +443,8 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
              .groupby("query_id")
              .map_groups(final, batch_format="pandas")
              .to_pandas())
+    if df.empty:
+        return typed_empty(query_id="int64", vec_id="int64", cos="float64")
     df["cos"] = round_half_away(df["cos"].to_numpy(), 6)
     df = df.astype({"query_id": np.int64, "vec_id": np.int64})
     return df.sort_values(["query_id", "cos", "vec_id"],

@@ -37,6 +37,8 @@ def kmv_sketch(values) -> np.ndarray:
 
 
 def kmv_merge(sketches: list[np.ndarray]) -> np.ndarray:
+    if not sketches:  # zero batches (empty corpus/partition)
+        return np.array([], dtype=np.uint64)
     return np.unique(np.concatenate(sketches))[:K]
 
 

@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
+from .collect import ensure_schema
 from .rounding import round_half_away
 from .textops import whitespace_token_counts
 
@@ -56,8 +57,12 @@ def _stats_batch(t: pa.Table) -> pa.Table:
 
 def text_token_stats(sf_dir: str) -> Dataset:
     """Per-doc char/token/punctuation stats (SQL-oracled)."""
-    return _docs(sf_dir).map_batches(_stats_batch, batch_format="pyarrow",
-                                     batch_size=8192)
+    return ensure_schema(
+        _docs(sf_dir).map_batches(_stats_batch, batch_format="pyarrow",
+                                  batch_size=8192),
+        pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64()),
+                   ("n_tokens", pa.int64()), ("n_subtokens", pa.int64()),
+                   ("n_punct", pa.int64()), ("punct_ratio", pa.float64())]))
 
 
 def quality_score(sf_dir: str) -> Dataset:
@@ -76,8 +81,10 @@ def quality_score(sf_dir: str) -> Dataset:
         return pa.table({"doc_id": t["doc_id"],
                          "quality": pa.array(q, pa.float64())})
 
-    return _docs(sf_dir).map_batches(score, batch_format="pyarrow",
-                                     batch_size=8192)
+    return ensure_schema(
+        _docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                  batch_size=8192),
+        pa.schema([("doc_id", pa.int64()), ("quality", pa.float64())]))
 
 
 def doc_fingerprint(sf_dir: str) -> Dataset:
@@ -90,7 +97,9 @@ def doc_fingerprint(sf_dir: str) -> Dataset:
         return pa.table({"doc_id": t["doc_id"],
                          "fingerprint": pa.array(md5s, pa.string())})
 
-    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow", batch_size=8192)
+    return ensure_schema(
+        _docs(sf_dir).map_batches(fp, batch_format="pyarrow", batch_size=8192),
+        pa.schema([("doc_id", pa.int64()), ("fingerprint", pa.string())]))
 
 
 # --- winnowing fingerprint (rolling hash) ------------------------------------
@@ -136,8 +145,11 @@ def winnow_fingerprint(sf_dir: str) -> Dataset:
                          "n_fingerprints": pa.array(counts, pa.int64()),
                          "fp_digest": pa.array(digests, pa.string())})
 
-    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow",
-                                     batch_size=8192)
+    return ensure_schema(
+        _docs(sf_dir).map_batches(fp, batch_format="pyarrow",
+                                  batch_size=8192),
+        pa.schema([("doc_id", pa.int64()), ("n_fingerprints", pa.int64()),
+                   ("fp_digest", pa.string())]))
 
 
 # --- language identification (stateful stopword profiles) --------------------
@@ -187,5 +199,8 @@ class LangIdStage:
 
 
 def lang_id(sf_dir: str) -> Dataset:
-    return _docs(sf_dir).map_batches(LangIdStage, batch_format="pandas",
-                                     batch_size=4096, concurrency=2, num_cpus=1)
+    return ensure_schema(
+        _docs(sf_dir).map_batches(LangIdStage, batch_format="pandas",
+                                  batch_size=4096, concurrency=2, num_cpus=1),
+        pa.schema([("doc_id", pa.int64()), ("lang_pred", pa.string()),
+                   ("lang_score", pa.float64())]))
