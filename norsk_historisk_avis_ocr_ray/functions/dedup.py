@@ -48,6 +48,59 @@ def _hash64(token: str) -> int:
         hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+# Shingle hashes are derived from token hashes with a vectorized mixer, NOT
+# blake2b per shingle: a batch of 1k docs has ~60k shingles but only a few
+# thousand *distinct tokens*, so hashing the vocabulary once and combining in
+# numpy removes millions of per-shingle digest calls from the hot stage.
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)   # splitmix64 finalizer constants
+_MIX2 = np.uint64(0x94D049BB133111EB)
+_POS = (np.uint64(0x9E3779B97F4A7C15),  # odd position multipliers (k ≤ 3)
+        np.uint64(0xC2B2AE3D27D4EB4F),
+        np.uint64(0x165667B19E3779F9))
+
+
+def _fmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, elementwise (uint64 wrap-around is intended)."""
+    x = x ^ (x >> np.uint64(30))
+    x = x * _MIX1
+    x = x ^ (x >> np.uint64(27))
+    x = x * _MIX2
+    return x ^ (x >> np.uint64(31))
+
+
+def _shingles_from_tokens(th: np.ndarray, k: int = 3) -> np.ndarray:
+    """Unique k-gram shingle hashes from a doc's token-hash array (uint64).
+
+    Each shingle hash mixes the k token hashes with distinct odd position
+    multipliers (order-sensitive) through the splitmix64 finalizer."""
+    n = len(th)
+    if n == 0:
+        return np.array([], dtype=np.uint64)
+    if n < k:
+        acc = np.uint64(0)
+        for i in range(n):
+            acc = acc + th[i] * _POS[i]
+        return _fmix64(np.array([acc], dtype=np.uint64))
+    acc = th[: n - k + 1] * _POS[0]
+    for i in range(1, k):
+        acc = acc + th[i: n - k + 1 + i] * _POS[i]
+    return np.unique(_fmix64(acc))
+
+
+def _hash_tokens_batch(texts: list) -> list[np.ndarray]:
+    """Token-hash arrays for a batch of texts, hashing each DISTINCT token
+    once (blake2b over the batch vocabulary, dict lookups for the rest)."""
+    tok_lists = [(t or "").lower().split() for t in texts]
+    vocab: dict[str, int] = {}
+    for toks in tok_lists:
+        for t in toks:
+            if t not in vocab:
+                vocab[t] = _hash64(t)
+    get = vocab.__getitem__
+    return [np.fromiter(map(get, toks), np.uint64, count=len(toks))
+            for toks in tok_lists]
+
+
 def _mod61(x: np.ndarray) -> np.ndarray:
     """x mod (2^61 - 1) for uint64 inputs (fold high bits, then subtract)."""
     v = (x >> np.uint64(61)) + (x & _P61)
@@ -73,19 +126,20 @@ def _modmul61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
     return _mod61(_mod61(v))
 
 
+def _shingle_array(text: str, k: int = 3) -> np.ndarray:
+    return _shingles_from_tokens(_hash_tokens_batch([text])[0], k)
+
+
 def word_shingles(text: str, k: int = 3) -> set[int]:
-    toks = (text or "").lower().split()
-    if len(toks) < k:
-        return {_hash64(" ".join(toks))} if toks else set()
-    return {_hash64(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)}
+    return set(_shingle_array(text, k).tolist())
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
-    sa, sb = word_shingles(a, k), word_shingles(b, k)
-    if not sa and not sb:
+    sa, sb = _shingle_array(a, k), _shingle_array(b, k)
+    if not len(sa) and not len(sb):
         return 1.0
-    inter = len(sa & sb)
-    union = len(sa) + len(sb) - inter
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
     return inter / union if union else 0.0
 
 
@@ -136,21 +190,24 @@ class MinHasher:
         self.rows = num_perm // bands
         self.k = k
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = word_shingles(text, self.k)
-        if not sh:
+    def _signature_from_shingles(self, sh: np.ndarray) -> np.ndarray:
+        if not len(sh):
             return np.full(self.num_perm, MERSENNE, dtype=np.uint64)
-        x = _mod61(np.fromiter(sh, dtype=np.uint64, count=len(sh)))
+        x = _mod61(sh)
         # true universal family: (a*x + b) mod p with overflow-safe modmul
         prod = _modmul61(self.a[:, None], x[None, :]) + self.b[:, None]
         prod = np.where(prod >= _P61, prod - _P61, prod)
         return prod.min(axis=1)
 
+    def signature(self, text: str) -> np.ndarray:
+        return self._signature_from_shingles(_shingle_array(text, self.k))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        tok_arrays = _hash_tokens_batch(batch["text"].to_pylist())
         doc_ids, bands, band_hashes = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            sig = self.signature(text)
+        for doc_id, th in zip(batch["doc_id"].to_pylist(), tok_arrays):
+            sig = self._signature_from_shingles(
+                _shingles_from_tokens(th, self.k))
             for bi in range(self.bands):
                 chunk = sig[bi * self.rows:(bi + 1) * self.rows]
                 h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
@@ -169,8 +226,12 @@ def minhash_candidates(docs: Dataset) -> Dataset:
 
     Bucket pairing is a self-join on the band key (vectorized hash join —
     per-bucket Python loops over tens of thousands of tiny groups are the
-    slow anti-pattern), followed by a vectorized count-aggregate for
-    distinctness.
+    slow anti-pattern). Distinctness is a per-batch combiner only: pairs
+    sharing several bands mostly collide inside one joined partition (the
+    join co-locates equal keys), and the caller's driver-side pull — already
+    O(candidates), the function's result size class — drops stragglers. A
+    global distinct-aggregate here would add a second all-to-all whose only
+    job is removing a handful of cross-block repeats.
 
     The signature stage runs as a task pool, not an actor pool: MinHasher's
     only state is 256 seeded permutation constants (microseconds to rebuild
@@ -179,8 +240,6 @@ def minhash_candidates(docs: Dataset) -> Dataset:
     general rule "stateful stage = actor pool" applies when __init__ is
     *expensive* (model load, index build), which this is not.
     """
-    from ray.data.aggregate import Count
-
     hasher = MinHasher()
     band_rows = docs.map_batches(hasher, batch_format="pyarrow",
                                  batch_size=1024).materialize()  # self-joined
@@ -196,11 +255,10 @@ def minhash_candidates(docs: Dataset) -> Dataset:
         import pyarrow.compute as pc
         keep = pc.less(t["doc_id"], t["doc_id_r"])
         t = t.filter(keep)
-        return pa.table({"a": t["doc_id"], "b": t["doc_id_r"]})
+        return (pa.table({"a": t["doc_id"], "b": t["doc_id_r"]})
+                .group_by(["a", "b"]).aggregate([]))  # batch-local distinct
 
-    pairs = joined.map_batches(ordered, batch_format="pyarrow")
-    return (pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
-            .select_columns(["a", "b"]))
+    return joined.map_batches(ordered, batch_format="pyarrow")
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
@@ -222,18 +280,25 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     docs = _docs(sf_dir)
     cands = minhash_candidates(docs).materialize()
 
-    pair_ids = cands.to_pandas()  # int pairs only, O(candidates)
+    # int pairs only, O(candidates); global distinct happens here (the
+    # banding stage dedupes per batch — see minhash_candidates)
+    pair_ids = cands.to_pandas().drop_duplicates()
     if pair_ids.empty:  # no candidates: skip the joins (empty sides crash)
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
+    cands = ray.data.from_pandas(pair_ids)
     id_set = pa.array(np.unique(np.concatenate(
         [pair_ids["a"].to_numpy(), pair_ids["b"].to_numpy()])))
 
     def only_candidates(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t["doc_id"], value_set=id_set))
 
-    needed = docs.map_batches(only_candidates, batch_format="pyarrow")
+    # Materialize the reduced text set (same size class as the result):
+    # both join branches consume it, and without this the read+filter scan
+    # of the FULL corpus would execute once per branch.
+    needed = docs.map_batches(only_candidates,
+                              batch_format="pyarrow").materialize()
     docs_a = needed.rename_columns({"doc_id": "a", "text": "text_a"})
     docs_b = needed.rename_columns({"doc_id": "b", "text": "text_b"})
     joined = (cands.join(docs_a, join_type="inner", num_partitions=4, on=("a",))
@@ -257,22 +322,27 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 
 # --- SimHash -------------------------------------------------------------------
 
-def simhash64(text: str) -> int:
-    toks = (text or "").lower().split()
-    if not toks:
+def _simhash_from_tokens(hashes: np.ndarray) -> int:
+    if not len(hashes):
         return 0
-    hashes = np.fromiter((_hash64(t) for t in toks), dtype=np.uint64,
-                         count=len(toks))
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    # bit votes via unpackbits: (n, 64) 0/1 matrix without 64 shift columns
+    bits = np.unpackbits(hashes[:, None].view(np.uint8), axis=1,
+                         bitorder="little").astype(np.int64)
+    votes = bits.sum(axis=0) * 2 - len(hashes)
+    return int(((votes > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash64(text: str) -> int:
+    return _simhash_from_tokens(_hash_tokens_batch([text])[0])
 
 
 def simhash_signatures(sf_dir: str) -> Dataset:
     from .collect import ensure_schema
 
     def sig(t: pa.Table) -> pa.Table:
-        hs = [simhash64(x) for x in t["text"].to_pylist()]
+        tok_arrays = _hash_tokens_batch(t["text"].to_pylist())
+        hs = [_simhash_from_tokens(th) for th in tok_arrays]
         return pa.table({"doc_id": t["doc_id"],
                          "simhash": pa.array([f"{h:016x}" for h in hs], pa.string())})
     return ensure_schema(
