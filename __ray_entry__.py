@@ -154,13 +154,32 @@ def _audio_frame_energy(sf_dir: str) -> Any:
     from norsk_historisk_avis_ocr_ray.stages.multimodal import AudioFrameSampleStage
 
     def synth(t: pa.Table) -> pa.Table:
+        # Vectorized across the whole batch: splitmix64 counter noise keyed
+        # (seed, per-doc-local counter) so the bytes are deterministic and
+        # independent of batching (a per-doc default_rng loop was the
+        # dominant cost of this query, not the pipeline itself).
+        from norsk_historisk_avis_ocr_ray.functions.dedup import _fmix64
+
+        doc_ids = t["doc_id"].to_pylist()
+        if not doc_ids:
+            return pa.table({"media_ref": pa.array([], pa.string()),
+                             "audio": pa.array([], pa.binary()),
+                             "codec": pa.array([], pa.string())})
+        # Per-doc arrays (~100 KB) stay L2-resident: a batch-wide vectorized
+        # form streamed ~12 MB of temporaries per op and collapsed under
+        # concurrent tasks on this VM's memory-bandwidth ceiling (measured
+        # 60 s aggregate UDF vs ~4 s for this loop).
+        GOLD = np.uint64(0x9E3779B97F4A7C15)
         refs, bufs = [], []
-        for d in t["doc_id"].to_pylist():
-            rng = np.random.default_rng(1234 + int(d))
-            n = 8000 + int(rng.integers(0, 8000))
-            tt = np.arange(n) / 16000.0
+        for d in doc_ids:
+            seed = int(_fmix64(np.uint64((int(d) + 1234) & 0xFFFFFFFFFFFFFFFF)))
+            n = 8000 + seed % 8000
             freq = 200.0 + (int(d) % 40) * 10.0
-            x = 0.6 * np.sin(2 * np.pi * freq * tt) + 0.1 * rng.standard_normal(n)
+            ctr = np.arange(n, dtype=np.uint64)
+            u = _fmix64((ctr * GOLD) ^ np.uint64(seed))
+            x = 0.6 * np.sin((2 * np.pi * freq / 16000.0)
+                             * np.arange(n, dtype=np.float64))
+            x += (u.astype(np.float64) / 2.0 ** 64 - 0.5) * 0.3464  # std≈0.1
             refs.append(f"audio://{d}")
             bufs.append(np.clip(x * 32767, -32768, 32767)
                         .astype(np.int16).tobytes())
@@ -178,7 +197,7 @@ def _audio_frame_energy(sf_dir: str) -> Any:
     ds = (_media_doc_ids(sf_dir)
           .map_batches(synth, batch_format="pyarrow", batch_size=256)
           .map_batches(AudioFrameSampleStage, batch_format="pyarrow",
-                       batch_size=64, concurrency=2, num_cpus=1)
+                       batch_size=64, concurrency=(2, 8), num_cpus=1)
           .map_batches(energy, batch_format="pyarrow")
           .groupby("media_ref")
           .aggregate(Count(alias_name="n_frames"),
@@ -203,27 +222,45 @@ def _video_frame_sample(sf_dir: str) -> Any:
     W, H = 32, 24
 
     def synth(t: pa.Table) -> pa.Table:
-        refs, bufs, ws, hs = [], [], [], []
-        for d in t["doc_id"].to_pylist():
-            rng = np.random.default_rng(4321 + int(d))
-            n = int(rng.integers(20, 51))
-            base = np.linspace(0, 255, W, dtype=np.float64)[None, None, :]
-            clip = (base + rng.integers(0, 32, size=(n, H, W))).clip(0, 255)
+        # Vectorized splitmix64 counter noise (doc-local counters keep the
+        # bytes independent of batching); 20–50 frames per clip as before.
+        from norsk_historisk_avis_ocr_ray.functions.dedup import _fmix64
+
+        doc_ids = t["doc_id"].to_pylist()
+        if not doc_ids:
+            return pa.table({"media_ref": pa.array([], pa.string()),
+                             "video": pa.array([], pa.binary()),
+                             "width": pa.array([], pa.int32()),
+                             "height": pa.array([], pa.int32()),
+                             "codec": pa.array([], pa.string())})
+        # Per-doc arrays (~25 KB) stay cache-resident — see the audio synth
+        # note on this VM's memory-bandwidth ceiling.
+        GOLD = np.uint64(0x9E3779B97F4A7C15)
+        base = np.linspace(0, 255, W, dtype=np.float64)
+        refs, bufs = [], []
+        for d in doc_ids:
+            seed = int(_fmix64(np.uint64((int(d) + 4321) & 0xFFFFFFFFFFFFFFFF)))
+            nf = 20 + seed % 31  # 20..50 frames
+            size = nf * H * W
+            ctr = np.arange(size, dtype=np.uint64)
+            noise = (_fmix64((ctr * GOLD) ^ np.uint64(seed))
+                     & np.uint64(31)).astype(np.float64)
+            col = (ctr % np.uint64(W)).astype(np.intp)
+            px = np.minimum(base[col] + noise, 255.0).astype(np.uint8)
             refs.append(f"video://{d}")
-            bufs.append(clip.astype(np.uint8).tobytes())
-            ws.append(W)
-            hs.append(H)
+            bufs.append(px.tobytes())
+        n = len(doc_ids)
         return pa.table({"media_ref": pa.array(refs, pa.string()),
                          "video": pa.array(bufs, pa.binary()),
-                         "width": pa.array(ws, pa.int32()),
-                         "height": pa.array(hs, pa.int32()),
-                         "codec": pa.array(["rawvideo-gray"] * len(refs),
+                         "width": pa.array([W] * n, pa.int32()),
+                         "height": pa.array([H] * n, pa.int32()),
+                         "codec": pa.array(["rawvideo-gray"] * n,
                                            pa.string())})
 
     ds = (_media_doc_ids(sf_dir)
           .map_batches(synth, batch_format="pyarrow", batch_size=128)
           .map_batches(VideoFrameSampleStage, batch_format="pyarrow",
-                       batch_size=32, concurrency=2, num_cpus=1)
+                       batch_size=32, concurrency=(2, 8), num_cpus=1)
           .groupby("media_ref")
           .aggregate(Count(alias_name="n_sampled")))
     from norsk_historisk_avis_ocr_ray.functions.collect import ensure_schema
