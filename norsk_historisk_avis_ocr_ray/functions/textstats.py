@@ -199,8 +199,11 @@ class LangIdStage:
 
 
 def lang_id(sf_dir: str) -> Dataset:
+    # Task form, not an actor pool: the stage's only state is a 55-entry
+    # stopword bitmask dict (microseconds per task to rebuild/ship), so the
+    # elastic task pool wins — same reasoning as MinHasher in dedup.py.
     return ensure_schema(
-        _docs(sf_dir).map_batches(LangIdStage, batch_format="pandas",
-                                  batch_size=4096, concurrency=2, num_cpus=1),
+        _docs(sf_dir).map_batches(LangIdStage(), batch_format="pandas",
+                                  batch_size=1024),
         pa.schema([("doc_id", pa.int64()), ("lang_pred", pa.string()),
                    ("lang_score", pa.float64())]))
