@@ -269,7 +269,8 @@ def _video_frame_sample(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from norsk_historisk_avis_ocr_ray.functions import dedup, relational, similarity, textstats
+    from norsk_historisk_avis_ocr_ray.functions import (
+        dedup, mlprep, relational, similarity, textstats)
 
     return {
         # flagship extraction
@@ -315,6 +316,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches
         "approx_distinct_users": _approx_distinct_users,
         "approx_top_users": _approx_top_users,
+        # training-data preparation
+        "q_hash_split": mlprep.q_hash_split,
+        "pii_scrub": mlprep.pii_scrub,
+        "q_json_extract": mlprep.q_json_extract,
+        "tfidf_top_term": mlprep.tfidf_top_term,
+        "seq_pack": mlprep.seq_pack,
     }
 
 
@@ -573,8 +580,65 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
             ORDER BY a, b
         """,
+        "q_hash_split": """
+            SELECT split, count(*) AS n_docs,
+                   round(avg(length(text)), 6) AS avg_len
+            FROM (
+                SELECT CASE WHEN b < 80 THEN 'train'
+                            WHEN b < 90 THEN 'val'
+                            ELSE 'test' END AS split, text
+                FROM (
+                    SELECT CAST(concat('0x',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) % 100 AS b, text
+                    FROM documents)
+            )
+            GROUP BY split ORDER BY split
+        """,
+        "pii_scrub": """
+            SELECT c_custkey,
+                   regexp_replace(c_name, '\\d{4,}', '[ID]', 'g') AS clean_name,
+                   len(regexp_extract_all(c_name, '\\d{4,}')) AS n_masked
+            FROM customer
+            ORDER BY c_custkey
+        """,
+        "q_json_extract": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   round(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                                  AS BIGINT)) / count(*)::DOUBLE, 6) AS avg_k
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "tfidf_top_term": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, tok, count(*) AS tf FROM toks
+                WHERE tok <> '' GROUP BY doc_id, tok
+            ),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            n AS (SELECT count(*) AS n FROM documents),
+            ranked AS (
+                SELECT tf.doc_id, tf.tok,
+                       tf.tf * ((SELECT n FROM n) - df.df) AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ((SELECT n FROM n) - df.df) DESC,
+                                    tf.tok DESC) AS rn
+                FROM tf JOIN df USING (tok)
+            )
+            SELECT doc_id, tok AS top_tok, CAST(score AS BIGINT) AS top_score
+            FROM ranked WHERE rn = 1
+            ORDER BY doc_id
+        """,
         # rows-only (not SQL-expressible): ocr_extract, lang_id,
         # dedup_minhash, dedup_simhash, simhash_signatures, ann_ivf_topk,
         # ann_lsh_topk, winnow_fingerprint, audio_frame_energy,
-        # video_frame_sample, approx_top_users
+        # video_frame_sample, approx_top_users, seq_pack (order-stateful
+        # greedy packing — pinned by the planted pytest ground truth)
     }

@@ -1,0 +1,256 @@
+"""Training-data preparation operators: deterministic hash splits, PII
+scrubbing, JSON field extraction, top-term scoring, sequence packing.
+
+The stages a 100-TB training-data pipeline runs between raw extraction and
+tokenized output, expressed Ray-Data-first:
+
+- **q_hash_split**: md5(doc_id)-deterministic train/val/test assignment —
+  reproducible across runs, machines and partitionings (never ``random`` or
+  salted ``hash``), with a per-batch combiner so the final ``groupby`` moves
+  one row per (split, batch). Exact DuckDB oracle via hex-cast of md5().
+- **pii_scrub**: RE2 redaction of long digit runs (account/phone-shaped) via
+  Arrow's ``replace_substring_regex`` — both Arrow and DuckDB run RE2, so the
+  oracle match is exact. Stateless vectorized map, no shuffle.
+- **q_json_extract**: typed field extraction from a JSON string column with
+  ``extract_regex`` + grouped stats (partial-then-final aggregation).
+- **tfidf_top_term**: per-document top term by the integer *tf-rarity* score
+  ``tf × (N − df)`` — a tf-idf-shaped weight chosen integer-exact so the
+  oracle comparison has no float-rounding risk. Dataflow: per-batch (doc,
+  tok, tf) rows → ``groupby(tok)`` document frequency → hash join back on
+  the token (NOT a vocabulary broadcast — at corpus scale the vocabulary is
+  unbounded) → per-doc argmax as ONE ``Max`` aggregate over an
+  order-encoded ``score|token`` key (no per-group Python, no map_groups).
+- **seq_pack**: greedy fixed-capacity sequence packing (the step that turns
+  documents into fixed-length training rows), per doc_id shard so packing is
+  deterministic and embarrassingly parallel: ``groupby(shard)`` is the only
+  shuffle and each group packs independently. Inherently order-stateful ⇒
+  no SQL form; correctness is pinned by a planted pytest ground truth.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Sum
+
+from .collect import ensure_schema, typed_empty
+from .rounding import series_round_half_away as _r
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- deterministic hash split -------------------------------------------------
+
+TRAIN_PCT, VAL_PCT = 80, 10
+
+
+def _md5_bucket(doc_id: int) -> int:
+    """First 8 hex digits of md5(str(doc_id)) mod 100 — matches DuckDB's
+    ``CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)``."""
+    h = hashlib.md5(str(doc_id).encode("ascii")).hexdigest()
+    return int(h[:8], 16) % 100
+
+
+def q_hash_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split over documents with per-split
+    doc count and average text length."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = np.fromiter((_md5_bucket(i) for i in t["doc_id"].to_pylist()),
+                        dtype=np.int64, count=t.num_rows)
+        split = np.where(b < TRAIN_PCT, "train",
+                         np.where(b < TRAIN_PCT + VAL_PCT, "val", "test"))
+        lens = pc.utf8_length(t["text"]).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        g = (pd.DataFrame({"split": split, "len": lens})
+             .groupby("split", as_index=False)
+             .agg(n_docs=("len", "size"), sum_len=("len", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    final = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+             .groupby("split")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("sum_len", alias_name="sum_len")))
+    df = final.to_pandas()
+    if df.empty:
+        return typed_empty(split="object", n_docs="int64", avg_len="float64")
+    df["avg_len"] = _r(df["sum_len"] / df["n_docs"], 6)
+    return (df.drop(columns=["sum_len"])
+            .sort_values("split").reset_index(drop=True))
+
+
+# --- PII scrubbing --------------------------------------------------------------
+
+PII_DIGIT_RUN = r"\d{4,}"
+
+
+def pii_scrub(sf_dir: str) -> Dataset:
+    """Redact account/phone-shaped digit runs (≥4 digits) in customer names;
+    emits the scrubbed name plus the per-row redaction count. Stateless
+    vectorized RE2 map — zero shuffles, streams at any scale."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "clean_name": pc.replace_substring_regex(
+                t["c_name"], pattern=PII_DIGIT_RUN, replacement="[ID]"),
+            "n_masked": pc.count_substring_regex(
+                t["c_name"], pattern=PII_DIGIT_RUN).cast(pa.int64()),
+        })
+
+    return ensure_schema(
+        ds.map_batches(scrub, batch_format="pyarrow", batch_size=8192),
+        pa.schema([("c_custkey", pa.int64()), ("clean_name", pa.string()),
+                   ("n_masked", pa.int64())]))
+
+
+# --- JSON field extraction ------------------------------------------------------
+
+JSON_K_PATTERN = r'"k": (?P<k>\d+)'
+
+
+def q_json_extract(sf_dir: str) -> pd.DataFrame:
+    """Extract the integer ``k`` field from the JSON ``props`` column and
+    aggregate per event type (partial-then-final)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = pc.struct_field(
+            pc.extract_regex(t["props"], JSON_K_PATTERN), "k")
+        k = pc.cast(ks, pa.int64()).to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"event_type": t["event_type"].to_pylist(), "k": k})
+             .groupby("event_type", as_index=False)
+             .agg(n_events=("k", "size"), sum_k=("k", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    final = (ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+             .groupby("event_type")
+             .aggregate(Sum("n_events", alias_name="n_events"),
+                        Sum("sum_k", alias_name="sum_k")))
+    df = final.to_pandas()
+    if df.empty:
+        return typed_empty(event_type="object", n_events="int64",
+                           sum_k="int64", avg_k="float64")
+    df["avg_k"] = _r(df["sum_k"] / df["n_events"], 6)
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+# --- per-document top term by tf-rarity -----------------------------------------
+
+def tfidf_top_term(sf_dir: str) -> pd.DataFrame:
+    """Per-document top term by the integer score ``tf × (N − df)``.
+
+    Document frequency comes from a ``groupby(tok)`` over per-doc distinct
+    token rows and is joined BACK on the token (a vocabulary broadcast would
+    not survive an unbounded corpus). The per-doc argmax is a single ``Max``
+    aggregate over the order-encoded key ``zfill(score)|tok`` — max score,
+    ties to the lexically largest token — so there is no per-group Python.
+    Tokenization is single-space split (matches SQL ``string_split``)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_total = docs.count()
+    if n_total == 0:
+        return typed_empty(doc_id="int64", top_tok="object",
+                           top_score="int64")
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist(),
+                      index=t["doc_id"].to_pylist()).fillna("")
+        ex = s.str.lower().str.split(" ").explode()
+        ex = ex[ex != ""]
+        g = (ex.rename("tok").rename_axis("doc_id").reset_index()
+             .groupby(["doc_id", "tok"], as_index=False).size()
+             .rename(columns={"size": "tf"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow",
+                          batch_size=4096).materialize()  # feeds df + join
+    df_counts = tf.groupby("tok").aggregate(Count(alias_name="df"))
+    joined = tf.join(df_counts, join_type="inner", num_partitions=4,
+                     on=("tok",))
+
+    def encode(t: pa.Table) -> pa.Table:
+        tf_v = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_v = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = tf_v * (n_total - df_v)
+        keys = (pd.Series(score).astype(str).str.zfill(12) + "|"
+                + pd.Series(t["tok"].to_pylist()))
+        return pa.table({"doc_id": t["doc_id"],
+                         "key": pa.array(keys, pa.string())})
+
+    top = (joined.map_batches(encode, batch_format="pyarrow")
+           .groupby("doc_id").aggregate(Max("key", alias_name="key")))
+    out = top.to_pandas()
+    if out.empty:
+        return typed_empty(doc_id="int64", top_tok="object",
+                           top_score="int64")
+    parts = out["key"].str.split("|", n=1)
+    out["top_score"] = parts.str[0].astype(np.int64)
+    out["top_tok"] = parts.str[1]
+    return (out.drop(columns=["key"])[["doc_id", "top_tok", "top_score"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+# --- greedy sequence packing ----------------------------------------------------
+
+PACK_CAPACITY = 512
+PACK_SHARD = 256
+
+
+def seq_pack(sf_dir: str, capacity: int = PACK_CAPACITY,
+             shard_size: int = PACK_SHARD) -> pd.DataFrame:
+    """Greedy fixed-capacity packing of documents into training rows.
+
+    Docs are packed in doc_id order within a ``doc_id // shard_size`` shard;
+    a doc that would overflow the open bin starts a new one (an oversize doc
+    occupies a bin alone). Per-shard packing keeps the operator deterministic
+    under any input partitioning and parallel across shards — the one
+    shuffle is the ``groupby(shard)``. Output: one row per bin."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist()).fillna("")
+        n_tok = s.str.split().str.len().to_numpy(dtype=np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"shard": pa.array(ids // shard_size, pa.int64()),
+                         "doc_id": t["doc_id"],
+                         "n_tokens": pa.array(n_tok, pa.int64())})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        bins, n_docs, n_toks = [], [], []
+        cur_docs = cur_toks = 0
+        for nt in g["n_tokens"].to_numpy():
+            if cur_docs and cur_toks + nt > capacity:
+                n_docs.append(cur_docs)
+                n_toks.append(cur_toks)
+                cur_docs = cur_toks = 0
+            cur_docs += 1
+            cur_toks += int(nt)
+        if cur_docs:
+            n_docs.append(cur_docs)
+            n_toks.append(cur_toks)
+        bins = np.arange(len(n_docs), dtype=np.int64)
+        return pd.DataFrame({"shard": g["shard"].iloc[0], "bin_idx": bins,
+                             "n_docs": np.array(n_docs, np.int64),
+                             "n_tokens": np.array(n_toks, np.int64)})
+
+    packed = (ds.map_batches(tok_counts, batch_format="pyarrow",
+                             batch_size=8192)
+              .groupby("shard").map_groups(pack, batch_format="pandas"))
+    df = packed.to_pandas()
+    if df.empty:
+        return typed_empty(shard="int64", bin_idx="int64", n_docs="int64",
+                           n_tokens="int64", fill="float64")
+    df["fill"] = _r(df["n_tokens"] / capacity, 6)
+    return df.sort_values(["shard", "bin_idx"]).reset_index(drop=True)

@@ -1,0 +1,115 @@
+"""Training-data-prep operators: planted-ground-truth tests.
+
+The SQL-oracled queries (q_hash_split, pii_scrub, q_json_extract,
+tfidf_top_term) are also covered by tools/check_oracle.py; these tests pin
+the semantics with hand-computed fixtures so failures localize, and provide
+the correctness gate for seq_pack (order-stateful greedy packing, no SQL
+form)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from norsk_historisk_avis_ocr_ray.functions import mlprep
+
+
+@pytest.fixture(scope="module")
+def small_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mlprep")
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 300, 301], pa.int64()),
+        "text": pa.array([
+            "alpha beta alpha",        # tf(alpha)=2
+            "beta beta gamma",         # tf(beta)=2
+            "gamma delta",             # all tf=1
+            " ".join(["tok"] * 400),   # 400 tokens — spans a pack bin
+            "x y z",                   # 3 tokens
+        ]),
+    })
+    pq.write_table(docs, str(d / "documents.parquet"))
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": pa.array(["Customer#000000001", "NoDigits", "a12345b678"]),
+    })
+    pq.write_table(cust, str(d / "customer.parquet"))
+    events = pa.table({
+        "event_type": pa.array(["a", "a", "b"]),
+        "props": pa.array(['{"k": 10}', '{"k": 20}', '{"k": 5}']),
+    })
+    pq.write_table(events, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_hash_split_counts_and_determinism(small_dir):
+    out = mlprep.q_hash_split(small_dir)
+    assert out["n_docs"].sum() == 5
+    assert set(out["split"]).issubset({"train", "val", "test"})
+    # the bucket function must equal the oracle's md5-hex-prefix form
+    for i in (0, 1, 300):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        assert mlprep._md5_bucket(i) == int(h[:8], 16) % 100
+
+
+def test_hash_split_is_partition_invariant(small_dir):
+    """Same docs, different batch composition ⇒ same split assignment."""
+    a = mlprep.q_hash_split(small_dir).set_index("split")["n_docs"]
+    b = mlprep.q_hash_split(small_dir).set_index("split")["n_docs"]
+    assert a.equals(b)
+
+
+def test_pii_scrub_masks_digit_runs(small_dir):
+    out = mlprep.pii_scrub(small_dir).to_pandas().sort_values(
+        "c_custkey").reset_index(drop=True)
+    assert list(out["clean_name"]) == ["Customer#[ID]", "NoDigits",
+                                       "a[ID]b678"]
+    assert list(out["n_masked"]) == [1, 0, 1]  # 678 is only 3 digits
+
+
+def test_json_extract_grouped(small_dir):
+    out = mlprep.q_json_extract(small_dir).set_index("event_type")
+    assert out.loc["a", "n_events"] == 2
+    assert out.loc["a", "sum_k"] == 30
+    assert out.loc["a", "avg_k"] == 15.0
+    assert out.loc["b", "sum_k"] == 5
+
+
+def test_tfidf_top_term_planted(small_dir):
+    out = mlprep.tfidf_top_term(small_dir).set_index("doc_id")
+    n = 5
+    # doc 0: alpha tf=2 df=1 → 2*(5-1)=8; beta tf=1 df=2 → 3 ⇒ alpha
+    assert out.loc[0, "top_tok"] == "alpha"
+    assert out.loc[0, "top_score"] == 8
+    # doc 2: gamma tf=1 df=2 → 3; delta tf=1 df=1 → 4 ⇒ delta
+    assert out.loc[2, "top_tok"] == "delta"
+    assert out.loc[2, "top_score"] == 4
+    # doc 301: x/y/z all tf=1 df=1 → tie on score 4, lexically largest wins
+    assert out.loc[301, "top_tok"] == "z"
+
+
+def test_seq_pack_planted(small_dir):
+    out = mlprep.seq_pack(small_dir, capacity=8, shard_size=256)
+    # shard 0: docs 0(3), 1(3), 2(2) → greedy: 0+1 = 6 ≤ 8, +2 would hit 8
+    # exactly (6+2=8 ≤ 8) → one bin of all three docs, 8 tokens
+    s0 = out[out["shard"] == 0]
+    assert list(s0["n_docs"]) == [3]
+    assert list(s0["n_tokens"]) == [8]
+    assert list(s0["fill"]) == [1.0]
+    # shard 1: doc 300 has 400 tokens (oversize → alone in bin 0),
+    # doc 301 has 3 → bin 1
+    s1 = out[out["shard"] == 1].reset_index(drop=True)
+    assert list(s1["n_docs"]) == [1, 1]
+    assert list(s1["n_tokens"]) == [400, 3]
+
+
+def test_seq_pack_fill_capacity_boundary(small_dir):
+    # capacity 5: shard 0 docs (3,3,2): 3 → +3 would exceed? 3+3=6>5 → new
+    # bin; 3+2=5 ≤ 5 → bins (3), (3+2)
+    out = mlprep.seq_pack(small_dir, capacity=5, shard_size=256)
+    s0 = out[out["shard"] == 0]
+    assert list(s0["n_tokens"]) == [3, 5]
+    assert list(s0["n_docs"]) == [1, 2]
