@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_users": _approx_top_users,
         # training-data preparation
         "q_hash_split": mlprep.q_hash_split,
+        "q_stratified_sample": mlprep.q_stratified_sample,
         "pii_scrub": mlprep.pii_scrub,
         "q_json_extract": mlprep.q_json_extract,
         "tfidf_top_term": mlprep.tfidf_top_term,
@@ -594,6 +595,22 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents)
             )
             GROUP BY split ORDER BY split
+        """,
+        "q_stratified_sample": """
+            SELECT lang,
+                   count(*) AS n_total,
+                   CAST(sum(CASE WHEN b < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sampled,
+                   round(sum(CASE WHEN b < 10 THEN length(text) ELSE 0 END)
+                         / greatest(sum(CASE WHEN b < 10 THEN 1 ELSE 0 END),
+                                    1)::DOUBLE, 6) AS avg_sampled_len
+            FROM (
+                SELECT lang, text,
+                       CAST(concat('0x',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 100 AS b
+                FROM documents)
+            GROUP BY lang ORDER BY lang
         """,
         "pii_scrub": """
             SELECT c_custkey,

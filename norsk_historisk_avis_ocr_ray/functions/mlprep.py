@@ -89,6 +89,46 @@ def q_hash_split(sf_dir: str) -> pd.DataFrame:
             .sort_values("split").reset_index(drop=True))
 
 
+# --- deterministic stratified sampling ------------------------------------------
+
+SAMPLE_PCT = 10
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic ~10% sample per language stratum (md5-bucket < 10),
+    reporting per-stratum totals, sampled counts, and sampled average
+    length. The sample is a pure filter — reproducible across runs and
+    partitionings, no ``random_shuffle``, no coordination."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = np.fromiter((_md5_bucket(i) for i in t["doc_id"].to_pylist()),
+                        dtype=np.int64, count=t.num_rows)
+        sampled = b < SAMPLE_PCT
+        lens = pc.utf8_length(t["text"]).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        g = (pd.DataFrame({"lang": t["lang"].to_pylist(), "s": sampled,
+                           "len": np.where(sampled, lens, 0)})
+             .groupby("lang", as_index=False)
+             .agg(n_total=("s", "size"), n_sampled=("s", "sum"),
+                  sum_len=("len", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    final = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+             .groupby("lang")
+             .aggregate(Sum("n_total", alias_name="n_total"),
+                        Sum("n_sampled", alias_name="n_sampled"),
+                        Sum("sum_len", alias_name="sum_len")))
+    df = final.to_pandas()
+    if df.empty:
+        return typed_empty(lang="object", n_total="int64",
+                           n_sampled="int64", avg_sampled_len="float64")
+    df["avg_sampled_len"] = _r(
+        df["sum_len"] / np.maximum(df["n_sampled"], 1), 6)
+    return (df.drop(columns=["sum_len"])
+            .sort_values("lang").reset_index(drop=True))
+
+
 # --- PII scrubbing --------------------------------------------------------------
 
 PII_DIGIT_RUN = r"\d{4,}"

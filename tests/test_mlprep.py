@@ -113,3 +113,15 @@ def test_seq_pack_fill_capacity_boundary(small_dir):
     s0 = out[out["shard"] == 0]
     assert list(s0["n_tokens"]) == [3, 5]
     assert list(s0["n_docs"]) == [1, 2]
+
+
+def test_stratified_sample_deterministic(small_dir):
+    # no lang column in the fixture docs — use the real sf0.001 table
+    out = mlprep.q_stratified_sample("/root/testdata/sf0.001")
+    assert (out["n_sampled"] <= out["n_total"]).all()
+    # deterministic: repeat run identical
+    out2 = mlprep.q_stratified_sample("/root/testdata/sf0.001")
+    assert out.equals(out2)
+    # sampled fraction is binomially plausible around 10%
+    frac = out["n_sampled"].sum() / out["n_total"].sum()
+    assert 0.02 < frac < 0.25
