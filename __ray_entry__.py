@@ -323,6 +323,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_json_extract": mlprep.q_json_extract,
         "tfidf_top_term": mlprep.tfidf_top_term,
         "seq_pack": mlprep.seq_pack,
+        "q_contamination": mlprep.q_contamination,
+        # anti join / lag window
+        "q_inactive_customers": relational.q_inactive_customers,
+        "q_user_gaps": relational.q_user_gaps,
+        # Gopher-style repetition quality signals
+        "q_repetition_stats": textstats.q_repetition_stats,
     }
 
 
@@ -652,6 +658,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, tok AS top_tok, CAST(score AS BIGINT) AS top_score
             FROM ranked WHERE rn = 1
             ORDER BY doc_id
+        """,
+        "q_repetition_stats": r"""
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+                              AS ws FROM documents),
+            wc AS (SELECT doc_id, unnest(ws) AS word FROM w),
+            tw AS (SELECT doc_id, max(c) AS mx FROM (
+                       SELECT doc_id, word, count(*) c FROM wc GROUP BY 1, 2)
+                   GROUP BY 1),
+            bg AS (SELECT doc_id,
+                          unnest(ws[1:len(ws)-1]) || ' ' || unnest(ws[2:len(ws)])
+                              AS b
+                   FROM w WHERE len(ws) >= 2),
+            tb AS (SELECT doc_id, max(c) AS mx FROM (
+                       SELECT doc_id, b, count(*) c FROM bg GROUP BY 1, 2)
+                   GROUP BY 1)
+            SELECT w.doc_id, len(w.ws) AS n_words,
+                   round(tw.mx * 1.0 / len(w.ws), 6) AS top_word_frac,
+                   round(COALESCE(tb.mx * 1.0 / (len(w.ws) - 1), 0.0), 6)
+                       AS top_bigram_frac
+            FROM w JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "q_contamination": r"""
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+                              AS ws FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(ws[1:len(ws)-2]) || ' ' ||
+                         unnest(ws[2:len(ws)-1]) || ' ' ||
+                         unnest(ws[3:len(ws)]) AS g3
+                  FROM w WHERE len(ws) >= 3),
+            bench AS (SELECT DISTINCT g3 FROM g WHERE doc_id % 20 = 0),
+            ev AS (SELECT doc_id, g3 FROM g WHERE doc_id % 20 <> 0
+                   GROUP BY 1, 2)
+            SELECT e.doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN b.g3 IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit,
+                   round(sum(CASE WHEN b.g3 IS NOT NULL THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 6) AS contamination_frac
+            FROM ev e LEFT JOIN bench b USING (g3)
+            GROUP BY e.doc_id ORDER BY e.doc_id
+        """,
+        "q_inactive_customers": """
+            SELECT c_custkey, c_name, c_mktsegment,
+                   round(c_acctbal, 2) AS c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '1998-09-01')
+            ORDER BY c_custkey
+        """,
+        "q_user_gaps": """
+            WITH s AS (SELECT user_id, event_id,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                       FROM events),
+            d AS (SELECT user_id,
+                         sec - lag(sec) OVER (PARTITION BY user_id
+                                              ORDER BY sec, event_id) AS gap
+                  FROM s)
+            SELECT user_id, count(*) AS n_events,
+                   CAST(max(gap) AS BIGINT) AS max_gap_s,
+                   round(avg(gap), 6) AS avg_gap_s
+            FROM d GROUP BY user_id HAVING count(*) >= 2
+            ORDER BY user_id
         """,
         # rows-only (not SQL-expressible): ocr_extract, lang_id,
         # dedup_minhash, dedup_simhash, simhash_signatures, ann_ivf_topk,

@@ -87,10 +87,12 @@ def _shingles_from_tokens(th: np.ndarray, k: int = 3) -> np.ndarray:
     return np.unique(_fmix64(acc))
 
 
-def _hash_tokens_batch(texts: list) -> list[np.ndarray]:
+def _hash_tokens_batch(texts: list, lower: bool = True) -> list[np.ndarray]:
     """Token-hash arrays for a batch of texts, hashing each DISTINCT token
-    once (blake2b over the batch vocabulary, dict lookups for the rest)."""
-    tok_lists = [(t or "").lower().split() for t in texts]
+    once (blake2b over the batch vocabulary, dict lookups for the rest).
+    ``lower=False`` keeps case (for ops whose SQL oracle is case-sensitive)."""
+    tok_lists = [((t or "").lower() if lower else (t or "")).split()
+                 for t in texts]
     vocab: dict[str, int] = {}
     for toks in tok_lists:
         for t in toks:

@@ -294,3 +294,75 @@ def seq_pack(sf_dir: str, capacity: int = PACK_CAPACITY,
                            n_tokens="int64", fill="float64")
     df["fill"] = _r(df["n_tokens"] / capacity, 6)
     return df.sort_values(["shard", "bin_idx"]).reset_index(drop=True)
+
+
+# --- benchmark-contamination check ---------------------------------------------
+
+CONTAM_MOD = 20   # docs with doc_id % 20 == 0 form the "benchmark" set
+CONTAM_K = 3      # word n-gram order
+
+
+def q_contamination(sf_dir: str) -> "ray.data.Dataset":
+    """Benchmark-contamination scan: for every non-benchmark document, the
+    fraction of its distinct word 3-grams that also occur in the benchmark
+    set (docs with ``doc_id % 20 == 0`` stand in for an eval suite).
+
+    Scale shape — broadcast-small-side, never a shuffle: the benchmark set
+    is tiny by definition (an eval suite, not the corpus), so pass 1 reduces
+    it to a distinct 64-bit shingle-hash array (per-batch dedup first, driver
+    union after) and ``ray.put``s it ONCE; pass 2 streams the corpus and
+    probes via one ``searchsorted`` per batch over the concatenated per-doc
+    shingles. Shingle hashing reuses dedup.py's vectorized splitmix mixer
+    over a per-batch token vocabulary (case-preserving here — the SQL oracle
+    compares literal n-gram strings). Hash collisions across 64 bits are
+    ~1e-11 at bench scale, far below the oracle's row count."""
+    from .dedup import _hash_tokens_batch, _shingles_from_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_hashes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % CONTAM_MOD == 0))
+        hs = [_shingles_from_tokens(th, CONTAM_K)
+              for th in _hash_tokens_batch(t["text"].to_pylist(), lower=False)
+              if len(th) >= CONTAM_K]
+        flat = (np.unique(np.concatenate(hs)) if hs
+                else np.array([], np.uint64))
+        return pa.table({"h": pa.array(flat, pa.uint64())})
+
+    bench_df = (ds.map_batches(bench_hashes, batch_format="pyarrow",
+                               batch_size=8192).to_pandas())
+    bench_arr = (np.unique(bench_df["h"].to_numpy().astype(np.uint64))
+                 if "h" in bench_df.columns else np.array([], np.uint64))
+    bench_ref = ray.put(bench_arr)
+
+    def score(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)  # zero-copy view from the object store
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % CONTAM_MOD != 0))
+        toks = _hash_tokens_batch(t["text"].to_pylist(), lower=False)
+        keep = np.array([len(th) >= CONTAM_K for th in toks], bool)
+        t = t.filter(pa.array(keep))
+        shs = [_shingles_from_tokens(th, CONTAM_K)
+               for th, k in zip(toks, keep) if k]
+        lens = np.array([len(s) for s in shs], np.int64)
+        flat = (np.concatenate(shs) if shs else np.array([], np.uint64))
+        pos = np.searchsorted(bench, flat)
+        pos_c = np.minimum(pos, max(len(bench) - 1, 0))
+        hit = (bench[pos_c] == flat) if len(bench) else np.zeros(len(flat), bool)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n_hit = np.bincount(doc_idx, weights=hit,
+                            minlength=len(lens)).astype(np.int64)
+        frac = _r(pd.Series(n_hit / np.maximum(lens, 1)), 6).to_numpy()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": pa.array(lens, pa.int64()),
+            "n_hit": pa.array(n_hit, pa.int64()),
+            "contamination_frac": pa.array(frac, pa.float64()),
+        })
+
+    return ensure_schema(
+        ds.map_batches(score, batch_format="pyarrow", batch_size=8192),
+        pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64()),
+                   ("n_hit", pa.int64()),
+                   ("contamination_frac", pa.float64())]))

@@ -672,3 +672,87 @@ def q_group_quantiles(sf_dir: str) -> pd.DataFrame:
         return typed_empty(o_orderpriority="object", n_orders="int64",
                            p50_price="float64", p90_price="float64")
     return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# --- anti join: customers inactive since a cutoff -----------------------------
+
+INACTIVE_CUTOFF = np.datetime64("1998-09-01", "us")
+
+
+def q_inactive_customers(sf_dir: str) -> pd.DataFrame:
+    """Customers with NO order on/after the cutoff date — a distributed
+    left-anti hash join (``Dataset.join(join_type="left_anti")``).
+
+    Scale shape: the probe side is reduced before the join — per-batch
+    distinct ``o_custkey`` so the shuffle moves at most one row per
+    (customer, batch) instead of every order. At 100 TB both sides stay
+    distributed (hash-partitioned by key); nothing is broadcast or
+    materialized on the driver until the (small, filtered) result."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def recent_custkeys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"],
+                                      pa.scalar(INACTIVE_CUTOFF)))
+        keys = pc.unique(t["o_custkey"])
+        return pa.table({"o_custkey": keys})
+
+    active = orders.map_batches(recent_custkeys, batch_format="pyarrow",
+                                batch_size=65536)
+    # Empty-side guards: the hash-join aggregator cannot resolve key fields
+    # on a zero-block side (count() on parquet is metadata-only, no scan).
+    if cust.count() == 0:
+        return typed_empty(c_custkey="int64", c_name="object",
+                           c_mktsegment="object", c_acctbal="float64")
+    if orders.count() == 0:
+        df = cust.to_pandas()
+    else:
+        df = (cust.join(active, join_type="left_anti", num_partitions=8,
+                        on=("c_custkey",), right_on=("o_custkey",))
+                  .to_pandas())
+    if df.empty:
+        return typed_empty(c_custkey="int64", c_name="object",
+                           c_mktsegment="object", c_acctbal="float64")
+    df["c_acctbal"] = _r(df["c_acctbal"], 2)
+    return (df[["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]]
+            .sort_values("c_custkey").reset_index(drop=True))
+
+
+# --- lag window: inter-event gap statistics per user ---------------------------
+
+def q_user_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-event gap statistics (the LAG window): events sorted by
+    (ts, event_id) within each user, gap = seconds since the previous event,
+    reporting count / max gap / mean gap per user with ≥ 2 events.
+
+    Same partitioning shape as q_sessionize: ``groupby(user_id)`` is the only
+    shuffle and each group's window runs vectorized (``diff`` over floored
+    epoch seconds). Output is one row per user — tiny relative to input."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "n_events": pd.Series([], dtype=np.int64),
+                                 "max_gap_s": pd.Series([], dtype=np.int64),
+                                 "avg_gap_s": pd.Series([], dtype=np.float64)})
+        g = g.sort_values(["ts", "event_id"])
+        # floor to whole epoch seconds BEFORE the diff, matching the SQL
+        # oracle's lag over floor(epoch(ts))
+        sec = (g["ts"].astype("int64") // 1_000_000).to_numpy()
+        d = np.diff(sec)
+        return pd.DataFrame({
+            "user_id": np.array([g["user_id"].iloc[0]], np.int64),
+            "n_events": np.array([len(g)], np.int64),
+            "max_gap_s": np.array([d.max()], np.int64),
+            "avg_gap_s": _r(pd.Series([d.mean()]), 6).to_numpy(),
+        })
+
+    df = (ds.groupby("user_id")
+            .map_groups(gaps, batch_format="pandas")
+            .to_pandas())
+    if df.empty:
+        return typed_empty(user_id="int64", n_events="int64",
+                           max_gap_s="int64", avg_gap_s="float64")
+    return df.sort_values("user_id").reset_index(drop=True)

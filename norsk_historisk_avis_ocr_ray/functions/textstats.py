@@ -207,3 +207,63 @@ def lang_id(sf_dir: str) -> Dataset:
                                   batch_size=1024),
         pa.schema([("doc_id", pa.int64()), ("lang_pred", pa.string()),
                    ("lang_score", pa.float64())]))
+
+
+# --- Gopher-style repetition statistics ---------------------------------------
+
+def q_repetition_stats(sf_dir: str) -> Dataset:
+    """Per-document repetition statistics — the Gopher-rules quality signals
+    (Rae et al. 2021: "most-common-word fraction", "duplicate n-gram
+    fraction"): word count, fraction of words taken by the single most
+    frequent word, and fraction of bigrams taken by the most frequent bigram.
+
+    Fully vectorized per batch and shuffle-free: Arrow regex split →
+    ``dictionary_encode`` (batch vocabulary) → composed integer keys →
+    ``np.unique`` counts → per-doc max via ``np.maximum.at`` over the
+    (already-unique) group keys. No Python loop touches a word."""
+
+    def rep(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        ndocs = len(lists)
+        n_words = pc.list_value_length(lists).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        enc = lists.flatten().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), n_words)
+        vocab = max(len(enc.dictionary), 1)
+
+        # top word count per doc: unique (doc, code) pairs with counts
+        uw, cw = np.unique(doc_idx * vocab + codes, return_counts=True)
+        top_w = np.zeros(ndocs, np.int64)
+        np.maximum.at(top_w, uw // vocab, cw)
+
+        # bigrams: adjacent codes within the same doc, re-encoded compactly
+        same = doc_idx[:-1] == doc_idx[1:] if len(codes) else np.array([], bool)
+        bg = (codes[:-1] * vocab + codes[1:])[same]
+        bdoc = doc_idx[:-1][same]
+        bcodes = pd.factorize(bg)[0]
+        nbg = max(len(bg), 1)
+        ub, cb = np.unique(bdoc * nbg + bcodes, return_counts=True)
+        top_b = np.zeros(ndocs, np.int64)
+        np.maximum.at(top_b, ub // nbg, cb)
+
+        n_bigrams = np.maximum(n_words - 1, 0)
+        twf = round_half_away(top_w / np.maximum(n_words, 1), 6)
+        tbf = round_half_away(
+            np.where(n_bigrams > 0, top_b / np.maximum(n_bigrams, 1), 0.0), 6)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "top_word_frac": pa.array(twf, pa.float64()),
+            "top_bigram_frac": pa.array(tbf, pa.float64()),
+        })
+
+    return ensure_schema(
+        _docs(sf_dir).map_batches(rep, batch_format="pyarrow",
+                                  batch_size=8192),
+        pa.schema([("doc_id", pa.int64()), ("n_words", pa.int64()),
+                   ("top_word_frac", pa.float64()),
+                   ("top_bigram_frac", pa.float64())]))

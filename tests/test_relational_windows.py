@@ -17,7 +17,7 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("events", "orders"):
+    for t in ("events", "orders", "customer"):
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return c
 
@@ -155,3 +155,67 @@ def test_range_window_every_event_matches_itself(ray_session):
 
     df = q_range_window_events(SF_DIR)
     assert (df["n_recent"] >= 1).all()
+
+
+def test_user_gaps_matches_duckdb(ray_session, con):
+    from norsk_historisk_avis_ocr_ray.functions.relational import q_user_gaps
+
+    got = _canon(q_user_gaps(SF_DIR))
+    exp = _canon(con.sql("""
+        WITH s AS (SELECT user_id, event_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        d AS (SELECT user_id,
+                     sec - lag(sec) OVER (PARTITION BY user_id
+                                          ORDER BY sec, event_id) AS gap
+              FROM s)
+        SELECT user_id, count(*) AS n_events,
+               CAST(max(gap) AS BIGINT) AS max_gap_s,
+               round(avg(gap), 6) AS avg_gap_s
+        FROM d GROUP BY user_id HAVING count(*) >= 2
+    """).df())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+def test_inactive_customers_matches_duckdb(ray_session, con):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_inactive_customers)
+
+    got = _canon(q_inactive_customers(SF_DIR))
+    exp = _canon(con.sql("""
+        SELECT c_custkey, c_name, c_mktsegment,
+               round(c_acctbal, 2) AS c_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1998-09-01')
+    """).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+def test_inactive_customers_planted(ray_session, tmp_path):
+    """Anti-join semantics pinned: a customer with only pre-cutoff orders is
+    inactive; one with any post-cutoff order is not; one with no orders at
+    all is inactive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_inactive_customers)
+
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": pa.array(["old", "active", "never"]),
+        "c_mktsegment": pa.array(["X", "X", "X"]),
+        "c_acctbal": pa.array([1.0, 2.0, 3.0]),
+    })
+    orders = pa.table({
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array(
+            [np.datetime64("1997-01-01", "us"),
+             np.datetime64("1999-01-01", "us")]),
+    })
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    got = q_inactive_customers(str(tmp_path))
+    assert got["c_custkey"].tolist() == [1, 3]
