@@ -145,9 +145,13 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return inter / union if union else 0.0
 
 
-def _docs(sf_dir: str) -> Dataset:
+def _docs(sf_dir: str, num_blocks: int | None = None) -> Dataset:
+    """``num_blocks`` splits the read itself (row-range granularity) so a
+    single-file test input doesn't arrive as ONE block and serialize the
+    compute stage behind it — free, unlike a repartition() all-to-all."""
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=num_blocks)
 
 
 # --- exact dedup --------------------------------------------------------------
@@ -204,22 +208,66 @@ class MinHasher:
     def signature(self, text: str) -> np.ndarray:
         return self._signature_from_shingles(_shingle_array(text, self.k))
 
+    def _signatures_batch(self, tok_arrays: list[np.ndarray]) -> np.ndarray:
+        """(ndocs, num_perm) signature matrix for a whole batch in ONE
+        permutation matmul: shingles of all docs are concatenated, hashed
+        against every permutation at once, and the per-doc minima taken with
+        ``minimum.reduceat`` over the doc boundaries — no per-doc Python."""
+        shingle_arrays = [_shingles_from_tokens(th, self.k)
+                          for th in tok_arrays]
+        lens = np.array([len(s) for s in shingle_arrays], np.int64)
+        sigs = np.full((len(lens), self.num_perm), MERSENNE, dtype=np.uint64)
+        nz_idx = np.flatnonzero(lens)
+        if not len(nz_idx):
+            return sigs
+        # Sub-chunk so the (shingles × num_perm) modmul temporaries stay
+        # L2-resident (512 shingles → 512×256×8 B ≈ 1 MB per temp); one giant
+        # matrix over the whole batch thrashes DRAM and runs 2.5× slower.
+        # Shingle-major orientation: reduceat then runs over contiguous rows.
+        CHUNK = 512
+        nz_lens = lens[nz_idx]
+        acc = 0
+        bounds = [0]
+        for i, ln in enumerate(nz_lens):
+            acc += ln
+            if acc >= CHUNK:
+                bounds.append(i + 1)
+                acc = 0
+        if bounds[-1] != len(nz_lens):
+            bounds.append(len(nz_lens))
+        for g0, g1 in zip(bounds[:-1], bounds[1:]):
+            idx = nz_idx[g0:g1]
+            flat = np.concatenate([shingle_arrays[i] for i in idx])
+            x = _mod61(flat)
+            prod = _modmul61(self.a[None, :], x[:, None]) + self.b[None, :]
+            prod = np.where(prod >= _P61, prod - _P61, prod)  # (sh, perm)
+            starts = np.concatenate(([0], np.cumsum(nz_lens[g0:g1])[:-1]))
+            sigs[idx] = np.minimum.reduceat(prod, starts, axis=0)
+        return sigs
+
+    def _band_keys(self, sigs: np.ndarray) -> np.ndarray:
+        """(ndocs, bands) uint64 band keys: each band's ``rows`` signature
+        values folded through a splitmix64 chain (vectorized across all docs
+        and bands — replaces one blake2b call per (doc, band))."""
+        chunks = sigs.reshape(len(sigs), self.bands, self.rows)
+        h = np.full((len(sigs), self.bands),
+                    np.uint64(0x9E3779B97F4A7C15), np.uint64)
+        for r in range(self.rows):
+            h = _fmix64(h ^ chunks[:, :, r])
+        return h
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         tok_arrays = _hash_tokens_batch(batch["text"].to_pylist())
-        doc_ids, bands, band_hashes = [], [], []
-        for doc_id, th in zip(batch["doc_id"].to_pylist(), tok_arrays):
-            sig = self._signature_from_shingles(
-                _shingles_from_tokens(th, self.k))
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows:(bi + 1) * self.rows]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                doc_ids.append(doc_id)
-                bands.append(bi)
-                band_hashes.append(h)
+        sigs = self._signatures_batch(tok_arrays)
+        keys = self._band_keys(sigs)                      # (ndocs, bands)
+        ndocs = len(sigs)
+        doc_ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), self.bands)
+        bands = np.tile(np.arange(self.bands, dtype=np.int32), ndocs)
         return pa.table({
             "doc_id": pa.array(doc_ids),
             "band": pa.array(bands, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.string()),
+            "band_hash": pa.array(keys.reshape(-1), pa.uint64()),
         })
 
 
@@ -279,7 +327,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 
     from .rounding import round_half_away
 
-    docs = _docs(sf_dir)
+    docs = _docs(sf_dir, num_blocks=16)
     cands = minhash_candidates(docs).materialize()
 
     # int pairs only, O(candidates); global distinct happens here (the
@@ -289,7 +337,6 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-    cands = ray.data.from_pandas(pair_ids)
     id_set = pa.array(np.unique(np.concatenate(
         [pair_ids["a"].to_numpy(), pair_ids["b"].to_numpy()])))
 
@@ -297,14 +344,35 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
         return t.filter(pc.is_in(t["doc_id"], value_set=id_set))
 
     # Materialize the reduced text set (same size class as the result):
-    # both join branches consume it, and without this the read+filter scan
+    # both attach paths consume it, and without this the read+filter scan
     # of the FULL corpus would execute once per branch.
     needed = docs.map_batches(only_candidates,
                               batch_format="pyarrow").materialize()
-    docs_a = needed.rename_columns({"doc_id": "a", "text": "text_a"})
-    docs_b = needed.rename_columns({"doc_id": "b", "text": "text_b"})
-    joined = (cands.join(docs_a, join_type="inner", num_partitions=4, on=("a",))
-                   .join(docs_b, join_type="inner", num_partitions=4, on=("b",)))
+
+    # Attach texts to pairs. The candidate set is O(result) after LSH — for
+    # the common case it fits the driver, and two pandas merges beat two
+    # distributed hash joins whose aggregator-actor startup alone costs
+    # seconds. Above the cutover the hash-join path keeps every side
+    # distributed (never a whole-corpus pull — the round-1 scale-killer was
+    # broadcasting ALL texts, not the candidate-filtered sliver).
+    JOIN_CUTOVER_PAIRS = 250_000
+    if len(pair_ids) <= JOIN_CUTOVER_PAIRS:
+        ndf = needed.to_pandas()
+        joined = ray.data.from_pandas(
+            pair_ids
+            .merge(ndf.rename(columns={"doc_id": "a", "text": "text_a"}),
+                   on="a")
+            .merge(ndf.rename(columns={"doc_id": "b", "text": "text_b"}),
+                   on="b"))
+    else:
+        cands_ds = ray.data.from_pandas(pair_ids)
+        docs_a = needed.rename_columns({"doc_id": "a", "text": "text_a"})
+        docs_b = needed.rename_columns({"doc_id": "b", "text": "text_b"})
+        joined = (cands_ds
+                  .join(docs_a, join_type="inner", num_partitions=4,
+                        on=("a",))
+                  .join(docs_b, join_type="inner", num_partitions=4,
+                        on=("b",)))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         jac = round_half_away(
@@ -339,40 +407,77 @@ def simhash64(text: str) -> int:
     return _simhash_from_tokens(_hash_tokens_batch([text])[0])
 
 
+def _simhash_batch(tok_arrays: list[np.ndarray]) -> np.ndarray:
+    """uint64 SimHash per doc for a whole batch in ONE unpackbits: token
+    hashes of all docs are concatenated, bit-expanded once, and the per-doc
+    bit votes taken with ``add.reduceat`` over the doc boundaries."""
+    lens = np.array([len(a) for a in tok_arrays], np.int64)
+    out = np.zeros(len(lens), np.uint64)
+    nz_idx = np.flatnonzero(lens)
+    if not len(nz_idx):
+        return out
+    # Sub-chunk to keep the (tokens × 64) bit matrix L2-resident (1k tokens
+    # ≈ 64 KB) — one monolithic reduceat over the whole batch runs ~100×
+    # slower (the same DRAM-thrash trap as MinHasher._signatures_batch).
+    CHUNK = 1024
+    nz_lens = lens[nz_idx]
+    acc = 0
+    bounds = [0]
+    for i, ln in enumerate(nz_lens):
+        acc += ln
+        if acc >= CHUNK:
+            bounds.append(i + 1)
+            acc = 0
+    if bounds[-1] != len(nz_lens):
+        bounds.append(len(nz_lens))
+    ar64 = np.arange(64, dtype=np.uint64)
+    for g0, g1 in zip(bounds[:-1], bounds[1:]):
+        idx = nz_idx[g0:g1]
+        flat = np.concatenate([tok_arrays[i] for i in idx])
+        bits = np.unpackbits(flat[:, None].view(np.uint8), axis=1,
+                             bitorder="little")               # (n, 64) uint8
+        starts = np.concatenate(([0], np.cumsum(nz_lens[g0:g1])[:-1]))
+        sums = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+        votes = sums * 2 - nz_lens[g0:g1][:, None]
+        out[idx] = ((votes > 0).astype(np.uint64) << ar64).sum(axis=1)
+    return out
+
+
 def simhash_signatures(sf_dir: str) -> Dataset:
     from .collect import ensure_schema
 
     def sig(t: pa.Table) -> pa.Table:
-        tok_arrays = _hash_tokens_batch(t["text"].to_pylist())
-        hs = [_simhash_from_tokens(th) for th in tok_arrays]
+        hs = _simhash_batch(_hash_tokens_batch(t["text"].to_pylist()))
         return pa.table({"doc_id": t["doc_id"],
                          "simhash": pa.array([f"{h:016x}" for h in hs], pa.string())})
     return ensure_schema(
-        _docs(sf_dir).map_batches(sig, batch_format="pyarrow", batch_size=8192),
+        _docs(sf_dir, num_blocks=8).map_batches(
+            sig, batch_format="pyarrow", batch_size=8192),
         pa.schema([("doc_id", pa.int64()), ("simhash", pa.string())]))
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """Near-dup pairs by SimHash Hamming ≤ max_hamming, blocked on 16-bit
     chunks (pigeonhole: Hamming ≤ 3 ⇒ ≥1 of 4 chunks identical)."""
-    sigs = simhash_signatures(sf_dir)
 
-    def explode_chunks(t: pa.Table) -> pa.Table:
-        doc_ids, chunks, vals, full = [], [], [], []
-        for doc_id, hx in zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist()):
-            h = int(hx, 16)
-            for c in range(4):
-                doc_ids.append(doc_id)
-                chunks.append(c)
-                vals.append((h >> (16 * c)) & 0xFFFF)
-                full.append(hx)
-        return pa.table({"doc_id": pa.array(doc_ids), "chunk": pa.array(chunks, pa.int32()),
-                         "val": pa.array(vals, pa.int32()), "simhash": pa.array(full)})
+    def sig_and_explode(t: pa.Table) -> pa.Table:
+        hs = _simhash_batch(_hash_tokens_batch(t["text"].to_pylist()))
+        ndocs = len(hs)
+        hexes = np.array([f"{h:016x}" for h in hs], dtype=object)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        vals = ((hs[:, None] >> shifts[None, :])
+                & np.uint64(0xFFFF)).astype(np.int32)          # (docs, 4)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(
+                t["doc_id"].to_numpy(zero_copy_only=False), 4)),
+            "chunk": pa.array(np.tile(np.arange(4, dtype=np.int32), ndocs)),
+            "val": pa.array(vals.reshape(-1), pa.int32()),
+            "simhash": pa.array(np.repeat(hexes, 4), pa.string())})
 
-    from ray.data.aggregate import Min
-
-    chunk_rows = sigs.map_batches(explode_chunks,
-                                  batch_format="pyarrow").materialize()
+    chunk_rows = (_docs(sf_dir, num_blocks=16)
+                  .map_batches(sig_and_explode, batch_format="pyarrow",
+                               batch_size=8192)
+                  .materialize())
     if chunk_rows.count() == 0:  # empty corpus: skip the self-join
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
@@ -398,15 +503,19 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         ham = np.unpackbits((ua ^ ub).view(np.uint8)).reshape(-1, 64).sum(
             axis=1).astype(np.int64) if len(ua) else np.array([], np.int64)
         keep = ham <= max_hamming
-        return pa.table({
+        # batch-local distinct only: a pair matching on several chunks mostly
+        # lands in one joined partition; the driver-side drop_duplicates is
+        # O(result) and replaces a whole groupby all-to-all whose only job
+        # was removing those repeats (hamming is pair-deterministic, so no
+        # Min-combine is needed).
+        return (pa.table({
             "a": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
             "b": t["doc_id_r"].to_numpy(zero_copy_only=False)[keep],
             "hamming": pa.array(ham[keep], pa.int64())})
+            .group_by(["a", "b", "hamming"]).aggregate([]))
 
-    pairs = (joined.map_batches(verify, batch_format="pyarrow")
-                   .groupby(["a", "b"])
-                   .aggregate(Min("hamming", alias_name="hamming")))
-    df = pairs.to_pandas()
+    df = (joined.map_batches(verify, batch_format="pyarrow")
+                .to_pandas().drop_duplicates())
     if df.empty:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
