@@ -135,11 +135,12 @@ def _image_features(sf_dir: str) -> Any:
 
 def _media_doc_ids(sf_dir: str) -> "Any":
     import ray
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"])
-    if len(ds.input_files()) < 16:
-        ds = ds.repartition(16)  # per-doc Python synth/decode needs blocks
-    return ds
+    # override_num_blocks splits the read itself (row ranges) so the per-doc
+    # synth/decode stages get parallel blocks WITHOUT a repartition shuffle
+    # (repartition on this VM costs ~2-3 s of all-to-all machinery alone).
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"],
+                                 override_num_blocks=16)
 
 
 def _audio_frame_energy(sf_dir: str) -> Any:
@@ -187,21 +188,33 @@ def _audio_frame_energy(sf_dir: str) -> Any:
                          "audio": pa.array(bufs, pa.binary()),
                          "codec": pa.array(["pcm16"] * len(refs), pa.string())})
 
-    def energy(t: pa.Table) -> pa.Table:
+    def energy_per_clip(t: pa.Table) -> pa.Table:
+        # Clip-local aggregate, NO shuffle: the sampling stage emits every
+        # frame of a clip inside the batch that decoded it, so the per-clip
+        # RMS mean is exact without a groupby all-to-all. (If clips were ever
+        # split across tasks — chunked long-media decode — this reverts to
+        # partial (sum_sq, n) rows + a tiny groupby(media_ref).)
+        import pandas as pd
         pcm = np.stack([np.frombuffer(b, np.int16)
                         for b in t["frame"].to_pylist()]).astype(np.float64)
         rms = np.sqrt((pcm ** 2).mean(axis=1))
-        return pa.table({"media_ref": t["media_ref"],
-                         "rms": pa.array(rms, pa.float64())})
+        g = (pd.DataFrame({"media_ref": t["media_ref"].to_pylist(),
+                           "rms": rms})
+             .groupby("media_ref", as_index=False)
+             .agg(n_frames=("rms", "size"), mean_rms=("rms", "mean")))
+        return pa.table({
+            "media_ref": pa.array(g["media_ref"], pa.string()),
+            "n_frames": pa.array(g["n_frames"].to_numpy(np.int64)),
+            "mean_rms": pa.array(g["mean_rms"].to_numpy(np.float64))})
 
+    # Task form (instance), not an actor pool: the stage's only state is two
+    # frame-size ints (the actor-pool form is for heavy decoder state — see
+    # stages/multimodal.py; MinHasher/LangIdStage reasoning applies here).
     ds = (_media_doc_ids(sf_dir)
           .map_batches(synth, batch_format="pyarrow", batch_size=256)
-          .map_batches(AudioFrameSampleStage, batch_format="pyarrow",
-                       batch_size=64, concurrency=(2, 8), num_cpus=1)
-          .map_batches(energy, batch_format="pyarrow")
-          .groupby("media_ref")
-          .aggregate(Count(alias_name="n_frames"),
-                     Mean("rms", alias_name="mean_rms")))
+          .map_batches(AudioFrameSampleStage(), batch_format="pyarrow",
+                       batch_size=64)
+          .map_batches(energy_per_clip, batch_format="pyarrow"))
     from norsk_historisk_avis_ocr_ray.functions.collect import ensure_schema
     return ensure_schema(ds, pa.schema([
         ("media_ref", pa.string()), ("n_frames", pa.int64()),
@@ -257,12 +270,20 @@ def _video_frame_sample(sf_dir: str) -> Any:
                          "codec": pa.array(["rawvideo-gray"] * n,
                                            pa.string())})
 
+    def count_per_clip(t: pa.Table) -> pa.Table:
+        # Clip-local count — same no-shuffle invariant as the audio path.
+        ref = t["media_ref"].combine_chunks()
+        cnt = ref.value_counts()
+        return pa.table({
+            "media_ref": cnt.field("values"),
+            "n_sampled": cnt.field("counts").cast(pa.int64())})
+
+    # Task form for the same reason as the audio stage: one int of state.
     ds = (_media_doc_ids(sf_dir)
           .map_batches(synth, batch_format="pyarrow", batch_size=128)
-          .map_batches(VideoFrameSampleStage, batch_format="pyarrow",
-                       batch_size=32, concurrency=(2, 8), num_cpus=1)
-          .groupby("media_ref")
-          .aggregate(Count(alias_name="n_sampled")))
+          .map_batches(VideoFrameSampleStage(), batch_format="pyarrow",
+                       batch_size=32)
+          .map_batches(count_per_clip, batch_format="pyarrow"))
     from norsk_historisk_avis_ocr_ray.functions.collect import ensure_schema
     return ensure_schema(ds, pa.schema([
         ("media_ref", pa.string()), ("n_sampled", pa.int64())]))
