@@ -214,7 +214,12 @@ def _audio_frame_energy(sf_dir: str) -> Any:
           .map_batches(synth, batch_format="pyarrow", batch_size=256)
           .map_batches(AudioFrameSampleStage(), batch_format="pyarrow",
                        batch_size=64)
-          .map_batches(energy_per_clip, batch_format="pyarrow"))
+          # batch_size=None => one batch per upstream output block, so the
+          # clip-local invariant can't be broken by default 1024-row
+          # re-batching (a clip split across batches would emit two partial
+          # rows for the same media_ref).
+          .map_batches(energy_per_clip, batch_format="pyarrow",
+                       batch_size=None))
     from norsk_historisk_avis_ocr_ray.functions.collect import ensure_schema
     return ensure_schema(ds, pa.schema([
         ("media_ref", pa.string()), ("n_frames", pa.int64()),
@@ -283,7 +288,10 @@ def _video_frame_sample(sf_dir: str) -> Any:
           .map_batches(synth, batch_format="pyarrow", batch_size=128)
           .map_batches(VideoFrameSampleStage(), batch_format="pyarrow",
                        batch_size=32)
-          .map_batches(count_per_clip, batch_format="pyarrow"))
+          # batch_size=None: see the audio path — align batches with blocks
+          # so a clip is never split by re-batching.
+          .map_batches(count_per_clip, batch_format="pyarrow",
+                       batch_size=None))
     from norsk_historisk_avis_ocr_ray.functions.collect import ensure_schema
     return ensure_schema(ds, pa.schema([
         ("media_ref", pa.string()), ("n_sampled", pa.int64())]))
