@@ -358,7 +358,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_gaps": relational.q_user_gaps,
         # Gopher-style repetition quality signals
         "q_repetition_stats": textstats.q_repetition_stats,
+        # duplicate clustering (connected components)
+        "dup_clusters": _dup_clusters,
+        "minhash_clusters": _minhash_clusters,
     }
+
+
+def _dup_clusters(sf_dir: str) -> Any:
+    from norsk_historisk_avis_ocr_ray.functions.cluster import dup_clusters
+    return dup_clusters(sf_dir)
+
+
+def _minhash_clusters(sf_dir: str) -> Any:
+    from norsk_historisk_avis_ocr_ray.functions.cluster import minhash_clusters
+    return minhash_clusters(sf_dir)
 
 
 def _approx_distinct_users(sf_dir: str) -> Any:
@@ -751,9 +764,38 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY user_id HAVING count(*) >= 2
             ORDER BY user_id
         """,
+        "dup_clusters": """
+            WITH RECURSIVE
+            toks AS (SELECT doc_id,
+                            string_split(coalesce(text, ''), ' ') AS ts
+                     FROM documents),
+            keys AS (SELECT doc_id,
+                            array_to_string(ts[1:8], ' ') AS k1,
+                            array_to_string(ts[-8:], ' ') AS k2
+                     FROM toks),
+            g1 AS (SELECT doc_id,
+                          min(doc_id) OVER (PARTITION BY k1) AS root
+                   FROM keys),
+            g2 AS (SELECT doc_id,
+                          min(doc_id) OVER (PARTITION BY k2) AS root
+                   FROM keys),
+            e AS (SELECT doc_id AS a, root AS b FROM g1 WHERE doc_id <> root
+                  UNION
+                  SELECT doc_id, root FROM g2 WHERE doc_id <> root),
+            bidir AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            lab(node, label) AS (
+                SELECT doc_id, doc_id FROM keys
+                UNION
+                SELECT bd.a, lab.label FROM lab
+                JOIN bidir bd ON bd.b = lab.node
+                WHERE lab.label < bd.a
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM lab GROUP BY node ORDER BY doc_id
+        """,
         # rows-only (not SQL-expressible): ocr_extract, lang_id,
-        # dedup_minhash, dedup_simhash, simhash_signatures, ann_ivf_topk,
-        # ann_lsh_topk, winnow_fingerprint, audio_frame_energy,
+        # dedup_minhash, dedup_simhash, minhash_clusters, simhash_signatures,
+        # ann_ivf_topk, ann_lsh_topk, winnow_fingerprint, audio_frame_energy,
         # video_frame_sample, approx_top_users, seq_pack (order-stateful
         # greedy packing — pinned by the planted pytest ground truth)
     }

@@ -1,0 +1,236 @@
+"""Duplicate-cluster assignment: distributed connected components.
+
+Pair lists (``dedup_minhash``/``dedup_simhash``) say *which* documents are
+near-duplicates; a training-data pipeline needs the transitive closure —
+"keep one doc per duplicate CLUSTER" — which is connected components over
+the duplicate graph (the fuzzy-dedup step every large corpus pipeline runs
+after LSH, cf. the large-star/small-star CC-in-MapReduce family).
+
+Two operators:
+
+- ``dup_clusters``: corpus-scale CC over a *key-group* graph — documents
+  sharing a normalized prefix key or suffix key are connected (the
+  SQL-expressible stand-in for an arbitrary similarity edge set, so the
+  DuckDB oracle can verify the component assignment EXACTLY via a recursive
+  CTE). The distributed kernel is iterated min-label propagation:
+
+      rows (doc_id, kh1, kh2, label=doc_id), text dropped after key hashing
+      repeat:
+        per-key min(label) via ONE groupby over the exploded (key, label)
+          pairs — a vectorized partial+final Min combine, ints only;
+        keys with count > 1 ("hot keys") are the only ones that can change
+          a label, and their number is O(duplicate groups) — the same size
+          class as the dedup result — so the (key → min) sliver is
+          broadcast via ray.put and labels update in a plain map_batches
+          (vectorized searchsorted lookup) with NO second shuffle (the
+          semi-join-reduce pattern from dedup_minhash). Above a cutover the
+          sliver is NOT pulled: labels update through two distributed
+          left-outer hash joins instead.
+      until sum(label) is a fixed point (labels are monotone non-increasing,
+      so an unchanged sum IS convergence).
+
+  Iterations = graph diameter in key-hops (tiny for dup clusters; each
+  iteration's shuffle moves (uint64 key, int64 label) rows only).
+
+- ``minhash_clusters``: cluster ids over the *verified MinHash pair list*.
+  The pair list is the RESULT of dedup_minhash — already O(result) and
+  driver-resident by that operator's contract — so the transitive closure
+  runs as a driver-side union-find over those pairs (same size class as its
+  input; the corpus never leaves the cluster). Rows-only (MinHash is not
+  SQL-expressible); pytest plants transitive chains as ground truth.
+
+No reference counterpart (the reference dedupes nothing); the graph/CC
+design follows the public MapReduce-CC literature.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from .dedup import _fmix64, _hash64
+
+# Above this many hot keys the (key -> min label) sliver is no longer
+# result-size-class; switch from driver broadcast to distributed joins.
+BROADCAST_CUTOVER_KEYS = 250_000
+
+_TAG1 = np.uint64(0xA5A5A5A5A5A5A5A5)  # domain-separate k1/k2 hash spaces
+_TAG2 = np.uint64(0x5A5A5A5A5A5A5A5A)
+
+
+def _prefix_suffix_keys(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hashes of the first-k-token and last-k-token keys.
+
+    Tokenization is a plain single-space split — byte-identical to the
+    oracle's ``string_split(text, ' ')`` (NOT ``str.split()``, whose
+    any-whitespace/drop-empty semantics diverge)."""
+    kh1 = np.empty(len(texts), np.uint64)
+    kh2 = np.empty(len(texts), np.uint64)
+    for i, t in enumerate(texts):
+        ts = (t or "").split(" ")
+        kh1[i] = _hash64(" ".join(ts[:k]))
+        kh2[i] = _hash64(" ".join(ts[-k:]))
+    # int64 view (bit-identical): Ray's hash-shuffle join degrades uint64
+    # aggregate keys to a pickled-object extension type; int64 stays native.
+    return (_fmix64(kh1 ^ _TAG1).view(np.int64),
+            _fmix64(kh2 ^ _TAG2).view(np.int64))
+
+
+def _label_rows(sf_dir: str, k: int) -> Dataset:
+    """documents → (doc_id, kh1, kh2, label=doc_id). Text is dropped here;
+    every downstream shuffle moves fixed-width ints only."""
+
+    def keys(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        kh1, kh2 = _prefix_suffix_keys(t["text"].to_pylist(), k)
+        return pa.table({"doc_id": pa.array(ids),
+                         "kh1": pa.array(kh1, pa.int64()),
+                         "kh2": pa.array(kh2, pa.int64()),
+                         "label": pa.array(ids)})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=16,
+    ).map_batches(keys, batch_format="pyarrow", batch_size=8192)
+
+
+def _explode_keys(t: pa.Table) -> pa.Table:
+    lab = t["label"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "kh": pa.array(np.concatenate([
+            t["kh1"].to_numpy(zero_copy_only=False),
+            t["kh2"].to_numpy(zero_copy_only=False)]), pa.int64()),
+        "label": pa.array(np.concatenate([lab, lab]))})
+
+
+def _lookup_min(kh: np.ndarray, skeys: np.ndarray, svals: np.ndarray,
+                lab: np.ndarray) -> np.ndarray:
+    """Elementwise min(lab, sliver[kh]) via sorted-array searchsorted —
+    the vectorized form of a dict lookup per row."""
+    idx = np.searchsorted(skeys, kh)
+    idx_c = np.minimum(idx, len(skeys) - 1)
+    hit = skeys[idx_c] == kh
+    return np.where(hit & (svals[idx_c] < lab), svals[idx_c], lab)
+
+
+def _propagate_labels(rows: Dataset,
+                      broadcast_cutover: int = BROADCAST_CUTOVER_KEYS,
+                      max_iters: int = 64) -> Dataset:
+    """Iterated min-label propagation over the two key columns; returns the
+    converged (doc_id, kh1, kh2, label) dataset. See module docstring for
+    the shuffle/broadcast size accounting. Each iteration materializes the
+    (int-only) label rows so the lineage doesn't recompute per loop."""
+    from ray.data.aggregate import Count, Min
+
+    cur = rows.materialize()
+    prev_sum: int | None = None
+    for _ in range(max_iters):
+        # ONE vectorized Min/Count combine over the exploded (key, label)
+        # pairs covers both key columns (domain-separated hash spaces).
+        per_key = (cur.map_batches(_explode_keys, batch_format="pyarrow")
+                   .groupby("kh")
+                   .aggregate(Min("label", alias_name="kmin"),
+                              Count(alias_name="n")))
+        hot = per_key.filter(expr="n > 1").materialize()
+        n_hot = hot.count()
+        if n_hot == 0:
+            break  # no shared keys at all: every doc is its own cluster
+        if n_hot <= broadcast_cutover:
+            hdf = hot.to_pandas()
+            order = np.argsort(hdf["kh"].to_numpy(np.int64))
+            sliver = ray.put((hdf["kh"].to_numpy(np.int64)[order],
+                              hdf["kmin"].to_numpy(np.int64)[order]))
+
+            def relabel(t: pa.Table, ref=sliver) -> pa.Table:
+                skeys, svals = ray.get(ref)
+                lab = t["label"].to_numpy(zero_copy_only=False)
+                lab = _lookup_min(t["kh1"].to_numpy(zero_copy_only=False),
+                                  skeys, svals, lab)
+                lab = _lookup_min(t["kh2"].to_numpy(zero_copy_only=False),
+                                  skeys, svals, lab)
+                return t.set_column(t.schema.get_field_index("label"),
+                                    "label", pa.array(lab, pa.int64()))
+
+            nxt = cur.map_batches(relabel, batch_format="pyarrow")
+        else:
+            # Distributed form: two left-outer hash joins attach each key's
+            # min, then a row-local min. Never pulls keys to the driver.
+            h1 = (hot.drop_columns(["n"])
+                  .rename_columns({"kh": "kh1", "kmin": "m1"}))
+            h2 = (hot.drop_columns(["n"])
+                  .rename_columns({"kh": "kh2", "kmin": "m2"}))
+
+            def rowmin(df: pd.DataFrame) -> pd.DataFrame:
+                lab = df["label"].to_numpy(np.int64)
+                for c in ("m1", "m2"):
+                    m = df[c].to_numpy(np.float64)  # unmatched rows → NaN
+                    m = np.where(np.isnan(m), np.inf, m)
+                    lab = np.where(m < lab, m, lab).astype(np.int64)
+                return pd.DataFrame({"doc_id": df["doc_id"],
+                                     "kh1": df["kh1"], "kh2": df["kh2"],
+                                     "label": lab})
+
+            nxt = (cur.join(h1, join_type="left_outer",
+                            num_partitions=4, on=("kh1",))
+                   .join(h2, join_type="left_outer",
+                         num_partitions=4, on=("kh2",))
+                   .map_batches(rowmin, batch_format="pandas"))
+        cur = nxt.materialize()
+        s = int(cur.sum("label"))
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return cur
+
+
+def dup_clusters(sf_dir: str, k: int = 8,
+                 broadcast_cutover: int = BROADCAST_CUTOVER_KEYS) -> pd.DataFrame:
+    """(doc_id, cluster_id) for every document: connected components of the
+    share-a-prefix-key / share-a-suffix-key graph; cluster_id = component
+    min doc_id. Exact DuckDB oracle via recursive-CTE label propagation."""
+    done = _propagate_labels(_label_rows(sf_dir, k),
+                             broadcast_cutover=broadcast_cutover)
+    df = (done.select_columns(["doc_id", "label"]).to_pandas()
+          .rename(columns={"label": "cluster_id"}))
+    if df.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def minhash_clusters(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """(doc_id, cluster_id) over documents in at least one VERIFIED MinHash
+    near-dup pair (jaccard ≥ threshold); cluster_id = component min doc_id.
+
+    The pair list is O(result) and driver-resident by ``dedup_minhash``'s
+    own contract, so the closure is a driver union-find over that sliver —
+    the corpus itself never moves. Rows-only (MinHash has no SQL form)."""
+    from .dedup import dedup_minhash
+
+    pairs = dedup_minhash(sf_dir, threshold=threshold)
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["a"].astype(int), pairs["b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted(set(pairs["a"].astype(int)) | set(pairs["b"].astype(int)))
+    return pd.DataFrame({
+        "doc_id": pd.Series(nodes, dtype="int64"),
+        "cluster_id": pd.Series([find(n) for n in nodes], dtype="int64")})
