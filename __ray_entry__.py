@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_term": mlprep.tfidf_top_term,
         "seq_pack": mlprep.seq_pack,
         "q_contamination": mlprep.q_contamination,
+        "line_dedup": mlprep.line_dedup,
         # anti join / lag window
         "q_inactive_customers": relational.q_inactive_customers,
         "q_user_gaps": relational.q_user_gaps,
@@ -763,6 +764,25 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(gap), 6) AS avg_gap_s
             FROM d GROUP BY user_id HAVING count(*) >= 2
             ORDER BY user_id
+        """,
+        "line_dedup": """
+            WITH base AS (SELECT doc_id,
+                                 string_split(coalesce(text, ''), chr(10)) AS ts
+                          FROM documents),
+            lines AS (SELECT doc_id, unnest(ts) AS line,
+                             unnest(generate_series(1, len(ts))) AS idx
+                      FROM base),
+            c AS (SELECT line, count(*) AS n FROM lines GROUP BY line),
+            kept AS (SELECT l.doc_id, l.line, l.idx
+                     FROM lines l JOIN c ON c.line = l.line WHERE c.n < 3),
+            reb AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                   len(b.ts) AS n_lines,
+                   len(b.ts) - coalesce(r.n_kept, 0) AS n_removed
+            FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY b.doc_id
         """,
         "dup_clusters": """
             WITH RECURSIVE

@@ -366,3 +366,98 @@ def q_contamination(sf_dir: str) -> "ray.data.Dataset":
         pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64()),
                    ("n_hit", pa.int64()),
                    ("contamination_frac", pa.float64())]))
+
+
+# --- corpus line-level dedup (CCNet-style boilerplate removal) -----------------
+
+LINE_DEDUP_MIN_COUNT = 3
+
+
+def line_dedup(sf_dir: str,
+               min_count: int = LINE_DEDUP_MIN_COUNT) -> Dataset:
+    """CCNet-style line-level dedup: drop every line that occurs ≥
+    ``min_count`` times corpus-wide (headers, footers, nav chrome — the
+    boilerplate a web-extraction pipeline strips before training), then
+    rebuild each document from its surviving lines in order.
+
+    Dataflow (the same semi-join-reduce shape as dedup_minhash):
+
+    1. one streaming pass hashes every line (blake2b-64 over the batch's
+       distinct lines) and pre-aggregates counts per batch, so the only
+       shuffle is a ``groupby(line_hash).sum`` over (uint64→int64 hash,
+       int64 n) rows — text never enters the shuffle;
+    2. lines with total count ≥ min_count are the *boilerplate vocabulary*
+       — O(distinct repeated lines), a sliver by construction (boilerplate
+       is frequent ⇒ few distinct strings) — broadcast once via ``ray.put``;
+    3. a second streaming pass rebuilds documents, dropping lines whose
+       hash hits the sorted sliver (vectorized ``searchsorted``).
+
+    64-bit hash collisions would need ~2^32 distinct lines to matter; the
+    DuckDB oracle compares literal strings and matches exactly on the test
+    tables. The driver tables are single-line (nothing is removed there);
+    the planted-boilerplate pytest proves the removal path.
+    """
+    from .dedup import _hash64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _line_hashes(texts: list) -> list[np.ndarray]:
+        cache: dict[str, int] = {}
+        get = cache.get
+        out = []
+        for t in texts:
+            ls = (t or "").split("\n")
+            hs = np.empty(len(ls), np.uint64)
+            for i, ln in enumerate(ls):
+                h = get(ln)
+                if h is None:
+                    h = _hash64(ln)
+                    cache[ln] = h
+                hs[i] = h
+            out.append(hs)
+        return out
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        hs = _line_hashes(t["text"].to_pylist())
+        flat = np.concatenate(hs) if hs else np.array([], np.uint64)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pa.table({"lh": pa.array(uniq.view(np.int64), pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    hot_df = (ds.map_batches(partial_counts, batch_format="pyarrow",
+                             batch_size=8192)
+              .groupby("lh").aggregate(Sum("n", alias_name="n"))
+              .filter(expr=f"n >= {int(min_count)}")
+              .to_pandas())
+    hot = (np.sort(hot_df["lh"].to_numpy(np.int64).view(np.uint64))
+           if len(hot_df) else np.array([], np.uint64))
+    hot_ref = ray.put(hot)
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        boiler = ray.get(hot_ref)
+        texts = t["text"].to_pylist()
+        hs = _line_hashes(texts)
+        clean, n_lines, n_removed = [], [], []
+        for txt, h in zip(texts, hs):
+            ls = (txt or "").split("\n")
+            if len(boiler):
+                pos = np.minimum(np.searchsorted(boiler, h), len(boiler) - 1)
+                drop = boiler[pos] == h
+            else:
+                drop = np.zeros(len(h), bool)
+            clean.append("\n".join(
+                ln for ln, d in zip(ls, drop) if not d))
+            n_lines.append(len(ls))
+            n_removed.append(int(drop.sum()))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clean_text": pa.array(clean, pa.string()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64())})
+
+    # Streaming result (the rebuilt corpus is corpus-sized — never pull it
+    # to the driver; the gate's compare sorts rows itself).
+    return ensure_schema(
+        ds.map_batches(rebuild, batch_format="pyarrow", batch_size=8192),
+        pa.schema([("doc_id", pa.int64()), ("clean_text", pa.string()),
+                   ("n_lines", pa.int64()), ("n_removed", pa.int64())]))

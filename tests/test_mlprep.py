@@ -125,3 +125,38 @@ def test_stratified_sample_deterministic(small_dir):
     # sampled fraction is binomially plausible around 10%
     frac = out["n_sampled"].sum() / out["n_total"].sum()
     assert 0.02 < frac < 0.25
+
+
+def test_line_dedup_planted_boilerplate(tmp_path):
+    """Lines repeated ≥3 times corpus-wide are removed; unique and
+    twice-occurring lines survive; docs reduced to nothing come back as ''."""
+    B = "COOKIE BANNER"          # 4 occurrences -> boilerplate
+    T = "twice only"             # 2 occurrences -> kept (min_count=3)
+    rows = [
+        {"doc_id": 0, "text": f"{B}\nreal content zero\n{T}"},
+        {"doc_id": 1, "text": f"{B}\nreal content one"},
+        {"doc_id": 2, "text": f"{B}\n{T}"},
+        {"doc_id": 3, "text": B},
+        {"doc_id": 4, "text": "untouched single line"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    out = (mlprep.line_dedup(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    got = dict(zip(out["doc_id"], out["clean_text"]))
+    assert got[0] == f"real content zero\n{T}"
+    assert got[1] == "real content one"
+    assert got[2] == T
+    assert got[3] == ""                       # fully boilerplate
+    assert got[4] == "untouched single line"
+    rem = dict(zip(out["doc_id"], out["n_removed"]))
+    assert rem == {0: 1, 1: 1, 2: 1, 3: 1, 4: 0}
+    # parity with the DuckDB oracle on the planted corpus
+    import duckdb
+    import __ray_entry__ as entry
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    ora = con.execute(entry.oracle_sql()["line_dedup"]).df()
+    import pandas as pd
+    pd.testing.assert_frame_equal(out, ora, check_dtype=False)
