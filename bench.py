@@ -84,9 +84,13 @@ def run_shuffle_pipeline(corpus_dir: str, ncpu: int) -> float:
 
     docs = ray.data.read_parquet(os.path.join(corpus_dir, "documents"))
     t0 = time.time()
+    # batch_size=48: page batches amortize actor round-trips without the
+    # tail skew of 64 (measured 45s @16 / 37.6s @32 / 34.7s @48 / 40.5s @64
+    # at 32 CPUs); concurrency beyond 5N/8 oversubscribes against the join
+    # and sort stages (26 actors @bs=16 measured 75s).
     out = extract(docs, os.path.join(corpus_dir, "pages"),
                   ocr_concurrency=max(2, (5 * ncpu) // 8),
-                  ocr_batch_size=16,
+                  ocr_batch_size=48,
                   media_resolution="dataflow")
     out.count()
     return round(time.time() - t0, 3)
