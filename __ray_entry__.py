@@ -308,8 +308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / wide operators
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q_customers_per_region": relational.q_customers_per_region,
         "q_events_tumbling": relational.q_events_tumbling,
+        "q_events_hopping": relational.q_events_hopping,
         "q_top_users": relational.q_top_users,
         "q_distinct_brands": relational.q_distinct_brands,
         "q_count_distinct_custs": relational.q_count_distinct_custs,
@@ -764,6 +766,35 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(gap), 6) AS avg_gap_s
             FROM d GROUP BY user_id HAVING count(*) >= 2
             ORDER BY user_id
+        """,
+        "q_events_hopping": """
+            WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                              event_type, value
+                       FROM events),
+            x AS (SELECT event_type, value,
+                         (sec // 600 - t.i) * 600 AS win_start
+                  FROM e CROSS JOIN range(3) t(i))
+            SELECT event_type, win_start, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM x GROUP BY event_type, win_start
+            ORDER BY event_type, win_start
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'EUROPE'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n.n_name
+            ORDER BY revenue DESC, n.n_name
         """,
         "line_dedup": """
             WITH base AS (SELECT doc_id,

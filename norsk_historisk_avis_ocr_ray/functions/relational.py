@@ -756,3 +756,144 @@ def q_user_gaps(sf_dir: str) -> pd.DataFrame:
         return typed_empty(user_id="int64", n_events="int64",
                            max_gap_s="int64", avg_gap_s="float64")
     return df.sort_values("user_id").reset_index(drop=True)
+
+
+# --- events: hopping (sliding) window aggregate -------------------------------
+
+HOP_S = 600          # window start every 10 min
+HOP_WINDOW_S = 1800  # each window spans 30 min => every event in 3 windows
+
+
+def q_events_hopping(sf_dir: str) -> pd.DataFrame:
+    """Hopping-window aggregate (window 30 min, hop 10 min): every event
+    contributes to exactly ``HOP_WINDOW_S // HOP_S`` overlapping windows.
+
+    Dataflow: the window replication is a *vectorized in-map explode* (3
+    rows per event built with numpy tile/repeat — never a join against a
+    window table), partial-aggregated per batch, so the only shuffle is the
+    final small ``groupby(event_type, win_start)`` — identical shape to the
+    tumbling window, just 3× the (already tiny) partial rows."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    k = HOP_WINDOW_S // HOP_S
+
+    def partial(t: pa.Table) -> pa.Table:
+        sec = t["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        base = sec // HOP_S  # hop index containing the event
+        # window starts: (base - i) * HOP_S for i in 0..k-1
+        starts = ((np.repeat(base, k)
+                   - np.tile(np.arange(k, dtype=np.int64), len(base)))
+                  * HOP_S)
+        df = pd.DataFrame({
+            "event_type": np.repeat(
+                t["event_type"].to_numpy(zero_copy_only=False), k),
+            "win_start": starts,
+            "value": np.repeat(t["value"].to_numpy(), k)})
+        g = df.groupby(["event_type", "win_start"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+             .groupby(["event_type", "win_start"])
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sum_value", alias_name="sum_value")))
+    df = out.to_pandas()
+    if df.empty:
+        return typed_empty(event_type="object", win_start="int64", n="int64",
+                           sum_value="float64")
+    df["sum_value"] = _r(df["sum_value"], 4)
+    df["n"] = df["n"].astype(np.int64)
+    return df.sort_values(["event_type", "win_start"]).reset_index(drop=True)
+
+
+# --- TPC-H Q5-style multi-way star join ---------------------------------------
+
+Q5_REGION = "EUROPE"
+Q5_D0 = np.datetime64("1996-01-01", "us")
+Q5_D1 = np.datetime64("1998-01-01", "us")
+
+
+def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """Revenue per nation from lineitems where supplier and customer share
+    the nation (TPC-H Q5 shape): region → nation → {customer, supplier}
+    dimension chain + the orders⋈lineitem fact-to-fact equijoin.
+
+    Scale shape: the dimension chain (region, nation, supplier — bounded
+    size classes) is broadcast; the customer-side nation is attached by a
+    DISTRIBUTED hash join orders⋈customer (both unbounded at corpus scale —
+    never broadcast), then lineitem joins the surviving orders. Revenue is
+    partial-aggregated per batch before the final 25-row nation groupby, and
+    the same-nation predicate (s_nationkey == c_nationkey) is applied
+    row-locally in the map, so the shuffles carry only pruned int/float
+    columns."""
+    # dimension chain: region -> nation keys/names -> supplier nation map
+    nat = collect_table(_read(sf_dir, "nation",
+                              ["n_nationkey", "n_name", "n_regionkey"]))
+    reg = collect_table(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    rkeys = reg.filter(pc.equal(reg["r_name"], Q5_REGION))["r_regionkey"]
+    nat_f = nat.filter(pc.is_in(nat["n_regionkey"], value_set=rkeys))
+    nkeys = nat_f["n_nationkey"].combine_chunks()
+    names = dict(zip(nat_f["n_nationkey"].to_pylist(),
+                     nat_f["n_name"].to_pylist()))
+    sup = collect_table(_read(sf_dir, "supplier",
+                              ["s_suppkey", "s_nationkey"]))
+    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=nkeys))
+    sup_keys = sup["s_suppkey"].to_numpy()
+    sup_order = np.argsort(sup_keys)
+    sup_ref = ray.put((sup_keys[sup_order],
+                       sup["s_nationkey"].to_numpy()[sup_order]))
+    nkeys_ref = ray.put(nkeys.sort())
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"],
+                                              pa.scalar(Q5_D0)),
+                             pc.less(t["o_orderdate"], pa.scalar(Q5_D1))))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def filter_cust(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["c_nationkey"],
+                                 value_set=ray.get(nkeys_ref)))
+
+    # fact-to-dimension-chain joins kept DISTRIBUTED (customer and orders
+    # are both corpus-scale); partition count sized to the test scale.
+    o_c = (orders.map_batches(filter_orders, batch_format="pyarrow")
+           .join(cust.map_batches(filter_cust, batch_format="pyarrow")
+                 .rename_columns({"c_custkey": "o_custkey"}),
+                 join_type="inner", num_partitions=4, on=("o_custkey",)))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    li_oc = li.rename_columns({"l_orderkey": "o_orderkey"}).join(
+        o_c, join_type="inner", num_partitions=4, on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        skeys, snat = ray.get(sup_ref)
+        lk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(skeys):
+            pos = np.minimum(np.searchsorted(skeys, lk), len(skeys) - 1)
+            ok = skeys[pos] == lk
+            s_nat = np.where(ok, snat[pos], -1)
+        else:
+            s_nat = np.full(len(lk), -1, np.int64)
+        c_nat = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = s_nat == c_nat
+        rev = (t["l_extendedprice"].to_numpy()
+               * (1.0 - t["l_discount"].to_numpy()))[keep]
+        g = (pd.DataFrame({"n_nationkey": c_nat[keep], "rev": rev})
+             .groupby("n_nationkey", as_index=False)["rev"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (li_oc.map_batches(partial, batch_format="pyarrow")
+           .groupby("n_nationkey").aggregate(Sum("rev", alias_name="revenue")))
+    df = out.to_pandas()
+    if df.empty:
+        return typed_empty(n_name="object", revenue="float64")
+    df["n_name"] = df["n_nationkey"].map(names)
+    df["revenue"] = _r(df["revenue"], 2)
+    return (df[["n_name", "revenue"]]
+            .sort_values(["revenue", "n_name"], ascending=[False, True])
+            .reset_index(drop=True))

@@ -219,3 +219,37 @@ def test_inactive_customers_planted(ray_session, tmp_path):
     pq.write_table(orders, str(tmp_path / "orders.parquet"))
     got = q_inactive_customers(str(tmp_path))
     assert got["c_custkey"].tolist() == [1, 3]
+
+
+def test_events_hopping_matches_duckdb(ray_session, con):
+    from norsk_historisk_avis_ocr_ray.functions.relational import q_events_hopping
+    import __ray_entry__ as entry
+
+    got = _canon(q_events_hopping(SF_DIR))
+    exp = _canon(con.sql(entry.oracle_sql()["q_events_hopping"]).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_hopping_replication_factor(ray_session):
+    """Every event lands in exactly window/hop = 3 windows: the sum of n
+    over all (type, window) rows is 3x the event count."""
+    import pyarrow.parquet as pq
+    from norsk_historisk_avis_ocr_ray.functions.relational import q_events_hopping
+
+    n_events = pq.read_metadata(f"{SF_DIR}/events.parquet").num_rows
+    got = q_events_hopping(SF_DIR)
+    assert int(got["n"].sum()) == 3 * n_events
+
+
+def test_q5_star_join_matches_duckdb(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q5_local_supplier_volume)
+    import __ray_entry__ as entry
+
+    c = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "orders",
+              "lineitem"):
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    got = _canon(q5_local_supplier_volume(SF_DIR))
+    exp = _canon(c.sql(entry.oracle_sql()["q5_local_supplier_volume"]).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
