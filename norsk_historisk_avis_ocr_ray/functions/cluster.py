@@ -188,18 +188,23 @@ def _propagate_labels(rows: Dataset,
 
 
 def dup_clusters(sf_dir: str, k: int = 8,
-                 broadcast_cutover: int = BROADCAST_CUTOVER_KEYS) -> pd.DataFrame:
+                 broadcast_cutover: int = BROADCAST_CUTOVER_KEYS) -> Dataset:
     """(doc_id, cluster_id) for every document: connected components of the
     share-a-prefix-key / share-a-suffix-key graph; cluster_id = component
     min doc_id. Exact DuckDB oracle via recursive-CTE label propagation."""
+    from .collect import ensure_schema
+
     done = _propagate_labels(_label_rows(sf_dir, k),
                              broadcast_cutover=broadcast_cutover)
-    df = (done.select_columns(["doc_id", "label"]).to_pandas()
-          .rename(columns={"label": "cluster_id"}))
-    if df.empty:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "cluster_id": pd.Series([], dtype="int64")})
-    return df.sort_values("doc_id").reset_index(drop=True)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "cluster_id": t["label"]})
+
+    # Streaming result (one row per document = corpus-sized).
+    return ensure_schema(
+        done.select_columns(["doc_id", "label"])
+            .map_batches(fin, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]))
 
 
 def minhash_clusters(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:

@@ -40,8 +40,11 @@ def ensure_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
     nonempty data."""
     import ray
 
-    if ds.schema() is not None:
+    sch = ds.schema()
+    if sch is not None and len(sch.names) > 0:
         return ds
+    # None OR a zero-field schema (an empty-input map chain can report
+    # either) → substitute the typed zero-row dataset.
     return ray.data.from_arrow(schema.empty_table())
 
 

@@ -156,8 +156,9 @@ def _docs(sf_dir: str, num_blocks: int | None = None) -> Dataset:
 
 # --- exact dedup --------------------------------------------------------------
 
-def dedup_exact(sf_dir: str) -> pd.DataFrame:
+def dedup_exact(sf_dir: str) -> Dataset:
     """Survivors of exact-content dedup: min(doc_id) per md5(text)."""
+    from .collect import ensure_schema
 
     def add_hash(t: pa.Table) -> pa.Table:
         md5s = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
@@ -173,12 +174,10 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
           .map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
           .groupby("fingerprint")
           .aggregate(Min("doc_id", alias_name="doc_id")))
-    df = ds.to_pandas()
-    if df.empty:  # empty aggregate loses its columns; keep the schema stable
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "fingerprint": pd.Series([], dtype="object")})
-    return df.sort_values("doc_id").reset_index(drop=True)[
-        ["doc_id", "fingerprint"]]
+    # Streaming result: survivors are corpus-sized — never pulled to the
+    # driver (the gate's compare sorts rows itself).
+    return ensure_schema(ds, pa.schema([
+        ("fingerprint", pa.string()), ("doc_id", pa.int64())]))
 
 
 # --- MinHash + LSH -------------------------------------------------------------

@@ -188,7 +188,7 @@ def q_json_extract(sf_dir: str) -> pd.DataFrame:
 
 # --- per-document top term by tf-rarity -----------------------------------------
 
-def tfidf_top_term(sf_dir: str) -> pd.DataFrame:
+def tfidf_top_term(sf_dir: str) -> Dataset:
     """Per-document top term by the integer score ``tf × (N − df)``.
 
     Document frequency comes from a ``groupby(tok)`` over per-doc distinct
@@ -197,11 +197,15 @@ def tfidf_top_term(sf_dir: str) -> pd.DataFrame:
     aggregate over the order-encoded key ``zfill(score)|tok`` — max score,
     ties to the lexically largest token — so there is no per-group Python.
     Tokenization is single-space split (matches SQL ``string_split``)."""
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("top_tok", pa.string()),
+                            ("top_score", pa.int64())])
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     n_total = docs.count()
     if n_total == 0:
-        return typed_empty(doc_id="int64", top_tok="object",
-                           top_score="int64")
+        return ray.data.from_arrow(pa.table(
+            {n: pa.array([], type=t)
+             for n, t in zip(out_schema.names, out_schema.types)}))
 
     def tf_rows(t: pa.Table) -> pa.Table:
         s = pd.Series(t["text"].to_pylist(),
@@ -230,15 +234,18 @@ def tfidf_top_term(sf_dir: str) -> pd.DataFrame:
 
     top = (joined.map_batches(encode, batch_format="pyarrow")
            .groupby("doc_id").aggregate(Max("key", alias_name="key")))
-    out = top.to_pandas()
-    if out.empty:
-        return typed_empty(doc_id="int64", top_tok="object",
-                           top_score="int64")
-    parts = out["key"].str.split("|", n=1)
-    out["top_score"] = parts.str[0].astype(np.int64)
-    out["top_tok"] = parts.str[1]
-    return (out.drop(columns=["key"])[["doc_id", "top_tok", "top_score"]]
-            .sort_values("doc_id").reset_index(drop=True))
+
+    def decode(t: pa.Table) -> pa.Table:  # row-local key split, streamed
+        keys = pd.Series(t["key"].to_pylist())
+        parts = keys.str.split("|", n=1)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "top_tok": pa.array(parts.str[1], pa.string()),
+            "top_score": pa.array(parts.str[0].astype(np.int64))})
+
+    # Streaming result (one row per document = corpus-sized).
+    return ensure_schema(top.map_batches(decode, batch_format="pyarrow"),
+                         out_schema)
 
 
 # --- greedy sequence packing ----------------------------------------------------

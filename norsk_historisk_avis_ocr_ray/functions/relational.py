@@ -28,7 +28,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
-from .collect import collect_table, typed_empty
+from .collect import collect_table, ensure_schema, typed_empty
 from .rounding import round_half_away
 from .rounding import series_round_half_away as _r
 
@@ -343,7 +343,7 @@ def q_running_user_value(sf_dir: str) -> pd.DataFrame:
 SESSION_GAP_S = 1800
 
 
-def q_sessionize(sf_dir: str) -> pd.DataFrame:
+def q_sessionize(sf_dir: str) -> Dataset:
     """Per-user session windows: a new session starts after a >30-min gap.
     Ray Data has no event-time watermarks; the batch-engine form is
     groupby(user).map_groups over ts-sorted groups (SURVEY §2.7 — the engine
@@ -368,14 +368,13 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
         return out[["user_id", "session_idx", "n_events", "sum_value",
                     "duration_s"]]
 
-    df = (ds.groupby("user_id")
-            .map_groups(sessions, batch_format="pandas")
-            .to_pandas())
-    if df.empty:
-        return typed_empty(user_id="int64", session_idx="int64",
-                           n_events="int64", sum_value="float64",
-                           duration_s="int64")
-    return df.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    # Streaming result: one row per session is corpus-sized — hand the
+    # Dataset to the consumer (sink/compare) instead of a driver pull.
+    return ensure_schema(
+        ds.groupby("user_id").map_groups(sessions, batch_format="pandas"),
+        pa.schema([("user_id", pa.int64()), ("session_idx", pa.int64()),
+                   ("n_events", pa.int64()), ("sum_value", pa.float64()),
+                   ("duration_s", pa.int64())]))
 
 
 # --- as-of join: latest order per event ---------------------------------------
@@ -383,7 +382,7 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
 ASOF_BUCKETS = 256  # power of two: bucket = key & (NB-1)
 
 
-def q_asof_last_order(sf_dir: str) -> pd.DataFrame:
+def q_asof_last_order(sf_dir: str) -> Dataset:
     """As-of join (events ⨝asof orders): for each event, the customer's most
     recent order with ``o_orderdate <= ts`` (ties on the date broken by max
     ``o_totalprice``, matching the SQL oracle's deterministic tiebreak).
@@ -471,15 +470,15 @@ def q_asof_last_order(sf_dir: str) -> pd.DataFrame:
     # and 128 tiny blocks cost ~4x more than 32 right-sized ones. (At real
     # scale blocks are already target_max_block_size-full and this coalesce
     # is a no-op choice, not a semantic one.)
-    df = (both.map_batches(add_order_ts, batch_format="pyarrow")
-              .repartition(32)
-              .groupby("bucket")
-              .map_groups(merge, batch_format="pandas")
-              .to_pandas())
-    if df.empty:
-        return typed_empty(event_id="int64", user_id="int64",
-                           last_order_s="int64", last_order_price="float64")
-    return df.sort_values("event_id").reset_index(drop=True)
+    # Streaming result (one row per event = corpus-sized).
+    return ensure_schema(
+        both.map_batches(add_order_ts, batch_format="pyarrow")
+            .repartition(32)
+            .groupby("bucket")
+            .map_groups(merge, batch_format="pandas"),
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                   ("last_order_s", pa.int64()),
+                   ("last_order_price", pa.float64())]))
 
 
 # --- range join: trailing-window self-join on events --------------------------
@@ -487,7 +486,7 @@ def q_asof_last_order(sf_dir: str) -> pd.DataFrame:
 RANGE_WINDOW_US = 3_600_000_000  # 1 hour
 
 
-def q_range_window_events(sf_dir: str) -> pd.DataFrame:
+def q_range_window_events(sf_dir: str) -> Dataset:
     """Range (interval) join: for each event, the count and value-sum of the
     SAME user's events with ``ts ∈ [ts - 1h, ts]`` (inclusive, so every
     event matches at least itself).
@@ -542,15 +541,15 @@ def q_range_window_events(sf_dir: str) -> pd.DataFrame:
             "sum_recent_value": round_half_away(s, 4),
         })
 
-    df = (ev.map_batches(tag, batch_format="pyarrow")
-            .repartition(32)
-            .groupby("bucket")
-            .map_groups(merge, batch_format="pandas")
-            .to_pandas())
-    if df.empty:
-        return typed_empty(event_id="int64", user_id="int64",
-                           n_recent="int64", sum_recent_value="float64")
-    return df.sort_values("event_id").reset_index(drop=True)
+    # Streaming result (one row per event = corpus-sized).
+    return ensure_schema(
+        ev.map_batches(tag, batch_format="pyarrow")
+          .repartition(32)
+          .groupby("bucket")
+          .map_groups(merge, batch_format="pandas"),
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                   ("n_recent", pa.int64()),
+                   ("sum_recent_value", pa.float64())]))
 
 
 # --- top-k per group (window row_number <= k) ---------------------------------
@@ -607,7 +606,7 @@ def q_topk_per_group(sf_dir: str) -> pd.DataFrame:
 ROLL_WINDOW = 4
 
 
-def q_rolling_avg(sf_dir: str) -> pd.DataFrame:
+def q_rolling_avg(sf_dir: str) -> Dataset:
     """Per-user rolling mean of ``value`` over the last 4 events (current +
     3 preceding, ordered by ts then event_id) — the ROWS-frame window
     aggregate. Partitioning: one shuffle on ``bucket = user_id & (NB-1)``
@@ -633,14 +632,13 @@ def q_rolling_avg(sf_dir: str) -> pd.DataFrame:
             "roll_avg_value": _r(avg, 6).to_numpy(),
         })
 
-    df = (ds.map_batches(bucketize, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(roll, batch_format="pandas")
-            .to_pandas())
-    if df.empty:
-        return typed_empty(event_id="int64", user_id="int64",
-                           roll_avg_value="float64")
-    return df.sort_values("event_id").reset_index(drop=True)
+    # Streaming result (one row per event = corpus-sized).
+    return ensure_schema(
+        ds.map_batches(bucketize, batch_format="pyarrow")
+          .groupby("bucket")
+          .map_groups(roll, batch_format="pandas"),
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                   ("roll_avg_value", pa.float64())]))
 
 
 # --- exact per-group quantiles ------------------------------------------------
@@ -721,7 +719,7 @@ def q_inactive_customers(sf_dir: str) -> pd.DataFrame:
 
 # --- lag window: inter-event gap statistics per user ---------------------------
 
-def q_user_gaps(sf_dir: str) -> pd.DataFrame:
+def q_user_gaps(sf_dir: str) -> Dataset:
     """Per-user inter-event gap statistics (the LAG window): events sorted by
     (ts, event_id) within each user, gap = seconds since the previous event,
     reporting count / max gap / mean gap per user with ≥ 2 events.
@@ -749,13 +747,11 @@ def q_user_gaps(sf_dir: str) -> pd.DataFrame:
             "avg_gap_s": _r(pd.Series([d.mean()]), 6).to_numpy(),
         })
 
-    df = (ds.groupby("user_id")
-            .map_groups(gaps, batch_format="pandas")
-            .to_pandas())
-    if df.empty:
-        return typed_empty(user_id="int64", n_events="int64",
-                           max_gap_s="int64", avg_gap_s="float64")
-    return df.sort_values("user_id").reset_index(drop=True)
+    # Streaming result (one row per user scales with the corpus).
+    return ensure_schema(
+        ds.groupby("user_id").map_groups(gaps, batch_format="pandas"),
+        pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
+                   ("max_gap_s", pa.int64()), ("avg_gap_s", pa.float64())]))
 
 
 # --- events: hopping (sliding) window aggregate -------------------------------
@@ -764,7 +760,7 @@ HOP_S = 600          # window start every 10 min
 HOP_WINDOW_S = 1800  # each window spans 30 min => every event in 3 windows
 
 
-def q_events_hopping(sf_dir: str) -> pd.DataFrame:
+def q_events_hopping(sf_dir: str) -> Dataset:
     """Hopping-window aggregate (window 30 min, hop 10 min): every event
     contributes to exactly ``HOP_WINDOW_S // HOP_S`` overlapping windows.
 
@@ -796,13 +792,21 @@ def q_events_hopping(sf_dir: str) -> pd.DataFrame:
              .groupby(["event_type", "win_start"])
              .aggregate(Sum("n", alias_name="n"),
                         Sum("sum_value", alias_name="sum_value")))
-    df = out.to_pandas()
-    if df.empty:
-        return typed_empty(event_type="object", win_start="int64", n="int64",
-                           sum_value="float64")
-    df["sum_value"] = _r(df["sum_value"], 4)
-    df["n"] = df["n"].astype(np.int64)
-    return df.sort_values(["event_type", "win_start"]).reset_index(drop=True)
+
+    def finish(t: pa.Table) -> pa.Table:  # row-local round/cast, streamed
+        return pa.table({
+            "event_type": t["event_type"],
+            "win_start": t["win_start"].cast(pa.int64()),
+            "n": t["n"].cast(pa.int64()),
+            "sum_value": pa.array(round_half_away(
+                t["sum_value"].to_numpy(zero_copy_only=False), 4),
+                pa.float64())})
+
+    # Streaming result (window count grows with the time span).
+    return ensure_schema(
+        out.map_batches(finish, batch_format="pyarrow"),
+        pa.schema([("event_type", pa.string()), ("win_start", pa.int64()),
+                   ("n", pa.int64()), ("sum_value", pa.float64())]))
 
 
 # --- TPC-H Q5-style multi-way star join ---------------------------------------
@@ -859,11 +863,18 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
                                  value_set=ray.get(nkeys_ref)))
 
     # fact-to-dimension-chain joins kept DISTRIBUTED (customer and orders
-    # are both corpus-scale); partition count sized to the test scale.
-    o_c = (orders.map_batches(filter_orders, batch_format="pyarrow")
-           .join(cust.map_batches(filter_cust, batch_format="pyarrow")
-                 .rename_columns({"c_custkey": "o_custkey"}),
-                 join_type="inner", num_partitions=4, on=("o_custkey",)))
+    # are both corpus-scale); partition count sized to the test scale. The
+    # filtered sides are materialized (pruned int columns, spillable) so an
+    # empty side can short-circuit — Ray's hash join crashes on schema-less
+    # empty inputs, and an empty partition is routine, not an error.
+    orders_f = (orders.map_batches(filter_orders, batch_format="pyarrow")
+                .materialize())
+    cust_f = (cust.map_batches(filter_cust, batch_format="pyarrow")
+              .rename_columns({"c_custkey": "o_custkey"}).materialize())
+    if orders_f.count() == 0 or cust_f.count() == 0:
+        return typed_empty(n_name="object", revenue="float64")
+    o_c = orders_f.join(cust_f, join_type="inner", num_partitions=4,
+                        on=("o_custkey",))
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])

@@ -46,18 +46,19 @@ def _oracle(sf_dir):
 
 
 def test_transitive_chain_clusters(chain_dir):
-    out = cluster.dup_clusters(chain_dir)
+    out = cluster.dup_clusters(chain_dir).to_pandas()
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     # 0-1 (prefix), 1-2 (suffix), 0-4 (prefix) ⇒ {0,1,2,4} one cluster
     assert got[0] == got[1] == got[2] == got[4] == 0
     assert got[3] == 3                      # isolated
     assert got[5] == got[6] == 5            # suffix-only pair
     assert list(out.columns) == ["doc_id", "cluster_id"]
-    assert out["doc_id"].is_monotonic_increasing
+    assert sorted(out["doc_id"]) == list(range(7))  # one row per doc
 
 
 def test_matches_duckdb_recursive_cte(chain_dir):
-    out = cluster.dup_clusters(chain_dir)
+    out = cluster.dup_clusters(chain_dir).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
     ora = _oracle(chain_dir)
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), ora.reset_index(drop=True),
@@ -66,7 +67,8 @@ def test_matches_duckdb_recursive_cte(chain_dir):
 
 def test_matches_oracle_on_sf0001():
     sf = "/root/testdata/sf0.001"
-    out = cluster.dup_clusters(sf)
+    out = cluster.dup_clusters(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
     ora = _oracle(sf)
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), ora.reset_index(drop=True),
@@ -76,8 +78,11 @@ def test_matches_oracle_on_sf0001():
 def test_join_fallback_path_identical(chain_dir):
     """Forcing broadcast_cutover=0 exercises the distributed left-outer-join
     relabel path; the converged labels must be identical."""
-    fast = cluster.dup_clusters(chain_dir)
-    slow = cluster.dup_clusters(chain_dir, broadcast_cutover=0)
+    def cn(ds):
+        return (ds.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+    fast = cn(cluster.dup_clusters(chain_dir))
+    slow = cn(cluster.dup_clusters(chain_dir, broadcast_cutover=0))
     pd.testing.assert_frame_equal(fast, slow)
 
 
@@ -87,9 +92,10 @@ def test_empty_corpus(tmp_path):
     pq.write_table(pa.table({"doc_id": pa.array([], pa.int64()),
                              "text": pa.array([], pa.string())}),
                    str(tmp_path / "documents.parquet"))
-    out = cluster.dup_clusters(d)
-    assert list(out.columns) == ["doc_id", "cluster_id"]
-    assert len(out) == 0
+    out = cluster.dup_clusters(d)  # Dataset: check via schema/count —
+    # Ray's to_pandas() on zero blocks drops columns by design
+    assert sorted(out.schema().names) == ["cluster_id", "doc_id"]
+    assert out.count() == 0
 
 
 def test_minhash_clusters_transitive(tmp_path):

@@ -32,7 +32,7 @@ def planted_dir(tmp_path_factory):
 
 
 def test_exact_dedup_drops_dup_pairs(planted_dir):
-    out = dedup.dedup_exact(planted_dir)
+    out = dedup.dedup_exact(planted_dir).to_pandas()
     ids = set(out["doc_id"])
     assert len(out) == 85  # 95 rows - 10 exact dups (min doc_id survives)
     for i in range(10):

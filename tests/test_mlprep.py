@@ -79,7 +79,7 @@ def test_json_extract_grouped(small_dir):
 
 
 def test_tfidf_top_term_planted(small_dir):
-    out = mlprep.tfidf_top_term(small_dir).set_index("doc_id")
+    out = mlprep.tfidf_top_term(small_dir).to_pandas().set_index("doc_id")
     n = 5
     # doc 0: alpha tf=2 df=1 → 2*(5-1)=8; beta tf=1 df=2 → 3 ⇒ alpha
     assert out.loc[0, "top_tok"] == "alpha"

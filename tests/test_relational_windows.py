@@ -22,7 +22,9 @@ def con():
     return c
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
+def _canon(df) -> pd.DataFrame:
+    if hasattr(df, "to_pandas"):  # streaming Dataset results
+        df = df.to_pandas()
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if np.issubdtype(df[c].dtype, np.integer):
@@ -72,7 +74,7 @@ def test_asof_event_before_all_orders_dropped(ray_session, tmp_path):
         "o_totalprice": pa.array([123.5], pa.float64()),
     }), str(tmp_path / "orders.parquet"))
 
-    out = q_asof_last_order(str(tmp_path))
+    out = q_asof_last_order(str(tmp_path)).to_pandas()
     # event 1 precedes the only order; user 99 has no orders at all
     assert out["event_id"].tolist() == [2]
     assert out["last_order_s"].tolist() == [4]
@@ -153,7 +155,7 @@ def test_range_window_every_event_matches_itself(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.relational import (
         q_range_window_events)
 
-    df = q_range_window_events(SF_DIR)
+    df = q_range_window_events(SF_DIR).to_pandas()
     assert (df["n_recent"] >= 1).all()
 
 
@@ -237,7 +239,7 @@ def test_events_hopping_replication_factor(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.relational import q_events_hopping
 
     n_events = pq.read_metadata(f"{SF_DIR}/events.parquet").num_rows
-    got = q_events_hopping(SF_DIR)
+    got = q_events_hopping(SF_DIR).to_pandas()
     assert int(got["n"].sum()) == 3 * n_events
 
 
