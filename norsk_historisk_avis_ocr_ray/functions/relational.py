@@ -557,7 +557,7 @@ def q_range_window_events(sf_dir: str) -> Dataset:
 TOPK_PER_CUST = 3
 
 
-def q_topk_per_group(sf_dir: str) -> pd.DataFrame:
+def q_topk_per_group(sf_dir: str) -> Dataset:
     """Top-3 orders per customer by (o_totalprice desc, o_orderkey asc) with
     dense rank — the windowed top-k operator. Scale pattern: a per-batch
     *partial* top-k combiner keeps ≤k rows per key per batch, so the
@@ -579,26 +579,41 @@ def q_topk_per_group(sf_dir: str) -> pd.DataFrame:
 
     # Tree-reduce: each combiner round keeps <=k rows per key per block and
     # the repartition merges blocks, so survivors shrink geometrically toward
-    # k rows per key = the size of the query's own output. The driver-side
-    # final therefore materializes O(output) rows, not O(input) — at larger
-    # scale add more halving rounds until the survivor set fits.
+    # k rows per key = the size of the query's own output; the final exact
+    # rank is one bucketed shuffle over those survivors.
     pruned = (ds.map_batches(local_topk, batch_format="pyarrow",
                              batch_size=65536)
                 .repartition(32)
                 .map_batches(local_topk, batch_format="pyarrow"))
 
-    df = pruned.to_pandas()
-    if df.empty:
-        return typed_empty(o_custkey="int64", rnk="int64",
-                           o_orderkey="int64", o_totalprice="float64")
-    df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
-                        ascending=[True, False, True], kind="mergesort")
-    df = df.groupby("o_custkey").head(k).reset_index(drop=True)
-    df["rnk"] = (df.groupby("o_custkey").cumcount() + 1).astype(np.int64)
-    df["o_custkey"] = df["o_custkey"].astype(np.int64)
-    df["o_orderkey"] = df["o_orderkey"].astype(np.int64)
-    df = df[["o_custkey", "rnk", "o_orderkey", "o_totalprice"]]
-    return df.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.bit_wise_and(t["o_custkey"].cast(pa.int64()),
+                                      ASOF_BUCKETS - 1))
+
+    def final_rank(g: pd.DataFrame) -> pd.DataFrame:
+        # many keys per bucket: one Ray group invocation covers ~customers/NB
+        # keys, all ranked in one vectorized pandas pass
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("o_custkey").head(k)
+        rnk = (g.groupby("o_custkey").cumcount() + 1).to_numpy()
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].to_numpy().astype(np.int64),
+            "rnk": rnk.astype(np.int64),
+            "o_orderkey": g["o_orderkey"].to_numpy().astype(np.int64),
+            "o_totalprice": g["o_totalprice"].to_numpy()})
+
+    # Streaming result: groups x k rows scale with the corpus — the final
+    # per-key rank runs as ONE bucketed shuffle over the pruned survivors,
+    # never a driver merge.
+    return ensure_schema(
+        pruned.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(final_rank, batch_format="pandas"),
+        pa.schema([("o_custkey", pa.int64()), ("rnk", pa.int64()),
+                   ("o_orderkey", pa.int64()),
+                   ("o_totalprice", pa.float64())]))
 
 
 # --- rolling window average (ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW) ------
