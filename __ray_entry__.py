@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches
         "approx_distinct_users": _approx_distinct_users,
         "approx_top_users": _approx_top_users,
+        "approx_group_quantiles": _approx_group_quantiles,
         # training-data preparation
         "q_hash_split": mlprep.q_hash_split,
         "q_stratified_sample": mlprep.q_stratified_sample,
@@ -385,6 +386,12 @@ def _approx_distinct_users(sf_dir: str) -> Any:
 def _approx_top_users(sf_dir: str) -> Any:
     from norsk_historisk_avis_ocr_ray.functions.sketch import approx_top_users
     return approx_top_users(sf_dir)
+
+
+def _approx_group_quantiles(sf_dir: str) -> Any:
+    from norsk_historisk_avis_ocr_ray.functions.sketch import (
+        approx_group_quantiles)
+    return approx_group_quantiles(sf_dir)
 
 
 def _html_main_content(sf_dir: str) -> Any:
@@ -845,6 +852,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lab GROUP BY node ORDER BY doc_id
         """,
         # rows-only (not SQL-expressible): ocr_extract, lang_id,
+        # approx_group_quantiles (sampling sketch),
         # dedup_minhash, dedup_simhash, minhash_clusters, simhash_signatures,
         # ann_ivf_topk, ann_lsh_topk, winnow_fingerprint, audio_frame_energy,
         # video_frame_sample, approx_top_users, seq_pack (order-stateful

@@ -156,3 +156,65 @@ def approx_top_users(sf_dir: str) -> pd.DataFrame:
     order = np.lexsort((keys, -est))[:HH_K]
     return pd.DataFrame({"user_id": keys[order],
                          "est_events": est[order]})
+
+
+# --- bottom-k-sample quantile sketch -------------------------------------------
+
+QSK_K = 512                     # sample size per group (error ~ 1/sqrt(k))
+QSK_PCTS = (0.5, 0.9, 0.99)
+
+
+def _bottomk_rows(t: pa.Table, k: int) -> pd.DataFrame:
+    """Per-(event_type) bottom-k rows by splitmix64(event_id) — a
+    DETERMINISTIC uniform sample (the hash is the random tag, so the same
+    rows are chosen under any partitioning; mergeable by keep-k-smallest)."""
+    df = pd.DataFrame({
+        "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+        "h": _splitmix64(t["event_id"].to_numpy(
+            zero_copy_only=False).astype(np.uint64)).view(np.int64),
+        "value": t["value"].to_numpy(),
+    })
+    return (df.sort_values("h", kind="mergesort")
+            .groupby("event_type", as_index=False, sort=False)
+            .head(k))
+
+
+def approx_group_quantiles(sf_dir: str,
+                           k: int = QSK_K) -> pd.DataFrame:
+    """Approximate per-event-type value quantiles (p50/p90/p99) from a
+    mergeable bottom-k hash sample.
+
+    Same sketch shape as KMV: each batch emits ≤ k (event_type, hash, value)
+    rows, one ``groupby(event_type)`` merges by keeping the k smallest
+    hashes, and the quantiles are read off the surviving sample — the
+    shuffle moves k rows per (type, batch), never the corpus. Deterministic
+    under any partitioning (the sample membership is a pure function of
+    event_id). Rows-only: rank error is ~1/sqrt(k), asserted against the
+    exact quantiles in pytest."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_bottomk_rows(t, k),
+                                    preserve_index=False)
+
+    def merge_quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("h", kind="mergesort").head(k)
+        vals = np.sort(g["value"].to_numpy())
+        qs = {f"p{int(p * 100)}": float(np.quantile(vals, p))
+              for p in QSK_PCTS}
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n_sample": np.array([len(vals)], np.int64),
+                             **{c: [v] for c, v in qs.items()}})
+
+    df = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+          .groupby("event_type")
+          .map_groups(merge_quantiles, batch_format="pandas")
+          .to_pandas())  # one row per event type — result-sized pull
+    if df.empty:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "n_sample": pd.Series([], dtype="int64"),
+            **{f"p{int(p * 100)}": pd.Series([], dtype="float64")
+               for p in QSK_PCTS}})
+    return df.sort_values("event_type").reset_index(drop=True)

@@ -169,3 +169,50 @@ def test_cms_never_underestimates_and_finds_exact_top(ray_session):
     # width 2048 >> distinct users: estimates should in fact be exact
     assert all(int(e) == truth[int(u)]
                for u, e in zip(got["user_id"], got["est_events"]))
+
+
+def test_quantile_sketch_rank_error(ray_session):
+    """The bottom-k sample quantiles must land within ~2/sqrt(k) rank error
+    of the exact per-type quantiles."""
+    import duckdb
+
+    from norsk_historisk_avis_ocr_ray.functions.sketch import (
+        QSK_K, approx_group_quantiles)
+
+    sf = "/root/testdata/sf0.01"
+    got = approx_group_quantiles(sf)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    exact = con.sql("""
+        SELECT event_type, list(value ORDER BY value) AS vals
+        FROM events GROUP BY event_type""").df()
+    tol = 2.0 / np.sqrt(QSK_K)  # rank tolerance
+    for _, row in got.iterrows():
+        vals = np.array(
+            exact.loc[exact["event_type"] == row["event_type"], "vals"]
+            .iloc[0])
+        n = len(vals)
+        for p in (50, 90, 99):
+            est = row[f"p{p}"]
+            true_rank = np.searchsorted(vals, est) / n
+            assert abs(true_rank - p / 100) <= tol, (
+                row["event_type"], p, est, true_rank)
+
+
+def test_quantile_sketch_partition_invariant(ray_session, tmp_path):
+    """Sample membership is a pure function of event_id: the sketch result
+    must be identical when the input arrives as 1 block or 16 blocks."""
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from norsk_historisk_avis_ocr_ray.functions.sketch import (
+        approx_group_quantiles)
+
+    sf = "/root/testdata/sf0.001"
+    a = approx_group_quantiles(sf)
+    # re-write the events table split into many small row groups
+    t = pq.read_table(f"{sf}/events.parquet")
+    pq.write_table(t, str(tmp_path / "events.parquet"), row_group_size=500)
+    import pandas as pd
+    b = approx_group_quantiles(str(tmp_path))
+    pd.testing.assert_frame_equal(a, b)
