@@ -310,7 +310,11 @@ def minhash_candidates(docs: Dataset) -> Dataset:
     return joined.map_batches(ordered, batch_format="pyarrow")
 
 
-def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+JOIN_CUTOVER_PAIRS = 250_000
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8,
+                  join_cutover: int = JOIN_CUTOVER_PAIRS) -> pd.DataFrame:
     """Near-duplicate pairs with verified word-3-gram Jaccard ≥ threshold.
 
     Verification texts arrive by joining the (a, b) candidate list back to
@@ -354,8 +358,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     # seconds. Above the cutover the hash-join path keeps every side
     # distributed (never a whole-corpus pull — the round-1 scale-killer was
     # broadcasting ALL texts, not the candidate-filtered sliver).
-    JOIN_CUTOVER_PAIRS = 250_000
-    if len(pair_ids) <= JOIN_CUTOVER_PAIRS:
+    if len(pair_ids) <= join_cutover:
         ndf = needed.to_pandas()
         joined = ray.data.from_pandas(
             pair_ids

@@ -171,3 +171,14 @@ def test_lsh_recall_vs_exact(clustered_emb_dir):
         i = set(lsh.loc[lsh["query_id"] == q, "vec_id"])
         recalls.append(len(e & i) / len(e))
     assert np.mean(recalls) >= 0.85, recalls
+
+
+def test_minhash_join_path_identical(planted_dir):
+    """Forcing join_cutover=0 exercises the distributed hash-join attach
+    path (the >250k-pair branch); verified pairs must be identical to the
+    pandas-merge path."""
+    import pandas as pd
+
+    fast = dedup.dedup_minhash(planted_dir, threshold=0.8)
+    slow = dedup.dedup_minhash(planted_dir, threshold=0.8, join_cutover=0)
+    pd.testing.assert_frame_equal(fast, slow)
