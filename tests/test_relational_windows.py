@@ -255,3 +255,39 @@ def test_q5_star_join_matches_duckdb(ray_session):
     got = _canon(q5_local_supplier_volume(SF_DIR))
     exp = _canon(c.sql(entry.oracle_sql()["q5_local_supplier_volume"]).df())
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_sessionize_and_rolling_under_hot_key_skew(ray_session, tmp_path):
+    """90% of events on ONE user (the hot-key case every shuffle dreads):
+    results must still match DuckDB exactly — the bucketed partitioning
+    carries whole keys, so skew affects balance, never correctness."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 4000
+    rng = np.random.default_rng(7)
+    users = np.where(rng.random(n) < 0.9, 1, rng.integers(2, 20, n))
+    ts = (np.datetime64("2024-01-01", "us")
+          + (np.sort(rng.integers(0, 10**7, n))
+             * np.timedelta64(1, "s")).astype("timedelta64[us]"))
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(users.astype(np.int64)),
+        "ts": pa.array(ts),
+        "value": pa.array(rng.random(n) * 100),
+        "event_type": pa.array(["click"] * n),
+        "props": pa.array(["{}"] * n),
+    }), str(tmp_path / "events.parquet"))
+
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_rolling_avg, q_sessionize)
+    import __ray_entry__ as entry
+
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW events AS SELECT * FROM "
+          f"'{tmp_path}/events.parquet'")
+    for fn, name in ((q_sessionize, "q_sessionize"),
+                     (q_rolling_avg, "q_rolling_avg")):
+        got = _canon(fn(str(tmp_path)))
+        exp = _canon(c.sql(entry.oracle_sql()[name]).df())
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
