@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack": mlprep.seq_pack,
         "q_contamination": mlprep.q_contamination,
         "line_dedup": mlprep.line_dedup,
+        "q_training_corpus": mlprep.q_training_corpus,
         # anti join / lag window
         "q_inactive_customers": relational.q_inactive_customers,
         "q_user_gaps": relational.q_user_gaps,
@@ -821,6 +822,46 @@ def oracle_sql() -> dict[str, str]:
                    len(b.ts) AS n_lines,
                    len(b.ts) - coalesce(r.n_kept, 0) AS n_removed
             FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY b.doc_id
+        """,
+        "q_training_corpus": r"""
+            WITH s AS (SELECT doc_id, text,
+                              length(text)::DOUBLE AS n_chars,
+                              (CASE WHEN trim(text) = '' THEN 0
+                                    ELSE len(regexp_split_to_array(trim(text),
+                                                                   '\s+'))
+                               END)::DOUBLE AS n_tokens
+                       FROM documents WHERE doc_id % 20 <> 0),
+            q AS (SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens,
+                         round(0.5 * least(n_tokens / 100.0, 1.0)
+                             + 0.5 * least(greatest(
+                                   ((n_chars - greatest(n_tokens - 1, 0))
+                                    / greatest(n_tokens, 1) - 2.0) / 8.0,
+                                   0.0), 1.0), 6) AS quality
+                  FROM s),
+            w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                  FROM documents),
+            g AS (SELECT doc_id, unnest(ws[1:len(ws)-2]) || ' ' ||
+                                 unnest(ws[2:len(ws)-1]) || ' ' ||
+                                 unnest(ws[3:len(ws)]) AS g3
+                  FROM w WHERE len(ws) >= 3),
+            bench AS (SELECT DISTINCT g3 FROM g WHERE doc_id % 20 = 0),
+            ev AS (SELECT doc_id, g3 FROM g WHERE doc_id % 20 <> 0
+                   GROUP BY 1, 2),
+            contam AS (SELECT e.doc_id,
+                              round(sum(CASE WHEN b.g3 IS NOT NULL
+                                             THEN 1 ELSE 0 END)
+                                    * 1.0 / count(*), 6) AS contamination_frac
+                       FROM ev e LEFT JOIN bench b USING (g3)
+                       GROUP BY e.doc_id),
+            kept AS (SELECT q.doc_id, q.text, q.n_tokens, q.quality,
+                            c.contamination_frac
+                     FROM q JOIN contam c USING (doc_id)
+                     WHERE q.quality >= 0.3 AND q.n_tokens >= 5
+                       AND c.contamination_frac < 0.2)
+            SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+                   min(quality) AS quality,
+                   min(contamination_frac) AS contamination_frac
+            FROM kept GROUP BY md5(text) ORDER BY doc_id
         """,
         "dup_clusters": """
             WITH RECURSIVE

@@ -160,3 +160,39 @@ def test_line_dedup_planted_boilerplate(tmp_path):
     ora = con.execute(entry.oracle_sql()["line_dedup"]).df()
     import pandas as pd
     pd.testing.assert_frame_equal(out, ora, check_dtype=False)
+
+
+def test_training_corpus_filters_and_dedups(tmp_path):
+    """Planted corpus exercises every rejection reason: benchmark overlap
+    (contamination), sub-floor token count, low quality (1-char words),
+    exact duplicate (min doc_id survives), and a clean keeper."""
+    bench_text = " ".join(f"b{i}" for i in range(40))      # doc 0: benchmark
+    clean = " ".join(f"word{i:02d}" for i in range(60))    # quality ~ high
+    contaminated = bench_text + " tail1 tail2"             # >20% bench grams
+    short = "only four tokens here"                        # n_tokens < 5
+    lowq = " ".join("a" for _ in range(50))                # wlen 1 -> q 0.25
+    rows = [
+        {"doc_id": 0, "text": bench_text},                 # benchmark, excluded
+        {"doc_id": 1, "text": clean},
+        {"doc_id": 2, "text": contaminated},
+        {"doc_id": 3, "text": short},
+        {"doc_id": 4, "text": lowq},
+        {"doc_id": 5, "text": clean},                      # exact dup of 1
+        {"doc_id": 6, "text": " ".join(f"zed{i:04d}" for i in range(40))},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    out = (mlprep.q_training_corpus(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 6]   # dup 5 collapsed into 1
+    assert (out["contamination_frac"] < 0.2).all()
+    assert (out["quality"] >= 0.3).all()
+    # DuckDB oracle parity on the planted corpus
+    import duckdb
+    import pandas as pd
+    import __ray_entry__ as entry
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    ora = con.execute(entry.oracle_sql()["q_training_corpus"]).df()
+    pd.testing.assert_frame_equal(out, ora, check_dtype=False)
