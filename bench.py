@@ -132,8 +132,15 @@ def main() -> None:
         # BASELINE.md), which a real N→4N *node* scale-out does not share
         # since each node brings its own memory. Pass "--pair 8,32" to
         # measure the bandwidth-capped pair too.
-        def run_once(ncpu: int) -> dict:
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # EQUAL-DURATION (weak-scaling) measurement: each level's corpus is
+        # sized to its CPU count so every run lasts ~2 min. Throughput is
+        # corpus-size-independent, but a short (~35 s) big-level run cannot
+        # average out this shared host's noise bursts the way the long
+        # small-level run does — measured ±40% run-to-run at 16 CPUs on the
+        # fixed corpus vs ±7% at 4 CPUs, which biases the ratio downward.
+        def run_once(ncpu: int, n_docs: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       NHAO_BENCH_DOCS=str(n_docs))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env, capture_output=True, text=True, check=True).stdout
@@ -151,20 +158,25 @@ def main() -> None:
         if "--pair" in sys.argv:
             lo, hi = map(int, sys.argv[sys.argv.index("--pair") + 1].split(","))
 
-        # Generate the corpus at full width in the parent (untimed) so the
+        # per-level corpus: same docs/CPU at both levels (equal duration)
+        docs_lo = BENCH_DOCS
+        docs_hi = BENCH_DOCS * hi // lo
+
+        # Generate both corpora at full width in the parent (untimed) so the
         # small-CPU child doesn't pay generation at low parallelism.
         import ray
         ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
                  logging_level="ERROR")
-        ensure_corpus(BENCH_DOCS)
+        ensure_corpus(docs_lo)
+        ensure_corpus(docs_hi)
         ray.shutdown()
 
         # Interleave the levels (lo,hi,lo,hi,...) so slow host-level drift
         # hits both levels equally, then take the best per level.
         runs_lo, runs_hi = [], []
         for _ in range(repeats):
-            runs_lo.append(run_once(lo))
-            runs_hi.append(run_once(hi))
+            runs_lo.append(run_once(lo, docs_lo))
+            runs_hi.append(run_once(hi, docs_hi))
         import statistics
         pps_lo_all = [r["pages_per_sec"] for r in runs_lo]
         pps_hi_all = [r["pages_per_sec"] for r in runs_hi]
@@ -195,7 +207,10 @@ def main() -> None:
             "aggregation": "median-of-%d per level (headline); best-of-%d and "
                            "paired interleaved ratios reported alongside"
                            % (repeats, repeats),
-            "pages": runs_lo[0]["pages"],
+            "pages_small": runs_lo[0]["pages"],
+            "pages_big": runs_hi[0]["pages"],
+            "equal_duration": "corpus sized to CPU count per level "
+                              "(docs/CPU constant)",
         }))
         return
 
