@@ -10,9 +10,11 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "pages": P, "pages_per_sec": X}
 
-`--scaling`: runs the headline twice in fresh processes (num_cpus=8 and 32)
-on the same cached corpus and reports both throughputs + scaling efficiency
-(the sandbox evidence for the N→4N cluster criterion; see BASELINE.md).
+`--scaling`: interleaved fresh-process runs of the headline at two CPU
+levels (default 4 and 16; `--pair A,B`, `--repeats N`), EQUAL-DURATION
+corpora (docs/CPU constant per level), reporting median/best throughput per
+level + scaling efficiency (the sandbox evidence for the N→4N cluster
+criterion; see BASELINE.md).
 """
 
 from __future__ import annotations
