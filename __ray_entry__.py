@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": similarity.embedding_neardup,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "emb_kmeans": similarity.emb_kmeans,
         # multimodal
         "image_features": _image_features,
         "audio_frame_energy": _audio_frame_energy,
@@ -893,7 +894,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lab GROUP BY node ORDER BY doc_id
         """,
         # rows-only (not SQL-expressible): ocr_extract, lang_id,
-        # approx_group_quantiles (sampling sketch),
+        # approx_group_quantiles (sampling sketch), emb_kmeans (iterative),
         # dedup_minhash, dedup_simhash, minhash_clusters, simhash_signatures,
         # ann_ivf_topk, ann_lsh_topk, winnow_fingerprint, audio_frame_energy,
         # video_frame_sample, approx_top_users, seq_pack (order-stateful

@@ -461,3 +461,59 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     df = df.astype({"query_id": np.int64, "vec_id": np.int64})
     return df.sort_values(["query_id", "cos", "vec_id"],
                           ascending=[True, False, True]).reset_index(drop=True)
+
+
+# --- embedding k-means clustering (the quantizer as a first-class operator) ----
+
+def emb_kmeans(sf_dir: str, n_clusters: int = IVF_CENTROIDS) -> pd.DataFrame:
+    """Per-cluster summary of a distributed spherical k-means over the
+    embedding table: cluster id → member count + mean within-cluster cosine
+    to the centroid (a cohesion signal).
+
+    Reuses the IVF quantizer (``_kmeans_centroids``: k-means++ on a sample,
+    then streaming Lloyd passes whose shuffled state is C×(dim+2) floats per
+    batch — independent of N). The final summary pass is the same per-batch
+    partial (count, cos-sum) combine, so nothing corpus-sized ever
+    concentrates. Deterministic (seeded ++ init, fixed iteration count).
+    Rows-only: k-means is iterative/approximate, no SQL form; pytest asserts
+    determinism, full coverage and that cohesion beats a random assignment.
+    """
+    emb = _emb(sf_dir)
+    head = emb.take(1)
+    if not head:
+        return typed_empty(cluster="int64", n="int64", mean_cos="float64")
+    dim = len(head[0]["embedding"])
+    centroids = _kmeans_centroids(emb, dim, n_clusters)
+    c_ref = ray.put(centroids)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        _, mat = _batch_matrix(t)
+        norm = _normalize(mat)
+        sims = norm @ c.T
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(assign)), assign]
+        counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+        cos_sums = np.zeros(len(c))
+        np.add.at(cos_sums, assign, best)
+        return pa.table({
+            "cluster": pa.array(np.arange(len(c)), pa.int64()),
+            "n": pa.array(counts),
+            "cos_sum": pa.array(cos_sums, pa.float64())})
+
+    from ray.data.aggregate import Sum
+
+    df = (emb.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+          .groupby("cluster")
+          .aggregate(Sum("n", alias_name="n"),
+                     Sum("cos_sum", alias_name="cos_sum"))
+          .to_pandas())  # one row per cluster — result-sized
+    if df.empty:
+        return typed_empty(cluster="int64", n="int64", mean_cos="float64")
+    df = df[df["n"] > 0].copy()
+    df["mean_cos"] = round_half_away(
+        (df["cos_sum"] / df["n"]).to_numpy(), 6)
+    df["cluster"] = df["cluster"].astype(np.int64)
+    df["n"] = df["n"].astype(np.int64)
+    return (df[["cluster", "n", "mean_cos"]]
+            .sort_values("cluster").reset_index(drop=True))

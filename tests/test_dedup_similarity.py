@@ -182,3 +182,30 @@ def test_minhash_join_path_identical(planted_dir):
     fast = dedup.dedup_minhash(planted_dir, threshold=0.8)
     slow = dedup.dedup_minhash(planted_dir, threshold=0.8, join_cutover=0)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_emb_kmeans_summary():
+    """k-means cluster summary: deterministic, covers every vector, and the
+    mean within-cluster cosine beats what a single global centroid gets
+    (i.e. the clustering actually separates directions)."""
+    import pyarrow.parquet as pq
+
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        _normalize, emb_kmeans)
+
+    sf = "/root/testdata/sf0.01"
+    a = emb_kmeans(sf)
+    b = emb_kmeans(sf)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)  # seeded ++ init + fixed iters
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    n_vecs = t.num_rows
+    assert int(a["n"].sum()) == n_vecs  # every vector assigned exactly once
+    assert (a["mean_cos"] <= 1.0).all() and (a["mean_cos"] > 0).all()
+
+    mat = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    global_centroid = _normalize(mat.mean(axis=0, keepdims=True))
+    baseline = float((mat @ global_centroid.T).mean())
+    weighted = float((a["mean_cos"] * a["n"]).sum() / a["n"].sum())
+    assert weighted > baseline + 0.05
