@@ -188,14 +188,22 @@ def q_json_extract(sf_dir: str) -> pd.DataFrame:
 
 # --- per-document top term by tf-rarity -----------------------------------------
 
-def tfidf_top_term(sf_dir: str) -> Dataset:
+VOCAB_BROADCAST_CUTOVER = 250_000
+
+
+def tfidf_top_term(sf_dir: str,
+                   vocab_cutover: int = VOCAB_BROADCAST_CUTOVER) -> Dataset:
     """Per-document top term by the integer score ``tf × (N − df)``.
 
     Document frequency comes from a ``groupby(tok)`` over per-doc distinct
-    token rows and is joined BACK on the token (a vocabulary broadcast would
-    not survive an unbounded corpus). The per-doc argmax is a single ``Max``
-    aggregate over the order-encoded key ``zfill(score)|tok`` — max score,
-    ties to the lexically largest token — so there is no per-group Python.
+    token rows. When the resulting vocabulary fits (≤ ``vocab_cutover``
+    distinct tokens) it is broadcast once and the per-doc argmax computes
+    BATCH-LOCALLY in a second fused pass — each doc's tokens live in the
+    batch that read it, so no further shuffle happens at all (one ``groupby``
+    total). Above the cutover the vocabulary is unbounded and the df table
+    joins BACK on the token distributedly, with the argmax as a single
+    ``Max`` aggregate over the order-encoded key ``zfill(score)|tok`` — max
+    score, ties to the lexically largest token, no per-group Python.
     Tokenization is single-space split (matches SQL ``string_split``)."""
     out_schema = pa.schema([("doc_id", pa.int64()),
                             ("top_tok", pa.string()),
@@ -207,19 +215,62 @@ def tfidf_top_term(sf_dir: str) -> Dataset:
             {n: pa.array([], type=t)
              for n, t in zip(out_schema.names, out_schema.types)}))
 
-    def tf_rows(t: pa.Table) -> pa.Table:
+    def _tf_frame(t: pa.Table) -> pd.DataFrame:
         s = pd.Series(t["text"].to_pylist(),
                       index=t["doc_id"].to_pylist()).fillna("")
         ex = s.str.lower().str.split(" ").explode()
         ex = ex[ex != ""]
-        g = (ex.rename("tok").rename_axis("doc_id").reset_index()
-             .groupby(["doc_id", "tok"], as_index=False).size()
-             .rename(columns={"size": "tf"}))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return (ex.rename("tok").rename_axis("doc_id").reset_index()
+                .groupby(["doc_id", "tok"], as_index=False).size()
+                .rename(columns={"size": "tf"}))
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_tf_frame(t), preserve_index=False)
+
+    def distinct_toks(t: pa.Table) -> pa.Table:  # per-batch (doc-distinct)
+        g = _tf_frame(t)
+        return pa.Table.from_pandas(g[["tok"]], preserve_index=False)
+
+    df_counts = (docs.map_batches(distinct_toks, batch_format="pyarrow",
+                                  batch_size=4096)
+                 .groupby("tok").aggregate(Count(alias_name="df"))
+                 .materialize())
+
+    if df_counts.count() <= vocab_cutover:
+        vdf = df_counts.to_pandas()
+        order = np.argsort(vdf["tok"].to_numpy())
+        vocab_ref = ray.put((vdf["tok"].to_numpy()[order],
+                             vdf["df"].to_numpy(np.int64)[order]))
+
+        def local_argmax(t: pa.Table) -> pa.Table:
+            toks, dfs = ray.get(vocab_ref)
+            g = _tf_frame(t)
+            if g.empty:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "top_tok": pa.array([], pa.string()),
+                                 "top_score": pa.array([], pa.int64())})
+            gt = g["tok"].to_numpy()
+            pos = np.searchsorted(toks, gt)
+            df_v = dfs[pos]  # every token is in the global vocab by constr.
+            g = g.assign(score=(g["tf"].to_numpy(np.int64)
+                                * (n_total - df_v)))
+            # per-doc argmax, entirely batch-local (a doc's text is one row,
+            # so all its tokens are in this batch): max score, tie → max tok
+            top = (g.sort_values(["doc_id", "score", "tok"],
+                                 kind="mergesort")
+                   .groupby("doc_id", as_index=False).tail(1))
+            return pa.table({
+                "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+                "top_tok": pa.array(top["tok"], pa.string()),
+                "top_score": pa.array(top["score"].to_numpy(np.int64))})
+
+        return ensure_schema(
+            docs.map_batches(local_argmax, batch_format="pyarrow",
+                             batch_size=4096),
+            out_schema)
 
     tf = docs.map_batches(tf_rows, batch_format="pyarrow",
-                          batch_size=4096).materialize()  # feeds df + join
-    df_counts = tf.groupby("tok").aggregate(Count(alias_name="df"))
+                          batch_size=4096)
     joined = tf.join(df_counts, join_type="inner", num_partitions=4,
                      on=("tok",))
 

@@ -196,3 +196,16 @@ def test_training_corpus_filters_and_dedups(tmp_path):
                 f"read_parquet('{tmp_path}/documents.parquet')")
     ora = con.execute(entry.oracle_sql()["q_training_corpus"]).df()
     pd.testing.assert_frame_equal(out, ora, check_dtype=False)
+
+
+def test_tfidf_join_fallback_identical(small_dir):
+    """vocab_cutover=0 forces the distributed df-join path; the per-doc top
+    terms must match the vocabulary-broadcast path exactly."""
+    import pandas as pd
+
+    def cn(ds):
+        return (ds.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+    fast = cn(mlprep.tfidf_top_term(small_dir))
+    slow = cn(mlprep.tfidf_top_term(small_dir, vocab_cutover=0))
+    pd.testing.assert_frame_equal(fast, slow)
