@@ -382,29 +382,79 @@ def q_sessionize(sf_dir: str) -> Dataset:
 ASOF_BUCKETS = 256  # power of two: bucket = key & (NB-1)
 
 
-def q_asof_last_order(sf_dir: str) -> Dataset:
+ASOF_SALTS = 8
+ASOF_HOT_THRESHOLD = 50_000  # events per key before its bucket is split
+
+
+def q_asof_last_order(sf_dir: str, salt_hot_keys: bool = False,
+                      hot_threshold: int = ASOF_HOT_THRESHOLD,
+                      n_salts: int = ASOF_SALTS) -> Dataset:
     """As-of join (events ⨝asof orders): for each event, the customer's most
     recent order with ``o_orderdate <= ts`` (ties on the date broken by max
     ``o_totalprice``, matching the SQL oracle's deterministic tiebreak).
 
     Ray Data has no as-of join; the scale form is the *co-grouped merge*:
     tag both sides with a common schema, union, one shuffle on
-    ``bucket = hash(key) % NB`` (many keys per bucket — a raw per-key
-    groupby costs one Ray group invocation per key, which dominated wall
-    time), then one vectorized ``pd.merge_asof(by=key)`` per bucket.
+    ``(bucket = hash(key) % NB, salt)`` (many keys per bucket — a raw
+    per-key groupby costs one Ray group invocation per key, which dominated
+    wall time), then one vectorized ``pd.merge_asof(by=key)`` per bucket.
     Within-key order is computed locally, never globally (same partitioning
-    contract as sessionize). Hot keys can be salted by splitting the event
-    side only (orders replicate per salt), documented rather than applied
-    at this scale.
+    contract as sessionize).
+
+    ``salt_hot_keys=True`` adds the skew defense: a cheap count pass finds
+    keys with more than ``hot_threshold`` events (the sliver is O(hot keys)
+    by construction), a hot key's EVENTS spread over ``n_salts`` sub-groups
+    by ``splitmix64(event_id)`` while its ORDERS replicate into every salt —
+    each (key, salt) group still sees all of the key's orders, so the merge
+    is exact, but no single group carries more than ~1/n_salts of a hot
+    key's rows. Off by default: the probe pass costs one extra aggregate,
+    worth paying only when a key can exceed a worker's group budget.
     """
+    from .dedup import _fmix64
+
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
 
+    hot_ref = None
+    if salt_hot_keys:
+        def key_counts(t: pa.Table) -> pa.Table:
+            k = t["user_id"].to_numpy(zero_copy_only=False)
+            uniq, cnt = np.unique(k, return_counts=True)
+            return pa.table({"key": pa.array(uniq, pa.int64()),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+        hot_df = (ev.map_batches(key_counts, batch_format="pyarrow",
+                                 batch_size=65536)
+                  .groupby("key").aggregate(Sum("n", alias_name="n"))
+                  .filter(expr=f"n > {int(hot_threshold)}")
+                  .to_pandas())
+        hot_ref = ray.put(np.sort(hot_df["key"].to_numpy(np.int64))
+                          if len(hot_df) else np.array([], np.int64))
+
+    def _is_hot(keys: np.ndarray) -> np.ndarray:
+        hot = ray.get(hot_ref)
+        if not len(hot):
+            return np.zeros(len(keys), bool)
+        pos = np.minimum(np.searchsorted(hot, keys), len(hot) - 1)
+        return hot[pos] == keys
+
     def tag_events(t: pa.Table) -> pa.Table:
         key = t["user_id"].cast(pa.int64())
+        if hot_ref is None:
+            salt = pa.array(np.zeros(t.num_rows, np.int64))
+        else:
+            k = key.to_numpy(zero_copy_only=False)
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            salt_v = np.where(
+                _is_hot(k),
+                (_fmix64(eid.astype(np.uint64))
+                 % np.uint64(n_salts)).astype(np.int64),
+                0)
+            salt = pa.array(salt_v)
         return pa.table({
             "key": key,
             "bucket": pc.bit_wise_and(key, ASOF_BUCKETS - 1),
+            "salt": salt,
             "t_us": t["ts"].cast(pa.int64()),
             "event_id": t["event_id"].cast(pa.int64()),
             "price": pa.nulls(t.num_rows, pa.float64()),
@@ -412,12 +462,29 @@ def q_asof_last_order(sf_dir: str) -> Dataset:
 
     def tag_orders(t: pa.Table) -> pa.Table:
         key = t["o_custkey"].cast(pa.int64())
+        n = t.num_rows
+        if hot_ref is None:
+            salt_v = np.zeros(n, np.int64)
+            idx = np.arange(n)
+        else:
+            # hot keys' orders replicate into every salt so each (key, salt)
+            # group holds the key's FULL order history
+            k = key.to_numpy(zero_copy_only=False)
+            hot = _is_hot(k)
+            reps = np.where(hot, n_salts, 1)
+            idx = np.repeat(np.arange(n), reps)
+            salt_v = np.concatenate([np.arange(r, dtype=np.int64)
+                                     for r in reps]) if n else np.array(
+                                         [], np.int64)
+        tt = t.take(pa.array(idx))
+        keyr = tt["o_custkey"].cast(pa.int64())
         return pa.table({
-            "key": key,
-            "bucket": pc.bit_wise_and(key, ASOF_BUCKETS - 1),
-            "t_us": t["o_orderdate"].cast(pa.int64()),
-            "event_id": pa.nulls(t.num_rows, pa.int64()),
-            "price": t["o_totalprice"].cast(pa.float64()),
+            "key": keyr,
+            "bucket": pc.bit_wise_and(keyr, ASOF_BUCKETS - 1),
+            "salt": pa.array(salt_v),
+            "t_us": tt["o_orderdate"].cast(pa.int64()),
+            "event_id": pa.nulls(len(tt), pa.int64()),
+            "price": tt["o_totalprice"].cast(pa.float64()),
         })
 
     both = ev.map_batches(tag_events, batch_format="pyarrow").union(
@@ -474,7 +541,7 @@ def q_asof_last_order(sf_dir: str) -> Dataset:
     return ensure_schema(
         both.map_batches(add_order_ts, batch_format="pyarrow")
             .repartition(32)
-            .groupby("bucket")
+            .groupby(["bucket", "salt"])
             .map_groups(merge, batch_format="pandas"),
         pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
                    ("last_order_s", pa.int64()),

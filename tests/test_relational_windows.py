@@ -291,3 +291,46 @@ def test_sessionize_and_rolling_under_hot_key_skew(ray_session, tmp_path):
         got = _canon(fn(str(tmp_path)))
         exp = _canon(c.sql(entry.oracle_sql()[name]).df())
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_salted_hot_keys_exact(ray_session, tmp_path):
+    """Hot-key salting: one user owns 90% of events; with a low threshold
+    the salted path must (a) actually split that key across salts and (b)
+    produce exactly the unsalted result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_asof_last_order)
+
+    n = 3000
+    rng = np.random.default_rng(11)
+    users = np.where(rng.random(n) < 0.9, 7, rng.integers(8, 24, n))
+    base = np.datetime64("2024-01-01", "us")
+    ts = base + (np.sort(rng.integers(0, 10**6, n))
+                 * np.timedelta64(1, "s")).astype("timedelta64[us]")
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(users.astype(np.int64)),
+        "ts": pa.array(ts),
+    }), str(tmp_path / "events.parquet"))
+    m = 200
+    od_users = rng.integers(7, 24, m).astype(np.int64)
+    od_ts = base + (rng.integers(0, 10**6, m)
+                    * np.timedelta64(1, "s")).astype("timedelta64[us]")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(od_users),
+        "o_orderdate": pa.array(od_ts),
+        "o_totalprice": pa.array(rng.random(m) * 1000),
+    }), str(tmp_path / "orders.parquet"))
+
+    plain = _canon(q_asof_last_order(str(tmp_path)))
+    salted = _canon(q_asof_last_order(str(tmp_path), salt_hot_keys=True,
+                                      hot_threshold=100, n_salts=4))
+    pd.testing.assert_frame_equal(plain, salted)
+    assert len(plain) > 0
+    # the hot key's events genuinely spread across >1 salt (deterministic
+    # splitmix64 of its event ids)
+    from norsk_historisk_avis_ocr_ray.functions.dedup import _fmix64
+    hot_eids = np.flatnonzero(users == 7).astype(np.uint64)
+    assert len(np.unique(_fmix64(hot_eids) % np.uint64(4))) > 1
