@@ -345,23 +345,37 @@ SESSION_GAP_S = 1800
 
 def q_sessionize(sf_dir: str) -> Dataset:
     """Per-user session windows: a new session starts after a >30-min gap.
-    Ray Data has no event-time watermarks; the batch-engine form is
-    groupby(user).map_groups over ts-sorted groups (SURVEY §2.7 — the engine
-    only ever needs within-key order, carried as data)."""
+    Ray Data has no event-time watermarks; the batch-engine form is a
+    BUCKETED co-grouped window (SURVEY §2.7): one shuffle on
+    ``bucket = user_id & (NB-1)`` — many users per bucket, so one Ray group
+    invocation covers ~users/NB keys instead of one call per user — then a
+    fully vectorized multi-user session scan inside the bucket (user-change
+    OR >gap break → cumsum session ids, normalized per user). Within-key
+    order is established locally, never a global sort."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.bit_wise_and(t["user_id"].cast(pa.int64()),
+                                      ASOF_BUCKETS - 1))
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         sec = g["ts"].astype("int64") // 1_000_000
-        new_session = (sec.diff() > SESSION_GAP_S).fillna(False)
-        g["session_idx"] = new_session.cumsum().astype(np.int64)
-        g["sec"] = sec  # floored seconds — duration must floor BEFORE diff,
-        # matching the SQL oracle's max(floor(epoch)) - min(floor(epoch))
-        out = g.groupby("session_idx", as_index=False).agg(
-            n_events=("event_id", "size"),
-            sum_value=("value", "sum"),
-            s0=("sec", "min"), s1=("sec", "max"))
-        out["user_id"] = g["user_id"].iloc[0]
+        # floored seconds BEFORE the diff — matches the SQL oracle's
+        # max(floor(epoch)) - min(floor(epoch)) duration
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        brk = new_user | (sec.diff() > SESSION_GAP_S)
+        gid = brk.cumsum()                       # global session id
+        first = gid.groupby(g["user_id"].to_numpy()).transform("min")
+        out = (pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "session_idx": (gid - first).to_numpy(np.int64),
+            "value": g["value"].to_numpy(),
+            "sec": sec.to_numpy()})
+            .groupby(["user_id", "session_idx"], as_index=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"),
+                 s0=("sec", "min"), s1=("sec", "max")))
         out["duration_s"] = (out["s1"] - out["s0"]).astype(np.int64)
         out["sum_value"] = _r(out["sum_value"], 4)
         out["n_events"] = out["n_events"].astype(np.int64)
@@ -371,7 +385,8 @@ def q_sessionize(sf_dir: str) -> Dataset:
     # Streaming result: one row per session is corpus-sized — hand the
     # Dataset to the consumer (sink/compare) instead of a driver pull.
     return ensure_schema(
-        ds.groupby("user_id").map_groups(sessions, batch_format="pandas"),
+        ds.map_batches(bucketize, batch_format="pyarrow")
+          .groupby("bucket").map_groups(sessions, batch_format="pandas"),
         pa.schema([("user_id", pa.int64()), ("session_idx", pa.int64()),
                    ("n_events", pa.int64()), ("sum_value", pa.float64()),
                    ("duration_s", pa.int64())]))
@@ -811,27 +826,35 @@ def q_user_gaps(sf_dir: str) -> Dataset:
     epoch seconds). Output is one row per user — tiny relative to input."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.bit_wise_and(t["user_id"].cast(pa.int64()),
+                                      ASOF_BUCKETS - 1))
+
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
-                                 "n_events": pd.Series([], dtype=np.int64),
-                                 "max_gap_s": pd.Series([], dtype=np.int64),
-                                 "avg_gap_s": pd.Series([], dtype=np.float64)})
-        g = g.sort_values(["ts", "event_id"])
+        # bucketed multi-user window (one Ray group call per bucket, not per
+        # user): sort by (user, ts, event_id), diff floored epoch seconds,
+        # mask the user boundaries, then one vectorized per-user aggregate
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         # floor to whole epoch seconds BEFORE the diff, matching the SQL
         # oracle's lag over floor(epoch(ts))
         sec = (g["ts"].astype("int64") // 1_000_000).to_numpy()
-        d = np.diff(sec)
-        return pd.DataFrame({
-            "user_id": np.array([g["user_id"].iloc[0]], np.int64),
-            "n_events": np.array([len(g)], np.int64),
-            "max_gap_s": np.array([d.max()], np.int64),
-            "avg_gap_s": _r(pd.Series([d.mean()]), 6).to_numpy(),
-        })
+        uid = g["user_id"].to_numpy(np.int64)
+        gap = np.diff(sec).astype(np.float64)
+        same = uid[1:] == uid[:-1]
+        df = pd.DataFrame({"user_id": uid[1:][same], "gap": gap[same]})
+        out = (df.groupby("user_id", as_index=False)
+               .agg(n_gaps=("gap", "size"), max_gap_s=("gap", "max"),
+                    avg_gap_s=("gap", "mean")))
+        out["n_events"] = (out["n_gaps"] + 1).astype(np.int64)
+        out["max_gap_s"] = out["max_gap_s"].astype(np.int64)
+        out["avg_gap_s"] = _r(out["avg_gap_s"], 6)
+        return out[["user_id", "n_events", "max_gap_s", "avg_gap_s"]]
 
     # Streaming result (one row per user scales with the corpus).
     return ensure_schema(
-        ds.groupby("user_id").map_groups(gaps, batch_format="pandas"),
+        ds.map_batches(bucketize, batch_format="pyarrow")
+          .groupby("bucket").map_groups(gaps, batch_format="pandas"),
         pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
                    ("max_gap_s", pa.int64()), ("avg_gap_s", pa.float64())]))
 
