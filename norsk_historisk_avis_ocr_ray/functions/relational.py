@@ -309,16 +309,23 @@ def q_count_distinct_custs(sf_dir: str) -> pd.DataFrame:
 
 def q_running_user_value(sf_dir: str) -> pd.DataFrame:
     """Per-user running total of event values in (ts, event_id) order — the
-    ordered-window operator as groupby(user).map_groups over sorted groups.
-    Returns the final 100 events by event_id via a distributed top-k: each
-    batch emits only its local top-100, so the driver merges at most
-    100 × n_blocks rows (never the full event stream)."""
+    ordered-window operator as a BUCKETED co-grouped window (one hash-bucket
+    shuffle, many users per Ray group call, vectorized per-user cumsum
+    inside the bucket). Returns the final 100 events by event_id via a
+    distributed top-k: each batch emits only its local top-100, so the
+    driver merges at most 100 × n_blocks rows (never the full stream)."""
     TOP_N = 100
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.bit_wise_and(t["user_id"].cast(pa.int64()),
+                                      ASOF_BUCKETS - 1))
+
     def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        g["running_value"] = _r(g["value"].cumsum(), 4)
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g["running_value"] = _r(
+            g.groupby("user_id", sort=False)["value"].cumsum(), 4)
         return g[["event_id", "user_id", "running_value"]]
 
     def local_topk(t: pa.Table) -> pa.Table:
@@ -328,7 +335,8 @@ def q_running_user_value(sf_dir: str) -> pd.DataFrame:
         idx = np.argpartition(ev, t.num_rows - TOP_N)[-TOP_N:]
         return t.take(np.sort(idx))
 
-    df = (ds.groupby("user_id")
+    df = (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
             .map_groups(running, batch_format="pandas")
             .map_batches(local_topk, batch_format="pyarrow")
             .to_pandas())
