@@ -88,10 +88,11 @@ def run_shuffle_pipeline(corpus_dir: str, ncpu: int) -> float:
     t0 = time.time()
     # batch_size=48: page batches amortize actor round-trips without the
     # tail skew of 64 (measured 45s @16 / 37.6s @32 / 34.7s @48 / 40.5s @64
-    # at 32 CPUs); concurrency beyond 5N/8 oversubscribes against the join
-    # and sort stages (26 actors @bs=16 measured 75s).
+    # at 32 CPUs). At bs=48 the sweet spot is 3N/4 actors (20→44.9s,
+    # 24→37.7s, 28→38.4s same-session); at bs=16 anything past 5N/8
+    # collapsed against the join/sort stages (26 actors measured 75s).
     out = extract(docs, os.path.join(corpus_dir, "pages"),
-                  ocr_concurrency=max(2, (5 * ncpu) // 8),
+                  ocr_concurrency=max(2, (3 * ncpu) // 4),
                   ocr_batch_size=48,
                   media_resolution="dataflow")
     out.count()
