@@ -488,7 +488,7 @@ def q_asof_last_order(sf_dir: str, salt_hot_keys: bool = False,
         n = t.num_rows
         if hot_ref is None:
             salt_v = np.zeros(n, np.int64)
-            idx = np.arange(n)
+            tt = t  # no replication needed — skip the take copy
         else:
             # hot keys' orders replicate into every salt so each (key, salt)
             # group holds the key's FULL order history
@@ -499,7 +499,7 @@ def q_asof_last_order(sf_dir: str, salt_hot_keys: bool = False,
             salt_v = np.concatenate([np.arange(r, dtype=np.int64)
                                      for r in reps]) if n else np.array(
                                          [], np.int64)
-        tt = t.take(pa.array(idx))
+            tt = t.take(pa.array(idx))
         keyr = tt["o_custkey"].cast(pa.int64())
         return pa.table({
             "key": keyr,
