@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_gaps": relational.q_user_gaps,
         # Gopher-style repetition quality signals
         "q_repetition_stats": textstats.q_repetition_stats,
+        "q_corpus_stats": textstats.q_corpus_stats,
         # duplicate clustering (connected components)
         "dup_clusters": _dup_clusters,
         "minhash_clusters": _minhash_clusters,
@@ -865,6 +866,26 @@ def oracle_sql() -> dict[str, str]:
                    min(quality) AS quality,
                    min(contamination_frac) AS contamination_frac
             FROM kept GROUP BY md5(text) ORDER BY doc_id
+        """,
+        "q_corpus_stats": r"""
+            WITH s AS (SELECT lang,
+                              length(text)::DOUBLE AS n_chars,
+                              (CASE WHEN trim(text) = '' THEN 0
+                                    ELSE len(regexp_split_to_array(trim(text),
+                                                                   '\s+'))
+                               END)::DOUBLE AS n_tokens
+                       FROM documents),
+            q AS (SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                         round(0.5 * least(n_tokens / 100.0, 1.0)
+                             + 0.5 * least(greatest(
+                                   ((n_chars - greatest(n_tokens - 1, 0))
+                                    / greatest(n_tokens, 1) - 2.0) / 8.0,
+                                   0.0), 1.0), 6) AS quality
+                  FROM s)
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_tokens) AS sum_tokens,
+                   round(avg(quality), 6) AS avg_quality
+            FROM q GROUP BY lang ORDER BY lang
         """,
         "dup_clusters": """
             WITH RECURSIVE

@@ -267,3 +267,52 @@ def q_repetition_stats(sf_dir: str) -> Dataset:
         pa.schema([("doc_id", pa.int64()), ("n_words", pa.int64()),
                    ("top_word_frac", pa.float64()),
                    ("top_bigram_frac", pa.float64())]))
+
+
+def q_corpus_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-language corpus composition report — the artifact every
+    data-prep run publishes: doc count, token volume, average quality.
+
+    ONE fused streaming pass computes tokens + quality per doc and
+    pre-aggregates per (batch, lang); the only shuffle is the final tiny
+    ``groupby(lang)``. Exact DuckDB oracle (same token/quality formulas as
+    text_token_stats / quality_score)."""
+    from ray.data.aggregate import Sum
+
+    # doc_id is unused by the aggregate but _stats_batch's schema needs it
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = _stats_batch(t)
+        n_tokens = s["n_tokens"].to_numpy().astype(np.float64)
+        n_chars = s["n_chars"].to_numpy().astype(np.float64)
+        wlen = ((n_chars - np.maximum(n_tokens - 1, 0))
+                / np.maximum(n_tokens, 1))
+        q = round_half_away(
+            0.5 * np.minimum(n_tokens / 100.0, 1.0)
+            + 0.5 * np.clip((wlen - 2.0) / 8.0, 0.0, 1.0), 6)
+        g = (pd.DataFrame({"lang": t["lang"].to_numpy(zero_copy_only=False),
+                           "tok": n_tokens.astype(np.int64), "q": q})
+             .groupby("lang", as_index=False)
+             .agg(n_docs=("q", "size"), sum_tokens=("tok", "sum"),
+                  sum_q=("q", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+          .groupby("lang")
+          .aggregate(Sum("n_docs", alias_name="n_docs"),
+                     Sum("sum_tokens", alias_name="sum_tokens"),
+                     Sum("sum_q", alias_name="sum_q"))
+          .to_pandas())  # one row per language — result-sized
+    if df.empty:
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "sum_tokens": pd.Series([], dtype="int64"),
+                             "avg_quality": pd.Series([], dtype="float64")})
+    df["avg_quality"] = round_half_away(
+        (df["sum_q"] / df["n_docs"]).to_numpy(), 6)
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    df["sum_tokens"] = df["sum_tokens"].astype(np.int64)
+    return (df[["lang", "n_docs", "sum_tokens", "avg_quality"]]
+            .sort_values("lang").reset_index(drop=True))

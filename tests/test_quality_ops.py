@@ -81,3 +81,29 @@ def test_contamination_is_case_sensitive(tmp_path):
     pq.write_table(docs, str(tmp_path / "documents.parquet"))
     df = q_contamination(str(tmp_path)).to_pandas()
     assert df.loc[0, "n_hit"] == 0
+
+
+def test_corpus_stats_consistent_with_parts(ray_session):
+    """q_corpus_stats totals must agree with the individually-oracled parts
+    (token stats and quality score) aggregated by language."""
+    import duckdb
+    import pandas as pd
+
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_corpus_stats, quality_score, text_token_stats)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_corpus_stats(sf)
+    toks = text_token_stats(sf).to_pandas()
+    qual = quality_score(sf).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW d AS SELECT * FROM '{sf}/documents.parquet'")
+    lang = con.sql("SELECT doc_id, lang FROM d").df()
+    j = toks.merge(qual, on="doc_id").merge(lang, on="doc_id")
+    exp = (j.groupby("lang", as_index=False)
+           .agg(n_docs=("doc_id", "size"), sum_tokens=("n_tokens", "sum"),
+                avg_quality=("quality", "mean"))
+           .sort_values("lang").reset_index(drop=True))
+    assert got["n_docs"].tolist() == exp["n_docs"].tolist()
+    assert got["sum_tokens"].tolist() == exp["sum_tokens"].tolist()
+    assert (abs(got["avg_quality"] - exp["avg_quality"]) < 1e-6).all()
