@@ -216,3 +216,36 @@ def test_quantile_sketch_partition_invariant(ray_session, tmp_path):
     import pandas as pd
     b = approx_group_quantiles(str(tmp_path))
     pd.testing.assert_frame_equal(a, b)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(min_value=0, max_value=1e7, allow_nan=False,
+                 allow_infinity=False),
+       st.integers(min_value=0, max_value=6))
+def test_round_half_away_matches_duckdb(x, d):
+    """The engine's oracle-compat rounding must agree with DuckDB's round()
+    bit-for-bit — the root cause of the two round-1 exact-hash failures was
+    np.round's half-even mode diverging on ...5 boundaries."""
+    import duckdb
+
+    from norsk_historisk_avis_ocr_ray.functions.rounding import (
+        round_half_away)
+
+    got = float(round_half_away(np.array([x]), d)[0])
+    exp = duckdb.connect().execute(
+        "SELECT round(CAST(? AS DOUBLE), ?)", [x, d]).fetchone()[0]
+    assert got == exp, (x, d, got, exp)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=60))
+def test_space_split_matches_duckdb_string_split(s):
+    """Single-space tokenization parity: Python s.split(' ') must equal
+    DuckDB string_split(s, ' ') element-for-element (the invariant the
+    cluster/line-dedup/tfidf oracles rely on)."""
+    import duckdb
+
+    exp = duckdb.connect().execute(
+        "SELECT string_split(?, ' ')", [s]).fetchone()[0]
+    assert s.split(" ") == exp, (s, exp)
