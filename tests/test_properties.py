@@ -219,7 +219,7 @@ def test_quantile_sketch_partition_invariant(ray_session, tmp_path):
 
 
 @settings(max_examples=300, deadline=None)
-@given(st.floats(min_value=0, max_value=1e7, allow_nan=False,
+@given(st.floats(min_value=-1e7, max_value=1e7, allow_nan=False,
                  allow_infinity=False),
        st.integers(min_value=0, max_value=6))
 def test_round_half_away_matches_duckdb(x, d):
