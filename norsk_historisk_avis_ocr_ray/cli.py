@@ -59,12 +59,30 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("--concurrency", type=int, default=4)
     pd.add_argument("--num-cpus", type=int, default=None)
 
+    pp = sub.add_parser("prepare",
+                        help="resumable training-corpus preparation "
+                             "(filter + decontaminate + dedup)")
+    pp.add_argument("--sf-dir", required=True,
+                    help="dir with documents.parquet")
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--shards", type=int, default=32)
+    pp.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
+
+    if args.cmd == "prepare":
+        from .pipelines.prepare import prepare_training_corpus
+
+        summary = prepare_training_corpus(args.sf_dir, args.out,
+                                          n_shards=args.shards)
+        print(json.dumps(summary))
+        ray.shutdown()
+        return 0
 
     if args.cmd == "debug-render":
         from .stages.debug_render import render_debug

@@ -528,6 +528,96 @@ TC_MIN_TOKENS = 5
 TC_MAX_CONTAM = 0.2
 
 
+def corpus_bench_hashes(ds: Dataset) -> np.ndarray:
+    """Benchmark 3-gram hash sliver over a documents Dataset (docs with
+    ``doc_id % CONTAM_MOD == 0`` stand in for an eval suite — tiny by
+    definition): per-batch distinct hashes, driver union. Shared by
+    q_training_corpus and pipelines.prepare."""
+    from .dedup import _hash_tokens_batch, _shingles_from_tokens
+
+    def bench_hashes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % CONTAM_MOD == 0))
+        hs = [_shingles_from_tokens(th, CONTAM_K)
+              for th in _hash_tokens_batch(t["text"].to_pylist(), lower=False)
+              if len(th) >= CONTAM_K]
+        flat = (np.unique(np.concatenate(hs)) if hs
+                else np.array([], np.uint64))
+        return pa.table({"h": pa.array(flat, pa.uint64())})
+
+    bdf = (ds.map_batches(bench_hashes, batch_format="pyarrow",
+                          batch_size=8192).to_pandas())
+    return (np.unique(bdf["h"].to_numpy().astype(np.uint64))
+            if "h" in bdf.columns else np.array([], np.uint64))
+
+
+def corpus_fused_signals(t: pa.Table, bench: np.ndarray,
+                         with_text: bool = False) -> pa.Table:
+    """ONE fused pass of the corpus-preparation signals for a batch:
+    md5 fingerprint, token stats, quality, 3-gram contamination probe vs
+    the broadcast ``bench`` sliver — rows failing the keep-filter dropped
+    BEFORE any shuffle. ``with_text=True`` carries the text through (the
+    prepare job writes it; the oracled query drops it)."""
+    from .dedup import _hash_tokens_batch, _shingles_from_tokens
+    from .textstats import _stats_batch
+
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    t = t.filter(pa.array(ids % CONTAM_MOD != 0))
+    cols = {"fingerprint": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "quality": pa.array([], pa.float64()),
+            "contamination_frac": pa.array([], pa.float64())}
+    if with_text:
+        cols["text"] = pa.array([], pa.string())
+    if t.num_rows == 0:
+        return pa.table(cols)
+    texts = t["text"].to_pylist()
+    # token/char stats + quality (same formulas as the oracled
+    # quality_score / text_token_stats operators)
+    s = _stats_batch(t)
+    n_tokens = s["n_tokens"].to_numpy().astype(np.float64)
+    n_chars = s["n_chars"].to_numpy().astype(np.float64)
+    wlen = ((n_chars - np.maximum(n_tokens - 1, 0))
+            / np.maximum(n_tokens, 1))
+    quality = _r(pd.Series(
+        0.5 * np.minimum(n_tokens / 100.0, 1.0)
+        + 0.5 * np.clip((wlen - 2.0) / 8.0, 0.0, 1.0)), 6).to_numpy()
+    # contamination probe (distinct 3-gram hit rate vs the bench sliver)
+    toks = _hash_tokens_batch(texts, lower=False)
+    shs = [_shingles_from_tokens(th, CONTAM_K) if len(th) >= CONTAM_K
+           else np.array([], np.uint64) for th in toks]
+    lens = np.array([len(x) for x in shs], np.int64)
+    flat = (np.concatenate(shs) if shs else np.array([], np.uint64))
+    if len(bench) and len(flat):
+        pos = np.minimum(np.searchsorted(bench, flat), len(bench) - 1)
+        hit = bench[pos] == flat
+    else:
+        hit = np.zeros(len(flat), bool)
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    n_hit = np.bincount(doc_idx, weights=hit,
+                        minlength=len(lens)).astype(np.int64)
+    contam = _r(pd.Series(n_hit / np.maximum(lens, 1)), 6).to_numpy()
+    # the filter, applied BEFORE the shuffle
+    keep = ((quality >= TC_MIN_QUALITY)
+            & (n_tokens >= TC_MIN_TOKENS)
+            & (contam < TC_MAX_CONTAM)
+            & (lens >= 1))  # n_tokens>=5 implies >=3 grams; belt+braces
+    kept_texts = [x for x, k in zip(texts, keep) if k]
+    md5s = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+            for x in kept_texts]
+    out = {
+        "fingerprint": pa.array(md5s, pa.string()),
+        "doc_id": pa.array(t["doc_id"].to_numpy(
+            zero_copy_only=False)[keep]),
+        "n_tokens": pa.array(n_tokens[keep].astype(np.int64)),
+        "quality": pa.array(quality[keep], pa.float64()),
+        "contamination_frac": pa.array(contam[keep], pa.float64())}
+    if with_text:
+        out["text"] = pa.array(kept_texts, pa.string())
+    return pa.table(out)
+
+
 def q_training_corpus(sf_dir: str) -> Dataset:
     """The composed corpus-preparation pipeline in ONE fused streaming pass:
     quality score + token floor + benchmark decontamination + exact dedup.
@@ -542,79 +632,11 @@ def q_training_corpus(sf_dir: str) -> Dataset:
     ``Min`` columns (identical text ⇒ identical signals, so Min is exact) —
     no join-back. SQL oracle recomputes the same thing relationally.
     """
-    from .dedup import _hash_tokens_batch, _shingles_from_tokens
-    from .textstats import _stats_batch
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    # pass 0: benchmark 3-gram sliver (docs doc_id%20==0 stand in for an
-    # eval suite — tiny by definition), per-batch dedup then driver union
-    def bench_hashes(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(ids % CONTAM_MOD == 0))
-        hs = [_shingles_from_tokens(th, CONTAM_K)
-              for th in _hash_tokens_batch(t["text"].to_pylist(), lower=False)
-              if len(th) >= CONTAM_K]
-        flat = (np.unique(np.concatenate(hs)) if hs
-                else np.array([], np.uint64))
-        return pa.table({"h": pa.array(flat, pa.uint64())})
-
-    bdf = (ds.map_batches(bench_hashes, batch_format="pyarrow",
-                          batch_size=8192).to_pandas())
-    bench = (np.unique(bdf["h"].to_numpy().astype(np.uint64))
-             if "h" in bdf.columns else np.array([], np.uint64))
-    bench_ref = ray.put(bench)
+    bench_ref = ray.put(corpus_bench_hashes(ds))
 
     def fused_signals(t: pa.Table) -> pa.Table:
-        bench = ray.get(bench_ref)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(ids % CONTAM_MOD != 0))
-        if t.num_rows == 0:
-            return pa.table({"fingerprint": pa.array([], pa.string()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "n_tokens": pa.array([], pa.int64()),
-                             "quality": pa.array([], pa.float64()),
-                             "contamination_frac": pa.array([], pa.float64())})
-        texts = t["text"].to_pylist()
-        # token/char stats + quality (same formulas as the oracled
-        # quality_score / text_token_stats operators)
-        s = _stats_batch(t)
-        n_tokens = s["n_tokens"].to_numpy().astype(np.float64)
-        n_chars = s["n_chars"].to_numpy().astype(np.float64)
-        wlen = ((n_chars - np.maximum(n_tokens - 1, 0))
-                / np.maximum(n_tokens, 1))
-        quality = _r(pd.Series(
-            0.5 * np.minimum(n_tokens / 100.0, 1.0)
-            + 0.5 * np.clip((wlen - 2.0) / 8.0, 0.0, 1.0)), 6).to_numpy()
-        # contamination probe (distinct 3-gram hit rate vs the bench sliver)
-        toks = _hash_tokens_batch(texts, lower=False)
-        shs = [_shingles_from_tokens(th, CONTAM_K) if len(th) >= CONTAM_K
-               else np.array([], np.uint64) for th in toks]
-        lens = np.array([len(x) for x in shs], np.int64)
-        flat = (np.concatenate(shs) if shs else np.array([], np.uint64))
-        if len(bench) and len(flat):
-            pos = np.minimum(np.searchsorted(bench, flat), len(bench) - 1)
-            hit = bench[pos] == flat
-        else:
-            hit = np.zeros(len(flat), bool)
-        doc_idx = np.repeat(np.arange(len(lens)), lens)
-        n_hit = np.bincount(doc_idx, weights=hit,
-                            minlength=len(lens)).astype(np.int64)
-        contam = _r(pd.Series(n_hit / np.maximum(lens, 1)), 6).to_numpy()
-        # the filter, applied BEFORE the shuffle
-        keep = ((quality >= TC_MIN_QUALITY)
-                & (n_tokens >= TC_MIN_TOKENS)
-                & (contam < TC_MAX_CONTAM)
-                & (lens >= 1))  # n_tokens>=5 implies >=3 grams; belt+braces
-        md5s = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
-                for x, k in zip(texts, keep) if k]
-        return pa.table({
-            "fingerprint": pa.array(md5s, pa.string()),
-            "doc_id": pa.array(t["doc_id"].to_numpy(
-                zero_copy_only=False)[keep]),
-            "n_tokens": pa.array(n_tokens[keep].astype(np.int64)),
-            "quality": pa.array(quality[keep], pa.float64()),
-            "contamination_frac": pa.array(contam[keep], pa.float64())})
+        return corpus_fused_signals(t, ray.get(bench_ref))
 
     from ray.data.aggregate import Min
 
