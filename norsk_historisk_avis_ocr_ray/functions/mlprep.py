@@ -195,16 +195,19 @@ def tfidf_top_term(sf_dir: str,
                    vocab_cutover: int = VOCAB_BROADCAST_CUTOVER) -> Dataset:
     """Per-document top term by the integer score ``tf × (N − df)``.
 
-    Document frequency comes from a ``groupby(tok)`` over per-doc distinct
-    token rows. When the resulting vocabulary fits (≤ ``vocab_cutover``
-    distinct tokens) it is broadcast once and the per-doc argmax computes
-    BATCH-LOCALLY in a second fused pass — each doc's tokens live in the
-    batch that read it, so no further shuffle happens at all (one ``groupby``
-    total). Above the cutover the vocabulary is unbounded and the df table
-    joins BACK on the token distributedly, with the argmax as a single
-    ``Max`` aggregate over the order-encoded key ``zfill(score)|tok`` — max
-    score, ties to the lexically largest token, no per-group Python.
-    Tokenization is single-space split (matches SQL ``string_split``)."""
+    The corpus is tokenized ONCE into materialized per-doc-distinct
+    (doc_id, tok, tf) rows; document frequency is a ``groupby(tok)`` Count
+    over those rows. When the vocabulary fits (≤ ``vocab_cutover`` distinct
+    tokens) it is broadcast once and the per-doc argmax computes
+    BLOCK-LOCALLY over the tf rows — a doc's rows were produced by one
+    tokenizing task, so with block-aligned batches they never split and no
+    further shuffle happens. Above the cutover the vocabulary is unbounded:
+    the df table joins BACK on the token distributedly, with the argmax as
+    a single ``Max`` aggregate over the order-encoded key
+    ``zfill20(score)|tok`` (uint64-wide pad — a 12-digit pad mis-ranked
+    scores ≥ 1e12) — max score, ties to the lexically largest token, no
+    per-group Python. Tokenization is single-space split (matches SQL
+    ``string_split``)."""
     out_schema = pa.schema([("doc_id", pa.int64()),
                             ("top_tok", pa.string()),
                             ("top_score", pa.int64())])
@@ -227,13 +230,12 @@ def tfidf_top_term(sf_dir: str,
     def tf_rows(t: pa.Table) -> pa.Table:
         return pa.Table.from_pandas(_tf_frame(t), preserve_index=False)
 
-    def distinct_toks(t: pa.Table) -> pa.Table:  # per-batch (doc-distinct)
-        g = _tf_frame(t)
-        return pa.Table.from_pandas(g[["tok"]], preserve_index=False)
-
-    df_counts = (docs.map_batches(distinct_toks, batch_format="pyarrow",
-                                  batch_size=4096)
-                 .groupby("tok").aggregate(Count(alias_name="df"))
+    # ONE tokenization pass, materialized: feeds the df aggregate AND the
+    # argmax (broadcast path) / join (fallback path).
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow",
+                          batch_size=4096).materialize()
+    # tf rows are per-doc distinct by construction -> Count == df
+    df_counts = (tf.groupby("tok").aggregate(Count(alias_name="df"))
                  .materialize())
 
     if df_counts.count() <= vocab_cutover:
@@ -244,18 +246,19 @@ def tfidf_top_term(sf_dir: str,
 
         def local_argmax(t: pa.Table) -> pa.Table:
             toks, dfs = ray.get(vocab_ref)
-            g = _tf_frame(t)
-            if g.empty:
+            if t.num_rows == 0:
                 return pa.table({"doc_id": pa.array([], pa.int64()),
                                  "top_tok": pa.array([], pa.string()),
                                  "top_score": pa.array([], pa.int64())})
+            g = t.to_pandas()
             gt = g["tok"].to_numpy()
             pos = np.searchsorted(toks, gt)
             df_v = dfs[pos]  # every token is in the global vocab by constr.
             g = g.assign(score=(g["tf"].to_numpy(np.int64)
                                 * (n_total - df_v)))
-            # per-doc argmax, entirely batch-local (a doc's text is one row,
-            # so all its tokens are in this batch): max score, tie → max tok
+            # per-doc argmax, block-local: a doc's tf rows come from the one
+            # task that tokenized its (single-row) text, and batch_size=None
+            # below keeps batches block-aligned so they never split.
             top = (g.sort_values(["doc_id", "score", "tok"],
                                  kind="mergesort")
                    .groupby("doc_id", as_index=False).tail(1))
@@ -265,12 +268,10 @@ def tfidf_top_term(sf_dir: str,
                 "top_score": pa.array(top["score"].to_numpy(np.int64))})
 
         return ensure_schema(
-            docs.map_batches(local_argmax, batch_format="pyarrow",
-                             batch_size=4096),
+            tf.map_batches(local_argmax, batch_format="pyarrow",
+                           batch_size=None),
             out_schema)
 
-    tf = docs.map_batches(tf_rows, batch_format="pyarrow",
-                          batch_size=4096)
     joined = tf.join(df_counts, join_type="inner", num_partitions=4,
                      on=("tok",))
 
@@ -278,7 +279,7 @@ def tfidf_top_term(sf_dir: str,
         tf_v = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
         df_v = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
         score = tf_v * (n_total - df_v)
-        keys = (pd.Series(score).astype(str).str.zfill(12) + "|"
+        keys = (pd.Series(score).astype(str).str.zfill(20) + "|"
                 + pd.Series(t["tok"].to_pylist()))
         return pa.table({"doc_id": t["doc_id"],
                          "key": pa.array(keys, pa.string())})
@@ -559,7 +560,7 @@ def corpus_fused_signals(t: pa.Table, bench: np.ndarray,
     BEFORE any shuffle. ``with_text=True`` carries the text through (the
     prepare job writes it; the oracled query drops it)."""
     from .dedup import _hash_tokens_batch, _shingles_from_tokens
-    from .textstats import _stats_batch
+    from .textstats import _stats_batch, quality_from_stats
 
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     t = t.filter(pa.array(ids % CONTAM_MOD != 0))
@@ -577,12 +578,8 @@ def corpus_fused_signals(t: pa.Table, bench: np.ndarray,
     # quality_score / text_token_stats operators)
     s = _stats_batch(t)
     n_tokens = s["n_tokens"].to_numpy().astype(np.float64)
-    n_chars = s["n_chars"].to_numpy().astype(np.float64)
-    wlen = ((n_chars - np.maximum(n_tokens - 1, 0))
-            / np.maximum(n_tokens, 1))
-    quality = _r(pd.Series(
-        0.5 * np.minimum(n_tokens / 100.0, 1.0)
-        + 0.5 * np.clip((wlen - 2.0) / 8.0, 0.0, 1.0)), 6).to_numpy()
+    quality = quality_from_stats(s["n_tokens"].to_numpy(),
+                                 s["n_chars"].to_numpy())
     # contamination probe (distinct 3-gram hit rate vs the bench sliver)
     toks = _hash_tokens_batch(texts, lower=False)
     shs = [_shingles_from_tokens(th, CONTAM_K) if len(th) >= CONTAM_K

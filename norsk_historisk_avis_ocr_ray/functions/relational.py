@@ -305,6 +305,17 @@ def q_count_distinct_custs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+ASOF_BUCKETS = 256  # power of two: bucket = key & (NB-1)
+
+
+def _bucketize_user(t: pa.Table) -> pa.Table:
+    """Shared partitioning contract of the windowed operators: hash bucket
+    = user_id & (ASOF_BUCKETS-1), many keys per bucket."""
+    return t.append_column(
+        "bucket", pc.bit_wise_and(t["user_id"].cast(pa.int64()),
+                                  ASOF_BUCKETS - 1))
+
+
 # --- ordered window: running sum per user ------------------------------------
 
 def q_running_user_value(sf_dir: str) -> pd.DataFrame:
@@ -316,11 +327,6 @@ def q_running_user_value(sf_dir: str) -> pd.DataFrame:
     driver merges at most 100 × n_blocks rows (never the full stream)."""
     TOP_N = 100
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-
-    def bucketize(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "bucket", pc.bit_wise_and(t["user_id"].cast(pa.int64()),
-                                      ASOF_BUCKETS - 1))
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -335,7 +341,7 @@ def q_running_user_value(sf_dir: str) -> pd.DataFrame:
         idx = np.argpartition(ev, t.num_rows - TOP_N)[-TOP_N:]
         return t.take(np.sort(idx))
 
-    df = (ds.map_batches(bucketize, batch_format="pyarrow")
+    df = (ds.map_batches(_bucketize_user, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(running, batch_format="pandas")
             .map_batches(local_topk, batch_format="pyarrow")
@@ -361,11 +367,6 @@ def q_sessionize(sf_dir: str) -> Dataset:
     OR >gap break → cumsum session ids, normalized per user). Within-key
     order is established locally, never a global sort."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-
-    def bucketize(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "bucket", pc.bit_wise_and(t["user_id"].cast(pa.int64()),
-                                      ASOF_BUCKETS - 1))
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -393,7 +394,7 @@ def q_sessionize(sf_dir: str) -> Dataset:
     # Streaming result: one row per session is corpus-sized — hand the
     # Dataset to the consumer (sink/compare) instead of a driver pull.
     return ensure_schema(
-        ds.map_batches(bucketize, batch_format="pyarrow")
+        ds.map_batches(_bucketize_user, batch_format="pyarrow")
           .groupby("bucket").map_groups(sessions, batch_format="pandas"),
         pa.schema([("user_id", pa.int64()), ("session_idx", pa.int64()),
                    ("n_events", pa.int64()), ("sum_value", pa.float64()),
@@ -401,9 +402,6 @@ def q_sessionize(sf_dir: str) -> Dataset:
 
 
 # --- as-of join: latest order per event ---------------------------------------
-
-ASOF_BUCKETS = 256  # power of two: bucket = key & (NB-1)
-
 
 ASOF_SALTS = 8
 ASOF_HOT_THRESHOLD = 50_000  # events per key before its bucket is split
@@ -721,11 +719,6 @@ def q_rolling_avg(sf_dir: str) -> Dataset:
     Rounding is half-away to match the SQL oracle."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "bucket", pc.bit_wise_and(t["user_id"].cast(pa.int64()),
-                                      ASOF_BUCKETS - 1))
-
     def roll(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         avg = (g.groupby("user_id", sort=False)["value"]
@@ -739,7 +732,7 @@ def q_rolling_avg(sf_dir: str) -> Dataset:
 
     # Streaming result (one row per event = corpus-sized).
     return ensure_schema(
-        ds.map_batches(bucketize, batch_format="pyarrow")
+        ds.map_batches(_bucketize_user, batch_format="pyarrow")
           .groupby("bucket")
           .map_groups(roll, batch_format="pandas"),
         pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
@@ -834,11 +827,6 @@ def q_user_gaps(sf_dir: str) -> Dataset:
     epoch seconds). Output is one row per user — tiny relative to input."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "bucket", pc.bit_wise_and(t["user_id"].cast(pa.int64()),
-                                      ASOF_BUCKETS - 1))
-
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
         # bucketed multi-user window (one Ray group call per bucket, not per
         # user): sort by (user, ts, event_id), diff floored epoch seconds,
@@ -861,7 +849,7 @@ def q_user_gaps(sf_dir: str) -> Dataset:
 
     # Streaming result (one row per user scales with the corpus).
     return ensure_schema(
-        ds.map_batches(bucketize, batch_format="pyarrow")
+        ds.map_batches(_bucketize_user, batch_format="pyarrow")
           .groupby("bucket").map_groups(gaps, batch_format="pandas"),
         pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
                    ("max_gap_s", pa.int64()), ("avg_gap_s", pa.float64())]))

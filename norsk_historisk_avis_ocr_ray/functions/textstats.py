@@ -65,19 +65,30 @@ def text_token_stats(sf_dir: str) -> Dataset:
                    ("n_punct", pa.int64()), ("punct_ratio", pa.float64())]))
 
 
+def quality_from_stats(n_tokens: "np.ndarray",
+                       n_chars: "np.ndarray") -> "np.ndarray":
+    """THE quality formula (token-count saturation + mean-word-length band,
+    rounded half-away to 6 decimals). Single source of truth: three queries
+    (quality_score, q_corpus_stats, mlprep's q_training_corpus/prepare) are
+    each pinned to a DuckDB oracle encoding this exact expression — any
+    change must touch all the oracle SQL strings too."""
+    n_tokens = n_tokens.astype(np.float64)
+    n_chars = n_chars.astype(np.float64)
+    wlen = ((n_chars - np.maximum(n_tokens - 1, 0))
+            / np.maximum(n_tokens, 1))
+    return round_half_away(
+        0.5 * np.minimum(n_tokens / 100.0, 1.0)
+        + 0.5 * np.clip((wlen - 2.0) / 8.0, 0.0, 1.0), 6)
+
+
 def quality_score(sf_dir: str) -> Dataset:
     """Heuristic quality score in [0,1]: token-count saturation + mean word
     length band — the usual cheap pre-filter for web-scale text."""
 
     def score(t: pa.Table) -> pa.Table:
         s = _stats_batch(t)
-        n_tokens = s["n_tokens"].to_numpy().astype(np.float64)
-        n_chars = s["n_chars"].to_numpy().astype(np.float64)
-        # mean word length over non-space chars
-        wlen = (n_chars - np.maximum(n_tokens - 1, 0)) / np.maximum(n_tokens, 1)
-        len_part = np.minimum(n_tokens / 100.0, 1.0)
-        wlen_part = np.clip((wlen - 2.0) / 8.0, 0.0, 1.0)
-        q = round_half_away(0.5 * len_part + 0.5 * wlen_part, 6)
+        q = quality_from_stats(s["n_tokens"].to_numpy(),
+                               s["n_chars"].to_numpy())
         return pa.table({"doc_id": t["doc_id"],
                          "quality": pa.array(q, pa.float64())})
 
@@ -286,12 +297,8 @@ def q_corpus_stats(sf_dir: str) -> pd.DataFrame:
     def partial(t: pa.Table) -> pa.Table:
         s = _stats_batch(t)
         n_tokens = s["n_tokens"].to_numpy().astype(np.float64)
-        n_chars = s["n_chars"].to_numpy().astype(np.float64)
-        wlen = ((n_chars - np.maximum(n_tokens - 1, 0))
-                / np.maximum(n_tokens, 1))
-        q = round_half_away(
-            0.5 * np.minimum(n_tokens / 100.0, 1.0)
-            + 0.5 * np.clip((wlen - 2.0) / 8.0, 0.0, 1.0), 6)
+        q = quality_from_stats(s["n_tokens"].to_numpy(),
+                               s["n_chars"].to_numpy())
         g = (pd.DataFrame({"lang": t["lang"].to_numpy(zero_copy_only=False),
                            "tok": n_tokens.astype(np.int64), "q": q})
              .groupby("lang", as_index=False)

@@ -119,11 +119,18 @@ def prepare_training_corpus(sf_dir: str, out_dir: str,
             continue
         name = rec.pop("shard")
         rec.pop("skipped", None)
+        # schema-union on resume runs pads the skipped rows' columns with
+        # NaN and floats the numeric fields — commit clean ints
+        for k in ("rows", "n_tokens", "bytes"):
+            if k in rec and pd.notna(rec[k]):
+                rec[k] = int(rec[k])
         man.commit(name, rec)
         written += 1
     # shards with NO surviving rows still need a commit line, or a resume
     # run would re-scan the corpus to rediscover their emptiness
-    produced = set(lineage["shard"])
+    # ("shard" guard: a zero-survivor corpus yields a column-less frame)
+    produced = (set(lineage["shard"]) if "shard" in lineage.columns
+                else set())
     for name in pending:
         if name not in produced:
             man.commit(name, {"rows": 0, "empty": True})
