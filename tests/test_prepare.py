@@ -62,3 +62,23 @@ def test_prepare_resumes_after_partial_manifest(ray_session, tmp_path):
     again = (read_prepared(out).to_pandas()
              .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(full, again)
+
+
+def test_prepare_zero_survivors(ray_session, tmp_path):
+    """A corpus where every doc is benchmark-excluded (doc_id % 20 == 0)
+    yields zero survivors: the job must still commit every shard (as empty)
+    and resume as a no-op — regression for a KeyError on the column-less
+    lineage frame."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 20, 40], pa.int64()),
+        "text": pa.array(["a b c d e f", "g h i j k l", "m n o p q r"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = str(tmp_path / "corpus")
+    first = prepare_training_corpus(str(tmp_path), out, n_shards=4)
+    assert first["written"] == 4
+    rerun = prepare_training_corpus(str(tmp_path), out, n_shards=4)
+    assert rerun["written"] == 0 and rerun["skipped"] == 4
+    assert read_prepared(out).count() == 0
