@@ -90,3 +90,34 @@ def test_actor_corrector_matches_task_corrector(corpus_dir):
     docs, pages = _docs_pages(corpus_dir)
     out = extract(docs, pages, ocr_concurrency=1, corrector_concurrency=2)
     check(out, corpus_dir)
+
+
+def test_read_documents_jsonl_and_csv(ray_session, tmp_path):
+    """Raw-crawl drop formats ingest through the same reader: the span
+    pipeline must produce identical output from parquet, JSONL and CSV
+    copies of the same documents table."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from norsk_historisk_avis_ocr_ray.sources.io import read_documents
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas().head(50)
+    pqp = str(tmp_path / "docs.parquet")
+    jlp = str(tmp_path / "docs.jsonl")
+    csp = str(tmp_path / "docs.csv")
+    import pyarrow as pa
+    pq.write_table(pa.Table.from_pandas(src, preserve_index=False), pqp)
+    src.to_json(jlp, orient="records", lines=True)
+    src.to_csv(csp, index=False)
+
+    def canon(ds):
+        return (ds.to_pandas().astype({"doc_id": "int64"})
+                .sort_values("doc_id").reset_index(drop=True)
+                [["doc_id", "text"]])
+
+    a = canon(read_documents(pqp))
+    b = canon(read_documents(jlp))
+    c = canon(read_documents(csp))
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
