@@ -59,6 +59,15 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("--concurrency", type=int, default=4)
     pd.add_argument("--num-cpus", type=int, default=None)
 
+    pq_ = sub.add_parser("query",
+                         help="run any registered query/operator and write "
+                              "its result as parquet")
+    pq_.add_argument("--name", required=True,
+                     help="a queries() entry from __ray_entry__")
+    pq_.add_argument("--sf-dir", required=True)
+    pq_.add_argument("--out", required=True)
+    pq_.add_argument("--num-cpus", type=int, default=None)
+
     pp = sub.add_parser("prepare",
                         help="resumable training-corpus preparation "
                              "(filter + decontaminate + dedup)")
@@ -74,6 +83,40 @@ def main(argv: list[str] | None = None) -> int:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
+
+    if args.cmd == "query":
+        import importlib
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(0, _os.getcwd())
+        entry = importlib.import_module("__ray_entry__")
+        qs = entry.queries()
+        if args.name not in qs:
+            print(json.dumps({"error": f"unknown query {args.name!r}",
+                              "available": sorted(qs)}))
+            ray.shutdown()
+            return 2
+        result = qs[args.name](args.sf_dir)
+        from .sources.io import write_output
+
+        if hasattr(result, "write_parquet"):          # Dataset: stream out
+            write_output(result, args.out)
+            n = result.count()
+        else:                                          # pandas / Arrow
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.parquet as _pq
+
+            tbl = (pa.Table.from_pandas(result, preserve_index=False)
+                   if isinstance(result, pd.DataFrame) else result)
+            _os.makedirs(args.out, exist_ok=True)
+            _pq.write_table(tbl, _os.path.join(args.out, "result.parquet"))
+            n = len(tbl)
+        print(json.dumps({"query": args.name, "rows": int(n),
+                          "out": args.out}))
+        ray.shutdown()
+        return 0
 
     if args.cmd == "prepare":
         from .pipelines.prepare import prepare_training_corpus
