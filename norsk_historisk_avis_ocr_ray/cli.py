@@ -100,7 +100,10 @@ def main(argv: list[str] | None = None) -> int:
         result = qs[args.name](args.sf_dir)
         from .sources.io import write_output
 
-        if hasattr(result, "write_parquet"):          # Dataset: stream out
+        if hasattr(result, "write_parquet"):          # Dataset result
+            # materialize once (object-store-resident, spillable) so the
+            # row count doesn't re-execute the whole pipeline post-write
+            result = result.materialize()
             write_output(result, args.out)
             n = result.count()
         else:                                          # pandas / Arrow
