@@ -514,7 +514,7 @@ def oracle_sql() -> dict[str, str]:
                               AS session_idx
                 FROM marked
             )
-            SELECT user_id, session_idx,
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value,
                    max(sec) - min(sec) AS duration_s
@@ -883,7 +883,7 @@ def oracle_sql() -> dict[str, str]:
                                    0.0), 1.0), 6) AS quality
                   FROM s)
             SELECT lang, count(*) AS n_docs,
-                   sum(n_tokens) AS sum_tokens,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
                    round(avg(quality), 6) AS avg_quality
             FROM q GROUP BY lang ORDER BY lang
         """,

@@ -43,6 +43,28 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def dtype_kind(dtype) -> str:
+    """Coarse dtype class used for the driver-faithful type check.
+
+    The driver's value hash is typed: an int64 column on one side and a
+    float64 column on the other hash differently even when every value is
+    byte-equal (this is exactly how q_sessionize stayed red for two rounds
+    while the old check_dtype=False mirror reported green — DuckDB
+    sum(INTEGER) -> HUGEINT -> pandas float64 vs Ray int64). Width
+    differences within a class (int32 vs int64) are fine; class differences
+    (int vs float) are a FAIL.
+    """
+    if np.issubdtype(dtype, np.integer):
+        return "int"
+    if np.issubdtype(dtype, np.floating):
+        return "float"
+    if np.issubdtype(dtype, np.bool_):
+        return "bool"
+    if np.issubdtype(dtype, np.datetime64):
+        return "datetime"
+    return "object"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -84,6 +106,16 @@ def main() -> int:
             continue
         if len(got) != len(exp):
             print(f"FAIL  {name}: rows {len(got)} != {len(exp)}")
+            failures += 1
+            continue
+        kind_mismatch = [
+            (c, dtype_kind(got[c].dtype), dtype_kind(exp[c].dtype))
+            for c in got.columns
+            if dtype_kind(got[c].dtype) != dtype_kind(exp[c].dtype)
+        ]
+        if kind_mismatch:
+            print(f"FAIL  {name}: dtype-class mismatch (driver's typed hash "
+                  f"would fail even if values match): {kind_mismatch}")
             failures += 1
             continue
         try:
