@@ -140,9 +140,10 @@ def _media_doc_ids(sf_dir: str) -> "Any":
     # override_num_blocks splits the read itself (row ranges) so the per-doc
     # synth/decode stages get parallel blocks WITHOUT a repartition shuffle
     # (repartition on this VM costs ~2-3 s of all-to-all machinery alone).
+    from norsk_historisk_avis_ocr_ray.functions import scale
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id"],
-                                 override_num_blocks=16)
+                                 override_num_blocks=scale.read_blocks())
 
 
 def _audio_frame_energy(sf_dir: str) -> Any:

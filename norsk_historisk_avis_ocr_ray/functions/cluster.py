@@ -53,6 +53,7 @@ import ray
 from ray.data import Dataset
 
 from .dedup import _fmix64, _hash64
+from . import scale
 
 # Above this many hot keys the (key -> min label) sliver is no longer
 # result-size-class; switch from driver broadcast to distributed joins.
@@ -94,7 +95,7 @@ def _label_rows(sf_dir: str, k: int) -> Dataset:
 
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-        override_num_blocks=16,
+        override_num_blocks=scale.read_blocks(),
     ).map_batches(keys, batch_format="pyarrow", batch_size=8192)
 
 
@@ -175,9 +176,9 @@ def _propagate_labels(rows: Dataset,
                                      "label": lab})
 
             nxt = (cur.join(h1, join_type="left_outer",
-                            num_partitions=4, on=("kh1",))
+                            num_partitions=scale.join_partitions(), on=("kh1",))
                    .join(h2, join_type="left_outer",
-                         num_partitions=4, on=("kh2",))
+                         num_partitions=scale.join_partitions(), on=("kh2",))
                    .map_batches(rowmin, batch_format="pandas"))
         cur = nxt.materialize()
         s = int(cur.sum("label"))

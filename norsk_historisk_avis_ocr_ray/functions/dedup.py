@@ -33,6 +33,7 @@ import pyarrow as pa
 
 import ray
 from ray.data import Dataset
+from . import scale
 
 MERSENNE = (1 << 61) - 1
 _P61 = np.uint64(MERSENNE)
@@ -297,7 +298,7 @@ def minhash_candidates(docs: Dataset) -> Dataset:
         # corpus/partition is a routine condition, not an error.
         return ray.data.from_arrow(pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
-    joined = band_rows.join(band_rows, join_type="inner", num_partitions=4,
+    joined = band_rows.join(band_rows, join_type="inner", num_partitions=scale.join_partitions(),
                             on=("band", "band_hash"), right_suffix="_r")
 
     def ordered(t: pa.Table) -> pa.Table:
@@ -330,7 +331,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8,
 
     from .rounding import round_half_away
 
-    docs = _docs(sf_dir, num_blocks=16)
+    docs = _docs(sf_dir, num_blocks=scale.read_blocks())
     cands = minhash_candidates(docs).materialize()
 
     # int pairs only, O(candidates); global distinct happens here (the
@@ -371,9 +372,9 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8,
         docs_a = needed.rename_columns({"doc_id": "a", "text": "text_a"})
         docs_b = needed.rename_columns({"doc_id": "b", "text": "text_b"})
         joined = (cands_ds
-                  .join(docs_a, join_type="inner", num_partitions=4,
+                  .join(docs_a, join_type="inner", num_partitions=scale.join_partitions(),
                         on=("a",))
-                  .join(docs_b, join_type="inner", num_partitions=4,
+                  .join(docs_b, join_type="inner", num_partitions=scale.join_partitions(),
                         on=("b",)))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -453,7 +454,7 @@ def simhash_signatures(sf_dir: str) -> Dataset:
         return pa.table({"doc_id": t["doc_id"],
                          "simhash": pa.array([f"{h:016x}" for h in hs], pa.string())})
     return ensure_schema(
-        _docs(sf_dir, num_blocks=8).map_batches(
+        _docs(sf_dir, num_blocks=scale.read_blocks(0.25)).map_batches(
             sig, batch_format="pyarrow", batch_size=8192),
         pa.schema([("doc_id", pa.int64()), ("simhash", pa.string())]))
 
@@ -476,7 +477,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             "val": pa.array(vals.reshape(-1), pa.int32()),
             "simhash": pa.array(np.repeat(hexes, 4), pa.string())})
 
-    chunk_rows = (_docs(sf_dir, num_blocks=16)
+    chunk_rows = (_docs(sf_dir, num_blocks=scale.read_blocks())
                   .map_batches(sig_and_explode, batch_format="pyarrow",
                                batch_size=8192)
                   .materialize())
@@ -484,7 +485,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
                              "hamming": pd.Series([], dtype="int64")})
-    joined = chunk_rows.join(chunk_rows, join_type="inner", num_partitions=4,
+    joined = chunk_rows.join(chunk_rows, join_type="inner", num_partitions=scale.join_partitions(),
                              on=("chunk", "val"), right_suffix="_r")
 
     def _hex16_to_u64(strs: list[str]) -> np.ndarray:

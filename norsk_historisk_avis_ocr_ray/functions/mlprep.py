@@ -42,6 +42,7 @@ from ray.data.aggregate import Count, Max, Sum
 
 from .collect import ensure_schema, typed_empty
 from .rounding import series_round_half_away as _r
+from . import scale
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> Dataset:
@@ -272,7 +273,7 @@ def tfidf_top_term(sf_dir: str,
                            batch_size=None),
             out_schema)
 
-    joined = tf.join(df_counts, join_type="inner", num_partitions=4,
+    joined = tf.join(df_counts, join_type="inner", num_partitions=scale.join_partitions(),
                      on=("tok",))
 
     def encode(t: pa.Table) -> pa.Table:

@@ -31,6 +31,7 @@ from ray.data.aggregate import Count, Sum
 from .collect import collect_table, ensure_schema, typed_empty
 from .rounding import round_half_away
 from .rounding import series_round_half_away as _r
+from . import scale
 
 Q1_CUTOFF = np.datetime64("1998-01-01", "us")
 Q3_SEGMENT = "BUILDING"
@@ -804,7 +805,8 @@ def q_inactive_customers(sf_dir: str) -> pd.DataFrame:
     if orders.count() == 0:
         df = cust.to_pandas()
     else:
-        df = (cust.join(active, join_type="left_anti", num_partitions=8,
+        df = (cust.join(active, join_type="left_anti",
+                        num_partitions=scale.join_partitions(0.25),
                         on=("c_custkey",), right_on=("o_custkey",))
                   .to_pandas())
     if df.empty:
@@ -979,13 +981,13 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
               .rename_columns({"c_custkey": "o_custkey"}).materialize())
     if orders_f.count() == 0 or cust_f.count() == 0:
         return typed_empty(n_name="object", revenue="float64")
-    o_c = orders_f.join(cust_f, join_type="inner", num_partitions=4,
+    o_c = orders_f.join(cust_f, join_type="inner", num_partitions=scale.join_partitions(),
                         on=("o_custkey",))
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     li_oc = li.rename_columns({"l_orderkey": "o_orderkey"}).join(
-        o_c, join_type="inner", num_partitions=4, on=("o_orderkey",))
+        o_c, join_type="inner", num_partitions=scale.join_partitions(), on=("o_orderkey",))
 
     def partial(t: pa.Table) -> pa.Table:
         skeys, snat = ray.get(sup_ref)

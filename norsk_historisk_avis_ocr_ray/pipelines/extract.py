@@ -31,6 +31,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from ..functions import scale
 from ..functions.textops import clean_batch
 from ..stages.correct import CorrectorStage
 from ..stages.explode import explode_spans
@@ -74,6 +75,7 @@ def extract(
     emit_diff: bool = True,
     media_resolution: str = "auto",
     skew_split_width: int | None = None,
+    span_checkpoint: str | None = None,
 ) -> Dataset:
     """documents + pages → output Dataset (doc_id, spans, combined,
     transcribed, corrected, n_edits, diff, n_errors).
@@ -81,6 +83,16 @@ def extract(
     media_resolution: 'auto' picks 'dataflow' whenever a pages source is
     given (the scale path) and 'broadcast' for pages=None (text-only input);
     explicit values: 'dataflow' | 'store' | 'broadcast'.
+
+    span_checkpoint: the dataflow mode consumes the exploded span stream in
+    TWO branches (media spans → join; text spans → passthrough), and a lazy
+    Dataset re-executes its plan per consumer. With a directory given, the
+    stream is checkpointed to parquet there once (streaming block-by-block
+    write — disk/DFS-resident, resumable) and both branches read it back
+    with column pruning. With None (default), each branch recomputes the
+    read+explode — 2× source-read I/O, zero pin. Round 2 used
+    ``materialize()`` here, which pinned the whole corpus-sized span stream
+    in the object store — disqualifying at 100× scale.
     """
     if media_resolution == "auto":
         media_resolution = "broadcast" if pages is None else "dataflow"
@@ -149,17 +161,31 @@ def extract(
                 concurrency=ocr_concurrency,
                 num_cpus=1,
             )
-        # The exploded span stream is text-only (tiny next to the media bytes)
-        # and feeds two branches — materialize it once instead of recomputing
-        # the read+explode per branch.
-        exploded = exploded.materialize()
-        media_spans = exploded.filter(expr="kind == 'media'").select_columns(
+        # Two consumers of the exploded stream (see span_checkpoint in the
+        # docstring): parquet checkpoint when a dir is given, else per-branch
+        # recompute. Never a full-stream materialize — that pins the
+        # corpus-sized span stream in the object store.
+        if span_checkpoint is not None:
+            import os as _os
+
+            ckpt = _os.path.join(span_checkpoint, "exploded_spans")
+            exploded.write_parquet(ckpt)
+            media_src = ray.data.read_parquet(
+                ckpt, columns=["doc_id", "in_offset", "kind", "media_ref"])
+            rest_src = ray.data.read_parquet(ckpt)
+        else:
+            media_src = exploded
+            rest_src = exploded
+        media_spans = media_src.filter(expr="kind == 'media'").select_columns(
             ["doc_id", "in_offset", "media_ref"])
-        n_parts = max(2, _int_concurrency(ocr_concurrency) // 3)
+        # cluster-size-aware: at least the cluster-wide join default, but
+        # never fewer partitions than the OCR pool can feed concurrently
+        n_parts = max(scale.join_partitions(),
+                      _int_concurrency(ocr_concurrency) // 3)
         joined = media_spans.join(media_texts, join_type="left_outer",
                                   num_partitions=n_parts, on=("media_ref",))
         joined = joined.map_batches(_finalize_joined, batch_format="pyarrow")
-        rest = exploded.filter(expr="kind != 'media'").map_batches(
+        rest = rest_src.filter(expr="kind != 'media'").map_batches(
             _passthrough_to_region, batch_format="pyarrow")
         regions = joined.union(rest)
     elif media_resolution == "store" or isinstance(pages, str):

@@ -42,6 +42,7 @@ from ray.data.aggregate import Min
 from ..functions.dedup import _fmix64
 from ..functions.mlprep import corpus_bench_hashes, corpus_fused_signals
 from ..state.manifest import Manifest
+from ..functions import scale
 
 PREPARE_SHARDS = 32
 
@@ -78,7 +79,7 @@ def prepare_training_corpus(sf_dir: str, out_dir: str,
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"],
-                                 override_num_blocks=16)
+                                 override_num_blocks=scale.read_blocks())
     surv = _survivors(docs)
 
     pending_ref = ray.put(frozenset(pending))

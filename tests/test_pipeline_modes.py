@@ -62,6 +62,17 @@ def test_dataflow_mode(corpus_dir):
     check(out, corpus_dir)
 
 
+def test_dataflow_span_checkpoint(corpus_dir, tmp_path):
+    # checkpointed exploded-span stream (parquet roundtrip + column-pruned
+    # re-read) must be span-for-span identical to the recompute default
+    docs, pages = _docs_pages(corpus_dir)
+    out = extract(docs, pages, ocr_concurrency=2, media_resolution="dataflow",
+                  span_checkpoint=str(tmp_path))
+    check(out, corpus_dir)
+    import os
+    assert os.path.isdir(str(tmp_path / "exploded_spans"))  # durable artifact
+
+
 def test_dataflow_skew_split(corpus_dir):
     docs, pages = _docs_pages(corpus_dir)
     out = extract(docs, pages, ocr_concurrency=2, media_resolution="dataflow",
