@@ -147,10 +147,11 @@ def _media_doc_ids(sf_dir: str) -> "Any":
 
 
 def _audio_frame_energy(sf_dir: str) -> Any:
-    """Multimodal audio path: deterministic synthetic PCM16 clips (seeded
-    tone + noise per doc) → actor-pool frame sampling
-    (`AudioFrameSampleStage`) → vectorized per-clip RMS aggregate.
-    Rows-only (binary media pipelines have no SQL form)."""
+    """Multimodal audio path: deterministic synthetic clips (seeded tone +
+    noise per doc) packaged as real RIFF/WAVE containers → frame sampling
+    (`AudioFrameSampleStage`, pure-numpy `sources.wav` decode) → vectorized
+    per-clip RMS aggregate. Rows-only (binary media pipelines have no SQL
+    form)."""
     import numpy as np
     import pyarrow as pa
 
@@ -163,6 +164,7 @@ def _audio_frame_energy(sf_dir: str) -> Any:
         # independent of batching (a per-doc default_rng loop was the
         # dominant cost of this query, not the pipeline itself).
         from norsk_historisk_avis_ocr_ray.functions.dedup import _fmix64
+        from norsk_historisk_avis_ocr_ray.sources.wav import encode_wav
 
         doc_ids = t["doc_id"].to_pylist()
         if not doc_ids:
@@ -185,11 +187,11 @@ def _audio_frame_energy(sf_dir: str) -> Any:
                              * np.arange(n, dtype=np.float64))
             x += (u.astype(np.float64) / 2.0 ** 64 - 0.5) * 0.3464  # std≈0.1
             refs.append(f"audio://{d}")
-            bufs.append(np.clip(x * 32767, -32768, 32767)
-                        .astype(np.int16).tobytes())
+            bufs.append(encode_wav(
+                np.clip(x * 32767, -32768, 32767).astype(np.int16), 16000))
         return pa.table({"media_ref": pa.array(refs, pa.string()),
                          "audio": pa.array(bufs, pa.binary()),
-                         "codec": pa.array(["pcm16"] * len(refs), pa.string())})
+                         "codec": pa.array(["wav"] * len(refs), pa.string())})
 
     def energy_per_clip(t: pa.Table) -> pa.Table:
         # Clip-local aggregate, NO shuffle: the sampling stage emits every

@@ -4,11 +4,12 @@ Media are carried as ``binary`` columns with typed metadata (codec, dims,
 sample rate); every transform below is an actor-pool ``map_batches`` stage
 whose Ray-side plumbing (schema in/out, batching, per-actor state) is real
 and tested. Image codecs (raw-zlib/png/jpeg/tiff/pdf — ``sources.codec``)
-are fully functional pure-numpy implementations; only compressed *audio and
-video* decode (mp3/ogg/h264), whose libraries are absent from this
-container, is stubbed behind ``NotImplementedError`` with the contract
-documented. All numpy-side transforms (resize, features, frame sampling
-over raw frames) are fully functional.
+are fully functional pure-numpy implementations, and audio decode handles
+raw PCM16 plus real RIFF/WAVE containers (``sources.wav``, pure numpy);
+only *compressed* audio/video decode (mp3/ogg/h264), whose libraries are
+absent from this container, is stubbed behind ``NotImplementedError`` with
+the contract documented. All numpy-side transforms (resize, features,
+frame sampling over raw frames) are fully functional.
 """
 
 from __future__ import annotations
@@ -87,11 +88,13 @@ class ImageFeatureStage:
 
 
 class AudioFrameSampleStage:
-    """Sample fixed-length frames from a raw PCM16 mono binary column.
+    """Sample fixed-length frames from an audio binary column.
 
-    Real for ``codec='pcm16'`` (numpy slicing); compressed codecs (mp3/ogg)
-    raise NotImplementedError — the decode library is not in this container,
-    the stage contract (binary+rate in → frames out) is what matters here.
+    Real decode paths: ``codec='pcm16'`` (headerless raw int16) and
+    ``codec='wav'`` (RIFF/WAVE container, pure-numpy ``sources.wav`` parser
+    — 8/16/24/32-bit PCM and float32/64, any channel count, mean-downmixed
+    to the int16 working dtype). Compressed codecs (mp3/ogg) raise
+    NotImplementedError — those libraries are not in this container.
     """
 
     def __init__(self, frame_samples: int = 1024, hop: int = 4096):
@@ -99,15 +102,20 @@ class AudioFrameSampleStage:
         self.hop = hop
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.wav import decode_wav_mono16
+
         refs, frame_idx, frames = [], [], []
         for ref, buf, codec in zip(batch["media_ref"].to_pylist(),
                                    batch["audio"].to_pylist(),
                                    batch["codec"].to_pylist()):
-            if codec != "pcm16":
+            if codec == "wav":
+                pcm, _rate = decode_wav_mono16(buf)
+            elif codec == "pcm16":
+                pcm = np.frombuffer(buf, dtype=np.int16)
+            else:
                 raise NotImplementedError(
                     f"audio codec {codec!r} requires a decoder not present in "
-                    "this environment; provide PCM16 or plug a decoder")
-            pcm = np.frombuffer(buf, dtype=np.int16)
+                    "this environment; provide PCM16/WAV or plug a decoder")
             for i, start in enumerate(range(0, max(len(pcm) - self.frame_samples + 1, 0),
                                             self.hop)):
                 refs.append(ref)

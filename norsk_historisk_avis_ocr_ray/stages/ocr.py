@@ -57,14 +57,35 @@ class TesseractOcr:
         self.lang = lang
         self._pytesseract = None
 
-    def load(self) -> None:
+    @staticmethod
+    def check_dependencies() -> list[str]:
+        """Missing-dependency list, empty when runnable — the behavioral
+        mirror of reference ``tesseract_engine.py:100-112``
+        (check_dependencies): the binary is resolved with ``shutil.which``,
+        the Python binding by import probe. Called by ``load()`` so a pool
+        actor fails fast with the full shopping list instead of a bare
+        ImportError mid-batch."""
+        import shutil
+
+        missing = []
+        if not shutil.which("tesseract"):
+            missing.append("tesseract binary (apt install tesseract-ocr + "
+                           "the language pack, e.g. tesseract-ocr-nor)")
         try:
-            import pytesseract  # type: ignore
-        except ImportError as e:  # pragma: no cover - environment-dependent
+            import pytesseract  # type: ignore # noqa: F401
+        except ImportError:
+            missing.append("pytesseract (pip install pytesseract)")
+        return missing
+
+    def load(self) -> None:
+        missing = self.check_dependencies()
+        if missing:  # pragma: no cover - environment-dependent
             raise NotImplementedError(
-                "pytesseract is not installed in this environment; use "
-                "MockBarcodeOcr for deterministic runs or install tesseract"
-            ) from e
+                "TesseractOcr is missing dependencies: " + "; ".join(missing)
+                + ". Use MockBarcodeOcr for deterministic runs, or see "
+                "docs/TESSERACT.md for setup.")
+        import pytesseract  # type: ignore
+
         self._pytesseract = pytesseract
 
     def ocr_region(self, img: np.ndarray, **_) -> str:  # pragma: no cover
