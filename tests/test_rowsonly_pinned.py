@@ -1,0 +1,42 @@
+"""Driver-scale pinned ground truth for deterministic rows-only queries.
+
+``simhash_signatures`` and ``winnow_fingerprint`` have no ANSI-SQL form
+(splitmix64 / blake2b are not DuckDB expressible), so the driver records a
+rows-only check. These pins close the gap: the FULL result table at the
+driver's gate scale (sf0.01, 500 docs) is hashed against values computed
+once and frozen here — any regression in tokenization, hashing, winnowing
+selection, or batching-dependence flips the digest.
+"""
+
+import hashlib
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def table_digest(df) -> str:
+    return hashlib.blake2b(df.to_csv(index=False).encode(),
+                           digest_size=16).hexdigest()
+
+
+def test_simhash_signatures_pinned_full_table(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.dedup import simhash_signatures
+
+    df = (simhash_signatures(SF).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert len(df) == 500
+    assert df.loc[0, "simhash"] == "6ed88c1dd0a9584d"
+    assert df.loc[1, "simhash"] == "7e18afe7c0bd6b41"
+    assert table_digest(df) == "7bbda4cdc09b3faa174bc4287c4914ed"
+
+
+def test_winnow_fingerprint_pinned_full_table(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.textstats import winnow_fingerprint
+
+    df = (winnow_fingerprint(SF).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert len(df) == 500
+    assert df.loc[0, "n_fingerprints"] == 56
+    assert df.loc[0, "fp_digest"] == "527c950524c89bd3586753036c703169"
+    assert table_digest(df) == "ba507f6d677e2add95998e427c9b71f8"
