@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": relational.q3_top_orders,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q_customers_per_region": relational.q_customers_per_region,
+        "q_rollup_acctbal": relational.q_rollup_acctbal,
         "q_events_tumbling": relational.q_events_tumbling,
         "q_events_hopping": relational.q_events_hopping,
         "q_top_users": relational.q_top_users,
@@ -339,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "simhash_signatures": dedup.simhash_signatures,
         # similarity search
         "ann_topk": similarity.ann_topk,
@@ -357,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data preparation
         "q_hash_split": mlprep.q_hash_split,
         "q_stratified_sample": mlprep.q_stratified_sample,
+        "q_source_cap": mlprep.q_source_cap,
         "pii_scrub": mlprep.pii_scrub,
         "q_json_extract": mlprep.q_json_extract,
         "tfidf_top_term": mlprep.tfidf_top_term,
@@ -460,6 +463,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY r.r_name
             ORDER BY r.r_name
+        """,
+        "q_rollup_acctbal": """
+            SELECT r.r_name, n.n_name, count(*) AS n_custs,
+                   round(sum(c.c_acctbal), 2) AS sum_acctbal,
+                   round(avg(c.c_acctbal), 6) AS avg_acctbal
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY ROLLUP(r.r_name, n.n_name)
+            ORDER BY r.r_name NULLS FIRST, n.n_name NULLS FIRST
         """,
         "q_events_tumbling": """
             SELECT event_type,
@@ -618,6 +631,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(text)
             ORDER BY doc_id
         """,
+        "dedup_ngram_jaccard": r"""
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+                              AS ws FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(ws[1:len(ws)-2]) || ' ' ||
+                         unnest(ws[2:len(ws)-1]) || ' ' ||
+                         unnest(ws[3:len(ws)]) AS g3
+                  FROM w WHERE len(ws) >= 3),
+            d AS (SELECT doc_id, g3 FROM g GROUP BY 1, 2),
+            n AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+            i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+                  FROM d x JOIN d y ON x.g3 = y.g3 AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2)
+            SELECT i.a, i.b,
+                   round(i.c * 1.0 / (na.n + nb.n - i.c), 6) AS jaccard
+            FROM i
+            JOIN n na ON na.doc_id = i.a
+            JOIN n nb ON nb.doc_id = i.b
+            WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.6
+            ORDER BY a, b
+        """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
                        WHERE vec_id < 10),
@@ -677,6 +711,17 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) % 100 AS b
                 FROM documents)
             GROUP BY lang ORDER BY lang
+        """,
+        "q_source_cap": """
+            WITH r AS (SELECT doc_id, source,
+                              row_number() OVER (
+                                  PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS sample_rank
+                       FROM documents)
+            SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM r WHERE sample_rank <= 15
+            ORDER BY doc_id
         """,
         "pii_scrub": """
             SELECT c_custkey,

@@ -393,6 +393,129 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8,
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+# --- exact n-gram Jaccard dedup -------------------------------------------------
+
+def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.6, k: int = 3,
+                        max_df: int | None = None) -> pd.DataFrame:
+    """Exact word-k-gram Jaccard near-dup pairs (``a < b``,
+    ``jaccard >= tau``) — the exhaustive counterpart of ``dedup_minhash``
+    (no LSH recall loss; full SQL oracle).
+
+    Scale shape — ALL PAIRS BY SHARED SHINGLE, no text ever crosses a
+    shuffle: each doc reduces to its DISTINCT shingle-hash set once
+    (case-preserving, matching the oracle's literal n-gram strings; 64-bit
+    collisions are ~1e-11 at gate scale), exploded to ``(doc, n, sh)`` int
+    rows. One self-join on ``sh`` co-locates equal shingles, a batch-local
+    combiner pre-counts ordered pairs, and a small ``groupby(a, b)`` sums
+    shared-shingle counts; jaccard comes from the carried set sizes
+    (``c / (n_a + n_b - c)``). Intersection counting is exact and the pair
+    list is result-sized.
+
+    The documented scale knob is ``max_df``: dropping shingles present in
+    more than ``max_df`` docs before the join caps the |group|² blowup of
+    boilerplate shingles at web scale (a pair sharing ONLY ultra-common
+    shingles can't reach a meaningful tau); the oracle-facing default keeps
+    every shingle — exact at any tau.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Sum
+
+    from .rounding import series_round_half_away
+
+    docs = _docs(sf_dir, num_blocks=scale.read_blocks())
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        toks = _hash_tokens_batch(t["text"].to_pylist(), lower=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_ids, out_ns, out_sh = [], [], []
+        for d, th in zip(ids, toks):
+            if len(th) < k:   # oracle: docs under k tokens have no k-grams
+                continue
+            sh = _shingles_from_tokens(th, k)
+            out_ids.append(np.full(len(sh), d, np.int64))
+            out_ns.append(np.full(len(sh), len(sh), np.int64))
+            # bit-identical int64 view: uint64 shuffle keys above 2^63 trip
+            # Ray's aggregate rebuild into pickled-object columns
+            out_sh.append(sh.view(np.int64))
+        if not out_ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(out_ids)),
+                         "n": pa.array(np.concatenate(out_ns)),
+                         "sh": pa.array(np.concatenate(out_sh), pa.int64())})
+
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+    rows = docs.map_batches(shingle_rows, batch_format="pyarrow",
+                            batch_size=4096)
+    if max_df is not None:
+        # scale knob: drop boilerplate shingles before the quadratic join
+        lim = int(max_df)
+
+        def under_df(t: pa.Table) -> pa.Table:
+            return t.filter(pc.less_equal(t["count()"], lim)).select(["sh"])
+
+        df_counts = rows.groupby("sh").count().map_batches(
+            under_df, batch_format="pyarrow")
+        rows = rows.join(df_counts, join_type="inner",
+                         num_partitions=scale.join_partitions(), on=("sh",))
+    rows = rows.materialize()   # self-joined: two consumers of one plan
+    if rows.count() == 0:
+        return empty
+
+    joined = rows.join(rows, join_type="inner",
+                       num_partitions=scale.join_partitions(),
+                       on=("sh",), right_suffix="_r")
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        # block-local combiner (batch_size=None → whole join partition):
+        # equal shingles are co-located by the join, so most of a pair's
+        # incidences collapse here; what remains is one row per (pair,
+        # partition-of-one-of-its-shingles)
+        t = t.filter(pc.less(t["doc_id"], t["doc_id_r"]))
+        return (pa.table({"a": t["doc_id"], "b": t["doc_id_r"],
+                          "n_a": t["n"], "n_b": t["n_r"],
+                          "c": pa.array(np.ones(t.num_rows, np.int64))})
+                .group_by(["a", "b"])
+                .aggregate([("n_a", "max"), ("n_b", "max"), ("c", "sum")])
+                .rename_columns(["a", "b", "n_a", "n_b", "c"]))
+
+    partials = joined.map_batches(pair_counts, batch_format="pyarrow",
+                                  batch_size=None).materialize()
+
+    # Cross-partition combine. Ray's sort-based aggregate collapses at
+    # candidate-pair cardinality (measured 35-95 s for 1.2M groups at sf0.1
+    # — per-group Python iteration), so below the cutover the combine is a
+    # single vectorized pandas groupby over the partial rows — the same
+    # O(candidates) driver size class as dedup_minhash's pair pull, and the
+    # max_df knob bounds it at web scale. Above the cutover, fall back to
+    # the fully distributed (slow, but never driver-resident) aggregate.
+    if partials.count() <= JOIN_CUTOVER_PAIRS * 20:
+        g = (partials.to_pandas()
+             .groupby(["a", "b"], as_index=False, sort=False)
+             .agg(n_a=("n_a", "max"), n_b=("n_b", "max"), c=("c", "sum")))
+    else:  # pragma: no cover - exercised only at cluster scale
+        g = (partials.groupby(["a", "b"])
+             .aggregate(Max("n_a"), Max("n_b"), Sum("c")).to_pandas()
+             .rename(columns={"max(n_a)": "n_a", "max(n_b)": "n_b",
+                              "sum(c)": "c"}))
+
+    c = g["c"].to_numpy(np.float64)
+    jac = c / (g["n_a"].to_numpy(np.float64)
+               + g["n_b"].to_numpy(np.float64) - c)
+    keep = jac >= tau   # oracle filters the UNROUNDED ratio
+    df = pd.DataFrame({"a": g["a"].to_numpy(np.int64),
+                       "b": g["b"].to_numpy(np.int64),
+                       "jaccard": series_round_half_away(
+                           pd.Series(jac), 6)})[keep]
+    if df.empty:
+        return empty
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 # --- SimHash -------------------------------------------------------------------
 
 def _simhash_from_tokens(hashes: np.ndarray) -> int:

@@ -135,6 +135,47 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
 PII_DIGIT_RUN = r"\d{4,}"
 
 
+SOURCE_CAP = 15
+
+
+def q_source_cap(sf_dir: str, cap: int = SOURCE_CAP) -> pd.DataFrame:
+    """Per-source quota sampling (the web-pipeline "domain cap": at most
+    ``cap`` docs per source, chosen deterministically by md5(doc_id) order
+    so re-runs and resharding pick the identical subset).
+
+    Scale shape — distributed top-k per group, ZERO shuffle: sources are a
+    bounded dimension (domains/feeds bucketize), so each batch keeps only
+    its local ``cap`` smallest hashes per source and the driver finishes
+    the exact global top-``cap`` on the ≤ cap × |sources| × n_blocks
+    sliver — the same local-topk + tiny-merge shape as
+    ``q_running_user_value``'s final-100."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        df = pd.DataFrame({
+            "doc_id": np.asarray(ids, np.int64),
+            "source": t["source"].to_pylist(),
+            "h": [hashlib.md5(str(d).encode("ascii")).hexdigest()
+                  for d in ids]})
+        top = (df.sort_values(["source", "h", "doc_id"], kind="mergesort")
+                 .groupby("source", sort=False).head(cap))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    sliver = (ds.map_batches(local_top, batch_format="pyarrow")
+                .to_pandas())
+    if sliver.empty:
+        return typed_empty(doc_id="int64", source="object",
+                           sample_rank="int64")
+    out = (sliver.sort_values(["source", "h", "doc_id"], kind="mergesort")
+                 .groupby("source", sort=False).head(cap)
+                 .reset_index(drop=True))
+    out["sample_rank"] = (out.groupby("source", sort=False).cumcount()
+                          + 1).astype(np.int64)
+    return (out[["doc_id", "source", "sample_rank"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def pii_scrub(sf_dir: str) -> Dataset:
     """Redact account/phone-shaped digit runs (≥4 digits) in customer names;
     emits the scrubbed name plus the per-row redaction count. Stateless

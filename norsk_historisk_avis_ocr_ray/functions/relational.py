@@ -196,6 +196,67 @@ def q_customers_per_region(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("r_name").reset_index(drop=True)
 
 
+def q_rollup_acctbal(sf_dir: str) -> pd.DataFrame:
+    """Multi-level aggregate (SQL ``GROUP BY ROLLUP(r_name, n_name)``):
+    per-nation, per-region subtotal, and grand total in one result, NULL
+    key = subtotal level.
+
+    Scale shape: the dimension chain is broadcast (nation/region are
+    bounded), ONE corpus shuffle computes the finest (region, nation)
+    level, and every coarser level derives from that 25-row result on the
+    driver from the UNROUNDED sums — a rollup never needs a second corpus
+    pass per level."""
+    nation = collect_table(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]))
+    region = collect_table(
+        _read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    r_names = dict(zip(region["r_regionkey"].to_pylist(),
+                       region["r_name"].to_pylist()))
+    n2rn = {k: (r_names[r], n)
+            for k, n, r in zip(nation["n_nationkey"].to_pylist(),
+                               nation["n_name"].to_pylist(),
+                               nation["n_regionkey"].to_pylist())}
+    lookup = ray.put(n2rn)
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        m = ray.get(lookup)
+        rn = [m[k] for k in t["c_nationkey"].to_pylist()]
+        return pa.table({
+            "r_name": pa.array([x[0] for x in rn], pa.string()),
+            "n_name": pa.array([x[1] for x in rn], pa.string()),
+            "c_acctbal": t["c_acctbal"],
+        })
+
+    fine = (cust.map_batches(add_keys, batch_format="pyarrow")
+                .groupby(["r_name", "n_name"])
+                .aggregate(Count(alias_name="n_custs"),
+                           Sum("c_acctbal", alias_name="s"))
+                .to_pandas())
+    if fine.empty:
+        return typed_empty(r_name="object", n_name="object",
+                           n_custs="int64", sum_acctbal="float64",
+                           avg_acctbal="float64")
+
+    levels = [fine.assign(r_name=fine["r_name"], n_name=fine["n_name"])]
+    by_r = (fine.groupby("r_name", as_index=False)
+                .agg(n_custs=("n_custs", "sum"), s=("s", "sum")))
+    levels.append(by_r.assign(n_name=None))
+    total = pd.DataFrame({"r_name": [None], "n_name": [None],
+                          "n_custs": [fine["n_custs"].sum()],
+                          "s": [fine["s"].sum()]})
+    levels.append(total)
+    out = pd.concat(levels, ignore_index=True)[
+        ["r_name", "n_name", "n_custs", "s"]]
+    out["n_custs"] = out["n_custs"].astype(np.int64)
+    out["sum_acctbal"] = _r(out["s"], 2)
+    out["avg_acctbal"] = _r(out["s"] / out["n_custs"], 6)
+    return (out.drop(columns=["s"])
+               .sort_values(["r_name", "n_name"], na_position="first")
+               .reset_index(drop=True))
+
+
 # --- events: tumbling-window aggregation -------------------------------------
 
 def q_events_tumbling(sf_dir: str) -> pd.DataFrame:

@@ -50,6 +50,28 @@ def test_minhash_finds_exact_and_near_dups(planted_dir):
     assert jac[(0, 1000)] == 1.0
 
 
+def test_ngram_jaccard_exact_pairs(planted_dir):
+    out = dedup.dedup_ngram_jaccard(planted_dir, tau=0.6)
+    pairs = dict(zip(zip(out["a"], out["b"]), out["jaccard"]))
+    for i in range(10):  # exact dups: identical shingle sets
+        assert pairs[(i, 1000 + i)] == 1.0
+    for i in range(20, 25):
+        # one substituted word kills exactly k=3 shingles of 58:
+        # |A∩B| = 55, |A∪B| = 61 ⇒ 55/61 (modulo rare in-doc collisions)
+        j = pairs[(i, 2000 + i)]
+        assert 0.85 <= j < 1.0
+    # no unrelated random pair sneaks past tau
+    assert all(a % 1000 == b % 1000 for a, b in pairs)
+
+
+def test_ngram_jaccard_max_df_keeps_true_dups(planted_dir):
+    # boilerplate cutoff: with max_df above each pair's sharing degree the
+    # result is unchanged for the planted corpus (no shingle in > 2 docs)
+    full = dedup.dedup_ngram_jaccard(planted_dir, tau=0.6)
+    capped = dedup.dedup_ngram_jaccard(planted_dir, tau=0.6, max_df=2)
+    assert set(zip(full["a"], full["b"])) == set(zip(capped["a"], capped["b"]))
+
+
 def test_simhash_finds_dups(planted_dir):
     out = dedup.dedup_simhash(planted_dir, max_hamming=3)
     pairs = set(zip(out["a"], out["b"]))

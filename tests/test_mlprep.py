@@ -209,3 +209,31 @@ def test_tfidf_join_fallback_identical(small_dir):
     fast = cn(mlprep.tfidf_top_term(small_dir))
     slow = cn(mlprep.tfidf_top_term(small_dir, vocab_cutover=0))
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_source_cap_binds_and_is_deterministic(tmp_path):
+    # 3 sources with 30/10/1 docs, cap=5: counts bind at min(cap, size),
+    # ranks are 1..k, and the selected set is identical across block layouts
+    rows = []
+    doc = 0
+    for src, n in (("a", 30), ("b", 10), ("c", 1)):
+        for _ in range(n):
+            rows.append({"doc_id": doc, "source": src})
+            doc += 1
+    t = pa.Table.from_pylist(rows)
+    d1, d2 = tmp_path / "one", tmp_path / "many"
+    for d in (d1, d2):
+        d.mkdir()
+    pq.write_table(t, str(d1 / "documents.parquet"))
+    # different physical layout: reversed row order
+    pq.write_table(t.take(list(range(len(rows) - 1, -1, -1))),
+                   str(d2 / "documents.parquet"))
+
+    out1 = mlprep.q_source_cap(str(d1), cap=5)
+    out2 = mlprep.q_source_cap(str(d2), cap=5)
+    counts = out1.groupby("source")["doc_id"].count().to_dict()
+    assert counts == {"a": 5, "b": 5, "c": 1}
+    for src, g in out1.groupby("source"):
+        assert sorted(g["sample_rank"]) == list(range(1, len(g) + 1))
+    assert (out1.sort_values("doc_id").reset_index(drop=True)
+            .equals(out2.sort_values("doc_id").reset_index(drop=True)))

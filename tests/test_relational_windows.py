@@ -334,3 +334,20 @@ def test_asof_salted_hot_keys_exact(ray_session, tmp_path):
     from norsk_historisk_avis_ocr_ray.functions.dedup import _fmix64
     hot_eids = np.flatnonzero(users == 7).astype(np.uint64)
     assert len(np.unique(_fmix64(hot_eids) % np.uint64(4))) > 1
+
+
+def test_rollup_levels_are_consistent():
+    from norsk_historisk_avis_ocr_ray.functions.relational import q_rollup_acctbal
+
+    out = q_rollup_acctbal("/root/testdata/sf0.01")
+    fine = out[out["n_name"].notna()]
+    regions = out[out["n_name"].isna() & out["r_name"].notna()]
+    grand = out[out["r_name"].isna()]
+    assert len(grand) == 1
+    assert len(regions) == 5
+    assert int(grand["n_custs"].iloc[0]) == int(fine["n_custs"].sum())
+    assert int(regions["n_custs"].sum()) == int(fine["n_custs"].sum())
+    # region subtotal equals the sum of its nations (counts are exact ints)
+    for r, g in fine.groupby("r_name"):
+        assert int(regions.loc[regions["r_name"] == r, "n_custs"].iloc[0]) \
+            == int(g["n_custs"].sum())
