@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_running_user_value": relational.q_running_user_value,
         "q_sessionize": relational.q_sessionize,
         "q_asof_last_order": relational.q_asof_last_order,
+        "q_events_before_order": relational.q_events_before_order,
         "q_range_window_events": relational.q_range_window_events,
         "q_topk_per_group": relational.q_topk_per_group,
         "q_rolling_avg": relational.q_rolling_avg,
@@ -537,6 +538,20 @@ def oracle_sql() -> dict[str, str]:
             FROM sessioned
             GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        "q_events_before_order": """
+            SELECT o.o_orderkey,
+                   count(e.value) AS n_events,
+                   round(coalesce(sum(e.value), 0), 4) AS sum_value
+            FROM orders o
+            LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND CAST(floor(epoch(e.ts)) AS BIGINT)
+                 >= CAST(floor(epoch(o.o_orderdate)) AS BIGINT) - 604800
+             AND CAST(floor(epoch(e.ts)) AS BIGINT)
+                 <  CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
+            GROUP BY o.o_orderkey
+            ORDER BY o.o_orderkey
         """,
         "q_asof_last_order": """
             WITH j AS (

@@ -463,6 +463,85 @@ def q_sessionize(sf_dir: str) -> Dataset:
                    ("duration_s", pa.int64())]))
 
 
+# --- range join: events in a bounded window before each order ------------------
+
+RANGE_JOIN_WINDOW_S = 7 * 86400   # [orderdate - 7d, orderdate)
+_RJ_SHIFT = np.int64(1) << np.int64(34)   # composite (key, sec) sort key
+
+
+def q_events_before_order(sf_dir: str) -> Dataset:
+    """Bounded-interval RANGE join (orders ⟕range events): per order, the
+    count and value sum of the customer's events in the 7 days before the
+    order date. Distinct from the as-of join (one nearest row) — every
+    order matches a *window* of rows, the shape behind feature windows and
+    attribution joins.
+
+    Ray Data has no range join; a naive equi-join on the customer followed
+    by a predicate filter would materialize |events per user| × |orders per
+    user| rows before dropping most of them. The scale form is the same
+    bucketed co-group as the as-of join (one shuffle on
+    ``bucket = key & (NB-1)``, both sides union-tagged into a common
+    schema), then a fully vectorized window probe per bucket: events sorted
+    once by a composite ``key·2³⁴ + sec`` int64, each order's window is two
+    ``searchsorted``s, counts are index differences and sums one
+    ``np.add.reduceat`` — no per-order Python, no pair blowup."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        key = t["user_id"].cast(pa.int64())
+        return pa.table({
+            "key": key,
+            "bucket": pc.bit_wise_and(key, ASOF_BUCKETS - 1),
+            "sec": pc.divide(t["ts"].cast(pa.int64()), 1_000_000),
+            "oid": pa.nulls(t.num_rows, pa.int64()),
+            "value": t["value"],
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].cast(pa.int64())
+        return pa.table({
+            "key": key,
+            "bucket": pc.bit_wise_and(key, ASOF_BUCKETS - 1),
+            "sec": pc.divide(t["o_orderdate"].cast(pa.int64()), 1_000_000),
+            "oid": t["o_orderkey"].cast(pa.int64()),
+            "value": pa.nulls(t.num_rows, pa.float64()),
+        })
+
+    unioned = (ev.map_batches(tag_events, batch_format="pyarrow")
+                 .union(od.map_batches(tag_orders, batch_format="pyarrow")))
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        is_order = g["oid"].notna().to_numpy()
+        e = g[~is_order].sort_values(["key", "sec"], kind="mergesort")
+        comp_e = (e["key"].to_numpy(np.int64) * _RJ_SHIFT
+                  + e["sec"].to_numpy(np.int64))
+        ve = e["value"].to_numpy(np.float64)
+        o = g[is_order]
+        comp_o = o["key"].to_numpy(np.int64) * _RJ_SHIFT
+        sec_o = o["sec"].to_numpy(np.int64)
+        lo = np.searchsorted(comp_e, comp_o + sec_o - RANGE_JOIN_WINDOW_S)
+        hi = np.searchsorted(comp_e, comp_o + sec_o)   # strictly before
+        n = hi - lo
+        if len(ve):
+            idx = np.empty(2 * len(n), np.int64)
+            idx[0::2], idx[1::2] = lo, hi
+            sums = np.add.reduceat(np.append(ve, 0.0), idx)[0::2]
+        else:
+            sums = np.zeros(len(n), np.float64)
+        sums[n == 0] = 0.0   # reduceat yields a[lo] for empty windows
+        return pd.DataFrame({
+            "o_orderkey": o["oid"].to_numpy(np.int64),
+            "n_events": n.astype(np.int64),
+            "sum_value": _r(pd.Series(sums), 4).to_numpy()})
+
+    # one row per order — corpus-sized: hand back a streaming Dataset
+    return ensure_schema(
+        unioned.groupby("bucket").map_groups(probe, batch_format="pandas"),
+        pa.schema([("o_orderkey", pa.int64()), ("n_events", pa.int64()),
+                   ("sum_value", pa.float64())]))
+
+
 # --- as-of join: latest order per event ---------------------------------------
 
 ASOF_SALTS = 8

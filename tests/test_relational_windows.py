@@ -351,3 +351,43 @@ def test_rollup_levels_are_consistent():
     for r, g in fine.groupby("r_name"):
         assert int(regions.loc[regions["r_name"] == r, "n_custs"].iloc[0]) \
             == int(g["n_custs"].sum())
+
+
+def test_range_join_window_boundaries(tmp_path):
+    # planted corpus: exact inclusive/exclusive boundary semantics —
+    # events at orderdate-7d (IN), orderdate-1s (IN), orderdate (OUT),
+    # orderdate-7d-1s (OUT)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        RANGE_JOIN_WINDOW_S, q_events_before_order)
+
+    t0 = 1_000_000_000  # epoch seconds
+    W = RANGE_JOIN_WINDOW_S
+    ev = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([(t0 - W) * 1_000_000,        # inclusive lower
+                        (t0 - 1) * 1_000_000,        # just inside
+                        t0 * 1_000_000,              # exclusive upper
+                        (t0 - W - 1) * 1_000_000,    # below window
+                        (t0 - 2) * 1_000_000],       # other user
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0]),
+    })
+    od = pa.table({
+        "o_orderkey": pa.array([10, 20], pa.int64()),
+        "o_custkey": pa.array([1, 3], pa.int64()),   # user 3: no events
+        "o_orderdate": pa.array([t0 * 1_000_000] * 2, pa.timestamp("us")),
+    })
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    pq.write_table(od, str(tmp_path / "orders.parquet"))
+
+    out = (q_events_before_order(str(tmp_path)).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    assert out.loc[0, "o_orderkey"] == 10
+    assert out.loc[0, "n_events"] == 2          # boundary in, upper out
+    assert out.loc[0, "sum_value"] == 3.0       # 1.0 + 2.0
+    assert out.loc[1, "o_orderkey"] == 20       # orphan order kept (left)
+    assert out.loc[1, "n_events"] == 0
+    assert out.loc[1, "sum_value"] == 0.0
