@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize": relational.q_sessionize,
         "q_asof_last_order": relational.q_asof_last_order,
         "q_events_before_order": relational.q_events_before_order,
+        "q_rolling_dau": relational.q_rolling_dau,
         "q_range_window_events": relational.q_range_window_events,
         "q_topk_per_group": relational.q_topk_per_group,
         "q_rolling_avg": relational.q_rolling_avg,
@@ -349,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "emb_kmeans": similarity.emb_kmeans,
+        "emb_pca": similarity.emb_pca,
         # multimodal
         "image_features": _image_features,
         "audio_frame_energy": _audio_frame_energy,
@@ -361,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hash_split": mlprep.q_hash_split,
         "q_stratified_sample": mlprep.q_stratified_sample,
         "q_source_cap": mlprep.q_source_cap,
+        "doc_chunks": mlprep.doc_chunks,
         "pii_scrub": mlprep.pii_scrub,
         "q_json_extract": mlprep.q_json_extract,
         "tfidf_top_term": mlprep.tfidf_top_term,
@@ -538,6 +541,21 @@ def oracle_sql() -> dict[str, str]:
             FROM sessioned
             GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        "q_rolling_dau": """
+            WITH du AS (SELECT DISTINCT
+                               CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                                   AS day,
+                               user_id
+                        FROM events),
+            days AS (SELECT DISTINCT day FROM du)
+            SELECT d.day,
+                   count(DISTINCT CASE WHEN u.day = d.day
+                                       THEN u.user_id END) AS dau,
+                   count(DISTINCT u.user_id) AS dau_7d
+            FROM days d
+            JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day ORDER BY d.day
         """,
         "q_events_before_order": """
             SELECT o.o_orderkey,
@@ -726,6 +744,26 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) % 100 AS b
                 FROM documents)
             GROUP BY lang ORDER BY lang
+        """,
+        "doc_chunks": r"""
+            WITH w AS (SELECT doc_id,
+                              string_split_regex(trim(text), '\s+') AS ws
+                       FROM documents
+                       WHERE trim(coalesce(text, '')) <> ''),
+            c AS (SELECT doc_id, ws, len(ws) AS n,
+                         unnest(generate_series(
+                             0, CAST(ceil(len(ws) / 180.0) AS BIGINT) - 1))
+                             AS chunk_idx
+                  FROM w)
+            SELECT doc_id, chunk_idx,
+                   CAST(least(200, n - chunk_idx * 180) AS BIGINT)
+                       AS n_tokens,
+                   md5(array_to_string(
+                       ws[chunk_idx * 180 + 1 :
+                          least(chunk_idx * 180 + 200, n)], ' '))
+                       AS chunk_md5
+            FROM c
+            ORDER BY doc_id, chunk_idx
         """,
         "q_source_cap": """
             WITH r AS (SELECT doc_id, source,

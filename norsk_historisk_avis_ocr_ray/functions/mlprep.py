@@ -176,6 +176,54 @@ def q_source_cap(sf_dir: str, cap: int = SOURCE_CAP) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+# --- fixed-size token chunking (RAG / context-window prep) ---------------------
+
+CHUNK_TOKENS = 200
+CHUNK_OVERLAP = 20
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def doc_chunks(sf_dir: str, size: int = CHUNK_TOKENS,
+               stride: int = CHUNK_STRIDE) -> Dataset:
+    """Fixed-size token chunking with overlap — the step that turns
+    documents into retrieval/context-window units (seq_pack's
+    content-addressed cousin). Chunk ``i`` covers tokens
+    ``[i·stride, i·stride + size)``; the trailing chunk may be short.
+
+    Emits ``(doc_id, chunk_idx, n_tokens, chunk_md5)`` — the md5 is over
+    the space-joined token slice, so the exact SQL oracle verifies chunk
+    CONTENT, not just counts. Stateless vectorized map, zero shuffle,
+    corpus-sized output → streaming Dataset."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids, idxs, ntoks, digests = [], [], [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = (x or "").split()
+            n = len(toks)
+            if n == 0:
+                continue
+            for i in range((n + stride - 1) // stride):
+                s = i * stride
+                piece = toks[s:s + size]
+                ids.append(d)
+                idxs.append(i)
+                ntoks.append(len(piece))
+                digests.append(hashlib.md5(
+                    " ".join(piece).encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "n_tokens": pa.array(ntoks, pa.int64()),
+            "chunk_md5": pa.array(digests, pa.string()),
+        })
+
+    return ensure_schema(
+        ds.map_batches(chunk, batch_format="pyarrow", batch_size=4096),
+        pa.schema([("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+                   ("n_tokens", pa.int64()), ("chunk_md5", pa.string())]))
+
+
 def pii_scrub(sf_dir: str) -> Dataset:
     """Redact account/phone-shaped digit runs (≥4 digits) in customer names;
     emits the scrubbed name plus the per-row redaction count. Stateless

@@ -463,6 +463,64 @@ def q_sessionize(sf_dir: str) -> Dataset:
                    ("duration_s", pa.int64())]))
 
 
+# --- rolling distinct: daily active users + 7-day window -----------------------
+
+DAU_WINDOW_DAYS = 7
+
+
+def q_rolling_dau(sf_dir: str) -> pd.DataFrame:
+    """Daily active users and 7-day rolling distinct users per day — the
+    retention-report shape: a windowed COUNT DISTINCT, which no single
+    Ray Data primitive expresses.
+
+    Scale form: reduce events to distinct ``(day, user)`` pairs per batch
+    (the only corpus-sized stage, a per-batch combiner), explode each pair
+    to the ≤ 7 window-end days it covers, then ONE ``groupby(day)`` whose
+    group count is bounded by the time range (days, not users), so the
+    per-group ``np.unique`` distinct count is exact and the group fan-in
+    holds at any corpus size. Days beyond the observed range are dropped by
+    an O(days) result-class filter. The global cross-batch pair dedup is
+    NOT materialized — duplicate (day, user) pairs surviving the per-batch
+    combiner are removed by the same per-group ``np.unique``."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.int64()).to_numpy() // 86_400_000_000)
+        user = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.unique(np.stack([day, user], axis=1), axis=0)
+        d, u = pairs[:, 0], pairs[:, 1]
+        k = len(d)
+        off = np.tile(np.arange(DAU_WINDOW_DAYS, dtype=np.int64), k)
+        return pa.table({
+            "day": pa.array(np.repeat(d, DAU_WINDOW_DAYS) + off),
+            "user_id": pa.array(np.repeat(u, DAU_WINDOW_DAYS)),
+            "is_today": pa.array(off == 0),
+        })
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].to_numpy(np.int64)
+        today = g["is_today"].to_numpy(bool)
+        return pd.DataFrame({
+            "day": [np.int64(g["day"].iloc[0])],
+            "dau": [np.int64(len(np.unique(users[today])))],
+            "dau_7d": [np.int64(len(np.unique(users)))]})
+
+    df = (ds.map_batches(explode_pairs, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("day").map_groups(per_day, batch_format="pandas")
+            .to_pandas())
+    if df.empty:
+        return typed_empty(day="int64", dau="int64", dau_7d="int64")
+    # the explode creates up to 6 trailing days past the last observed day;
+    # real days are exactly those with dau > 0 ... except a day can exist in
+    # the window of earlier days while having no events itself — the oracle
+    # (days dimension = DISTINCT event days) keeps only days WITH events.
+    df = df[df["dau"] > 0]
+    for c in ("day", "dau", "dau_7d"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("day").reset_index(drop=True)
+
+
 # --- range join: events in a bounded window before each order ------------------
 
 RANGE_JOIN_WINDOW_S = 7 * 86400   # [orderdate - 7d, orderdate)

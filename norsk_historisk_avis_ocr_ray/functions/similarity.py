@@ -517,3 +517,60 @@ def emb_kmeans(sf_dir: str, n_clusters: int = IVF_CENTROIDS) -> pd.DataFrame:
     df["n"] = df["n"].astype(np.int64)
     return (df[["cluster", "n", "mean_cos"]]
             .sort_values("cluster").reset_index(drop=True))
+
+
+# --- distributed PCA over the embedding table -----------------------------------
+
+PCA_COMPONENTS = 8
+
+
+def emb_pca(sf_dir: str, n_components: int = PCA_COMPONENTS) -> pd.DataFrame:
+    """Distributed PCA over the embedding column: per-component explained
+    variance (+ cumulative ratio) from an exact covariance estimate.
+
+    Scale shape — one pass of MERGEABLE MOMENTS, never the data matrix:
+    each batch emits its partial ``(n, Σx, ΣxᵀX)`` (dim² floats, independent
+    of N); the driver sums the result-sized partials, forms the exact
+    covariance ``E[xxᵀ] − μμᵀ``, and eigendecomposes a dim×dim matrix.
+    This is the textbook one-pass covariance sketch — the same shape used
+    for feature whitening / dim-reduction over 10^12-row embedding tables,
+    where dim² ≪ N.
+
+    Rows-only: eigenvector sign/order make projections non-SQL-comparable;
+    the eigenvalue spectrum itself is pinned in pytest (exact vs an
+    in-memory numpy PCA on the same table) plus invariants (non-increasing
+    spectrum, Σ explained = total variance)."""
+    emb = _emb(sf_dir)
+    head = emb.take(1)
+    if not head:
+        return typed_empty(component="int64", explained_var="float64",
+                           cum_ratio="float64")
+    dim = len(head[0]["embedding"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(t)
+        x = mat.astype(np.float64)
+        flat = np.concatenate([[float(len(x))], x.sum(axis=0),
+                               (x.T @ x).reshape(-1)])
+        return pa.table({"m": pa.array([flat.tobytes()], pa.binary())})
+
+    parts = (emb.map_batches(moments, batch_format="pyarrow",
+                             batch_size=4096).to_pandas())
+    acc = np.zeros(1 + dim + dim * dim, np.float64)
+    for buf in parts["m"]:
+        acc += np.frombuffer(buf, np.float64)
+    n, s, ss = acc[0], acc[1:1 + dim], acc[1 + dim:].reshape(dim, dim)
+    if n < 2:
+        return typed_empty(component="int64", explained_var="float64",
+                           cum_ratio="float64")
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    evals = np.linalg.eigvalsh(cov)[::-1]          # non-increasing
+    evals = np.maximum(evals, 0.0)
+    total = evals.sum()
+    k = min(n_components, dim)
+    cum = np.cumsum(evals[:k]) / max(total, 1e-300)
+    return pd.DataFrame({
+        "component": np.arange(k, dtype=np.int64),
+        "explained_var": round_half_away(evals[:k], 6),
+        "cum_ratio": round_half_away(cum, 6)})
