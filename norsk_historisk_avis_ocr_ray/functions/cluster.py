@@ -125,17 +125,27 @@ def _propagate_labels(rows: Dataset,
     converged (doc_id, kh1, kh2, label) dataset. See module docstring for
     the shuffle/broadcast size accounting. Each iteration materializes the
     (int-only) label rows so the lineage doesn't recompute per loop."""
-    from ray.data.aggregate import Count, Min
+
+    from .combine import bucketed_combine
+
+    def key_min(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (g.groupby("kh", as_index=False)
+                .agg(kmin=("label", "min"), n=("label", "size")))
+        out["kmin"] = out["kmin"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return out
 
     cur = rows.materialize()
     prev_sum: int | None = None
     for _ in range(max_iters):
         # ONE vectorized Min/Count combine over the exploded (key, label)
         # pairs covers both key columns (domain-separated hash spaces).
-        per_key = (cur.map_batches(_explode_keys, batch_format="pyarrow")
-                   .groupby("kh")
-                   .aggregate(Min("label", alias_name="kmin"),
-                              Count(alias_name="n")))
+        # Bucketed (functions/combine.py): the key space is corpus-sized,
+        # where Ray's per-group aggregate iteration would cost ~0.4 ms/key
+        # PER PROPAGATION ITERATION.
+        per_key = bucketed_combine(
+            cur.map_batches(_explode_keys, batch_format="pyarrow"),
+            "kh", key_min)
         hot = per_key.filter(expr="n > 1").materialize()
         n_hot = hot.count()
         if n_hot == 0:

@@ -158,23 +158,35 @@ def _docs(sf_dir: str, num_blocks: int | None = None) -> Dataset:
 # --- exact dedup --------------------------------------------------------------
 
 def dedup_exact(sf_dir: str) -> Dataset:
-    """Survivors of exact-content dedup: min(doc_id) per md5(text)."""
+    """Survivors of exact-content dedup: min(doc_id) per md5(text).
+
+    The combine is BUCKETED on an int64 view of the fingerprint
+    (functions/combine.py): one distinct key per document makes this the
+    textbook high-cardinality aggregate, where Ray's per-group Python
+    iteration (~0.4 ms/key) would dominate — one vectorized pandas
+    min-per-key per bucket instead."""
     from .collect import ensure_schema
+    from .combine import bucketed_combine
 
     def add_hash(t: pa.Table) -> pa.Table:
         md5s = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
                 for x in t["text"].to_pylist()]
+        fph = np.array([np.uint64(int(m[:16], 16)) for m in md5s],
+                       np.uint64).view(np.int64)
         return pa.table({"doc_id": t["doc_id"],
-                         "fingerprint": pa.array(md5s, pa.string())})
+                         "fingerprint": pa.array(md5s, pa.string()),
+                         "fph": pa.array(fph, pa.int64())})
 
-    from ray.data.aggregate import Min
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("fingerprint", as_index=False)
+                .agg(doc_id=("doc_id", "min")))
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        return out[["fingerprint", "doc_id"]]
 
-    # vectorized hash aggregate (NOT per-group Python: min-per-key is exactly
-    # keep-first dedup and runs as a partial+final combine)
-    ds = (_docs(sf_dir)
-          .map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
-          .groupby("fingerprint")
-          .aggregate(Min("doc_id", alias_name="doc_id")))
+    ds = bucketed_combine(
+        _docs(sf_dir).map_batches(add_hash, batch_format="pyarrow",
+                                  batch_size=8192),
+        "fph", keep_first)
     # Streaming result: survivors are corpus-sized — never pulled to the
     # driver (the gate's compare sorts rows itself).
     return ensure_schema(ds, pa.schema([

@@ -1068,14 +1068,22 @@ def q_events_hopping(sf_dir: str) -> Dataset:
     Dataflow: the window replication is a *vectorized in-map explode* (3
     rows per event built with numpy tile/repeat — never a join against a
     window table), partial-aggregated per batch, so the only shuffle is the
-    final small ``groupby(event_type, win_start)`` — identical shape to the
-    tumbling window, just 3× the (already tiny) partial rows. The read is
-    split (row ranges, no repartition shuffle) because the 3× explode makes
-    this the heaviest per-batch stage of the events family — a single-file
-    single-block read serializes it (measured 7.6 s → 4.3 s at sf0.1)."""
+    final combine. The read is split (row ranges, no repartition shuffle)
+    because the 3× explode makes this the heaviest per-batch stage of the
+    events family — a single-file single-block read serializes it (measured
+    7.6 s → 4.3 s at sf0.1).
+
+    The final combine is BUCKETED (``groupby(bucket)`` + one vectorized
+    pandas combine per bucket), not ``groupby(event_type, win_start)``:
+    Ray's sort-based aggregate pays ~0.4 ms of per-group Python per key,
+    which at the hopping window's key cardinality (21.6k windows at sf0.1)
+    was 7 s of the query's 8.7 s wall — the same many-keys-per-group
+    contract as sessionize, applied to an aggregate. Measured 8.7 s →
+    ~2 s; exactness unchanged (bucket = splitmix64(win_start), every
+    (type, window) pair lands whole in one bucket)."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type", "value"],
-                               override_num_blocks=16)
+                               override_num_blocks=scale.read_blocks())
     k = HOP_WINDOW_S // HOP_S
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1094,10 +1102,17 @@ def q_events_hopping(sf_dir: str) -> Dataset:
             n=("value", "size"), sum_value=("value", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-             .groupby(["event_type", "win_start"])
-             .aggregate(Sum("n", alias_name="n"),
-                        Sum("sum_value", alias_name="sum_value")))
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["event_type", "win_start"], as_index=False)
+                .agg(n=("n", "sum"), sum_value=("sum_value", "sum")))
+        out["n"] = out["n"].astype(np.int64)
+        return out[["event_type", "win_start", "n", "sum_value"]]
+
+    from .combine import bucketed_combine
+
+    out = bucketed_combine(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "win_start", combine)
 
     def finish(t: pa.Table) -> pa.Table:  # row-local round/cast, streamed
         return pa.table({
