@@ -232,9 +232,10 @@ def _audio_frame_energy(sf_dir: str) -> Any:
 
 
 def _video_frame_sample(sf_dir: str) -> Any:
-    """Multimodal video path: deterministic raw grayscale clips (seeded
-    gradient + noise, 20–50 frames per doc) → actor-pool every-k frame
-    sampling (`VideoFrameSampleStage`, re-encoding sampled frames with the
+    """Multimodal video path: deterministic grayscale clips (seeded
+    gradient + noise, 20–50 frames per doc) packaged as real YUV4MPEG2
+    containers → actor-pool every-k frame sampling (`VideoFrameSampleStage`,
+    pure-numpy `sources.y4m` decode, re-encoding sampled frames with the
     pure-numpy image codec) → per-clip sampled-frame count. Rows-only."""
     import numpy as np
     import pyarrow as pa
@@ -248,6 +249,7 @@ def _video_frame_sample(sf_dir: str) -> Any:
         # Vectorized splitmix64 counter noise (doc-local counters keep the
         # bytes independent of batching); 20–50 frames per clip as before.
         from norsk_historisk_avis_ocr_ray.functions.dedup import _fmix64
+        from norsk_historisk_avis_ocr_ray.sources.y4m import encode_y4m
 
         doc_ids = t["doc_id"].to_pylist()
         if not doc_ids:
@@ -271,14 +273,13 @@ def _video_frame_sample(sf_dir: str) -> Any:
             col = (ctr % np.uint64(W)).astype(np.intp)
             px = np.minimum(base[col] + noise, 255.0).astype(np.uint8)
             refs.append(f"video://{d}")
-            bufs.append(px.tobytes())
+            bufs.append(encode_y4m(px.reshape(nf, H, W)))
         n = len(doc_ids)
         return pa.table({"media_ref": pa.array(refs, pa.string()),
                          "video": pa.array(bufs, pa.binary()),
                          "width": pa.array([W] * n, pa.int32()),
                          "height": pa.array([H] * n, pa.int32()),
-                         "codec": pa.array(["rawvideo-gray"] * n,
-                                           pa.string())})
+                         "codec": pa.array(["y4m"] * n, pa.string())})
 
     def count_per_clip(t: pa.Table) -> pa.Table:
         # Clip-local count — same no-shuffle invariant as the audio path.

@@ -4,12 +4,14 @@ Media are carried as ``binary`` columns with typed metadata (codec, dims,
 sample rate); every transform below is an actor-pool ``map_batches`` stage
 whose Ray-side plumbing (schema in/out, batching, per-actor state) is real
 and tested. Image codecs (raw-zlib/png/jpeg/tiff/pdf — ``sources.codec``)
-are fully functional pure-numpy implementations, and audio decode handles
-raw PCM16 plus real RIFF/WAVE containers (``sources.wav``, pure numpy);
-only *compressed* audio/video decode (mp3/ogg/h264), whose libraries are
-absent from this container, is stubbed behind ``NotImplementedError`` with
-the contract documented. All numpy-side transforms (resize, features,
-frame sampling over raw frames) are fully functional.
+are fully functional pure-numpy implementations; audio decode handles raw
+PCM16 plus real RIFF/WAVE containers (``sources.wav``) and video decode
+handles raw grayscale frames plus real YUV4MPEG2 containers
+(``sources.y4m``) — both pure numpy. Only *compressed* audio/video decode
+(mp3/ogg/h264), whose libraries are absent from this container, is stubbed
+behind ``NotImplementedError`` with the contract documented. All
+numpy-side transforms (resize, features, frame sampling) are fully
+functional.
 """
 
 from __future__ import annotations
@@ -129,29 +131,39 @@ class AudioFrameSampleStage:
 
 
 class VideoFrameSampleStage:
-    """Sample every k-th frame from raw concatenated grayscale frames
-    (``codec='rawvideo-gray'``: n_frames × h × w uint8). Compressed video
-    raises NotImplementedError (no decoder in this container)."""
+    """Sample every k-th frame from a video binary column.
+
+    Real decode paths: ``codec='rawvideo-gray'`` (headerless n × h × w
+    uint8) and ``codec='y4m'`` (YUV4MPEG2 container, pure-numpy
+    ``sources.y4m`` parser — C420/C422/C444/Cmono, luma-plane extraction).
+    Compressed codecs (h264/vp9) raise NotImplementedError — those
+    libraries are not in this container."""
 
     def __init__(self, every_k: int = 10):
         self.every_k = every_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.y4m import decode_y4m
+
         refs, idxs, imgs = [], [], []
         for ref, buf, w, h, codec in zip(batch["media_ref"].to_pylist(),
                                          batch["video"].to_pylist(),
                                          batch["width"].to_pylist(),
                                          batch["height"].to_pylist(),
                                          batch["codec"].to_pylist()):
-            if codec != "rawvideo-gray":
+            if codec == "y4m":
+                arr, w, h, _fps = decode_y4m(buf)
+            elif codec == "rawvideo-gray":
+                frame_bytes = w * h
+                n = len(buf) // frame_bytes
+                arr = np.frombuffer(buf[:n * frame_bytes], dtype=np.uint8)
+                arr = arr.reshape(n, h, w)
+            else:
                 raise NotImplementedError(
                     f"video codec {codec!r} requires a decoder not present in "
-                    "this environment")
-            frame_bytes = w * h
-            n = len(buf) // frame_bytes
-            arr = np.frombuffer(buf[:n * frame_bytes], dtype=np.uint8)
-            arr = arr.reshape(n, h, w)
-            for i in range(0, n, self.every_k):
+                    "this environment; provide rawvideo-gray/y4m or plug a "
+                    "decoder")
+            for i in range(0, len(arr), self.every_k):
                 refs.append(ref)
                 idxs.append(i)
                 imgs.append(encode_image(np.ascontiguousarray(arr[i])))
