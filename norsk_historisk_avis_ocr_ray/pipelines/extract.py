@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import numpy as np
 import pyarrow as pa
 
 import ray
@@ -36,7 +37,7 @@ from ..functions.textops import clean_batch
 from ..stages.correct import CorrectorStage
 from ..stages.explode import explode_spans
 from ..stages.ocr import LayoutOcrStage, MockBarcodeOcr, PageOcrStage
-from ..stages.repack import repack_group
+from ..stages.repack import repack_group, repack_table
 
 REGION_COLS = ["doc_id", "in_offset", "region_idx", "kind", "text",
                "media_ref", "error", "n_cols"]
@@ -219,8 +220,30 @@ def extract(
 
     cleaned = regions.map_batches(clean_batch, batch_format="pyarrow")
 
-    repacked = cleaned.groupby("doc_id").map_groups(
-        repack_group, batch_format="pyarrow")
+    # BUCKETED repack: groupby(doc_id) pays ~0.4 ms of per-group Python per
+    # document (13 s at this corpus's 32.5k docs — see functions/combine.py);
+    # repack_table is already multi-doc vectorized, so shuffle on a bounded
+    # blake2b bucket of doc_id instead — many docs per group call, identical
+    # output (bucket is a pure function of doc_id, co-location preserved).
+    n_rbuckets = max(64, scale.read_blocks(2.0))
+
+    def _bucket_docs(t: pa.Table) -> pa.Table:
+        from ..functions.dedup import _hash64
+
+        cache: dict = {}
+        ids = t["doc_id"].to_pylist()
+        b = np.fromiter(
+            (cache.get(d) if d in cache
+             else cache.setdefault(d, _hash64(d) % n_rbuckets)
+             for d in ids), np.int64, len(ids))
+        return t.append_column("rbucket", pa.array(b))
+
+    def _repack_bucket(g: pa.Table) -> pa.Table:
+        return repack_table(g.drop_columns(["rbucket"]))
+
+    repacked = (cleaned.map_batches(_bucket_docs, batch_format="pyarrow")
+                       .groupby("rbucket")
+                       .map_groups(_repack_bucket, batch_format="pyarrow"))
 
     if corrector_concurrency is None:
         # task form: fuses with the repack stage and scales elastically on
