@@ -283,7 +283,8 @@ class MinHasher:
         })
 
 
-def minhash_candidates(docs: Dataset) -> Dataset:
+def minhash_candidates(docs: Dataset,
+                       band_checkpoint: str | None = None) -> Dataset:
     """documents → distinct LSH candidate pairs (a < b).
 
     Bucket pairing is a self-join on the band key (vectorized hash join —
@@ -303,8 +304,22 @@ def minhash_candidates(docs: Dataset) -> Dataset:
     *expensive* (model load, index build), which this is not.
     """
     hasher = MinHasher()
+    # Self-joined, so the plan has two consumers. The materialize() is a
+    # DELIBERATE pin, unlike the extract span stream (removed round 3):
+    # recompute here would run the MinHash signature pass — the operator's
+    # dominant cost — twice, and the pinned rows are slim fixed-width ints
+    # (3 × 8 B × BANDS ≈ 400 B/doc, spillable), not document text. At
+    # cluster scale prefer a parquet spool (band_checkpoint) over recompute.
     band_rows = docs.map_batches(hasher, batch_format="pyarrow",
-                                 batch_size=1024).materialize()  # self-joined
+                                 batch_size=1024)
+    if band_checkpoint is not None:
+        import os as _os
+
+        ckpt = _os.path.join(band_checkpoint, "minhash_band_rows")
+        band_rows.write_parquet(ckpt)
+        band_rows = ray.data.read_parquet(ckpt)
+    else:
+        band_rows = band_rows.materialize()
     if band_rows.count() == 0:
         # Ray's hash join crashes on schema-less empty sides; an empty
         # corpus/partition is a routine condition, not an error.

@@ -231,3 +231,18 @@ def test_emb_kmeans_summary():
     baseline = float((mat @ global_centroid.T).mean())
     weighted = float((a["mean_cos"] * a["n"]).sum() / a["n"].sum())
     assert weighted > baseline + 0.05
+
+
+def test_minhash_band_checkpoint_parity(planted_dir, tmp_path):
+    import ray
+    from norsk_historisk_avis_ocr_ray.functions.dedup import (
+        _docs, minhash_candidates)
+
+    a = (minhash_candidates(_docs(planted_dir)).to_pandas()
+         .drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True))
+    b = (minhash_candidates(_docs(planted_dir),
+                            band_checkpoint=str(tmp_path)).to_pandas()
+         .drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True))
+    assert a.equals(b)
+    import os
+    assert os.path.isdir(str(tmp_path / "minhash_band_rows"))
