@@ -249,3 +249,35 @@ def test_space_split_matches_duckdb_string_split(s):
     exp = duckdb.connect().execute(
         "SELECT string_split(?, ' ')", [s]).fetchone()[0]
     assert s.split(" ") == exp, (s, exp)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=2000),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_pcm16_roundtrip_property(samples, rate):
+    from norsk_historisk_avis_ocr_ray.sources.wav import (
+        decode_wav_mono16, encode_wav)
+
+    pcm = np.array(samples, np.int16)
+    out, r = decode_wav_mono16(encode_wav(pcm, rate))
+    assert r == rate
+    assert np.array_equal(out, pcm)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 12), st.integers(1, 16), st.integers(1, 16),
+       st.integers(0, 2 ** 32 - 1))
+def test_y4m_roundtrip_property(n, h, w, seed):
+    from norsk_historisk_avis_ocr_ray.sources.y4m import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    for cs in ("mono", "420", "444"):
+        # C420 chroma planes need even luma dims per spec; mono/444 don't,
+        # but our neutral-chroma writer only emits w*h/2 bytes — keep dims
+        # even for the 420 case
+        if cs == "420" and (h % 2 or w % 2):
+            continue
+        out, ww, hh, _ = decode_y4m(encode_y4m(frames, colorspace=cs))
+        assert (ww, hh) == (w, h)
+        assert np.array_equal(out, frames)
