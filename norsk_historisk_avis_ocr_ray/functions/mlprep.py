@@ -46,7 +46,11 @@ from . import scale
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # cluster+size-derived block count (see scale.read_blocks_for_path)
+    path = f"{sf_dir}/{table}.parquet"
+    return ray.data.read_parquet(
+        path, columns=columns,
+        override_num_blocks=scale.read_blocks_for_path(path))
 
 
 # --- deterministic hash split -------------------------------------------------

@@ -40,7 +40,13 @@ WINDOW_S = 3600
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # cluster+size-derived block count: Ray's auto-split fragments small
+    # tables into ~64 tiny blocks whose per-block sort-shuffle fixed cost
+    # dominated the whole bucketed-window family (see scale.read_blocks_for_path)
+    path = f"{sf_dir}/{table}.parquet"
+    return ray.data.read_parquet(
+        path, columns=columns,
+        override_num_blocks=scale.read_blocks_for_path(path))
 
 
 # --- Q1: pricing summary (filter → partial agg → final agg) -----------------

@@ -49,6 +49,37 @@ def read_blocks(per_cpu: float = 0.5, floor: int = 4,
     return _scaled(per_cpu, floor, cap)
 
 
+TARGET_BLOCK_BYTES = 128 << 20  # Ray Data's default target block size
+
+
+def read_blocks_for_path(path: str, per_cpu: float = 0.5,
+                         floor: int = 4) -> int:
+    """Block count for a parquet read of ``path`` (file or directory).
+
+    ``override_num_blocks`` disables Ray's size-based auto-split, which on
+    small inputs fragments the read into ~64 tiny blocks whose per-block
+    fixed cost then dominates every downstream sort shuffle (measured at
+    sf0.1: the bucketed co-group family dropped 5.3 → 1.3 s going from
+    auto-split to CPU-derived counts). The CPU-derived count alone would be
+    wrong at the other extreme — 2048 blocks of a 100 TB table are 50 GB
+    each — so the on-disk byte size provides a floor of one block per
+    ~128 MB (column pruning only shrinks real blocks below that bound).
+    """
+    import math
+    import os
+
+    if os.path.isdir(path):
+        nbytes = sum(os.path.getsize(os.path.join(r, f))
+                     for r, _, fs in os.walk(path) for f in fs)
+    else:
+        try:
+            nbytes = os.path.getsize(path)
+        except OSError:
+            nbytes = 0
+    by_size = math.ceil(max(nbytes, 1) / TARGET_BLOCK_BYTES)
+    return max(read_blocks(per_cpu, floor), by_size)
+
+
 def join_partitions(per_cpu: float = 0.125, floor: int = 2,
                     cap: int | None = None) -> int:
     """``num_partitions`` for ``Dataset.join``.

@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from . import scale
 from .collect import collect_table, typed_empty
 from .rounding import round_half_away
 
@@ -37,8 +38,11 @@ IVF_NPROBE = 4
 
 
 def _emb(sf_dir: str) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                 columns=["vec_id", "embedding"])
+    # cluster+size-derived block count (see scale.read_blocks_for_path)
+    path = f"{sf_dir}/embeddings.parquet"
+    return ray.data.read_parquet(
+        path, columns=["vec_id", "embedding"],
+        override_num_blocks=scale.read_blocks_for_path(path))
 
 
 def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:

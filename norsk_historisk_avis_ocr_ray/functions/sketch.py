@@ -15,6 +15,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from . import scale
 from .dedup import _hash64
 
 K = 256
@@ -63,7 +64,7 @@ def approx_distinct(ds: Dataset, column: str) -> float:
 def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Approximate distinct user_id count over events (rows-only check; the
     pytest asserts the estimate is within 10% of exact)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", override_num_blocks=scale.read_blocks_for_path(f"{sf_dir}/events.parquet"), columns=["user_id"])
     est = approx_distinct(ds, "user_id")
     return pd.DataFrame({"approx_users": [round(est, 2)]})
 
@@ -127,7 +128,7 @@ def approx_top_users(sf_dir: str) -> pd.DataFrame:
     exact here, which the pytest pins against a direct pandas count.
     Rows-only check (approximate by construction at adversarial
     cardinalities)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", override_num_blocks=scale.read_blocks_for_path(f"{sf_dir}/events.parquet"), columns=["user_id"])
 
     def partial(t: pa.Table) -> pa.Table:
         keys = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -191,7 +192,7 @@ def approx_group_quantiles(sf_dir: str,
     under any partitioning (the sample membership is a pure function of
     event_id). Rows-only: rank error is ~1/sqrt(k), asserted against the
     exact quantiles in pytest."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", override_num_blocks=scale.read_blocks_for_path(f"{sf_dir}/events.parquet"),
                                columns=["event_id", "event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:

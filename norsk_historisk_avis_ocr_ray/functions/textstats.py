@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
+from . import scale
 from .collect import ensure_schema
 from .rounding import round_half_away
 from .textops import whitespace_token_counts
@@ -32,7 +33,11 @@ BPE_SPLIT = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    # cluster+size-derived block count (see scale.read_blocks_for_path)
+    path = f"{sf_dir}/documents.parquet"
+    return ray.data.read_parquet(
+        path, columns=list(columns),
+        override_num_blocks=scale.read_blocks_for_path(path))
 
 
 def _stats_batch(t: pa.Table) -> pa.Table:
