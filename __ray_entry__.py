@@ -331,6 +331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_per_group": relational.q_topk_per_group,
         "q_rolling_avg": relational.q_rolling_avg,
         "q_group_quantiles": relational.q_group_quantiles,
+        "q_lead_lag": relational.q_lead_lag,
+        "q_event_rank": relational.q_event_rank,
         # web main-content extraction (HTML boilerplate strip, DOM heuristics)
         "html_main_content": _html_main_content,
         # text analysis
@@ -372,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_contamination": mlprep.q_contamination,
         "line_dedup": mlprep.line_dedup,
         "q_training_corpus": mlprep.q_training_corpus,
+        "q_vocab_topk": mlprep.q_vocab_topk,
+        "q_global_shuffle": mlprep.q_global_shuffle,
         # anti join / lag window
         "q_inactive_customers": relational.q_inactive_customers,
         "q_user_gaps": relational.q_user_gaps,
@@ -615,6 +619,27 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
                        AS roll_avg_value
+            FROM events
+            ORDER BY event_id
+        """,
+        "q_lead_lag": """
+            SELECT event_id, user_id,
+                   lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_value,
+                   lead(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS next_value
+            FROM events
+            ORDER BY event_id
+        """,
+        "q_event_rank": """
+            SELECT event_id, event_type,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY value DESC, event_id)
+                        AS BIGINT) AS rn,
+                   CAST(rank() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC) AS BIGINT) AS rnk,
+                   round(percent_rank() OVER (PARTITION BY event_type
+                                              ORDER BY value DESC), 6) AS pct
             FROM events
             ORDER BY event_id
         """,
@@ -968,6 +993,26 @@ def oracle_sql() -> dict[str, str]:
                    min(quality) AS quality,
                    min(contamination_frac) AS contamination_frac
             FROM kept GROUP BY md5(text) ORDER BY doc_id
+        """,
+        "q_vocab_topk": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS tok
+                    FROM documents)
+                WHERE tok <> '')
+            SELECT tok, CAST(count(*) AS BIGINT) AS df
+            FROM toks GROUP BY tok
+            ORDER BY df DESC, tok
+            LIMIT 100
+        """,
+        "q_global_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                doc_id) - 1 AS BIGINT) AS pos
+            FROM documents
+            ORDER BY doc_id
         """,
         "q_corpus_stats": r"""
             WITH s AS (SELECT lang,

@@ -749,3 +749,119 @@ def q_training_corpus(sf_dir: str) -> Dataset:
         pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
                    ("quality", pa.float64()),
                    ("contamination_frac", pa.float64())]))
+
+
+# --- corpus vocabulary: top tokens by document frequency -----------------------
+
+VOCAB_TOP_N = 100
+
+
+def q_vocab_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-100 tokens by document frequency — the vocabulary-building step
+    of tokenizer training. A document lives in exactly one input row, so
+    per-batch per-doc token dedup is GLOBAL dedup: each batch emits its
+    distinct (doc, tok) pairs projected to ``tok`` rows, one
+    ``groupby(tok)`` Count is the document frequency, and a block-local
+    top-k combiner bounds the driver merge to k × n_blocks rows (the full
+    vocabulary never leaves the cluster). Tokenization is lowercased
+    single-space split, matching SQL ``string_split(lower(text), ' ')``."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_tokens(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist(),
+                      index=t["doc_id"].to_pylist()).fillna("")
+        ex = s.str.lower().str.split(" ").explode()
+        ex = ex[ex != ""]
+        pairs = (ex.rename("tok").rename_axis("doc_id").reset_index()
+                 .drop_duplicates())
+        return pa.Table.from_pandas(pairs[["tok"]], preserve_index=False)
+
+    dfreq = (ds.map_batches(doc_tokens, batch_format="pyarrow",
+                            batch_size=4096)
+             .groupby("tok").aggregate(Count(alias_name="df")))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= VOCAB_TOP_N:
+            return t
+        d = t.to_pandas().sort_values(["df", "tok"],
+                                      ascending=[False, True],
+                                      kind="mergesort")
+        return pa.Table.from_pandas(d.head(VOCAB_TOP_N),
+                                    preserve_index=False)
+
+    df = dfreq.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return typed_empty(tok="object", df="int64")
+    df["df"] = df["df"].astype(np.int64)
+    return (df.sort_values(["df", "tok"], ascending=[False, True],
+                           kind="mergesort")
+            .head(VOCAB_TOP_N).reset_index(drop=True)[["tok", "df"]])
+
+
+# --- deterministic global corpus shuffle with exact positions -------------------
+
+SHUFFLE_SEED = "42"
+SHUFFLE_PREFIXES = 256   # two-hex-digit md5 prefix buckets (uniform)
+
+
+def q_global_shuffle(sf_dir: str) -> Dataset:
+    """Deterministic global shuffle of the training corpus with EXACT
+    shuffled positions — reproducible across runs, machines and
+    partitionings (``ray.data.Dataset.random_shuffle`` is none of those).
+    The shuffle key is ``md5(doc_id || ':seed')``; the global position is a
+    distributed rank over that key:
+
+    - *pass A* (cheap scan + 256-row agg): per-batch counts per 2-hex-digit
+      key prefix → driver exclusive cumsum = per-prefix offsets (the md5
+      prefix is uniform, so the 256 ranges are balanced by construction —
+      no boundary sampling needed, unlike ``q_event_rank``).
+    - *pass B* (the one corpus shuffle): ``groupby(prefix)`` range
+      partition, local sort by (key, doc_id), position = offset + arange.
+
+    Lowercase-hex string order equals the prefix's integer order, so the
+    local sort inside a prefix bucket composes with the offset into the
+    exact global ``ORDER BY md5(...)`` rank. Corpus-sized output →
+    streaming Dataset."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def keyed(t: pa.Table) -> tuple[np.ndarray, list[str]]:
+        ids = t["doc_id"].to_pylist()
+        keys = [hashlib.md5(f"{i}:{SHUFFLE_SEED}".encode("ascii"))
+                .hexdigest() for i in ids]
+        pref = np.fromiter((int(k[:2], 16) for k in keys),
+                           dtype=np.int64, count=len(keys))
+        return pref, keys
+
+    def prefix_counts(t: pa.Table) -> pa.Table:
+        pref, _ = keyed(t)
+        n = np.bincount(pref, minlength=SHUFFLE_PREFIXES)
+        return pa.table({"prefix": pa.array(np.arange(SHUFFLE_PREFIXES,
+                                                      dtype=np.int64)),
+                         "n": pa.array(n.astype(np.int64))})
+
+    counts = (ds.map_batches(prefix_counts, batch_format="pyarrow")
+              .groupby("prefix").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())            # exactly ≤ 256 rows
+    arr = np.zeros(SHUFFLE_PREFIXES, np.int64)
+    if len(counts):
+        arr[counts["prefix"].to_numpy()] = counts["n"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], arr.cumsum()[:-1]])
+    off_ref = ray.put(offsets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        pref, keys = keyed(t)
+        return (t.append_column("prefix", pa.array(pref))
+                .append_column("key", pa.array(keys, pa.string())))
+
+    def position(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values(["key", "doc_id"], kind="mergesort")
+        base = int(offs[int(g["prefix"].iat[0])])
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "pos": base + np.arange(len(g), dtype=np.int64)})
+
+    return ensure_schema(
+        ds.map_batches(tag, batch_format="pyarrow")
+          .groupby("prefix").map_groups(position, batch_format="pandas"),
+        pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())]))

@@ -1061,6 +1061,35 @@ def q_user_gaps(sf_dir: str) -> Dataset:
                    ("max_gap_s", pa.int64()), ("avg_gap_s", pa.float64())]))
 
 
+# --- per-user LAG/LEAD (neighbor-row window) -----------------------------------
+
+def q_lead_lag(sf_dir: str) -> Dataset:
+    """Per-event previous/next value within the user's (ts, event_id) order —
+    the LAG/LEAD window pair as one bucketed co-grouped window: a single
+    shuffle on ``bucket = user_id & (NB-1)``, then a vectorized multi-user
+    shift inside the bucket (plain ``shift(±1)`` masked where the sorted
+    user column changes — no per-user group calls). Boundary rows get NULL,
+    matching SQL LAG/LEAD defaults. Output is corpus-sized (one row per
+    event) → streaming Dataset."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def shifts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_prev = g["user_id"].eq(g["user_id"].shift())
+        same_next = g["user_id"].eq(g["user_id"].shift(-1))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "prev_value": g["value"].shift().where(same_prev).to_numpy(),
+            "next_value": g["value"].shift(-1).where(same_next).to_numpy()})
+
+    return ensure_schema(
+        ds.map_batches(_bucketize_user, batch_format="pyarrow")
+          .groupby("bucket").map_groups(shifts, batch_format="pandas"),
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                   ("prev_value", pa.float64()), ("next_value", pa.float64())]))
+
+
 # --- events: hopping (sliding) window aggregate -------------------------------
 
 HOP_S = 600          # window start every 10 min
@@ -1235,3 +1264,117 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     return (df[["n_name", "revenue"]]
             .sort_values(["revenue", "n_name"], ascending=[False, True])
             .reset_index(drop=True))
+
+
+# --- distributed rank over low-cardinality groups (two-pass range partition) ---
+
+RANK_SAMPLE_K = 1024  # boundary sample per type (affects balance only)
+
+
+def q_event_rank(sf_dir: str) -> Dataset:
+    """row_number / rank / percent_rank per event_type by value DESC — the
+    per-group GLOBAL ordering window, computed WITHOUT ever co-locating a
+    whole group (event_type is low-cardinality, so one group is
+    corpus-sized; the bucketed-window shape used by the per-user windows
+    would be a skew wall here).
+
+    Classic two-pass distributed rank (range partition):
+
+    1. *boundaries*: mergeable bottom-k hash sample per type
+       (``sketch._bottomk_rows`` — deterministic under any partitioning)
+       → value-quantile boundaries. Tie runs can never split across
+       buckets because assignment is ``searchsorted(boundaries, value)``:
+       equal values map to the same bucket for ANY boundary vector, so
+       boundary quality affects load balance only, never correctness.
+    2. *pass A* (cheap column scan + tiny agg): exact per-(type, bucket)
+       row counts → suffix sums = rows strictly above each bucket.
+    3. *pass B* (the single corpus shuffle): groupby (type, bucket) range
+       partition; inside each range a vectorized local sort + tie-run scan
+       plus the broadcast offset yields globally exact rn / rnk / pct.
+
+    percent_rank = (rank−1)/(n_type−1) with the single-row partition → 0
+    convention, matching SQL. Corpus-sized output → streaming Dataset.
+    """
+    from .sketch import _bottomk_rows
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    nb = scale.read_blocks()          # value buckets per type
+
+    def sample_partial(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_bottomk_rows(t, RANK_SAMPLE_K),
+                                    preserve_index=False)
+
+    def sample_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(RANK_SAMPLE_K, "h")
+
+    sample = (ds.map_batches(sample_partial, batch_format="pyarrow")
+              .groupby("event_type")
+              .map_groups(sample_merge, batch_format="pandas")
+              .to_pandas())           # ≤ k × n_types rows
+    # empty corpus → empty Dataset.to_pandas() loses columns; no boundaries
+    bnds = {} if sample.empty else {
+        typ: np.unique(np.quantile(g["value"].to_numpy(),
+                                   np.arange(1, nb) / nb))
+        for typ, g in sample.groupby("event_type")}
+    tmap = {typ: i for i, typ in enumerate(sorted(bnds))}
+    bnd_ref = ray.put((bnds, tmap))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b_map, t_map = ray.get(bnd_ref)
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy()
+        gk = np.zeros(len(v), np.int64)
+        for typ, b in b_map.items():
+            m = ty == typ
+            if m.any():
+                gk[m] = t_map[typ] * nb + np.searchsorted(b, v[m],
+                                                          side="right")
+        return t.append_column("gkey", pa.array(gk))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"gkey": t["gkey"].to_numpy(zero_copy_only=False)})
+             .groupby("gkey", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .map_batches(count_partial, batch_format="pyarrow")
+              .groupby("gkey").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())            # ≤ n_types × nb rows
+    offs: dict[int, np.ndarray] = {}
+    totals: dict[int, int] = {}
+    if len(counts):
+        for tid, g in counts.groupby(counts["gkey"] // nb):
+            arr = np.zeros(nb, np.int64)
+            arr[(g["gkey"] % nb).to_numpy()] = g["n"].to_numpy(np.int64)
+            # rows in strictly higher-value buckets of the same type
+            offs[int(tid)] = arr[::-1].cumsum()[::-1] - arr
+            totals[int(tid)] = int(arr.sum())
+    off_ref = ray.put((offs, totals))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        o_map, tot = ray.get(off_ref)
+        gkey = int(g["gkey"].iat[0])
+        tid, bk = gkey // nb, gkey % nb
+        g = g.sort_values(["value", "event_id"], ascending=[False, True],
+                          kind="mergesort")
+        v = g["value"].to_numpy()
+        n = len(g)
+        base = int(o_map[tid][bk])
+        rn = base + np.arange(1, n + 1, dtype=np.int64)
+        firsts = np.arange(n, dtype=np.int64)   # tie-run start indices
+        firsts[np.r_[False, v[1:] == v[:-1]]] = 0
+        np.maximum.accumulate(firsts, out=firsts)
+        rnk = base + firsts + 1
+        pct = _r(pd.Series((rnk - 1) / max(tot[tid] - 1, 1)), 6)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "event_type": g["event_type"].to_numpy(),
+            "rn": rn, "rnk": rnk, "pct": pct.to_numpy()})
+
+    return ensure_schema(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+          .groupby("gkey").map_groups(rank_group, batch_format="pandas"),
+        pa.schema([("event_id", pa.int64()), ("event_type", pa.string()),
+                   ("rn", pa.int64()), ("rnk", pa.int64()),
+                   ("pct", pa.float64())]))
