@@ -333,6 +333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_quantiles": relational.q_group_quantiles,
         "q_lead_lag": relational.q_lead_lag,
         "q_event_rank": relational.q_event_rank,
+        "q_activity_fulljoin": relational.q_activity_fulljoin,
+        "q_value_histogram": relational.q_value_histogram,
         # web main-content extraction (HTML boilerplate strip, DOM heuristics)
         "html_main_content": _html_main_content,
         # text analysis
@@ -376,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_training_corpus": mlprep.q_training_corpus,
         "q_vocab_topk": mlprep.q_vocab_topk,
         "q_global_shuffle": mlprep.q_global_shuffle,
+        "q_mixture_sample": mlprep.q_mixture_sample,
         # anti join / lag window
         "q_inactive_customers": relational.q_inactive_customers,
         "q_user_gaps": relational.q_user_gaps,
@@ -642,6 +645,35 @@ def oracle_sql() -> dict[str, str]:
                                               ORDER BY value DESC), 6) AS pct
             FROM events
             ORDER BY event_id
+        """,
+        "q_activity_fulljoin": """
+            WITH e AS (SELECT user_id AS id, count(*) AS n_events,
+                              sum(value) AS sum_value
+                       FROM events GROUP BY user_id),
+                 o AS (SELECT o_custkey AS id, count(*) AS n_orders,
+                              sum(o_totalprice) AS total_spent
+                       FROM orders GROUP BY o_custkey)
+            SELECT coalesce(e.id, o.id) AS id,
+                   CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+                   round(coalesce(e.sum_value, 0), 4) AS sum_value,
+                   CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+                   round(coalesce(o.total_spent, 0), 2) AS total_spent,
+                   CASE WHEN e.id IS NULL THEN 'orders_only'
+                        WHEN o.id IS NULL THEN 'events_only'
+                        ELSE 'both' END AS side
+            FROM e FULL OUTER JOIN o ON e.id = o.id
+            ORDER BY id
+        """,
+        "q_value_histogram": """
+            WITH b AS (SELECT min(value) AS lo, max(value) AS hi
+                       FROM events)
+            SELECT CAST(CASE WHEN hi = lo THEN 0
+                             ELSE least(floor((value - lo)
+                                              / ((hi - lo) / 32.0)), 31)
+                        END AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events, b
+            GROUP BY bucket ORDER BY bucket
         """,
         "q_group_quantiles": """
             SELECT o_orderpriority,
@@ -1012,6 +1044,17 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'),
                                 doc_id) - 1 AS BIGINT) AS pos
             FROM documents
+            ORDER BY doc_id
+        """,
+        "q_mixture_sample": """
+            SELECT doc_id, source,
+                   CAST(10 + CAST('0x' || substr(md5(source), 1, 4)
+                                 AS BIGINT) % 90 AS BIGINT) AS sample_pct
+            FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),
+                                      1, 8) AS BIGINT) * 100
+                  < (10 + CAST('0x' || substr(md5(source), 1, 4)
+                               AS BIGINT) % 90) * 4294967296
             ORDER BY doc_id
         """,
         "q_corpus_stats": r"""

