@@ -1294,6 +1294,11 @@ def q_event_rank(sf_dir: str) -> Dataset:
 
     percent_rank = (rank−1)/(n_type−1) with the single-row partition → 0
     convention, matching SQL. Corpus-sized output → streaming Dataset.
+
+    Partitioning assumption: the largest TIE RUN bounds the largest range
+    bucket (ties must co-locate for exact ranks). A near-constant value
+    column degenerates to one bucket per type — for such columns rank is
+    better served by a count-by-distinct-value pre-aggregate.
     """
     from .sketch import _bottomk_rows
 
