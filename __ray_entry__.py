@@ -422,6 +422,31 @@ def _html_main_content(sf_dir: str) -> Any:
     return html_main_content(sf_dir)
 
 
+def _sm64_proj(x: str, out: str = "sm_h") -> str:
+    """DuckDB projection snippet computing splitmix64(``x``) — bit-identical
+    to ``functions/sketch._splitmix64`` (uint64 wraparound) — as a HUGEINT
+    column ``out`` in [0, 2**64). Uses DuckDB's lateral column aliases for
+    the mixer stages; multiply-mod-2**64 is a 32-bit limb split (the <=2**98
+    intermediates fit HUGEINT). Makes the deterministic sketches (KMV,
+    bottom-k quantile sample) EXACTLY SQL-oracled."""
+    def mulmod(z: str, c: int) -> str:
+        lo, hi = c & 0xFFFFFFFF, c >> 32
+        return (f"((({z} % 4294967296) * {lo}::HUGEINT + "
+                f"((({z} % 4294967296) * {hi}::HUGEINT + "
+                f"({z} // 4294967296) * {lo}::HUGEINT) % 4294967296) "
+                f"* 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)")
+
+    return (
+        f"((({x})::HUGEINT + 11400714819323198485::HUGEINT) "
+        f"% 18446744073709551616::HUGEINT) AS sm_z0, "
+        f"xor(sm_z0, sm_z0 >> 30) AS sm_y1, "
+        f"{mulmod('sm_y1', 0xBF58476D1CE4E5B9)} AS sm_z1, "
+        f"xor(sm_z1, sm_z1 >> 27) AS sm_y2, "
+        f"{mulmod('sm_y2', 0x94D049BB133111EB)} AS sm_z2, "
+        f"xor(sm_z2, sm_z2 >> 31) AS {out}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_docs": """
@@ -1106,10 +1131,93 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(label) AS cluster_id
             FROM lab GROUP BY node ORDER BY doc_id
         """,
+        # KMV approximate-distinct: the sketch hash is splitmix64 (pure,
+        # process-deterministic), so the "approximate" estimate is an EXACT
+        # function of the input — the oracle replays the k-minimum-values
+        # estimator in SQL via the bit-identical mixer (_sm64_proj).
+        "approx_distinct_users": f"""
+            WITH hs AS (
+                SELECT DISTINCT sm_h
+                FROM (SELECT {_sm64_proj("user_id")} FROM events)
+            ),
+            k AS (SELECT sm_h FROM hs ORDER BY sm_h LIMIT 256),
+            agg AS (SELECT count(*) AS n, max(sm_h) AS kth FROM k)
+            SELECT CASE WHEN n < 256 THEN round(CAST(n AS DOUBLE), 2)
+                   ELSE round(255 * 18446744073709551616.0
+                              / CAST(kth AS DOUBLE), 2)
+                   END AS approx_users
+            FROM agg
+        """,
+        # Bottom-k-hash-sample quantile sketch: sample membership is a pure
+        # function of splitmix64(event_id) (ordered by its SIGNED int64
+        # view, mirroring the engine), and the quantile read-off replays
+        # numpy's 'linear' lerp bit-for-bit: pos = (n-1)*p, g = pos-floor,
+        # g >= 0.5 ? b-(b-a)*(1-g) : a+(b-a)*g (numpy _lerp's branch).
+        "approx_group_quantiles": f"""
+            WITH ev AS (
+                SELECT event_type, value, sm_h
+                FROM (SELECT event_type, value, {_sm64_proj("event_id")}
+                      FROM events)
+            ),
+            sgn AS (
+                SELECT event_type, value,
+                       CASE WHEN sm_h >= 9223372036854775808::HUGEINT
+                            THEN sm_h - 18446744073709551616::HUGEINT
+                            ELSE sm_h END AS hsig
+                FROM ev
+            ),
+            samp AS (
+                SELECT event_type, value
+                FROM (SELECT event_type, value,
+                             row_number() OVER (PARTITION BY event_type
+                                                ORDER BY hsig) AS hr
+                      FROM sgn)
+                WHERE hr <= 512
+            ),
+            ord AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS vr,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM samp
+            ),
+            pick AS (
+                SELECT event_type, any_value(n) AS n,
+                       max(CASE WHEN vr = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN value END) AS a50,
+                       max(CASE WHEN vr = least(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 2, n) THEN value END) AS b50,
+                       max(CASE WHEN vr = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 THEN value END) AS a90,
+                       max(CASE WHEN vr = least(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 2, n) THEN value END) AS b90,
+                       max(CASE WHEN vr = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1 THEN value END) AS a99,
+                       max(CASE WHEN vr = least(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 2, n) THEN value END) AS b99
+                FROM ord GROUP BY event_type
+            ),
+            lerp AS (
+                SELECT event_type, n,
+                       CAST(n - 1 AS DOUBLE) * 0.5 - floor(CAST(n - 1 AS DOUBLE) * 0.5) AS g50,
+                       CAST(n - 1 AS DOUBLE) * 0.9 - floor(CAST(n - 1 AS DOUBLE) * 0.9) AS g90,
+                       CAST(n - 1 AS DOUBLE) * 0.99 - floor(CAST(n - 1 AS DOUBLE) * 0.99) AS g99,
+                       a50, b50, a90, b90, a99, b99
+                FROM pick
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n_sample,
+                   CASE WHEN n = 1 THEN a50
+                        WHEN g50 >= 0.5 THEN b50 - (b50 - a50) * (1 - g50)
+                        ELSE a50 + (b50 - a50) * g50 END AS p50,
+                   CASE WHEN n = 1 THEN a90
+                        WHEN g90 >= 0.5 THEN b90 - (b90 - a90) * (1 - g90)
+                        ELSE a90 + (b90 - a90) * g90 END AS p90,
+                   CASE WHEN n = 1 THEN a99
+                        WHEN g99 >= 0.5 THEN b99 - (b99 - a99) * (1 - g99)
+                        ELSE a99 + (b99 - a99) * g99 END AS p99
+            FROM lerp
+            ORDER BY event_type
+        """,
         # rows-only (not SQL-expressible): ocr_extract, lang_id,
-        # approx_group_quantiles (sampling sketch), emb_kmeans (iterative),
+        # emb_kmeans / emb_pca (iterative float),
         # dedup_minhash, dedup_simhash, minhash_clusters, simhash_signatures,
         # ann_ivf_topk, ann_lsh_topk, winnow_fingerprint, audio_frame_energy,
-        # video_frame_sample, approx_top_users, seq_pack (order-stateful
+        # video_frame_sample, approx_top_users (the candidate set is
+        # batch-boundary-dependent by design; the CMS estimates themselves
+        # are deterministic and pinned in pytest), seq_pack (order-stateful
         # greedy packing — pinned by the planted pytest ground truth)
     }

@@ -62,11 +62,18 @@ def approx_distinct(ds: Dataset, column: str) -> float:
 
 
 def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
-    """Approximate distinct user_id count over events (rows-only check; the
-    pytest asserts the estimate is within 10% of exact)."""
+    """Approximate distinct user_id count over events.
+
+    "Approximate" yet EXACTLY oracled: the KMV hash is splitmix64 (a pure
+    function of user_id), so the estimate is deterministic under any
+    partitioning and the DuckDB oracle replays the k-minimum-values
+    estimator with a bit-identical SQL mixer (``__ray_entry__._sm64_proj``).
+    The pytest additionally asserts the estimate is within 10% of exact."""
+    from .rounding import round_half_away
+
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", override_num_blocks=scale.read_blocks_for_path(f"{sf_dir}/events.parquet"), columns=["user_id"])
     est = approx_distinct(ds, "user_id")
-    return pd.DataFrame({"approx_users": [round(est, 2)]})
+    return pd.DataFrame({"approx_users": [float(round_half_away(est, 2))]})
 
 
 # --- Count-Min Sketch heavy hitters -------------------------------------------
@@ -190,8 +197,10 @@ def approx_group_quantiles(sf_dir: str,
     hashes, and the quantiles are read off the surviving sample — the
     shuffle moves k rows per (type, batch), never the corpus. Deterministic
     under any partitioning (the sample membership is a pure function of
-    event_id). Rows-only: rank error is ~1/sqrt(k), asserted against the
-    exact quantiles in pytest."""
+    event_id) — so despite being an approximation of the true quantiles
+    (rank error ~1/sqrt(k), asserted in pytest), the OUTPUT is exactly
+    SQL-oracled: the DuckDB oracle replays the splitmix64 sample selection
+    and numpy's 'linear' lerp branch bit-for-bit."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", override_num_blocks=scale.read_blocks_for_path(f"{sf_dir}/events.parquet"),
                                columns=["event_id", "event_type", "value"])
 
