@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_rank": relational.q_event_rank,
         "q_activity_fulljoin": relational.q_activity_fulljoin,
         "q_value_histogram": relational.q_value_histogram,
+        "q_pivot": relational.q_pivot,
         # web main-content extraction (HTML boilerplate strip, DOM heuristics)
         "html_main_content": _html_main_content,
         # text analysis
@@ -377,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": mlprep.line_dedup,
         "q_training_corpus": mlprep.q_training_corpus,
         "q_vocab_topk": mlprep.q_vocab_topk,
+        "q_bigram_topk": mlprep.q_bigram_topk,
         "q_global_shuffle": mlprep.q_global_shuffle,
         "q_mixture_sample": mlprep.q_mixture_sample,
         # anti join / lag window
@@ -699,6 +701,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM events, b
             GROUP BY bucket ORDER BY bucket
+        """,
+        # PIVOT: the engine derives the type vocabulary from the data; SQL
+        # strings are static, so the oracle hardcodes the same five types
+        # the synthetic corpora share ({click,error,purchase,signup,view}).
+        "q_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2) AS v_click,
+                   round(sum(CASE WHEN event_type = 'error' THEN value ELSE 0 END), 2) AS v_error,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS v_purchase,
+                   round(sum(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 2) AS v_signup,
+                   round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 2) AS v_view
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
         """,
         "q_group_quantiles": """
             SELECT o_orderpriority,
@@ -1062,6 +1083,17 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY tok
             ORDER BY df DESC, tok
             LIMIT 100
+        """,
+        "q_bigram_topk": r"""
+            WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+')
+                              AS ws FROM documents),
+            bg AS (SELECT unnest(ws[1:len(ws)-1]) AS w1,
+                          unnest(ws[2:len(ws)]) AS w2
+                   FROM w WHERE len(ws) >= 2)
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+            FROM bg GROUP BY w1, w2
+            ORDER BY n DESC, w1, w2
+            LIMIT 50
         """,
         "q_global_shuffle": """
             SELECT doc_id,

@@ -904,3 +904,72 @@ def q_mixture_sample(sf_dir: str) -> Dataset:
         ds.map_batches(keep, batch_format="pyarrow"),
         pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
                    ("sample_pct", pa.int64())]))
+
+
+# --- collocation mining: top adjacent-word bigrams -----------------------------
+
+BIGRAM_TOP_N = 50
+
+
+def q_bigram_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-50 adjacent-word collocations by corpus occurrence count — the
+    phrase/collocation-mining step of tokenizer and n-gram-LM training,
+    all-integer so the oracle compare carries no float-rounding risk.
+
+    Per-batch bigram counting is fully vectorized (Arrow regex split →
+    ``dictionary_encode`` → composed integer pair keys → ``np.unique``
+    counts; no Python loop touches a word) and emits one (w1, w2, n) row
+    per DISTINCT bigram per batch, so the single ``groupby`` shuffle moves
+    batch vocabularies, not the corpus. A block-local top-k combiner bounds
+    the driver merge to k × n_blocks rows. Ties break lexicographically,
+    mirroring SQL ``ORDER BY n DESC, w1, w2``. Tokenization is lowercased
+    ``\\s+`` split after trim, matching ``string_split_regex(trim(lower(
+    text)), '\\s+')``."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n_words = pc.list_value_length(lists).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        enc = lists.flatten().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if codes.size < 2:
+            return empty
+        doc_idx = np.repeat(np.arange(len(lists), dtype=np.int64), n_words)
+        same = doc_idx[:-1] == doc_idx[1:]
+        if not same.any():
+            return empty
+        vocab = np.int64(max(len(enc.dictionary), 1))
+        pair = codes[:-1][same] * vocab + codes[1:][same]
+        uniq, cnt = np.unique(pair, return_counts=True)
+        words = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        return pa.table({"w1": pa.array(words[uniq // vocab]),
+                         "w2": pa.array(words[uniq % vocab]),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n")))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= BIGRAM_TOP_N:
+            return t
+        d = t.to_pandas().sort_values(["n", "w1", "w2"],
+                                      ascending=[False, True, True],
+                                      kind="mergesort")
+        return pa.Table.from_pandas(d.head(BIGRAM_TOP_N),
+                                    preserve_index=False)
+
+    df = agg.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return typed_empty(w1="object", w2="object", n="int64")
+    df["n"] = df["n"].astype(np.int64)
+    return (df.sort_values(["n", "w1", "w2"], ascending=[False, True, True],
+                           kind="mergesort")
+            .head(BIGRAM_TOP_N).reset_index(drop=True)[["w1", "w2", "n"]])

@@ -1522,3 +1522,64 @@ def q_value_histogram(sf_dir: str) -> pd.DataFrame:
     df = df[df["n"] > 0]
     df["n"] = df["n"].astype(np.int64)
     return df.sort_values("bucket").reset_index(drop=True)[["bucket", "n"]]
+
+
+# --- per-user event-type PIVOT (conditional aggregation) ----------------------
+
+def q_pivot(sf_dir: str) -> Dataset:
+    """Per-user event-type PIVOT: one event-count and one rounded value-sum
+    column per event type — SQL ``PIVOT`` / conditional aggregation.
+
+    The column set is DERIVED, never hardcoded: a result-sized distinct-types
+    pass (per-batch ``pc.unique`` → driver set union, no shuffle) fixes the
+    wide schema, then per-batch LONG-FORM partials (one row per (user, type)
+    per batch — a combiner, so the shuffle moves partials, not events) feed
+    one bucketed combine that emits the wide rows. Per-user output →
+    streaming Dataset. The oracle hardcodes the same type vocabulary as
+    static ``CASE WHEN`` columns (SQL strings are static; the test corpora
+    share one vocabulary)."""
+    from .combine import bucketed_combine
+
+    tds = _read(sf_dir, "events", ["event_type"])
+    uniq = tds.map_batches(
+        lambda t: pa.table({"event_type": pc.unique(t["event_type"])}),
+        batch_format="pyarrow").to_pandas()          # ≤ types × blocks rows
+    types = sorted(set(uniq["event_type"].tolist()))
+
+    schema = pa.schema(
+        [("user_id", pa.int64())]
+        + [(f"n_{ty}", pa.int64()) for ty in types]
+        + [(f"v_{ty}", pa.float64()) for ty in types])
+
+    if not types:                                     # empty corpus
+        return ensure_schema(
+            ray.data.from_arrow(schema.empty_table()), schema)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "value": t["value"].to_numpy(zero_copy_only=False)})
+        g = (df.groupby(["user_id", "event_type"], sort=False)
+             .agg(n=("value", "size"), v=("value", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        pn = g.pivot_table(index="user_id", columns="event_type",
+                           values="n", aggfunc="sum", fill_value=0)
+        pn = pn.reindex(columns=types, fill_value=0)
+        pv = g.pivot_table(index="user_id", columns="event_type",
+                           values="v", aggfunc="sum", fill_value=0.0)
+        pv = pv.reindex(columns=types, fill_value=0.0)
+        out = pd.DataFrame({"user_id": pn.index.to_numpy(np.int64)})
+        for ty in types:
+            out[f"n_{ty}"] = pn[ty].to_numpy(np.int64)
+        for ty in types:
+            out[f"v_{ty}"] = round_half_away(
+                pv[ty].to_numpy(np.float64), 2)
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return ensure_schema(bucketed_combine(parts, "user_id", widen), schema)

@@ -1,0 +1,93 @@
+"""Round-3 additions (segment c): per-user event-type pivot, bigram
+collocation mining."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(tmp_path, user_id, value, event_type):
+    n = len(user_id)
+    ev = pa.table({
+        "event_id": pa.array(list(range(n)), pa.int64()),
+        "user_id": pa.array(user_id, pa.int64()),
+        "ts": pa.array(list(range(n)), pa.timestamp("us")),
+        "value": pa.array(value, pa.float64()),
+        "event_type": pa.array(event_type),
+    })
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+
+
+def _write_docs(tmp_path, texts):
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+
+def test_pivot_planted(tmp_path, ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import q_pivot
+
+    _write_events(tmp_path,
+                  user_id=[1, 1, 1, 2, 2],
+                  value=[1.5, 2.25, 4.0, 10.0, 0.125],
+                  event_type=["click", "click", "view", "view", "buy"])
+    out = (q_pivot(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    # derived column set: sorted type vocabulary from the data
+    assert list(out.columns) == ["user_id", "n_buy", "n_click", "n_view",
+                                 "v_buy", "v_click", "v_view"]
+    u1 = out.iloc[0]
+    assert (u1["n_click"], u1["n_view"], u1["n_buy"]) == (2, 1, 0)
+    assert u1["v_click"] == 3.75 and u1["v_view"] == 4.0 and u1["v_buy"] == 0.0
+    u2 = out.iloc[1]
+    assert (u2["n_click"], u2["n_view"], u2["n_buy"]) == (0, 1, 1)
+    assert u2["v_view"] == 10.0 and u2["v_buy"] == 0.13  # rounded half-away
+    assert out["n_click"].dtype == np.int64
+    assert out["v_click"].dtype == np.float64
+
+
+def test_bigram_topk_planted(tmp_path, ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import q_bigram_topk
+
+    _write_docs(tmp_path, [
+        "The cat sat",          # the cat, cat sat
+        "the cat  sat down",    # multi-space still one split
+        "cat",                  # no bigram
+        "",                     # no bigram
+        "sat the cat",          # sat the, the cat
+    ])
+    out = q_bigram_topk(str(tmp_path))
+    got = {(r.w1, r.w2): r.n for r in out.itertuples()}
+    assert got == {("the", "cat"): 3, ("cat", "sat"): 2,
+                   ("sat", "down"): 1, ("sat", "the"): 1}
+    # ordering: count desc then lexicographic
+    assert out.iloc[0][["w1", "w2"]].tolist() == ["the", "cat"]
+    assert out.iloc[1][["w1", "w2"]].tolist() == ["cat", "sat"]
+    assert out["n"].dtype == np.int64
+
+
+def test_pivot_value_sums_match_pandas(tmp_path, ray_session):
+    """Randomized cross-check: pivot sums equal a direct pandas pivot."""
+    from norsk_historisk_avis_ocr_ray.functions.relational import q_pivot
+    from norsk_historisk_avis_ocr_ray.functions.rounding import (
+        round_half_away)
+
+    rng = np.random.RandomState(11)
+    n = 400
+    users = rng.randint(0, 25, n).tolist()
+    vals = (rng.rand(n) * 100).tolist()
+    types = rng.choice(["a", "b", "c"], n).tolist()
+    _write_events(tmp_path, users, vals, types)
+    out = (q_pivot(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    df = pd.DataFrame({"u": users, "v": vals, "t": types})
+    for ty in ["a", "b", "c"]:
+        exp_n = df[df["t"] == ty].groupby("u").size()
+        exp_v = df[df["t"] == ty].groupby("u")["v"].sum()
+        for _, row in out.iterrows():
+            assert row[f"n_{ty}"] == exp_n.get(row["user_id"], 0)
+            assert row[f"v_{ty}"] == float(round_half_away(
+                exp_v.get(row["user_id"], 0.0), 2))
