@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_substring": dedup.dedup_substring,
         "simhash_signatures": dedup.simhash_signatures,
         # similarity search
         "ann_topk": similarity.ann_topk,
@@ -767,6 +768,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY md5(text)
             ORDER BY doc_id
+        """,
+        "dedup_substring": r"""
+            WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)),
+                              '\s+') AS ws FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(ws[1:len(ws)-3]) || ' ' ||
+                         unnest(ws[2:len(ws)-2]) || ' ' ||
+                         unnest(ws[3:len(ws)-1]) || ' ' ||
+                         unnest(ws[4:len(ws)]) AS g4
+                  FROM w WHERE len(ws) >= 4),
+            cnt AS (SELECT g4, count(*) AS c FROM g GROUP BY g4),
+            per AS (SELECT doc_id,
+                           CAST(count(*) AS BIGINT) AS n_grams,
+                           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_dup
+                    FROM g JOIN cnt USING (g4) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
+                   round(coalesce(p.n_dup * 1.0 / p.n_grams, 0.0), 6)
+                       AS dup_frac
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "dedup_ngram_jaccard": r"""
             WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+')

@@ -674,3 +674,181 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                              "b": pd.Series([], dtype="int64"),
                              "hamming": pd.Series([], dtype="int64")})
     return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# --- exact duplicated-substring detection (suffix-array-style dedup) -----------
+
+SUBSTR_K = 4                          # window length in words
+SUBSTR_MIN_COUNT = 2                  # corpus occurrences to call a span dup
+SUBSTR_BROADCAST_CUTOVER = 250_000    # dup-vocab rows above which we join
+
+# Position multipliers for arbitrary k (the _POS tuple stops at 3): odd
+# splitmix64 outputs of the position index, deterministic.
+_POSK = _fmix64(np.arange(1, 64, dtype=np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+
+
+def _gram_hashes_all(th: np.ndarray, k: int) -> np.ndarray:
+    """ALL positional k-gram hashes of a token-hash array — one per window,
+    duplicates preserved (unlike ``_shingles_from_tokens``, which dedups):
+    occurrence counting needs every position."""
+    n = len(th)
+    if n < k:
+        return np.array([], dtype=np.uint64)
+    acc = th[: n - k + 1] * _POSK[0]
+    for i in range(1, k):
+        acc = acc + th[i: n - k + 1 + i] * _POSK[i]
+    return _fmix64(acc)
+
+
+def dedup_substring(sf_dir: str, k: int = SUBSTR_K,
+                    min_count: int = SUBSTR_MIN_COUNT,
+                    broadcast_cutover: int = SUBSTR_BROADCAST_CUTOVER
+                    ) -> Dataset:
+    """Exact duplicated-substring detection — the document-level summary of
+    the suffix-array dedup pass of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499): every word
+    ``k``-gram window whose content occurs ≥ ``min_count`` times corpus-wide
+    is a duplicated span. Per document: window count, duplicated-window
+    count, duplicated fraction.
+
+    Dataflow (three streaming passes, int-only shuffles):
+
+    1. *count*: per-batch token-vocabulary hashing (blake2b once per
+       distinct token) + positional k-gram mixing gives every window a
+       64-bit content hash; per-batch ``np.unique`` pre-counts, so the one
+       corpus shuffle is a bucketed combine over (int64 h, int64 n) rows —
+       text never crosses the wire. A raw ``groupby(h)`` would pay Ray's
+       per-group Python floor over ~O(corpus) distinct grams; the bucketed
+       combine does one vectorized pandas sum per bucket.
+    2. *vocabulary*: grams with total count ≥ min_count. Below
+       ``broadcast_cutover`` rows it is ``ray.put`` ONCE as a sorted int64
+       array and probed per batch with ``searchsorted`` (the
+       q_contamination shape); above, it stays distributed and the exploded
+       (doc_id, h, m) stream hash-joins against it instead.
+    3. *score*: one streaming re-scan emits (doc_id, n_grams, n_dup,
+       dup_frac) per document — recomputing window hashes is cheaper than
+       pinning the exploded gram stream in the object store.
+
+    64-bit hash collisions merge distinct grams at ~n²/2⁶⁴ probability
+    (≈1e-5 at 10⁹ windows) — the same accepted tradeoff as
+    q_contamination's oracle. Output is per-document → streaming Dataset."""
+    from .collect import ensure_schema
+    from .combine import bucketed_combine
+    from .rounding import round_half_away
+
+    docs = _docs(sf_dir, num_blocks=scale.read_blocks())
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        hs = [_gram_hashes_all(th, k)
+              for th in _hash_tokens_batch(t["text"].to_pylist())]
+        flat = (np.concatenate(hs) if hs else np.array([], np.uint64))
+        if flat.size == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"h": pa.array(u.view(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    def sum_filter(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", as_index=False).agg(n=("n", "sum"))
+        return out.loc[out["n"] >= min_count, ["h"]]
+
+    dup_ds = bucketed_combine(
+        docs.map_batches(partial_counts, batch_format="pyarrow",
+                         batch_size=8192),
+        "h", sum_filter).materialize()
+    n_vocab = dup_ds.count()
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_grams", pa.int64()),
+        ("n_dup", pa.int64()), ("dup_frac", pa.float64())])
+
+    if n_vocab <= broadcast_cutover:
+        dup_arr = np.sort(dup_ds.to_pandas()["h"].to_numpy(np.int64))
+        dup_ref = ray.put(dup_arr)
+
+        def score(t: pa.Table) -> pa.Table:
+            dup = ray.get(dup_ref)
+            hs = [_gram_hashes_all(th, k)
+                  for th in _hash_tokens_batch(t["text"].to_pylist())]
+            lens = np.array([len(x) for x in hs], np.int64)
+            flat = (np.concatenate(hs).view(np.int64) if hs
+                    else np.array([], np.int64))
+            if len(dup) and flat.size:
+                pos = np.minimum(np.searchsorted(dup, flat), len(dup) - 1)
+                hit = dup[pos] == flat
+            else:
+                hit = np.zeros(flat.size, bool)
+            doc_idx = np.repeat(np.arange(len(lens)), lens)
+            n_dup = np.bincount(doc_idx, weights=hit,
+                                minlength=len(lens)).astype(np.int64)
+            frac = round_half_away(n_dup / np.maximum(lens, 1), 6)
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(lens, pa.int64()),
+                "n_dup": pa.array(n_dup, pa.int64()),
+                "dup_frac": pa.array(frac, pa.float64())})
+
+        return ensure_schema(
+            docs.map_batches(score, batch_format="pyarrow",
+                             batch_size=8192), out_schema)
+
+    # distributed fallback: the dup vocabulary is too large to broadcast.
+    def doc_gram_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hs = [_gram_hashes_all(th, k)
+              for th in _hash_tokens_batch(t["text"].to_pylist())]
+        rows_id, rows_h, rows_m = [], [], []
+        for i, grams in enumerate(hs):
+            if grams.size == 0:
+                continue
+            u, c = np.unique(grams, return_counts=True)
+            rows_id.append(np.full(len(u), ids[i], np.int64))
+            rows_h.append(u.view(np.int64))
+            rows_m.append(c.astype(np.int64))
+        if not rows_id:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64()),
+                             "m": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(rows_id)),
+                         "h": pa.array(np.concatenate(rows_h)),
+                         "m": pa.array(np.concatenate(rows_m))})
+
+    gram_rows = docs.map_batches(doc_gram_rows, batch_format="pyarrow",
+                                 batch_size=8192)
+    hits = gram_rows.join(dup_ds, join_type="inner",
+                          num_partitions=scale.join_partitions(), on=("h",))
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(n_dup=("m", "sum"))
+        out["n_dup"] = out["n_dup"].astype(np.int64)
+        return out[["doc_id", "n_dup"]]
+
+    ndup_ds = bucketed_combine(hits, "doc_id", per_doc)
+
+    def base_counts(t: pa.Table) -> pa.Table:
+        lens = np.array(
+            [max(len(th) - k + 1, 0)
+             for th in _hash_tokens_batch(t["text"].to_pylist())], np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_grams": pa.array(lens, pa.int64())})
+
+    base = docs.map_batches(base_counts, batch_format="pyarrow",
+                            batch_size=8192)
+    joined = base.join(ndup_ds, join_type="left_outer",
+                       num_partitions=scale.join_partitions(),
+                       on=("doc_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = np.nan_to_num(
+            t["n_dup"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        ng = t["n_grams"].to_numpy(zero_copy_only=False)
+        frac = round_half_away(nd / np.maximum(ng, 1), 6)
+        return pa.table({"doc_id": t["doc_id"], "n_grams": t["n_grams"],
+                         "n_dup": pa.array(nd, pa.int64()),
+                         "dup_frac": pa.array(frac, pa.float64())})
+
+    return ensure_schema(
+        joined.map_batches(finish, batch_format="pyarrow"), out_schema)

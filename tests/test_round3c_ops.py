@@ -91,3 +91,51 @@ def test_pivot_value_sums_match_pandas(tmp_path, ray_session):
             assert row[f"n_{ty}"] == exp_n.get(row["user_id"], 0)
             assert row[f"v_{ty}"] == float(round_half_away(
                 exp_v.get(row["user_id"], 0.0), 2))
+
+
+def _brute_substring(texts, k=4, min_count=2):
+    from collections import Counter
+    grams = []
+    for t in texts:
+        toks = (t or "").lower().split()
+        grams.append([" ".join(toks[i:i + k])
+                      for i in range(max(len(toks) - k + 1, 0))])
+    cnt = Counter(g for gs in grams for g in gs)
+    out = []
+    for i, gs in enumerate(grams):
+        nd = sum(1 for g in gs if cnt[g] >= min_count)
+        out.append((i, len(gs), nd))
+    return out
+
+
+def _check_substring(tmp_path, ray_session, **kw):
+    from norsk_historisk_avis_ocr_ray.functions.dedup import dedup_substring
+
+    texts = [
+        "a b c d a b c d",        # internal repeat of 'a b c d'
+        "a b c d x y z w q",      # shares the 'a b c d' window
+        "p q r s t u v",          # unique windows
+        "x y",                    # too short: zero windows
+        "",                       # empty
+        "p q r s t u v",          # exact dup of doc 2: every window dup
+    ]
+    _write_docs(tmp_path, texts)
+    out = (dedup_substring(str(tmp_path), **kw).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = _brute_substring(texts)
+    assert len(out) == len(texts)
+    for doc_id, n_grams, n_dup in exp:
+        row = out.iloc[doc_id]
+        assert row["n_grams"] == n_grams, (doc_id, row["n_grams"], n_grams)
+        assert row["n_dup"] == n_dup, (doc_id, row["n_dup"], n_dup)
+        assert row["dup_frac"] == round(n_dup / max(n_grams, 1), 6)
+
+
+def test_dedup_substring_broadcast_path(tmp_path, ray_session):
+    _check_substring(tmp_path, ray_session)
+
+
+def test_dedup_substring_distributed_join_path(tmp_path, ray_session):
+    """broadcast_cutover=0 forces the >cutover dataflow: exploded gram rows
+    hash-join the dup vocabulary instead of probing a broadcast array."""
+    _check_substring(tmp_path, ray_session, broadcast_cutover=0)
