@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_training_corpus": mlprep.q_training_corpus,
         "q_vocab_topk": mlprep.q_vocab_topk,
         "q_bigram_topk": mlprep.q_bigram_topk,
+        "dsir_score": mlprep.dsir_score,
         "q_global_shuffle": mlprep.q_global_shuffle,
         "q_mixture_sample": mlprep.q_mixture_sample,
         # anti join / lag window
@@ -1107,6 +1108,43 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY tok
             ORDER BY df DESC, tok
             LIMIT 100
+        """,
+        # DSIR: hashed-unigram log-likelihood-ratio scoring. Exact because
+        # (a) the feature hash is the md5-hex-prefix convention, (b) DuckDB
+        # ln == glibc libm == Python math.log bit-for-bit on this platform,
+        # and (c) weights are quantized to int64 micro-logs before the
+        # per-document sum, which makes summation order irrelevant.
+        "dsir_score": r"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       CAST(concat('0x', substr(md5(tok), 1, 16))
+                            AS UBIGINT) % 4096 AS b
+                FROM (SELECT doc_id, source,
+                             unnest(string_split_regex(trim(lower(text)),
+                                                       '\s+')) AS tok
+                      FROM documents)
+                WHERE tok <> ''
+            ),
+            cnt AS (SELECT b,
+                           sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                               AS nt,
+                           sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+                               AS nr
+                    FROM toks GROUP BY b),
+            tot AS (SELECT sum(nt) AS t_tot, sum(nr) AS r_tot FROM cnt),
+            w AS (SELECT b,
+                         CAST(round((ln((nt + 1) / (t_tot + 4096.0))
+                                     - ln((nr + 1) / (r_tot + 4096.0)))
+                                    * 1000000.0, 0) AS BIGINT) AS wt
+                  FROM cnt, tot),
+            per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                           CAST(sum(w.wt) AS BIGINT) AS score_micro
+                    FROM toks JOIN w USING (b) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(p.score_micro, 0) AS BIGINT) AS score_micro
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "q_bigram_topk": r"""
             WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+')

@@ -41,6 +41,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Sum
 
 from .collect import ensure_schema, typed_empty
+from .rounding import round_half_away
 from .rounding import series_round_half_away as _r
 from . import scale
 
@@ -973,3 +974,111 @@ def q_bigram_topk(sf_dir: str) -> pd.DataFrame:
     return (df.sort_values(["n", "w1", "w2"], ascending=[False, True, True],
                            kind="mergesort")
             .head(BIGRAM_TOP_N).reset_index(drop=True)[["w1", "w2", "n"]])
+
+
+# --- DSIR importance scoring (data selection via importance resampling) --------
+
+DSIR_N_FEATURES = 4096        # hashed unigram feature dimension (fixed by
+                              # design, so the weight table broadcast is
+                              # BOUNDED at any corpus scale — Xie et al. 2023)
+DSIR_TARGET_SOURCE = "src0"   # the "target distribution" slice
+
+
+def _dsir_feature_batch(texts: list) -> list[np.ndarray]:
+    """Per-text arrays of hashed-unigram feature ids (md5-prefix mod
+    DSIR_N_FEATURES — the same hex-cast convention as q_hash_split, so the
+    DuckDB oracle reproduces the bucket exactly). md5 runs once per DISTINCT
+    token in the batch."""
+    tok_lists = [(t or "").lower().split() for t in texts]
+    cache: dict[str, int] = {}
+    for toks in tok_lists:
+        for t in toks:
+            if t not in cache:
+                cache[t] = int(hashlib.md5(t.encode("utf-8"))
+                               .hexdigest()[:16], 16) % DSIR_N_FEATURES
+    get = cache.__getitem__
+    return [np.fromiter(map(get, toks), np.int64, count=len(toks))
+            for toks in tok_lists]
+
+
+def dsir_score(sf_dir: str, target_source: str = DSIR_TARGET_SOURCE,
+               n_features: int = DSIR_N_FEATURES) -> Dataset:
+    """DSIR importance scoring (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169): score
+    every document by the log-likelihood ratio between a hashed-unigram
+    bag-of-words model of the TARGET slice (docs from ``target_source``)
+    and one of the rest of the corpus, with add-1 smoothing. High scores =
+    "looks like the target distribution" — the selection signal for
+    importance resampling of pretraining data.
+
+    Dataflow:
+
+    1. *count pass*: per-batch feature-id bincounts for target and raw
+       slices — the shuffle is a ``groupby(bucket)`` over ≤ n_features
+       rows per batch (the hashed feature space is FIXED-dimension by
+       design, which is the paper's own trick for bounding memory).
+    2. *driver weights*: the (n_features)-row table turns into int64
+       micro-log weights ``round((ln((nt+1)/(Nt+F)) − ln((nr+1)/(Nr+F)))
+       × 1e6)``. ``math.log`` and DuckDB ``ln`` are BOTH glibc libm on
+       this platform — bit-identical — and quantizing to integer micro-logs
+       makes every downstream sum order-independent, so the oracle is
+       exact (np.log is SIMD-vectorized and rounds differently: it would
+       break the hash gate).
+    3. *score pass*: one streaming re-scan sums each document's token
+       weights (int64) — per-doc output → streaming Dataset.
+    """
+    import math
+
+    from .collect import ensure_schema
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        feats = _dsir_feature_batch(t["text"].to_pylist())
+        is_t = np.array([s == target_source
+                         for s in t["source"].to_pylist()], bool)
+        nt = np.zeros(n_features, np.int64)
+        nr = np.zeros(n_features, np.int64)
+        for f, tgt in zip(feats, is_t):
+            if f.size == 0:
+                continue
+            c = np.bincount(f, minlength=n_features)
+            if tgt:
+                nt += c
+            else:
+                nr += c
+        return pa.table({"b": pa.array(np.arange(n_features, dtype=np.int64)),
+                         "nt": pa.array(nt), "nr": pa.array(nr)})
+
+    cnt = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+           .groupby("b").aggregate(Sum("nt", alias_name="nt"),
+                                   Sum("nr", alias_name="nr"))
+           .to_pandas())                      # n_features rows — bounded
+    nt = np.zeros(n_features, np.int64)
+    nr = np.zeros(n_features, np.int64)
+    if not cnt.empty:
+        nt[cnt["b"].to_numpy(np.int64)] = cnt["nt"].to_numpy(np.int64)
+        nr[cnt["b"].to_numpy(np.int64)] = cnt["nr"].to_numpy(np.int64)
+    tot_t, tot_r = float(nt.sum() + n_features), float(nr.sum() + n_features)
+    # math.log (glibc libm, == DuckDB ln) per feature — NOT np.log (SIMD,
+    # different last-ulp rounding, would break the exact oracle).
+    diffs = np.array([(math.log((int(a) + 1) / tot_t)
+                       - math.log((int(b) + 1) / tot_r)) * 1e6
+                      for a, b in zip(nt, nr)], np.float64)
+    w = round_half_away(diffs, 0).astype(np.int64)
+    w_ref = ray.put(w)
+
+    def score(t: pa.Table) -> pa.Table:
+        wt = ray.get(w_ref)
+        feats = _dsir_feature_batch(t["text"].to_pylist())
+        lens = np.array([f.size for f in feats], np.int64)
+        scores = np.array([int(wt[f].sum()) if f.size else 0
+                           for f in feats], np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(lens, pa.int64()),
+                         "score_micro": pa.array(scores, pa.int64())})
+
+    return ensure_schema(
+        ds.map_batches(score, batch_format="pyarrow", batch_size=8192),
+        pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                   ("score_micro", pa.int64())]))

@@ -139,3 +139,50 @@ def test_dedup_substring_distributed_join_path(tmp_path, ray_session):
     """broadcast_cutover=0 forces the >cutover dataflow: exploded gram rows
     hash-join the dup vocabulary instead of probing a broadcast array."""
     _check_substring(tmp_path, ray_session, broadcast_cutover=0)
+
+
+def test_dsir_score_prefers_target_like_docs(tmp_path, ray_session):
+    """Docs sharing the target slice's vocabulary must outscore docs that
+    don't — the importance-resampling selection signal."""
+    import math
+    import hashlib
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import (
+        DSIR_N_FEATURES, dsir_score)
+
+    texts = ["norsk avis tekst", "norsk avis arkiv", "norsk tekst arkiv",
+             "random noise words here", "norsk avis tekst arkiv",
+             "totally unrelated junk tokens"]
+    sources = ["src0", "src0", "src0", "srcX", "srcX", "srcX"]
+    t = pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                  "text": pa.array(texts),
+                  "source": pa.array(sources)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    out = (dsir_score(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc 4 (raw, target-like) must outscore docs 3 and 5 (raw, unrelated)
+    s = out.set_index("doc_id")["score_micro"]
+    assert s[4] > s[3] and s[4] > s[5]
+    assert s[4] > 0 and s[3] < 0 and s[5] < 0
+
+    # brute-force exact check for one doc
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:16],
+                   16) % DSIR_N_FEATURES
+    from collections import Counter
+    nt, nr = Counter(), Counter()
+    for txt, src in zip(texts, sources):
+        for tok in txt.lower().split():
+            (nt if src == "src0" else nr)[bucket(tok)] += 1
+    t_tot = sum(nt.values()) + DSIR_N_FEATURES
+    r_tot = sum(nr.values()) + DSIR_N_FEATURES
+
+    def w(b):
+        x = (math.log((nt[b] + 1) / t_tot)
+             - math.log((nr[b] + 1) / r_tot)) * 1e6
+        return int(math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1))
+
+    exp4 = sum(w(bucket(tok)) for tok in texts[4].lower().split())
+    assert s[4] == exp4
