@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_vocab_topk": mlprep.q_vocab_topk,
         "q_bigram_topk": mlprep.q_bigram_topk,
         "dsir_score": mlprep.dsir_score,
+        "quality_classifier": _quality_classifier,
         "q_global_shuffle": mlprep.q_global_shuffle,
         "q_mixture_sample": mlprep.q_mixture_sample,
         # anti join / lag window
@@ -403,6 +404,12 @@ def _dup_clusters(sf_dir: str) -> Any:
 def _minhash_clusters(sf_dir: str) -> Any:
     from norsk_historisk_avis_ocr_ray.functions.cluster import minhash_clusters
     return minhash_clusters(sf_dir)
+
+
+def _quality_classifier(sf_dir: str) -> Any:
+    from norsk_historisk_avis_ocr_ray.functions.classifier import (
+        quality_classifier)
+    return quality_classifier(sf_dir)
 
 
 def _approx_distinct_users(sf_dir: str) -> Any:
@@ -1307,6 +1314,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type
         """,
         # rows-only (not SQL-expressible): ocr_extract, lang_id,
+        # quality_classifier (iterative optimization — determinism under
+        # any partitioning + planted separation pinned in pytest),
         # emb_kmeans / emb_pca (iterative float),
         # dedup_minhash, dedup_simhash, minhash_clusters, simhash_signatures,
         # ann_ivf_topk, ann_lsh_topk, winnow_fingerprint, audio_frame_energy,

@@ -186,3 +186,56 @@ def test_dsir_score_prefers_target_like_docs(tmp_path, ray_session):
 
     exp4 = sum(w(bucket(tok)) for tok in texts[4].lower().split())
     assert s[4] == exp4
+
+
+def _write_labeled_docs(tmp_path, texts, langs):
+    t = pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(langs)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+
+def _clf_corpus():
+    pos_vocab = "den norske avisen trykket nyheter om byen".split()
+    neg_vocab = "quick brown fox jumps over lazy dog today".split()
+    rng = np.random.RandomState(5)
+    texts, langs = [], []
+    for i in range(120):
+        pos = i % 2 == 0
+        vocab = pos_vocab if pos else neg_vocab
+        texts.append(" ".join(rng.choice(vocab, 12)))
+        langs.append("en" if pos else "xx")
+    return texts, langs
+
+
+def test_quality_classifier_learns_planted_separation(tmp_path, ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.classifier import (
+        quality_classifier, train_quality_classifier)
+
+    texts, langs = _clf_corpus()
+    _write_labeled_docs(tmp_path, texts, langs)
+
+    _, losses, _ = train_quality_classifier(str(tmp_path))
+    assert losses[-1] < losses[0]          # optimization makes progress
+    assert losses[-1] < 0.2                # separable corpus -> low loss
+
+    out = (quality_classifier(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    acc = (out["pred"] == out["label"]).mean()
+    assert acc == 1.0                      # disjoint vocabularies separate
+
+
+def test_quality_classifier_partitioning_deterministic(tmp_path,
+                                                       ray_session):
+    """Integer-quantized gradient partials make training bit-identical
+    under any block split — 1 block vs 7 blocks must agree exactly."""
+    from norsk_historisk_avis_ocr_ray.functions.classifier import (
+        quality_classifier)
+
+    texts, langs = _clf_corpus()
+    _write_labeled_docs(tmp_path, texts, langs)
+    a = (quality_classifier(str(tmp_path), iters=4, num_blocks=1)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (quality_classifier(str(tmp_path), iters=4, num_blocks=7)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)    # exact, including float probs
