@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bigram_topk": mlprep.q_bigram_topk,
         "dsir_score": mlprep.dsir_score,
         "quality_classifier": _quality_classifier,
+        "semdedup": _semdedup,
         "q_global_shuffle": mlprep.q_global_shuffle,
         "q_mixture_sample": mlprep.q_mixture_sample,
         # anti join / lag window
@@ -404,6 +405,11 @@ def _dup_clusters(sf_dir: str) -> Any:
 def _minhash_clusters(sf_dir: str) -> Any:
     from norsk_historisk_avis_ocr_ray.functions.cluster import minhash_clusters
     return minhash_clusters(sf_dir)
+
+
+def _semdedup(sf_dir: str) -> Any:
+    from norsk_historisk_avis_ocr_ray.functions.similarity import semdedup
+    return semdedup(sf_dir)
 
 
 def _quality_classifier(sf_dir: str) -> Any:
@@ -1316,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (not SQL-expressible): ocr_extract, lang_id,
         # quality_classifier (iterative optimization — determinism under
         # any partitioning + planted separation pinned in pytest),
+        # semdedup (k-means is iterative float; planted-dup pytest),
         # emb_kmeans / emb_pca (iterative float),
         # dedup_minhash, dedup_simhash, minhash_clusters, simhash_signatures,
         # ann_ivf_topk, ann_lsh_topk, winnow_fingerprint, audio_frame_energy,

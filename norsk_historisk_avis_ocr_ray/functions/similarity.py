@@ -578,3 +578,85 @@ def emb_pca(sf_dir: str, n_components: int = PCA_COMPONENTS) -> pd.DataFrame:
         "component": np.arange(k, dtype=np.int64),
         "explained_var": round_half_away(evals[:k], 6),
         "cum_ratio": round_half_away(cum, 6)})
+
+
+# --- SemDeDup: semantic deduplication via cluster-then-prune --------------------
+
+SEMDEDUP_CLUSTERS = 16
+SEMDEDUP_T = 0.95       # within-cluster cosine above this = semantic dup
+
+
+def semdedup(sf_dir: str, n_clusters: int = SEMDEDUP_CLUSTERS,
+             threshold: float = SEMDEDUP_T) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    pruning at corpus scale by clustering embeddings first, then comparing
+    ONLY within clusters — the O(n²) cosine matrix becomes C × O((n/C)²),
+    and each cluster prunes independently (embarrassingly parallel).
+
+    1. the shared distributed spherical-k-means quantizer
+       (``_kmeans_centroids``) trains C centroids (driver holds C × dim);
+    2. one streaming pass assigns every vector to its centroid (argmax
+       cosine against the broadcast codebook);
+    3. ``groupby(cluster).map_groups`` runs the per-cluster greedy prune:
+       scan vectors in vec_id order, keep one whose max cosine to the
+       already-kept set is < threshold — deterministic (ordering is by id,
+       ties impossible), exactly one survivor per duplicate clique.
+
+    Output: (vec_id, cluster, keep, max_sim) per vector → streaming
+    Dataset. Rows-only driver check (k-means is iterative float);
+    correctness pinned by a planted-duplicate pytest. Partitioning
+    assumption: one cluster's vectors fit one worker (the paper's own
+    regime; split hot clusters by re-clustering if violated)."""
+    from .collect import ensure_schema
+    from .rounding import round_half_away
+
+    ds = _emb(sf_dir)
+    probe = ds.limit(1).take_all()
+    dim = len(probe[0]["embedding"]) if probe else 0
+    if dim == 0:
+        return ensure_schema(
+            ray.data.from_items([]),
+            pa.schema([("vec_id", pa.int64()), ("cluster", pa.int32()),
+                       ("keep", pa.int64()), ("max_sim", pa.float64())]))
+    centroids = _kmeans_centroids(ds, dim, n_clusters)
+    c_ref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        ids, mat = _batch_matrix(t)
+        norm = _normalize(mat)
+        a = np.argmax(norm @ c.T, axis=1).astype(np.int32)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "cluster": pa.array(a, pa.int32()),
+            "vec": pa.array([row.tobytes() for row in norm], pa.binary())})
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="mergesort")
+        mat = np.stack([np.frombuffer(r, dtype=np.float64)
+                        for r in g["vec"]])
+        n = len(g)
+        keep = np.zeros(n, bool)
+        max_sim = np.zeros(n, np.float64)
+        kept_rows: list[int] = []
+        for i in range(n):
+            if kept_rows:
+                sims = mat[kept_rows] @ mat[i]
+                m = float(sims.max())
+            else:
+                m = 0.0
+            max_sim[i] = m
+            if m < threshold:
+                keep[i] = True
+                kept_rows.append(i)
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].to_numpy(np.int64),
+            "cluster": g["cluster"].to_numpy(np.int32),
+            "keep": keep.astype(np.int64),
+            "max_sim": round_half_away(max_sim, 6)})
+
+    out = (ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+           .groupby("cluster").map_groups(prune, batch_format="pandas"))
+    return ensure_schema(out, pa.schema([
+        ("vec_id", pa.int64()), ("cluster", pa.int32()),
+        ("keep", pa.int64()), ("max_sim", pa.float64())]))

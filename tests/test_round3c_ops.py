@@ -239,3 +239,44 @@ def test_quality_classifier_partitioning_deterministic(tmp_path,
     b = (quality_classifier(str(tmp_path), iters=4, num_blocks=7)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)    # exact, including float probs
+
+
+def test_semdedup_planted_duplicates(tmp_path, ray_session):
+    """Three planted near-dup cliques + singletons: exactly one survivor
+    per clique (the lowest vec_id), singletons all survive."""
+    from norsk_historisk_avis_ocr_ray.functions.similarity import semdedup
+
+    rng = np.random.RandomState(13)
+    dim = 16
+    base = rng.randn(6, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs, clique = [], []
+    vid = 0
+    for b in range(3):            # cliques of 3 near-identical vectors
+        for _ in range(3):
+            v = base[b] + rng.randn(dim) * 0.001
+            vecs.append(v / np.linalg.norm(v))
+            clique.append(b)
+            vid += 1
+    for b in range(3, 6):         # singletons, well separated
+        vecs.append(base[b])
+        clique.append(b)
+        vid += 1
+    t = pa.table({
+        "vec_id": pa.array(list(range(vid)), pa.int64()),
+        "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * vid, pa.int32())})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    out = (semdedup(str(tmp_path), n_clusters=4).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert len(out) == vid
+    kept = set(out.loc[out["keep"] == 1, "vec_id"])
+    # one survivor per clique: the minimum vec_id of each
+    for b, members in [(0, [0, 1, 2]), (1, [3, 4, 5]), (2, [6, 7, 8])]:
+        assert set(members) & kept == {min(members)}
+    # singletons survive
+    assert {9, 10, 11} <= kept
+    # dropped rows carry the high similarity that killed them
+    assert (out.loc[out["keep"] == 0, "max_sim"] >= 0.95).all()
