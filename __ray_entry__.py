@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_score": mlprep.dsir_score,
         "quality_classifier": _quality_classifier,
         "semdedup": _semdedup,
+        "bpe_train": _bpe_train,
         "q_global_shuffle": mlprep.q_global_shuffle,
         "q_mixture_sample": mlprep.q_mixture_sample,
         # anti join / lag window
@@ -405,6 +406,11 @@ def _dup_clusters(sf_dir: str) -> Any:
 def _minhash_clusters(sf_dir: str) -> Any:
     from norsk_historisk_avis_ocr_ray.functions.cluster import minhash_clusters
     return minhash_clusters(sf_dir)
+
+
+def _bpe_train(sf_dir: str) -> Any:
+    from norsk_historisk_avis_ocr_ray.functions.bpe import bpe_train
+    return bpe_train(sf_dir)
 
 
 def _semdedup(sf_dir: str) -> Any:
@@ -1323,6 +1329,7 @@ def oracle_sql() -> dict[str, str]:
         # quality_classifier (iterative optimization — determinism under
         # any partitioning + planted separation pinned in pytest),
         # semdedup (k-means is iterative float; planted-dup pytest),
+        # bpe_train (iterative merge loop; hand-computed-merges pytest),
         # emb_kmeans / emb_pca (iterative float),
         # dedup_minhash, dedup_simhash, minhash_clusters, simhash_signatures,
         # ann_ivf_topk, ann_lsh_topk, winnow_fingerprint, audio_frame_energy,

@@ -1,0 +1,125 @@
+"""Distributed BPE vocabulary training (tokenizer learning).
+
+Classic byte-pair-encoding training (Sennrich et al. 2016,
+arXiv:1508.07909) factored the way every production tokenizer trainer
+does it: the corpus-sized work is ONE distributed word-count (per-batch
+Counters pre-aggregate, a single ``groupby(word)`` shuffle merges), and
+the merge loop runs on the *word histogram* — which is result-sized
+(vocabulary, not corpus: merge decisions depend only on word types ×
+counts, never on word order). A ``max_words`` knob caps the histogram at
+the top-N words by count for truly unbounded vocabularies (the dropped
+tail carries negligible pair mass — the standard trade).
+
+Deterministic: pair selection breaks ties by (count desc, left, right);
+word counts are integers. Not SQL-expressible (iterative merges) →
+rows-only driver check; pytest pins hand-computed merges on a planted
+corpus and histogram-vs-corpus equivalence.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from . import scale
+
+BPE_MERGES = 40
+BPE_MAX_WORDS = 1_000_000
+_EOW = "</w>"
+
+
+def _word_histogram(sf_dir: str, max_words: int) -> pd.DataFrame:
+    """Distributed word histogram: the only corpus-scale stage."""
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(
+        path, columns=["text"],
+        override_num_blocks=scale.read_blocks_for_path(path))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update((txt or "").lower().split())
+        if not c:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        words, ns = zip(*c.items())
+        return pa.table({"word": pa.array(list(words), pa.string()),
+                         "n": pa.array(np.array(ns, np.int64))})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+            .groupby("word").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    if hist.empty:
+        return pd.DataFrame({"word": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    hist["n"] = hist["n"].astype(np.int64)
+    if len(hist) > max_words:
+        hist = (hist.sort_values(["n", "word"], ascending=[False, True],
+                                 kind="mergesort").head(max_words))
+    return hist.reset_index(drop=True)
+
+
+def _train_merges(hist: pd.DataFrame, n_merges: int) -> list[tuple]:
+    """BPE merge loop over the word histogram (driver-side, O(vocab)):
+    returns [(rank, left, right, pair_count)]. Symbols start as characters
+    plus an end-of-word marker."""
+    seqs = [tuple(w) + (_EOW,) for w in hist["word"]]
+    counts = hist["n"].to_numpy(np.int64)
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        pair_counts: Counter = Counter()
+        for seq, n in zip(seqs, counts):
+            for i in range(len(seq) - 1):
+                pair_counts[(seq[i], seq[i + 1])] += int(n)
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(),
+                   key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (left, right), pc = best
+        if pc < 2:
+            break
+        merges.append((rank, left, right, pc))
+        new_sym = left + right
+        out_seqs = []
+        for seq in seqs:
+            if left not in seq:
+                out_seqs.append(seq)
+                continue
+            out, i = [], 0
+            while i < len(seq):
+                if (i + 1 < len(seq) and seq[i] == left
+                        and seq[i + 1] == right):
+                    out.append(new_sym)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            out_seqs.append(tuple(out))
+        seqs = out_seqs
+    return merges
+
+
+def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES,
+              max_words: int = BPE_MAX_WORDS) -> pd.DataFrame:
+    """Learn a BPE merge table from the corpus; returns one row per merge:
+    (rank, left, right, pair_count). Result-sized output."""
+    hist = _word_histogram(sf_dir, max_words)
+    merges = _train_merges(hist, n_merges)
+    if not merges:
+        return pd.DataFrame({"rank": pd.Series([], dtype="int64"),
+                             "left": pd.Series([], dtype="object"),
+                             "right": pd.Series([], dtype="object"),
+                             "pair_count": pd.Series([], dtype="int64")})
+    df = pd.DataFrame(merges, columns=["rank", "left", "right",
+                                       "pair_count"])
+    df["rank"] = df["rank"].astype(np.int64)
+    df["pair_count"] = df["pair_count"].astype(np.int64)
+    return df

@@ -280,3 +280,47 @@ def test_semdedup_planted_duplicates(tmp_path, ray_session):
     assert {9, 10, 11} <= kept
     # dropped rows carry the high similarity that killed them
     assert (out.loc[out["keep"] == 0, "max_sim"] >= 0.95).all()
+
+
+def test_bpe_train_hand_computed_merges(tmp_path, ray_session):
+    """Corpus 'lower lower lowest' x counts: the first merges are
+    hand-checkable ('l'+'o' dominates, then 'lo'+'w', ...)."""
+    from norsk_historisk_avis_ocr_ray.functions.bpe import bpe_train
+
+    # 'low' x6, 'lower' x3, 'lowest' x2  -> 'lo' pair count 11
+    _write_docs(tmp_path, ["low low low low low low",
+                           "lower lower lower lowest lowest"])
+    out = bpe_train(str(tmp_path), n_merges=4)
+    assert out.iloc[0][["left", "right", "pair_count"]].tolist() == \
+        ["l", "o", 11]
+    assert out.iloc[1][["left", "right", "pair_count"]].tolist() == \
+        ["lo", "w", 11]
+    # after 'low': 'low</w>' x6 (count 6) vs 'low'+'e' (3+2=5)
+    assert out.iloc[2][["left", "right", "pair_count"]].tolist() == \
+        ["low", "</w>", 6]
+    assert out.iloc[3][["left", "right", "pair_count"]].tolist() == \
+        ["low", "e", 5]
+
+
+def test_bpe_histogram_equals_corpus_semantics(tmp_path, ray_session):
+    """Training on the histogram must equal training on the raw corpus —
+    a naive per-occurrence reference implementation agrees."""
+    from norsk_historisk_avis_ocr_ray.functions.bpe import (
+        _train_merges, bpe_train)
+
+    rng = np.random.RandomState(3)
+    vocab = ["alpha", "beta", "alphabet", "bet", "abba", "ba"]
+    words = rng.choice(vocab, 300).tolist()
+    texts = [" ".join(words[i:i + 20]) for i in range(0, 300, 20)]
+    _write_docs(tmp_path, texts)
+    out = bpe_train(str(tmp_path), n_merges=10)
+
+    # reference: histogram built naively from the same corpus
+    from collections import Counter
+    c = Counter(w for t in texts for w in t.lower().split())
+    hist = pd.DataFrame({"word": list(c.keys()),
+                         "n": np.array(list(c.values()), np.int64)})
+    exp = _train_merges(hist, 10)
+    got = [tuple(r) for r in out[["rank", "left", "right",
+                                  "pair_count"]].itertuples(index=False)]
+    assert got == exp
