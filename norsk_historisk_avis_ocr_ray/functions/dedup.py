@@ -765,7 +765,10 @@ def dedup_substring(sf_dir: str, k: int = SUBSTR_K,
         ("n_dup", pa.int64()), ("dup_frac", pa.float64())])
 
     if n_vocab <= broadcast_cutover:
-        dup_arr = np.sort(dup_ds.to_pandas()["h"].to_numpy(np.int64))
+        dup_pd = dup_ds.to_pandas()
+        # empty corpus: the combine never ran → no "h" column at all
+        dup_arr = (np.sort(dup_pd["h"].to_numpy(np.int64))
+                   if "h" in dup_pd.columns else np.array([], np.int64))
         dup_ref = ray.put(dup_arr)
 
         def score(t: pa.Table) -> pa.Table:

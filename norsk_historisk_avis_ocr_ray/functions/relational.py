@@ -1544,7 +1544,9 @@ def q_pivot(sf_dir: str) -> Dataset:
     uniq = tds.map_batches(
         lambda t: pa.table({"event_type": pc.unique(t["event_type"])}),
         batch_format="pyarrow").to_pandas()          # ≤ types × blocks rows
-    types = sorted(set(uniq["event_type"].tolist()))
+    # empty corpus: map_batches never ran, so the column itself is absent
+    types = (sorted(set(uniq["event_type"].tolist()))
+             if "event_type" in uniq.columns else [])
 
     schema = pa.schema(
         [("user_id", pa.int64())]
