@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_vocab_topk": mlprep.q_vocab_topk,
         "q_bigram_topk": mlprep.q_bigram_topk,
         "dsir_score": mlprep.dsir_score,
+        "q_unigram_ppl": mlprep.q_unigram_ppl,
         "quality_classifier": _quality_classifier,
         "semdedup": _semdedup,
         "bpe_train": _bpe_train,
@@ -1162,6 +1163,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
                    CAST(coalesce(p.score_micro, 0) AS BIGINT) AS score_micro
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # Unigram-LM perplexity filter: same exactness mechanics as
+        # dsir_score (md5 feature hash, libm ln/exp, int64 micro-log sums).
+        "q_unigram_ppl": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(tok), 1, 16))
+                            AS UBIGINT) % 4096 AS b
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(lower(text)),
+                                                       '\s+')) AS tok
+                      FROM documents)
+                WHERE tok <> ''
+            ),
+            cnt AS (SELECT b, count(*) AS n FROM toks GROUP BY b),
+            tot AS (SELECT sum(n) AS t FROM cnt),
+            lp AS (SELECT b,
+                          CAST(round(ln((n + 1) / (t + 4096.0))
+                                     * 1000000.0, 0) AS BIGINT) AS lpq
+                   FROM cnt, tot),
+            per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                           CAST(sum(lp.lpq) AS BIGINT) AS s
+                    FROM toks JOIN lp USING (b) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   round(CASE WHEN p.n_tokens IS NULL THEN 0.0
+                              ELSE exp(-(p.s / 1000000.0) / p.n_tokens)
+                         END, 6) AS ppl
             FROM documents d LEFT JOIN per p USING (doc_id)
             ORDER BY d.doc_id
         """,

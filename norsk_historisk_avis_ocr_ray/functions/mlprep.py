@@ -1082,3 +1082,66 @@ def dsir_score(sf_dir: str, target_source: str = DSIR_TARGET_SOURCE,
         ds.map_batches(score, batch_format="pyarrow", batch_size=8192),
         pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
                    ("score_micro", pa.int64())]))
+
+
+# --- unigram-LM perplexity quality filter ---------------------------------------
+
+def q_unigram_ppl(sf_dir: str, n_features: int = DSIR_N_FEATURES) -> Dataset:
+    """Perplexity quality filter — the CCNet-style 'score every document by
+    a language model of the corpus' step (Wenzek et al. 2020 use KenLM;
+    the SQL-oracled stand-in is an add-1-smoothed hashed-unigram LM over
+    the corpus itself). Low perplexity = typical text; high = noise.
+
+    Same two-pass shape as dsir_score: one bounded ``groupby(bucket)``
+    count pass (fixed 4096-dim hashed feature space) → driver builds an
+    int64 micro-log-prob table (``math.log`` == DuckDB ``ln`` == glibc
+    libm, bit-identical) → one streaming scoring pass sums each document's
+    token log-probs as integers (order-independent) and exponentiates
+    per doc with ``math.exp`` (== DuckDB ``exp``; np.exp's SIMD rounding
+    differs). ppl = exp(−avg logprob), rounded half-away to 6. Exact
+    DuckDB oracle; per-doc output → streaming Dataset."""
+    import math
+
+    from .collect import ensure_schema
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        feats = _dsir_feature_batch(t["text"].to_pylist())
+        n = np.zeros(n_features, np.int64)
+        for f in feats:
+            if f.size:
+                n += np.bincount(f, minlength=n_features)
+        return pa.table({"b": pa.array(np.arange(n_features, dtype=np.int64)),
+                         "n": pa.array(n)})
+
+    cnt = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+           .groupby("b").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    counts = np.zeros(n_features, np.int64)
+    if not cnt.empty:
+        counts[cnt["b"].to_numpy(np.int64)] = cnt["n"].to_numpy(np.int64)
+    tot = float(counts.sum() + n_features)
+    lpq = round_half_away(
+        np.array([math.log((int(c) + 1) / tot) * 1e6 for c in counts],
+                 np.float64), 0).astype(np.int64)
+    lp_ref = ray.put(lpq)
+
+    def score(t: pa.Table) -> pa.Table:
+        lp = ray.get(lp_ref)
+        feats = _dsir_feature_batch(t["text"].to_pylist())
+        lens = np.array([f.size for f in feats], np.int64)
+        s = np.array([int(lp[f].sum()) if f.size else 0
+                      for f in feats], np.int64)
+        # math.exp per doc: bit-identical to the oracle's exp()
+        ppl = np.array([math.exp(-(si / 1e6) / ni) if ni else 0.0
+                        for si, ni in zip(s, lens)], np.float64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(lens, pa.int64()),
+                         "ppl": pa.array(round_half_away(ppl, 6),
+                                         pa.float64())})
+
+    return ensure_schema(
+        ds.map_batches(score, batch_format="pyarrow", batch_size=8192),
+        pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                   ("ppl", pa.float64())]))

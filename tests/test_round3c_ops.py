@@ -324,3 +324,20 @@ def test_bpe_histogram_equals_corpus_semantics(tmp_path, ray_session):
     got = [tuple(r) for r in out[["rank", "left", "right",
                                   "pair_count"]].itertuples(index=False)]
     assert got == exp
+
+
+def test_unigram_ppl_flags_noise(tmp_path, ray_session):
+    """Repetitive typical text gets LOW perplexity; a doc of rare junk
+    tokens gets HIGH perplexity — the quality-filter signal."""
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import q_unigram_ppl
+
+    common = "the quick brown fox jumps over the lazy dog"
+    texts = [common] * 20 + ["zxqv jkwp qqqz mmvx bbnn"]
+    _write_docs(tmp_path, texts)
+    out = (q_unigram_ppl(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 21
+    typical = out.iloc[0]["ppl"]
+    junk = out.iloc[20]["ppl"]
+    assert junk > typical * 5
+    assert (out.iloc[:20]["ppl"] == typical).all()   # identical docs tie
