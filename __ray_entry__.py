@@ -107,6 +107,26 @@ def _ocr_extract(sf_dir: str) -> Any:
     return out.map_batches(flat, batch_format="pyarrow")
 
 
+def _image_phash_dedup(sf_dir: str) -> Any:
+    """Multimodal near-dup detection: pHash per page (actor-pool DCT
+    stage) → banded self-join → hamming-verified pairs. Pages rendered
+    from the same layout template hash within a few bits, so the pair
+    list is non-empty here; planted noisy-duplicate recovery is pinned
+    in pytest (test_round3c_ops). Rows-only."""
+    import ray
+    from norsk_historisk_avis_ocr_ray.stages.multimodal import (
+        ImagePHashStage, image_phash_pairs)
+
+    n_docs = 60 if "0.001" in sf_dir else 120
+    pages = _corpus_tables(n_docs)["pages"]
+    ds = ray.data.from_arrow(pages.select(
+        ["media_ref", "image", "width", "height", "codec"]))
+    ds = ds.repartition(8)
+    hashes = ds.map_batches(ImagePHashStage, batch_format="pyarrow",
+                            batch_size=32, concurrency=2, num_cpus=1)
+    return image_phash_pairs(hashes)
+
+
 def _image_features(sf_dir: str) -> Any:
     """Multimodal path: per-page feature vectors over the synthetic page
     corpus (binary image column → actor-pool feature extraction). Rows-only."""
@@ -360,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca": similarity.emb_pca,
         # multimodal
         "image_features": _image_features,
+        "image_phash_dedup": _image_phash_dedup,
         "audio_frame_energy": _audio_frame_energy,
         "video_frame_sample": _video_frame_sample,
         # sketches
@@ -1361,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         # any partitioning + planted separation pinned in pytest),
         # semdedup (k-means is iterative float; planted-dup pytest),
         # bpe_train (iterative merge loop; hand-computed-merges pytest),
+        # image_phash_dedup (binary media; planted noisy-dup pytest),
         # emb_kmeans / emb_pca (iterative float),
         # dedup_minhash, dedup_simhash, minhash_clusters, simhash_signatures,
         # ann_ivf_topk, ann_lsh_topk, winnow_fingerprint, audio_frame_energy,

@@ -172,3 +172,133 @@ class VideoFrameSampleStage:
             "frame_idx": pa.array(idxs, pa.int32()),
             "image": pa.array(imgs, pa.binary()),
         })
+
+
+class ImagePHashStage:
+    """Perceptual hash (pHash) per image — the image-dedup fingerprint a
+    multimodal training pipeline runs before cross-modal training: decode →
+    mean-pool to 32×32 → 2-D DCT-II → 64-bit sign hash of the 8×8
+    low-frequency block against its median. Near-identical images (noise,
+    re-encode, small crops) hash within a few bits of each other.
+
+    The DCT basis matrix is built ONCE per actor (__init__ = the per-worker
+    state slot); per image the transform is two 32×32 matmuls."""
+
+    SIDE = 32
+    LOW = 8
+
+    def __init__(self):
+        n = self.SIDE
+        k = np.arange(n, dtype=np.float64)
+        basis = np.sqrt(2.0 / n) * np.cos(
+            np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+        basis[0] = np.sqrt(1.0 / n)
+        self.basis = basis
+        self._weights = (np.uint64(1) << np.arange(63, dtype=np.uint64))
+
+    def _phash(self, img: np.ndarray) -> np.int64:
+        n = self.SIDE
+        a = np.asarray(img, dtype=np.float64)
+        h, w = a.shape
+        if h < n or w < n:                       # tiny images: edge-pad
+            a = np.pad(a, ((0, max(n - h, 0)), (0, max(n - w, 0))),
+                       mode="edge")
+            h, w = a.shape
+        bh, bw = h // n, w // n
+        pool = (a[:bh * n, :bw * n]
+                .reshape(n, bh, n, bw).mean(axis=(1, 3)))
+        d = self.basis @ pool @ self.basis.T
+        low = d[:self.LOW, :self.LOW].ravel()[1:]   # drop the DC term
+        bits = (low > np.median(low))
+        return np.uint64(np.dot(bits.astype(np.uint64),
+                                self._weights)).view(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = []
+        for buf, w, h, codec in zip(batch["image"].to_pylist(),
+                                    batch["width"].to_pylist(),
+                                    batch["height"].to_pylist(),
+                                    batch["codec"].to_pylist()):
+            img = decode_image(buf, w, h, codec or "raw-zlib")
+            hashes.append(self._phash(img))
+        return pa.table({
+            "media_ref": batch["media_ref"],
+            "phash": pa.array(np.array(hashes, np.int64), pa.int64()),
+        })
+
+
+PHASH_BANDS = 4           # 16-bit bands over the 64-bit hash
+PHASH_MAX_HAMMING = 6
+
+
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a.view(np.uint64), b.view(np.uint64))
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
+def image_phash_pairs(hashes, max_hamming: int = PHASH_MAX_HAMMING):
+    """Near-duplicate image pairs from per-image pHashes — the same LSH
+    banding shape as dedup_simhash: two images within ``max_hamming`` bits
+    agree exactly on ≥ 1 of the 4 16-bit bands whenever their differing
+    bits cluster (guaranteed when hamming ≤ 3 by pigeonhole; probabilistic
+    above). One band-keyed self-join, vectorized XOR-popcount verify,
+    driver dedup of the result-sized pair list.
+
+    ``hashes``: Dataset[(media_ref, phash)] → DataFrame[(a, b, hamming)]."""
+    import pandas as pd
+
+    import ray  # noqa: F401  (Dataset ops only)
+    from ..functions import scale
+
+    def bands(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy(zero_copy_only=False)
+        refs = t["media_ref"].to_pylist()
+        n = len(ph)
+        u = ph.view(np.uint64)
+        out_key, out_ref, out_ph = [], [], []
+        for bidx in range(PHASH_BANDS):
+            val = ((u >> np.uint64(16 * bidx))
+                   & np.uint64(0xFFFF)).astype(np.int64)
+            out_key.append(np.int64(bidx * 65536) + val)
+            out_ref.extend(refs)
+            out_ph.append(ph)
+        return pa.table({
+            "bk": pa.array(np.concatenate(out_key) if n else
+                           np.array([], np.int64)),
+            "media_ref": pa.array(out_ref, pa.string()),
+            "phash": pa.array(np.concatenate(out_ph) if n else
+                              np.array([], np.int64))})
+
+    rows = hashes.map_batches(bands, batch_format="pyarrow").materialize()
+    empty = pd.DataFrame({"a": pd.Series([], dtype="object"),
+                          "b": pd.Series([], dtype="object"),
+                          "hamming": pd.Series([], dtype="int64")})
+    if rows.count() == 0:
+        return empty
+    joined = rows.join(rows, join_type="inner",
+                       num_partitions=scale.join_partitions(),
+                       on=("bk",), right_suffix="_r")
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["media_ref"].to_pylist(), dtype=object)
+        b = np.asarray(t["media_ref_r"].to_pylist(), dtype=object)
+        ph_a = t["phash"].to_numpy(zero_copy_only=False)
+        ph_b = t["phash_r"].to_numpy(zero_copy_only=False)
+        keep = a < b
+        if not keep.any():
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "hamming": pa.array([], pa.int64())})
+        ham = _hamming64(ph_a[keep], ph_b[keep])
+        ok = ham <= max_hamming
+        return (pa.table({"a": pa.array(a[keep][ok].tolist(), pa.string()),
+                          "b": pa.array(b[keep][ok].tolist(), pa.string()),
+                          "hamming": pa.array(ham[ok], pa.int64())})
+                .group_by(["a", "b", "hamming"]).aggregate([]))
+
+    df = (joined.map_batches(verify, batch_format="pyarrow")
+          .to_pandas().drop_duplicates())
+    if df.empty:
+        return empty
+    return df.sort_values(["a", "b"]).reset_index(drop=True)

@@ -341,3 +341,35 @@ def test_unigram_ppl_flags_noise(tmp_path, ray_session):
     junk = out.iloc[20]["ppl"]
     assert junk > typical * 5
     assert (out.iloc[:20]["ppl"] == typical).all()   # identical docs tie
+
+
+def test_image_phash_recovers_planted_duplicates(ray_session):
+    """A noisy re-scan of an image must pair with its original (small
+    hamming); structurally different images must not pair."""
+    import ray
+    from norsk_historisk_avis_ocr_ray.sources.codec import encode_image
+    from norsk_historisk_avis_ocr_ray.stages.multimodal import (
+        ImagePHashStage, image_phash_pairs)
+
+    rng = np.random.RandomState(21)
+    # two structured base images (block patterns survive downscaling)
+    base_a = np.kron(rng.randint(0, 2, (8, 8)), np.ones((16, 16))) * 255
+    base_b = np.kron(rng.randint(0, 2, (8, 8)), np.ones((16, 16))) * 255
+    noisy_a = np.clip(base_a + rng.randn(128, 128) * 8, 0, 255)
+    imgs = {"orig_a": base_a, "rescan_a": noisy_a, "other_b": base_b}
+    t = pa.table({
+        "media_ref": pa.array(list(imgs.keys()), pa.string()),
+        "image": pa.array([encode_image(v.astype(np.uint8))
+                           for v in imgs.values()], pa.binary()),
+        "width": pa.array([128] * 3, pa.int32()),
+        "height": pa.array([128] * 3, pa.int32()),
+        "codec": pa.array(["raw-zlib"] * 3, pa.string())})
+    ds = ray.data.from_arrow(t)
+    hashes = ds.map_batches(ImagePHashStage, batch_format="pyarrow",
+                            batch_size=8, concurrency=1, num_cpus=1)
+    pairs = image_phash_pairs(hashes)
+    got = {(r.a, r.b) for r in pairs.itertuples()}
+    assert ("orig_a", "rescan_a") in got
+    assert all("other_b" not in p for p in got)
+    ham = pairs.set_index(["a", "b"]).loc[("orig_a", "rescan_a"), "hamming"]
+    assert int(ham) <= 6
