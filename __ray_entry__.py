@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mixture_sample": mlprep.q_mixture_sample,
         # anti join / lag window
         "q_inactive_customers": relational.q_inactive_customers,
+        "q_bloom_inactive": relational.q_bloom_inactive,
         "q_user_gaps": relational.q_user_gaps,
         # Gopher-style repetition quality signals
         "q_repetition_stats": textstats.q_repetition_stats,
@@ -1026,6 +1027,17 @@ def oracle_sql() -> dict[str, str]:
                          * 1.0 / count(*), 6) AS contamination_frac
             FROM ev e LEFT JOIN bench b USING (g3)
             GROUP BY e.doc_id ORDER BY e.doc_id
+        """,
+        # Bloom semi-join reduction: the filter is internal acceleration
+        # (no false negatives; false positives re-verified), so the oracle
+        # is the plain anti join over events.
+        "q_bloom_inactive": """
+            SELECT c_custkey, c_name, c_mktsegment,
+                   round(c_acctbal, 2) AS c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)
+            ORDER BY c_custkey
         """,
         "q_inactive_customers": """
             SELECT c_custkey, c_name, c_mktsegment,

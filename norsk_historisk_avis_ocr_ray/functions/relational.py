@@ -1585,3 +1585,90 @@ def q_pivot(sf_dir: str) -> Dataset:
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return ensure_schema(bucketed_combine(parts, "user_id", widen), schema)
+
+
+# --- Bloom-filter semi-join reduction (anti join at 100-TB shape) ---------------
+
+BLOOM_BITS = 1 << 18      # 256 Kbit = 32 KiB broadcast, any cluster size
+BLOOM_K = 3               # three 18-bit slices of one splitmix64
+
+
+def _bloom_positions(keys: np.ndarray, bits: int = BLOOM_BITS) -> np.ndarray:
+    """(k, n) bit positions — three disjoint 18-bit slices of splitmix64,
+    so the whole filter derives from ONE vectorized mix per key.
+    ``bits`` must be a power of two ≤ 2^18 (slices stay disjoint)."""
+    from .sketch import _splitmix64
+
+    h = _splitmix64(keys.astype(np.uint64))
+    return np.stack([
+        ((h >> np.uint64(18 * i)) & np.uint64(bits - 1))
+        .astype(np.int64)
+        for i in range(BLOOM_K)])
+
+
+def q_bloom_inactive(sf_dir: str, bits: int = BLOOM_BITS) -> pd.DataFrame:
+    """Customers that never emitted an event — the SAME answer as a plain
+    anti join, computed the way a 100-TB pipeline would: a Bloom filter of
+    the (huge) event-user side is built in one streaming pass (per-batch
+    DISTINCT bit positions, driver OR — the filter is 32 KiB regardless of
+    corpus size) and broadcast; customers the filter rejects are PROVEN
+    inactive (Bloom has no false negatives) and never enter a join; only
+    the sliver the filter accepts (true actives + deterministic false
+    positives) is verified with a distributed left-anti join against the
+    per-batch-deduped user ids. The filter is invisible in the output, so
+    the DuckDB oracle is the plain NOT EXISTS — exact."""
+    events = _read(sf_dir, "events", ["user_id"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+    empty = typed_empty(c_custkey="int64", c_name="object",
+                        c_mktsegment="object", c_acctbal="float64")
+    if cust.count() == 0:
+        return empty
+
+    def positions(t: pa.Table) -> pa.Table:
+        keys = np.unique(t["user_id"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        if keys.size == 0:
+            return pa.table({"p": pa.array([], pa.int64())})
+        pos = np.unique(_bloom_positions(keys, bits).ravel())
+        return pa.table({"p": pa.array(pos)})
+
+    pos_pd = (events.map_batches(positions, batch_format="pyarrow",
+                                 batch_size=65536).to_pandas())
+    bloom = np.zeros(bits, bool)
+    if "p" in pos_pd.columns and len(pos_pd):
+        bloom[pos_pd["p"].to_numpy(np.int64)] = True
+    bloom_ref = ray.put(bloom)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = _bloom_positions(keys, bits)
+        member = bl[pos[0]] & bl[pos[1]] & bl[pos[2]]
+        return t.append_column("bloom_member",
+                               pa.array(member.astype(np.int64)))
+
+    # dimension-sized (the customer table), int flag only — safe to pin
+    # for the two consumers below
+    probed = cust.map_batches(probe, batch_format="pyarrow").materialize()
+    negatives = probed.filter(expr="bloom_member == 0")
+    candidates = probed.filter(expr="bloom_member == 1")
+
+    def dedup_users(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(t["user_id"])})
+
+    users = events.map_batches(dedup_users, batch_format="pyarrow",
+                               batch_size=65536)
+    if candidates.count() == 0 or events.count() == 0:
+        verified = candidates  # nothing to verify (or all customers pass)
+    else:
+        verified = candidates.join(
+            users, join_type="left_anti",
+            num_partitions=scale.join_partitions(0.25),
+            on=("c_custkey",), right_on=("user_id",))
+    df = negatives.union(verified).to_pandas()
+    if df.empty:
+        return empty
+    df["c_acctbal"] = _r(df["c_acctbal"], 2)
+    return (df[["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]]
+            .sort_values("c_custkey").reset_index(drop=True))

@@ -373,3 +373,43 @@ def test_image_phash_recovers_planted_duplicates(ray_session):
     assert all("other_b" not in p for p in got)
     ham = pairs.set_index(["a", "b"]).loc[("orig_a", "rescan_a"), "hamming"]
     assert int(ham) <= 6
+
+
+def test_bloom_inactive_false_positive_path(tmp_path, ray_session):
+    """A deliberately tiny filter (16 bits) forces false positives, so the
+    verify join must reject them — the answer stays exactly the anti join."""
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_bloom_inactive)
+
+    n_cust = 200
+    active = list(range(0, 40))               # users 0..39 have events
+    cust = pa.table({
+        "c_custkey": pa.array(list(range(n_cust)), pa.int64()),
+        "c_name": pa.array([f"c{i}" for i in range(n_cust)]),
+        "c_mktsegment": pa.array(["SEG"] * n_cust),
+        "c_acctbal": pa.array([float(i) for i in range(n_cust)],
+                              pa.float64())})
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    ev = pa.table({
+        "event_id": pa.array(list(range(len(active))), pa.int64()),
+        "user_id": pa.array(active, pa.int64()),
+        "ts": pa.array([0] * len(active), pa.timestamp("us")),
+        "value": pa.array([1.0] * len(active), pa.float64()),
+        "event_type": pa.array(["t"] * len(active))})
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+
+    out = q_bloom_inactive(str(tmp_path), bits=16)
+    assert out["c_custkey"].tolist() == list(range(40, n_cust))
+
+    # sanity: with 16 bits and 40 keys the filter really does fire FPs
+    # (otherwise this test proves nothing)
+    import numpy as np
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        _bloom_positions)
+    bloom = np.zeros(16, bool)
+    pos = _bloom_positions(np.array(active, np.int64), 16)
+    bloom[pos.ravel()] = True
+    inactive_keys = np.arange(40, n_cust, dtype=np.int64)
+    q = _bloom_positions(inactive_keys, 16)
+    fp = (bloom[q[0]] & bloom[q[1]] & bloom[q[2]]).sum()
+    assert fp > 0
