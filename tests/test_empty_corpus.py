@@ -23,7 +23,7 @@ SF_SRC = "/root/testdata/sf0.001"
 
 # queries over the synthetic page corpus (not the parquet tables) are out of
 # scope here — their resume path is covered by test_resume.py
-SKIP = {"extract_docs", "ocr_extract", "image_features"}
+SKIP = {"extract_docs", "ocr_extract", "image_features", "image_phash_dedup"}
 
 
 @pytest.fixture(scope="module")
