@@ -468,29 +468,46 @@ def _html_main_content(sf_dir: str) -> Any:
     return html_main_content(sf_dir)
 
 
+def _mulmod_sql(z: str, c: int) -> str:
+    """DuckDB expression for (z * c) mod 2**64 with z a HUGEINT column in
+    [0, 2**64) and c a Python constant — 32-bit limb split, every
+    intermediate ≤ 2**98 fits HUGEINT."""
+    lo, hi = c & 0xFFFFFFFF, c >> 32
+    return (f"((({z} % 4294967296) * {lo}::HUGEINT + "
+            f"((({z} % 4294967296) * {hi}::HUGEINT + "
+            f"({z} // 4294967296) * {lo}::HUGEINT) % 4294967296) "
+            f"* 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)")
+
+
 def _sm64_proj(x: str, out: str = "sm_h") -> str:
     """DuckDB projection snippet computing splitmix64(``x``) — bit-identical
     to ``functions/sketch._splitmix64`` (uint64 wraparound) — as a HUGEINT
     column ``out`` in [0, 2**64). Uses DuckDB's lateral column aliases for
-    the mixer stages; multiply-mod-2**64 is a 32-bit limb split (the <=2**98
-    intermediates fit HUGEINT). Makes the deterministic sketches (KMV,
-    bottom-k quantile sample) EXACTLY SQL-oracled."""
-    def mulmod(z: str, c: int) -> str:
-        lo, hi = c & 0xFFFFFFFF, c >> 32
-        return (f"((({z} % 4294967296) * {lo}::HUGEINT + "
-                f"((({z} % 4294967296) * {hi}::HUGEINT + "
-                f"({z} // 4294967296) * {lo}::HUGEINT) % 4294967296) "
-                f"* 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)")
-
+    the mixer stages. Makes the deterministic sketches (KMV, bottom-k
+    quantile sample, CMS heavy hitters) EXACTLY SQL-oracled."""
     return (
         f"((({x})::HUGEINT + 11400714819323198485::HUGEINT) "
         f"% 18446744073709551616::HUGEINT) AS sm_z0, "
         f"xor(sm_z0, sm_z0 >> 30) AS sm_y1, "
-        f"{mulmod('sm_y1', 0xBF58476D1CE4E5B9)} AS sm_z1, "
+        f"{_mulmod_sql('sm_y1', 0xBF58476D1CE4E5B9)} AS sm_z1, "
         f"xor(sm_z1, sm_z1 >> 27) AS sm_y2, "
-        f"{mulmod('sm_y2', 0x94D049BB133111EB)} AS sm_z2, "
+        f"{_mulmod_sql('sm_y2', 0x94D049BB133111EB)} AS sm_z2, "
         f"xor(sm_z2, sm_z2 >> 31) AS {out}"
     )
+
+
+def _cms_cols_proj() -> str:
+    """Per-depth CMS column indexes c1..c4 from the sm_h column — mirrors
+    ``functions/sketch._cms_indices``: ((A_d·h + B_d) mod 2**64) >> 53
+    with A_d/B_d the depth-scaled odd constants (uint64 wraparound)."""
+    parts = []
+    for d in range(1, 5):
+        a = (0x9E3779B97F4A7C15 * d) % (1 << 64)
+        b = (0xD1B54A32D192ED03 * d) % (1 << 64)
+        parts.append(
+            f"CAST((({_mulmod_sql('sm_h', a)} + {b}::HUGEINT) "
+            f"% 18446744073709551616::HUGEINT) >> 53 AS BIGINT) AS c{d}")
+    return ", ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1325,6 +1342,32 @@ def oracle_sql() -> dict[str, str]:
                    END AS approx_users
             FROM agg
         """,
+        # CMS heavy hitters: with distinct-keys candidates (the default)
+        # the output is a pure function of the input; the oracle replays
+        # splitmix64 + the per-depth row hashing + min-over-depths point
+        # estimates. CMS never underestimates, so the top-10 by estimate
+        # (ties by user_id) is reproduced exactly.
+        "approx_top_users": f"""
+            WITH cols AS (
+                SELECT user_id, {_cms_cols_proj()}
+                FROM (SELECT user_id, {_sm64_proj("user_id")} FROM events)
+            ),
+            n1 AS (SELECT c1, CAST(count(*) AS BIGINT) AS m1
+                   FROM cols GROUP BY c1),
+            n2 AS (SELECT c2, CAST(count(*) AS BIGINT) AS m2
+                   FROM cols GROUP BY c2),
+            n3 AS (SELECT c3, CAST(count(*) AS BIGINT) AS m3
+                   FROM cols GROUP BY c3),
+            n4 AS (SELECT c4, CAST(count(*) AS BIGINT) AS m4
+                   FROM cols GROUP BY c4),
+            uc AS (SELECT DISTINCT user_id, c1, c2, c3, c4 FROM cols)
+            SELECT user_id,
+                   least(n1.m1, n2.m2, n3.m3, n4.m4) AS est_events
+            FROM uc JOIN n1 USING (c1) JOIN n2 USING (c2)
+                    JOIN n3 USING (c3) JOIN n4 USING (c4)
+            ORDER BY est_events DESC, user_id
+            LIMIT 10
+        """,
         # Bottom-k-hash-sample quantile sketch: sample membership is a pure
         # function of splitmix64(event_id) (ordered by its SIGNED int64
         # view, mirroring the engine), and the quantile read-off replays
@@ -1398,8 +1441,6 @@ def oracle_sql() -> dict[str, str]:
         # emb_kmeans / emb_pca (iterative float),
         # dedup_minhash, dedup_simhash, minhash_clusters, simhash_signatures,
         # ann_ivf_topk, ann_lsh_topk, winnow_fingerprint, audio_frame_energy,
-        # video_frame_sample, approx_top_users (the candidate set is
-        # batch-boundary-dependent by design; the CMS estimates themselves
-        # are deterministic and pinned in pytest), seq_pack (order-stateful
+        # video_frame_sample, seq_pack (order-stateful
         # greedy packing — pinned by the planted pytest ground truth)
     }

@@ -80,7 +80,8 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
 
 CMS_DEPTH = 4
 CMS_WIDTH = 2048          # power of two: index = top bits of the row hash
-CMS_CAND_PER_BATCH = 64   # batch-local exact top candidates carried along
+CMS_CAND_PER_BATCH = 64   # default k for the opt-in top-k-per-batch
+                          # candidate mode (see approx_top_users docstring)
 HH_K = 10
 
 _SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -122,29 +123,37 @@ def cms_estimate(cms: np.ndarray, keys: np.ndarray) -> np.ndarray:
     return np.min(cms[np.arange(CMS_DEPTH)[:, None], idx], axis=0)
 
 
-def approx_top_users(sf_dir: str) -> pd.DataFrame:
+def approx_top_users(sf_dir: str,
+                     cand_per_batch: int | None = None) -> pd.DataFrame:
     """Approximate top-10 users by event count via a Count-Min Sketch.
 
     The same mergeable-sketch dataflow as KMV: each batch emits ONE row —
-    its (depth × width) count matrix plus its batch-local exact top
-    candidates — so the data crossing the wire per batch is a fixed
-    ~64 KiB regardless of batch size. The driver sums the matrices
-    (CMS merge = elementwise add), estimates each candidate's count as the
-    row-minimum, and keeps the top 10. CMS point estimates never
-    underestimate; with width 2048 ≫ distinct users the estimates are
-    exact here, which the pytest pins against a direct pandas count.
-    Rows-only check (approximate by construction at adversarial
-    cardinalities)."""
+    its (depth × width) count matrix plus its candidate keys — so the data
+    crossing the wire per batch is bounded regardless of batch size. The
+    driver sums the matrices (CMS merge = elementwise add), estimates each
+    candidate's count as the row-minimum, and keeps the top 10.
+
+    By default candidates are each batch's DISTINCT keys, which makes the
+    output a pure function of the input (candidate union = all distinct
+    users — batch boundaries cannot change it), so despite the sketch the
+    query is EXACTLY SQL-oracled: the oracle replays splitmix64 + the CMS
+    row hashing + the min-over-depths estimate in DuckDB. For true
+    heavy-hitter-at-scale inputs (10⁹ distinct keys, where relaying every
+    distinct key per batch is the bottleneck) pass ``cand_per_batch`` to
+    carry only each batch's exact top-k — the classic approximation, at
+    the cost of batch-boundary dependence (then rows-only)."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", override_num_blocks=scale.read_blocks_for_path(f"{sf_dir}/events.parquet"), columns=["user_id"])
 
     def partial(t: pa.Table) -> pa.Table:
         keys = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         cms = cms_count(keys)
         uniq, counts = np.unique(keys, return_counts=True)
-        top = np.argsort(-counts, kind="stable")[:CMS_CAND_PER_BATCH]
+        if cand_per_batch is not None:
+            top = np.argsort(-counts, kind="stable")[:cand_per_batch]
+            uniq = uniq[top]
         return pa.table({
             "cms": pa.array([cms.tobytes()], pa.binary()),
-            "candidates": pa.array([uniq[top].tobytes()], pa.binary()),
+            "candidates": pa.array([uniq.tobytes()], pa.binary()),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
