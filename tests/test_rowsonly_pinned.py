@@ -40,3 +40,28 @@ def test_winnow_fingerprint_pinned_full_table(ray_session):
     assert df.loc[0, "n_fingerprints"] == 56
     assert df.loc[0, "fp_digest"] == "527c950524c89bd3586753036c703169"
     assert table_digest(df) == "ba507f6d677e2add95998e427c9b71f8"
+
+
+def test_bpe_train_pinned_full_table(ray_session):
+    """BPE merges are deterministic (integer counts, total tie-break
+    order): the driver-scale merge table is frozen here."""
+    from norsk_historisk_avis_ocr_ray.functions.bpe import bpe_train
+
+    df = bpe_train(SF)
+    assert len(df) == 40
+    assert df.iloc[0][["left", "right", "pair_count"]].tolist() == \
+        ["e", "r", 4568]
+    assert table_digest(df) == "cd51827a6007e1f2d634525631e09f34"
+
+
+def test_quality_classifier_pinned_full_table(ray_session):
+    """Training is partitioning-deterministic (int64-quantized gradient
+    partials), so the full scored table at driver scale pins exactly."""
+    from norsk_historisk_avis_ocr_ray.functions.classifier import (
+        quality_classifier)
+
+    df = (quality_classifier(SF).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert len(df) == 500
+    assert df.loc[0, "prob"] == 0.438813
+    assert table_digest(df) == "d0715ef7f4594aa9cc93a54f37e4e92f"
