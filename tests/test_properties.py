@@ -281,3 +281,85 @@ def test_y4m_roundtrip_property(n, h, w, seed):
         out, ww, hh, _ = decode_y4m(encode_y4m(frames, colorspace=cs))
         assert (ww, hh) == (w, h)
         assert np.array_equal(out, frames)
+
+
+# --- round-3 segment-2 helpers ---------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                max_size=50))
+def test_sm64_sql_projection_matches_numpy(keys):
+    """The DuckDB splitmix64 projection (the foundation of every sketch
+    oracle) is bit-identical to the engine's vectorized mixer."""
+    import duckdb
+    import pandas as pd
+
+    from __ray_entry__ import _sm64_proj
+    from norsk_historisk_avis_ocr_ray.functions.sketch import _splitmix64
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": np.array(keys, np.int64)}))
+    got = [int(r[0]) for r in con.sql(
+        f"SELECT sm_h FROM (SELECT {_sm64_proj('x')} FROM t)").fetchall()]
+    exp = _splitmix64(np.array(keys, np.uint64))
+    assert got == [int(v) for v in exp]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                max_size=50))
+def test_cms_cols_sql_matches_numpy(keys):
+    import duckdb
+    import pandas as pd
+
+    from __ray_entry__ import _cms_cols_proj, _sm64_proj
+    from norsk_historisk_avis_ocr_ray.functions.sketch import _cms_indices
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": np.array(keys, np.int64)}))
+    rows = con.sql(
+        f"SELECT c1, c2, c3, c4 FROM (SELECT x, {_cms_cols_proj()} "
+        f"FROM (SELECT x, {_sm64_proj('x')} FROM t))").fetchall()
+    got = np.array(rows, np.int64).T
+    exp = _cms_indices(np.array(keys, np.int64))
+    assert np.array_equal(got, exp)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", max_size=30), max_size=6),
+       st.integers(min_value=2, max_value=5))
+def test_gram_hashes_all_counts_equal_string_grams(texts, k):
+    """Hash-space k-gram occurrence counting == string-space counting
+    (collisions aside): same number of windows per doc, and the multiset
+    of per-gram counts matches the brute-force string version."""
+    from collections import Counter
+
+    from norsk_historisk_avis_ocr_ray.functions.dedup import (
+        _gram_hashes_all, _hash_tokens_batch)
+
+    ths = _hash_tokens_batch(texts)
+    brute = Counter()
+    hashed = Counter()
+    for txt, th in zip(texts, ths):
+        toks = (txt or "").lower().split()
+        assert len(th) == len(toks)
+        grams = [" ".join(toks[i:i + k])
+                 for i in range(max(len(toks) - k + 1, 0))]
+        hs = _gram_hashes_all(th, k)
+        assert len(hs) == len(grams)
+        brute.update(grams)
+        hashed.update(int(h) for h in hs)
+    assert sorted(brute.values()) == sorted(hashed.values())
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="xyz ", max_size=40), max_size=5))
+def test_classifier_features_l1_normalized(texts):
+    from norsk_historisk_avis_ocr_ray.functions.classifier import (
+        _features_batch)
+
+    for (ids, counts), txt in zip(_features_batch(texts), texts):
+        toks = (txt or "").lower().split()
+        assert counts.sum() == len(toks)
+        assert len(ids) == len(set(ids))        # unique feature ids
