@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _quality_classifier,
         "semdedup": _semdedup,
         "bpe_train": _bpe_train,
+        "bpe_encode": _bpe_encode,
         "q_global_shuffle": mlprep.q_global_shuffle,
         "q_mixture_sample": mlprep.q_mixture_sample,
         # anti join / lag window
@@ -434,6 +435,11 @@ def _minhash_clusters(sf_dir: str) -> Any:
 def _bpe_train(sf_dir: str) -> Any:
     from norsk_historisk_avis_ocr_ray.functions.bpe import bpe_train
     return bpe_train(sf_dir)
+
+
+def _bpe_encode(sf_dir: str) -> Any:
+    from norsk_historisk_avis_ocr_ray.functions.bpe import bpe_encode
+    return bpe_encode(sf_dir)
 
 
 def _semdedup(sf_dir: str) -> Any:
@@ -1436,7 +1442,8 @@ def oracle_sql() -> dict[str, str]:
         # quality_classifier (iterative optimization — determinism under
         # any partitioning + planted separation pinned in pytest),
         # semdedup (k-means is iterative float; planted-dup pytest),
-        # bpe_train (iterative merge loop; hand-computed-merges pytest),
+        # bpe_train / bpe_encode (iterative merge loop; hand-computed
+        # merges + sequential-apply-reference pytests),
         # image_phash_dedup (binary media; planted noisy-dup pytest),
         # emb_kmeans / emb_pca (iterative float),
         # dedup_minhash, dedup_simhash, minhash_clusters, simhash_signatures,

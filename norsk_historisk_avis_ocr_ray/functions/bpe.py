@@ -123,3 +123,79 @@ def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES,
     df["rank"] = df["rank"].astype(np.int64)
     df["pair_count"] = df["pair_count"].astype(np.int64)
     return df
+
+
+class BpeApplyStage:
+    """Actor-pool tokenizer apply: the learned merge table is broadcast
+    once per actor (constructor arg), and encoding memoizes per WORD — the
+    corpus word distribution is Zipfian, so the per-actor cache turns the
+    per-word merge loop into a dict hit for almost every token."""
+
+    def __init__(self, merges: list[tuple]):
+        self.rank = {(left, right): rank for rank, left, right, _ in merges}
+        self.cache: dict[str, tuple] = {}
+
+    def _encode_word(self, w: str) -> tuple:
+        got = self.cache.get(w)
+        if got is not None:
+            return got
+        seq = list(w) + [_EOW]
+        while len(seq) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(seq) - 1):
+                r = self.rank.get((seq[i], seq[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            seq[best_i:best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+        out = tuple(seq)
+        self.cache[w] = out
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids, n_words, n_toks, digests = [], [], [], []
+        for doc_id, txt in zip(batch["doc_id"].to_pylist(),
+                               batch["text"].to_pylist()):
+            words = (txt or "").lower().split()
+            toks: list[str] = []
+            for w in words:
+                toks.extend(self._encode_word(w))
+            ids.append(doc_id)
+            n_words.append(len(words))
+            n_toks.append(len(toks))
+            digests.append(hashlib.md5(
+                "\x00".join(toks).encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(np.array(ids, np.int64)),
+            "n_words": pa.array(np.array(n_words, np.int64)),
+            "n_bpe_tokens": pa.array(np.array(n_toks, np.int64)),
+            "tok_digest": pa.array(digests, pa.string())})
+
+
+def bpe_encode(sf_dir: str, n_merges: int = BPE_MERGES,
+               max_words: int = BPE_MAX_WORDS) -> Dataset:
+    """Train-then-apply: learn the merge table (see ``bpe_train``) and
+    tokenize the corpus with it — per doc the post-BPE token count and an
+    md5 digest of the token sequence (content-verifying, so the pinned
+    test catches any apply-order or cache bug). The merge table rides into
+    each actor as a constructor arg (broadcast once per actor, never per
+    batch). Per-doc output → streaming Dataset; rows-only (iterative
+    merges), pinned in pytest."""
+    from .collect import ensure_schema
+
+    merges_df = bpe_train(sf_dir, n_merges=n_merges, max_words=max_words)
+    merges = [(int(r.rank), r.left, r.right, int(r.pair_count))
+              for r in merges_df.itertuples(index=False)]
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(
+        path, columns=["doc_id", "text"],
+        override_num_blocks=scale.read_blocks_for_path(path))
+    out = ds.map_batches(BpeApplyStage, fn_constructor_args=(merges,),
+                         batch_format="pyarrow", batch_size=4096,
+                         concurrency=2, num_cpus=1)
+    return ensure_schema(out, pa.schema([
+        ("doc_id", pa.int64()), ("n_words", pa.int64()),
+        ("n_bpe_tokens", pa.int64()), ("tok_digest", pa.string())]))

@@ -413,3 +413,52 @@ def test_bloom_inactive_false_positive_path(tmp_path, ray_session):
     q = _bloom_positions(inactive_keys, 16)
     fp = (bloom[q[0]] & bloom[q[1]] & bloom[q[2]]).sum()
     assert fp > 0
+
+
+def _seq_apply_reference(word, merges):
+    """Independent reference: apply merges in RANK order, each replacing
+    all occurrences left-to-right (Sennrich-style), vs the stage's
+    lowest-rank-first greedy — the classic equivalence."""
+    seq = list(word) + ["</w>"]
+    for _, left, right, _ in merges:
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return tuple(seq)
+
+
+def test_bpe_encode_matches_sequential_reference(tmp_path, ray_session):
+    import hashlib
+    from norsk_historisk_avis_ocr_ray.functions.bpe import (
+        BpeApplyStage, bpe_encode, bpe_train)
+
+    rng = np.random.RandomState(7)
+    vocab = ["lower", "lowest", "low", "newer", "new", "wider"]
+    texts = [" ".join(rng.choice(vocab, 15)) for _ in range(12)]
+    _write_docs(tmp_path, texts)
+
+    merges_df = bpe_train(str(tmp_path), n_merges=12)
+    merges = [(int(r.rank), r.left, r.right, int(r.pair_count))
+              for r in merges_df.itertuples(index=False)]
+
+    # stage-level equivalence vs the independent sequential reference
+    stage = BpeApplyStage(merges)
+    for w in vocab:
+        assert stage._encode_word(w) == _seq_apply_reference(w, merges), w
+
+    # end-to-end digests agree with a locally recomputed encode
+    out = (bpe_encode(str(tmp_path), n_merges=12).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, txt in enumerate(texts):
+        toks = []
+        for w in txt.split():
+            toks.extend(_seq_apply_reference(w, merges))
+        assert out.loc[i, "n_bpe_tokens"] == len(toks)
+        assert out.loc[i, "tok_digest"] == hashlib.md5(
+            "\x00".join(toks).encode()).hexdigest()
