@@ -107,23 +107,32 @@ def _ocr_extract(sf_dir: str) -> Any:
     return out.map_batches(flat, batch_format="pyarrow")
 
 
+def _page_dataset(sf_dir: str) -> Any:
+    """Synthetic page corpus as a Dataset of binary image rows — the shared
+    input for the image multimodal queries. Scale heuristic + column
+    select + repartition live in exactly one place (from_arrow yields ONE
+    block → repartition(8) so the per-row decode stages parallelize)."""
+    import ray
+
+    n_docs = 60 if "0.001" in sf_dir else 120
+    pages = _corpus_tables(n_docs)["pages"]
+    ds = ray.data.from_arrow(pages.select(
+        ["media_ref", "image", "width", "height", "codec"]))
+    return ds.repartition(8)
+
+
 def _image_phash_dedup(sf_dir: str) -> Any:
     """Multimodal near-dup detection: pHash per page (actor-pool DCT
     stage) → banded self-join → hamming-verified pairs. Pages rendered
     from the same layout template hash within a few bits, so the pair
     list is non-empty here; planted noisy-duplicate recovery is pinned
     in pytest (test_round3c_ops). Rows-only."""
-    import ray
     from norsk_historisk_avis_ocr_ray.stages.multimodal import (
         ImagePHashStage, image_phash_pairs)
 
-    n_docs = 60 if "0.001" in sf_dir else 120
-    pages = _corpus_tables(n_docs)["pages"]
-    ds = ray.data.from_arrow(pages.select(
-        ["media_ref", "image", "width", "height", "codec"]))
-    ds = ds.repartition(8)
-    hashes = ds.map_batches(ImagePHashStage, batch_format="pyarrow",
-                            batch_size=32, concurrency=2, num_cpus=1)
+    hashes = _page_dataset(sf_dir).map_batches(
+        ImagePHashStage, batch_format="pyarrow",
+        batch_size=32, concurrency=2, num_cpus=1)
     return image_phash_pairs(hashes)
 
 
@@ -132,16 +141,11 @@ def _image_features(sf_dir: str) -> Any:
     corpus (binary image column → actor-pool feature extraction). Rows-only."""
     import pyarrow as pa
 
-    import ray
     from norsk_historisk_avis_ocr_ray.stages.multimodal import ImageFeatureStage
 
-    n_docs = 60 if "0.001" in sf_dir else 120
-    pages = _corpus_tables(n_docs)["pages"]
-    ds = ray.data.from_arrow(pages.select(
-        ["media_ref", "image", "width", "height", "codec"]))
-    ds = ds.repartition(8)  # from_arrow yields ONE block → one actor task
-    out = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
-                         batch_size=32, concurrency=2, num_cpus=1)
+    out = _page_dataset(sf_dir).map_batches(
+        ImageFeatureStage, batch_format="pyarrow",
+        batch_size=32, concurrency=2, num_cpus=1)
 
     def flat(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -460,7 +464,9 @@ def _approx_distinct_users(sf_dir: str) -> Any:
 
 def _approx_top_users(sf_dir: str) -> Any:
     from norsk_historisk_avis_ocr_ray.functions.sketch import approx_top_users
-    return approx_top_users(sf_dir)
+    # all-distinct candidates = exact-oracle mode (pure function of the
+    # input); the bounded top-k-per-batch sketch is the library default
+    return approx_top_users(sf_dir, cand_per_batch=None)
 
 
 def _approx_group_quantiles(sf_dir: str) -> Any:
@@ -1426,15 +1432,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM pick
             )
             SELECT event_type, CAST(n AS BIGINT) AS n_sample,
-                   CASE WHEN n = 1 THEN a50
+                   round(CASE WHEN n = 1 THEN a50
                         WHEN g50 >= 0.5 THEN b50 - (b50 - a50) * (1 - g50)
-                        ELSE a50 + (b50 - a50) * g50 END AS p50,
-                   CASE WHEN n = 1 THEN a90
+                        ELSE a50 + (b50 - a50) * g50 END, 6) AS p50,
+                   round(CASE WHEN n = 1 THEN a90
                         WHEN g90 >= 0.5 THEN b90 - (b90 - a90) * (1 - g90)
-                        ELSE a90 + (b90 - a90) * g90 END AS p90,
-                   CASE WHEN n = 1 THEN a99
+                        ELSE a90 + (b90 - a90) * g90 END, 6) AS p90,
+                   round(CASE WHEN n = 1 THEN a99
                         WHEN g99 >= 0.5 THEN b99 - (b99 - a99) * (1 - g99)
-                        ELSE a99 + (b99 - a99) * g99 END AS p99
+                        ELSE a99 + (b99 - a99) * g99 END, 6) AS p99
             FROM lerp
             ORDER BY event_type
         """,

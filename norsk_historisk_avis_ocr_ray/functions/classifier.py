@@ -25,7 +25,6 @@ monotonicity, and (c) planted-vocabulary separation in pytest.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -46,24 +45,15 @@ QC_POS_LANG = "en"     # weak positive label: "looks like the target lang"
 
 
 def _features_batch(texts: list, dim: int = QC_DIM):
-    """Per-text (ids, counts) hashed-unigram sparse features — md5-prefix
-    buckets (the q_hash_split hex convention), counted with multiplicity."""
+    """Per-text (ids, counts) hashed-unigram sparse features — the shared
+    md5-prefix bucket convention (``mlprep._dsir_feature_batch``), counted
+    with multiplicity."""
+    from .mlprep import _dsir_feature_batch
+
     out = []
-    cache: dict[str, int] = {}
-    for txt in texts:
-        toks = (txt or "").lower().split()
-        for t in toks:
-            if t not in cache:
-                cache[t] = int(hashlib.md5(t.encode("utf-8"))
-                               .hexdigest()[:16], 16) % dim
-        if toks:
-            ids = np.fromiter((cache[t] for t in toks), np.int64,
-                              count=len(toks))
-            ids, counts = np.unique(ids, return_counts=True)
-        else:
-            ids = np.array([], np.int64)
-            counts = np.array([], np.int64)
-        out.append((ids, counts.astype(np.float64)))
+    for ids in _dsir_feature_batch(texts, dim=dim):
+        uids, counts = np.unique(ids, return_counts=True)
+        out.append((uids.astype(np.int64), counts.astype(np.float64)))
     return out
 
 
@@ -111,8 +101,11 @@ def train_quality_classifier(sf_dir: str, pos_lang: str = QC_POS_LANG,
                              dim: int = QC_DIM, iters: int = QC_ITERS,
                              lr: float = QC_LR,
                              num_blocks: int | None = None):
-    """Train the logistic quality classifier; returns (weights, bias,
-    loss_history). Deterministic under any partitioning (see module doc)."""
+    """Train the logistic quality classifier; returns ``(w, losses,
+    feats)`` — ``w`` is the augmented weight vector (``w[:dim]`` weights,
+    ``w[dim]`` bias), ``losses`` the per-accepted-step loss history, and
+    ``feats`` the materialized feature Dataset (reused by scoring).
+    Deterministic under any partitioning (see module doc)."""
     feats = _featurize(sf_dir, pos_lang, dim, num_blocks)
     w = np.zeros(dim + 1, np.float64)          # [weights..., bias]
     g_q, loss_q, n = _grad_pass_aug(feats, w, dim)

