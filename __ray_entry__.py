@@ -360,6 +360,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_activity_fulljoin": relational.q_activity_fulljoin,
         "q_value_histogram": relational.q_value_histogram,
         "q_pivot": relational.q_pivot,
+        "q4_late_orders": relational.q4_late_orders,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        "q_value_zscore": relational.q_value_zscore,
+        "q_user_event_seq": relational.q_user_event_seq,
         # web main-content extraction (HTML boilerplate strip, DOM heuristics)
         "html_main_content": _html_main_content,
         # text analysis
@@ -413,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": _bpe_encode,
         "q_global_shuffle": mlprep.q_global_shuffle,
         "q_mixture_sample": mlprep.q_mixture_sample,
+        "q_text_normalize": mlprep.q_text_normalize,
         # anti join / lag window
         "q_inactive_customers": relational.q_inactive_customers,
         "q_bloom_inactive": relational.q_bloom_inactive,
@@ -1443,6 +1449,89 @@ def oracle_sql() -> dict[str, str]:
                         ELSE a99 + (b99 - a99) * g99 END, 6) AS p99
             FROM lerp
             ORDER BY event_type
+        """,
+        # TPC-H Q6 shape: filter + global agg (predicate pushed to the read)
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.03 AND l_discount <= 0.07
+              AND l_quantity < 30
+        """,
+        # TPC-H Q4 shape: EXISTS === max(l_shipdate) over the order
+        "q4_late_orders": """
+            WITH lm AS (SELECT l_orderkey AS o_orderkey,
+                               max(l_shipdate) AS mx
+                        FROM lineitem GROUP BY l_orderkey)
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+            FROM orders JOIN lm USING (o_orderkey)
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+              AND mx > o_orderdate + INTERVAL 60 DAY
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        # TPC-H Q10 shape: returned-item revenue per customer, top 20.
+        # Ordered by the ROUNDED revenue (ties by custkey) on both sides so
+        # the cutoff cannot hinge on float summation order.
+        "q10_returned_revenue": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   n_name
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation   ON n_nationkey = c_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        # Fixed-point z-score: the oracle replays the engine's quantized
+        # moments (HUGEINT-exact integer sums → double) and the identical
+        # IEEE float expression, so the normalization is hash-exact under
+        # any partitioning.
+        "q_value_zscore": """
+            WITH q AS (SELECT event_id,
+                              CAST(round(value * 1000) AS BIGINT) AS qv
+                       FROM events),
+            s AS (SELECT CAST(sum(qv) AS DOUBLE) AS sq,
+                         CAST(sum(qv * qv) AS DOUBLE) AS sq2,
+                         CAST(count(*) AS DOUBLE) AS n
+                  FROM q)
+            SELECT event_id,
+                   round((CAST(qv AS DOUBLE) - sq / n)
+                         / sqrt((sq2 - (sq / n) * sq) / n), 6) AS zscore
+            FROM q, s
+            ORDER BY event_id
+        """,
+        # behavior-sequence construction (ties broken by event_id on both
+        # sides)
+        "q_user_event_seq": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, ','
+                              ORDER BY ts, event_id) AS event_seq
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        # unicode NFC + whitespace canonicalization (pyarrow and DuckDB
+        # both normalize with the same Unicode tables and run RE2)
+        "q_text_normalize": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(nfc_normalize(text),
+                                           '\s+', ' ', 'g')) AS norm
+                FROM documents)
+            SELECT doc_id, md5(norm) AS norm_md5,
+                   CAST(length(norm) AS BIGINT) AS n_chars_norm
+            FROM n
+            ORDER BY doc_id
         """,
         # rows-only (not SQL-expressible): ocr_extract, lang_id,
         # quality_classifier (iterative optimization — determinism under

@@ -1148,3 +1148,42 @@ def q_unigram_ppl(sf_dir: str, n_features: int = DSIR_N_FEATURES) -> Dataset:
         ds.map_batches(score, batch_format="pyarrow", batch_size=8192),
         pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
                    ("ppl", pa.float64())]))
+
+
+# --- unicode text normalization (NFC + whitespace canonicalization) -------------
+
+def q_text_normalize(sf_dir: str) -> Dataset:
+    """Canonicalize document text for training: Unicode NFC normalization
+    (composed accents — 'e'+U+0301 → 'é') then whitespace squashing and
+    trimming. NFC runs through ``unicodedata.normalize`` (one C call per
+    string — pyarrow 16's ``utf8_normalize`` does NOT compose combining
+    marks, silently diverging from DuckDB's ``nfc_normalize``; caught by
+    the planted test); the squash is vectorized RE2 (``\\s+`` — pyarrow
+    and DuckDB agree) and the trim strips exactly the single leading /
+    trailing space the squash can leave (mirroring DuckDB ``trim``). The
+    output row carries the md5 of the normalized text (so the corpus-sized
+    compare moves 32-hex digests, not documents) plus the normalized
+    code-point length. Zero shuffles — streams at any scale."""
+    import unicodedata
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("norm_md5", pa.string()),
+                        ("n_chars_norm", pa.int64())])
+
+    def norm(t: pa.Table) -> pa.Table:
+        comp = [unicodedata.normalize("NFC", s or "")
+                for s in t["text"].to_pylist()]
+        x = pc.replace_substring_regex(pa.array(comp, pa.string()),
+                                       pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        digests = [hashlib.md5(s.encode("utf-8")).hexdigest()
+                   for s in x.to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_md5": pa.array(digests, pa.string()),
+            "n_chars_norm": pc.utf8_length(x).cast(pa.int64())})
+
+    return ensure_schema(
+        ds.map_batches(norm, batch_format="pyarrow", batch_size=8192),
+        schema)

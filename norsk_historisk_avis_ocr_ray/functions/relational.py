@@ -1681,3 +1681,298 @@ def q_bloom_inactive(sf_dir: str, bits: int = BLOOM_BITS) -> pd.DataFrame:
     df["c_acctbal"] = _r(df["c_acctbal"], 2)
     return (df[["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]]
             .sort_values("c_custkey").reset_index(drop=True))
+
+
+# --- Q6: forecast revenue change (filter pushed to the parquet read) -----------
+
+Q6_D0 = np.datetime64("1996-01-01", "us")
+Q6_D1 = np.datetime64("1997-01-01", "us")
+Q6_DISC_LO, Q6_DISC_HI = 0.03, 0.07
+Q6_QTY_CAP = 30.0
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: single-table filter + global aggregate, with the
+    predicate pushed INTO the parquet read (``filter=``) so row groups that
+    cannot match never leave storage — at 100 TB this is the difference
+    between scanning a year of data and scanning all of it. Per-batch
+    partial sums; the driver merges one row per batch."""
+    path = f"{sf_dir}/lineitem.parquet"
+    ds = ray.data.read_parquet(
+        path,
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= Q6_D0)
+                & (pc.field("l_shipdate") < Q6_D1)
+                & (pc.field("l_discount") >= Q6_DISC_LO)
+                & (pc.field("l_discount") <= Q6_DISC_HI)
+                & (pc.field("l_quantity") < Q6_QTY_CAP)),
+        override_num_blocks=scale.read_blocks_for_path(path))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * t["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table({"rev": pa.array([float(rev.sum())]),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    rev, n = 0.0, 0
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=256):
+        rev += float(pc.sum(b["rev"]).as_py() or 0.0)
+        n += int(pc.sum(b["n"]).as_py() or 0)
+    return pd.DataFrame({
+        "revenue": [float(round_half_away(rev, 2))],
+        "n_items": np.array([n], np.int64)})
+
+
+# --- Q4: late-shipment order counts (pre-agg before the fact join) -------------
+
+Q4_D0 = np.datetime64("1996-01-01", "us")
+Q4_D1 = np.datetime64("1997-01-01", "us")
+Q4_LATE_US = 60 * 86_400_000_000   # shipped > 60 days after the order
+
+
+def q4_late_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape (EXISTS → join), adapted to this schema: orders in a
+    date window counted per priority when at least one lineitem shipped
+    more than 60 days after the order date.
+
+    Scale shape: ``EXISTS(l_shipdate > o_orderdate + 60d)`` is equivalent
+    to ``max(l_shipdate) > o_orderdate + 60d``, so lineitem is reduced to
+    one int64 row per orderkey (per-batch partial max → groupby Max)
+    BEFORE the distributed join with the filtered orders — the join moves
+    one row per order, never one per lineitem."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "ship_us": t["l_shipdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)})
+        g = df.groupby("o_orderkey", as_index=False)["ship_us"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    max_ship = (li.map_batches(li_partial, batch_format="pyarrow",
+                               batch_size=65536)
+                .groupby("o_orderkey")
+                .aggregate(Max("ship_us", alias_name="max_ship_us")))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"],
+                                              pa.scalar(Q4_D0)),
+                             pc.less(t["o_orderdate"], pa.scalar(Q4_D1))))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "odate_us": t["o_orderdate"].cast(pa.int64()),
+            "o_orderpriority": t["o_orderpriority"]})
+
+    orders_f = (orders.map_batches(filter_orders, batch_format="pyarrow")
+                .materialize())   # pruned int/str columns, spillable
+    empty = typed_empty(o_orderpriority="object", n_late="int64")
+    if orders_f.count() == 0:
+        return empty
+    joined = orders_f.join(max_ship, join_type="inner",
+                           num_partitions=scale.join_partitions(),
+                           on=("o_orderkey",))
+
+    def late_partial(t: pa.Table) -> pa.Table:
+        late = (t["max_ship_us"].to_numpy(zero_copy_only=False)
+                > t["odate_us"].to_numpy(zero_copy_only=False) + Q4_LATE_US)
+        df = pd.DataFrame({
+            "o_orderpriority":
+                t["o_orderpriority"].to_numpy(zero_copy_only=False)[late]})
+        g = df.groupby("o_orderpriority", as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    out = (joined.map_batches(late_partial, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="n_late")))
+    df = out.to_pandas()
+    if df.empty:
+        return empty
+    df["n_late"] = df["n_late"].astype(np.int64)
+    return (df[["o_orderpriority", "n_late"]]
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+# --- Q10: returned-item revenue top-20 (star join + distributed top-k) ---------
+
+Q10_D0 = np.datetime64("1996-01-01", "us")
+Q10_D1 = np.datetime64("1996-07-01", "us")
+Q10_TOP = 20
+
+
+def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
+
+    Scale shape: lineitem is filtered to returnflag='R' and pre-aggregated
+    to one (orderkey, rev) row per (orderkey, batch) before joining the
+    date-filtered orders DISTRIBUTED (both sides corpus-scale); the
+    per-customer revenue groupby then moves one row per (custkey, batch);
+    customer attributes attach by a second distributed join; nation (25
+    rows) is broadcast. The final ordering happens on the ROUNDED revenue
+    (ties by custkey) so the top-20 cutoff cannot hinge on float summation
+    order, and each block emits only its local top-20 (driver merges
+    20 × n_blocks rows)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        df = pd.DataFrame({
+            "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "rev": rev})
+        g = df.groupby("o_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"],
+                                              pa.scalar(Q10_D0)),
+                             pc.less(t["o_orderdate"], pa.scalar(Q10_D1))))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    empty = typed_empty(c_custkey="int64", c_name="object",
+                        revenue="float64", n_name="object")
+    li_r = (li.map_batches(li_partial, batch_format="pyarrow",
+                           batch_size=65536).materialize())
+    orders_f = (orders.map_batches(filter_orders, batch_format="pyarrow")
+                .materialize())
+    if li_r.count() == 0 or orders_f.count() == 0:
+        return empty
+    per_cust = (li_r.join(orders_f, join_type="inner",
+                          num_partitions=scale.join_partitions(),
+                          on=("o_orderkey",))
+                .groupby("o_custkey")
+                .aggregate(Sum("rev", alias_name="revenue"))
+                .rename_columns({"o_custkey": "c_custkey"}))
+
+    cust = (_read(sf_dir, "customer",
+                  ["c_custkey", "c_name", "c_nationkey"]).materialize())
+    nat = collect_table(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    names = dict(zip(nat["n_nationkey"].to_pylist(),
+                     nat["n_name"].to_pylist()))
+    names_ref = ray.put(names)
+    with_cust = per_cust.join(cust, join_type="inner",
+                              num_partitions=scale.join_partitions(),
+                              on=("c_custkey",))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        rev = round_half_away(t["revenue"].to_numpy(zero_copy_only=False), 2)
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -rev))[:Q10_TOP]
+        nmap = ray.get(names_ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)[order]
+        return pa.table({
+            "c_custkey": pa.array(keys[order]),
+            "c_name": t["c_name"].take(pa.array(order)),
+            "revenue": pa.array(rev[order]),
+            "n_name": pa.array([nmap[int(k)] for k in nk])})
+
+    df = (with_cust.map_batches(local_topk, batch_format="pyarrow")
+          .to_pandas())   # ≤ 20 rows per block reach the driver
+    if df.empty:
+        return empty
+    df = df.sort_values(["revenue", "c_custkey"],
+                        ascending=[False, True]).head(Q10_TOP)
+    return df[["c_custkey", "c_name", "revenue", "n_name"]].reset_index(
+        drop=True)
+
+
+# --- feature standardization: two-pass fixed-point z-score ----------------------
+
+ZSCORE_SCALE = 1000.0   # fixed-point grid: q = round(value * 1000)
+
+
+def q_value_zscore(sf_dir: str) -> Dataset:
+    """Z-score standardization of ``events.value`` — the feature-scaling
+    pass of an ML-prep pipeline, exact under ANY partitioning.
+
+    The mean/variance pass quantizes each value to the fixed 1e-3 grid
+    (int64) and sums integers, so the global moments are EXACT and
+    order-independent (float summation order can never change the output —
+    the trick the quality classifier uses for its gradients). The z-score
+    itself is then a per-row float map from two broadcast scalars; the
+    DuckDB oracle replays the identical quantized-moment arithmetic
+    (HUGEINT sums → double), making the query hash-exact despite being a
+    floating-point normalization over an unordered corpus."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("zscore", pa.float64())])
+
+    def moments(t: pa.Table) -> pa.Table:
+        q = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * ZSCORE_SCALE,
+            0).astype(np.int64)
+        return pa.table({
+            "sq": pa.array([int(q.sum())], pa.int64()),
+            "sq2": pa.array([int((q * q).sum())], pa.int64()),
+            "n": pa.array([len(q)], pa.int64())})
+
+    sq = sq2 = n = 0   # Python ints: arbitrary precision, exact merge
+    parts = ds.map_batches(moments, batch_format="pyarrow",
+                           batch_size=65536)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=256):
+        sq += sum(b["sq"].to_pylist())
+        sq2 += sum(b["sq2"].to_pylist())
+        n += sum(b["n"].to_pylist())
+    if n == 0:
+        return ensure_schema(
+            ray.data.from_arrow(schema.empty_table()), schema)
+    # identical float expression on both sides: int→double conversions and
+    # IEEE ops are deterministic given identical integer inputs
+    mu = float(sq) / float(n)
+    var = (float(sq2) - mu * float(sq)) / float(n)
+    sd = var ** 0.5
+
+    def score(t: pa.Table) -> pa.Table:
+        q = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * ZSCORE_SCALE,
+            0)
+        z = (q - mu) / sd if sd > 0.0 else np.zeros(len(q))
+        return pa.table({"event_id": t["event_id"],
+                         "zscore": pa.array(round_half_away(z, 6))})
+
+    return ensure_schema(
+        ds.map_batches(score, batch_format="pyarrow", batch_size=65536),
+        schema)
+
+
+# --- behavior-sequence construction: per-user ordered event-type strings -------
+
+def q_user_event_seq(sf_dir: str) -> Dataset:
+    """Per-user chronological event-type sequence string — the
+    behavior-sequence construction step of a sequential-recommendation /
+    user-model training pipeline. Same bucketed-window shape as
+    sessionize: ONE hash-bucket shuffle (many users per Ray group call),
+    per-user ordering established locally inside the bucket, never a
+    global sort. Output is one row per user (corpus-sized) → streaming
+    Dataset. Oracle: ``string_agg(event_type, ',' ORDER BY ts, event_id)``."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("n_events", pa.int64()),
+                        ("event_seq", pa.string())])
+
+    def seqs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out = (g.groupby("user_id", sort=False)["event_type"]
+               .agg([("n_events", "size"), ("event_seq", ",".join)])
+               .reset_index())
+        out["user_id"] = out["user_id"].astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[["user_id", "n_events", "event_seq"]]
+
+    return ensure_schema(
+        ds.map_batches(_bucketize_user, batch_format="pyarrow")
+          .groupby("bucket").map_groups(seqs, batch_format="pandas"),
+        schema)
