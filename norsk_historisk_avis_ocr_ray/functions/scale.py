@@ -64,20 +64,42 @@ def read_blocks_for_path(path: str, per_cpu: float = 0.5,
     wrong at the other extreme — 2048 blocks of a 100 TB table are 50 GB
     each — so the on-disk byte size provides a floor of one block per
     ~128 MB (column pruning only shrinks real blocks below that bound).
+
+    The count is additionally capped by the parquet ROW count (one footer
+    read): splitting an N-row file into more than N ranges produces EMPTY
+    splits, and Ray emits those as zero-column blocks that poison any
+    downstream ``Dataset.join`` whose sparsely-keyed partition receives
+    only the schema-less block (ArrowInvalid FieldRef — the same failure
+    class q_activity_fulljoin works around for sort aggregates).
     """
     import math
     import os
 
+    files: list[str] = []
     if os.path.isdir(path):
-        nbytes = sum(os.path.getsize(os.path.join(r, f))
-                     for r, _, fs in os.walk(path) for f in fs)
+        files = [os.path.join(r, f)
+                 for r, _, fs in os.walk(path) for f in fs
+                 if f.endswith(".parquet")]
+        nbytes = sum(os.path.getsize(f) for f in files)
     else:
         try:
             nbytes = os.path.getsize(path)
+            files = [path]
         except OSError:
             nbytes = 0
     by_size = math.ceil(max(nbytes, 1) / TARGET_BLOCK_BYTES)
-    return max(read_blocks(per_cpu, floor), by_size)
+    n = max(read_blocks(per_cpu, floor), by_size)
+    if n > 1 and nbytes < (4 << 20):
+        # tiny input: a footer read per file is ~ms and only then can the
+        # row cap matter (a 4 MB+ parquet always has more rows than blocks)
+        try:
+            import pyarrow.parquet as pq
+
+            nrows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            n = min(n, max(1, nrows))
+        except Exception:
+            pass
+    return n
 
 
 def join_partitions(per_cpu: float = 0.125, floor: int = 2,
