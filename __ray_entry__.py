@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bigram_topk": mlprep.q_bigram_topk,
         "dsir_score": mlprep.dsir_score,
         "q_unigram_ppl": mlprep.q_unigram_ppl,
+        "q_bigram_ppl": mlprep.q_bigram_ppl,
         "quality_classifier": _quality_classifier,
         "semdedup": _semdedup,
         "bpe_train": _bpe_train,
@@ -1260,6 +1261,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
                    round(CASE WHEN p.n_tokens IS NULL THEN 0.0
                               ELSE exp(-(p.s / 1000000.0) / p.n_tokens)
+                         END, 6) AS ppl
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # bigram-LM perplexity: the per-bigram log-prob decomposes into two
+        # bounded micro-log tables (ln(c_pair+1) − ln(c_ctx+F)), replayed
+        # here with DuckDB ln/exp (glibc-libm-bit-identical to math.log/exp)
+        "q_bigram_ppl": r"""
+            WITH w AS (SELECT doc_id,
+                              string_split_regex(trim(lower(text)), '\s+')
+                              AS ws FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(ws[1:len(ws)-1]) AS w1,
+                          unnest(ws[2:len(ws)]) AS w2
+                   FROM w WHERE len(ws) >= 2),
+            h AS (SELECT doc_id,
+                         CAST(concat('0x', substr(md5(w1), 1, 16))
+                              AS UBIGINT) % 4096 AS cb,
+                         CAST(concat('0x', substr(md5(w1 || ' ' || w2), 1,
+                                                  16))
+                              AS UBIGINT) % 4096 AS pb
+                  FROM bg),
+            cctx  AS (SELECT cb, count(*) AS n FROM h GROUP BY cb),
+            cpair AS (SELECT pb, count(*) AS n FROM h GROUP BY pb),
+            lnum AS (SELECT pb, CAST(round(ln(n + 1) * 1000000.0, 0)
+                                     AS BIGINT) AS q FROM cpair),
+            lden AS (SELECT cb, CAST(round(ln(n + 4096.0) * 1000000.0, 0)
+                                     AS BIGINT) AS q FROM cctx),
+            per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                           CAST(sum(lnum.q - lden.q) AS BIGINT) AS s
+                    FROM h JOIN lnum USING (pb) JOIN lden USING (cb)
+                    GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   round(CASE WHEN p.n_bigrams IS NULL THEN 0.0
+                              ELSE exp(-(p.s / 1000000.0) / p.n_bigrams)
                          END, 6) AS ppl
             FROM documents d LEFT JOIN per p USING (doc_id)
             ORDER BY d.doc_id

@@ -1187,3 +1187,107 @@ def q_text_normalize(sf_dir: str) -> Dataset:
     return ensure_schema(
         ds.map_batches(norm, batch_format="pyarrow", batch_size=8192),
         schema)
+
+
+# --- bigram-LM perplexity quality filter -----------------------------------------
+
+def _bigram_feature_batch(texts: list,
+                          dim: int = DSIR_N_FEATURES) -> list[tuple]:
+    """Per-text (ctx_ids, pair_ids) hashed-bigram features: ctx = md5
+    bucket of w1, pair = md5 bucket of "w1 w2" (md5-prefix convention,
+    shared with ``_dsir_feature_batch`` so the DuckDB oracle replays the
+    buckets exactly). md5 runs once per DISTINCT token / pair per batch."""
+    tok_lists = [(t or "").lower().split() for t in texts]
+    cache: dict[str, int] = {}
+
+    def bucket(s: str) -> int:
+        v = cache.get(s)
+        if v is None:
+            v = int(hashlib.md5(s.encode("utf-8"))
+                    .hexdigest()[:16], 16) % dim
+            cache[s] = v
+        return v
+
+    out = []
+    for toks in tok_lists:
+        if len(toks) < 2:
+            out.append((np.array([], np.int64), np.array([], np.int64)))
+            continue
+        ctx = np.fromiter((bucket(t) for t in toks[:-1]), np.int64,
+                          count=len(toks) - 1)
+        pair = np.fromiter(
+            (bucket(a + " " + b) for a, b in zip(toks[:-1], toks[1:])),
+            np.int64, count=len(toks) - 1)
+        out.append((ctx, pair))
+    return out
+
+
+def q_bigram_ppl(sf_dir: str, n_features: int = DSIR_N_FEATURES) -> Dataset:
+    """Bigram-LM perplexity quality filter — one conditioning step up from
+    ``q_unigram_ppl`` (CCNet's KenLM is a 5-gram of the same family):
+    score every document by an add-1-smoothed hashed-BIGRAM language model
+    of the corpus, ``P(w2|w1) = (c(w1 w2)+1) / (c(w1·)+F)`` over fixed
+    4096-bucket hash spaces for both the pair and the context.
+
+    Exactness mechanics (shared with dsir_score / q_unigram_ppl): the
+    per-bigram log-prob DECOMPOSES into two bounded int64 micro-log
+    tables — ``round(ln(c_pair+1)·1e6) − round(ln(c_ctx+F)·1e6)`` — so
+    per-doc scores are integer sums (order-independent under any
+    partitioning) and ``math.log`` / ``math.exp`` are bit-identical to
+    DuckDB ``ln`` / ``exp`` (both glibc libm). Dataflow: one bounded
+    ``groupby(bucket)`` count pass (≤ 4096 rows per batch) → driver builds
+    the two 32 KiB weight tables → one broadcast streaming scoring pass.
+    Per-doc output → streaming Dataset."""
+    import math
+
+    from .collect import ensure_schema
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        feats = _bigram_feature_batch(t["text"].to_pylist(), n_features)
+        nc = np.zeros(n_features, np.int64)
+        npair = np.zeros(n_features, np.int64)
+        for ctx, pair in feats:
+            if ctx.size:
+                nc += np.bincount(ctx, minlength=n_features)
+                npair += np.bincount(pair, minlength=n_features)
+        return pa.table({
+            "b": pa.array(np.arange(n_features, dtype=np.int64)),
+            "n_ctx": pa.array(nc), "n_pair": pa.array(npair)})
+
+    cnt = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+           .groupby("b").aggregate(Sum("n_ctx", alias_name="n_ctx"),
+                                   Sum("n_pair", alias_name="n_pair"))
+           .to_pandas())
+    n_ctx = np.zeros(n_features, np.int64)
+    n_pair = np.zeros(n_features, np.int64)
+    if not cnt.empty:
+        b = cnt["b"].to_numpy(np.int64)
+        n_ctx[b] = cnt["n_ctx"].to_numpy(np.int64)
+        n_pair[b] = cnt["n_pair"].to_numpy(np.int64)
+    lnum = round_half_away(
+        np.array([math.log(int(c) + 1) * 1e6 for c in n_pair], np.float64),
+        0).astype(np.int64)
+    lden = round_half_away(
+        np.array([math.log(int(c) + n_features) * 1e6 for c in n_ctx],
+                 np.float64), 0).astype(np.int64)
+    w_ref = ray.put((lnum, lden))
+
+    def score(t: pa.Table) -> pa.Table:
+        ln_, ld_ = ray.get(w_ref)
+        feats = _bigram_feature_batch(t["text"].to_pylist(), n_features)
+        lens = np.array([c.size for c, _ in feats], np.int64)
+        s = np.array([int(ln_[p].sum() - ld_[c].sum()) if c.size else 0
+                      for c, p in feats], np.int64)
+        ppl = np.array([math.exp(-(si / 1e6) / ni) if ni else 0.0
+                        for si, ni in zip(s, lens)], np.float64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bigrams": pa.array(lens, pa.int64()),
+                         "ppl": pa.array(round_half_away(ppl, 6),
+                                         pa.float64())})
+
+    return ensure_schema(
+        ds.map_batches(score, batch_format="pyarrow", batch_size=8192),
+        pa.schema([("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+                   ("ppl", pa.float64())]))

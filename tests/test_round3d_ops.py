@@ -187,3 +187,51 @@ def test_text_normalize_nfc_and_whitespace(tmp_path, ray_session):
     assert out["norm_md5"].iloc[1] == hashlib.md5(
         b"plain text").hexdigest()
     assert out["n_chars_norm"].iloc[1] == len("plain text")
+
+
+def test_bigram_ppl_planted(tmp_path, ray_session):
+    """Hand-computed bigram perplexity on a 3-doc corpus (buckets derived
+    with the same md5 convention in the test, so collisions are handled
+    identically)."""
+    import math
+
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import q_bigram_ppl
+
+    texts = ["a b a b", "a b", "solo"]
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts),
+    }))
+    out = (q_bigram_ppl(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    F = 4096
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:16], 16) % F
+
+    # corpus bigram rows: doc0 [(a,b),(b,a),(a,b)], doc1 [(a,b)]
+    ctx_counts = {}
+    pair_counts = {}
+    rows = [("a", "b"), ("b", "a"), ("a", "b"), ("a", "b")]
+    for w1, w2 in rows:
+        ctx_counts[bucket(w1)] = ctx_counts.get(bucket(w1), 0) + 1
+        pb = bucket(w1 + " " + w2)
+        pair_counts[pb] = pair_counts.get(pb, 0) + 1
+
+    def lq(c, add):
+        v = math.log(c + add) * 1e6
+        return int(np.floor(abs(v) + 0.5) * np.sign(v))
+
+    def ppl(pairs):
+        s = sum(lq(pair_counts.get(bucket(a + " " + b), 0), 1)
+                - lq(ctx_counts.get(bucket(a), 0), F)
+                for a, b in pairs)
+        return round(math.exp(-(s / 1e6) / len(pairs)), 6)
+
+    assert list(out["n_bigrams"]) == [3, 1, 0]
+    assert out["ppl"].iloc[0] == ppl([("a", "b"), ("b", "a"), ("a", "b")])
+    assert out["ppl"].iloc[1] == ppl([("a", "b")])
+    assert out["ppl"].iloc[2] == 0.0
+    # smoothed-model sanity: the frequent bigram scores lower perplexity
+    assert out["ppl"].iloc[1] < out["ppl"].iloc[0]
