@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_substring": dedup.dedup_substring,
+        "dedup_substring_remove": dedup.dedup_substring_remove,
         "simhash_signatures": dedup.simhash_signatures,
         # similarity search
         "ann_topk": similarity.ann_topk,
@@ -868,6 +869,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
                    round(coalesce(p.n_dup * 1.0 / p.n_grams, 0.0), 6)
                        AS dup_frac
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # duplicated-substring REMOVAL: token p is excised iff some dup
+        # 4-gram window starts in [p-3, p]; the oracle replays the window
+        # cover over literal gram strings and md5s the surviving tokens
+        "dedup_substring_remove": r"""
+            WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)),
+                              '\s+') AS ws FROM documents),
+            tok AS (SELECT doc_id, unnest(ws) AS tok,
+                           unnest(range(1, len(ws) + 1)) AS p
+                    FROM w),
+            tok2 AS (SELECT * FROM tok WHERE tok <> ''),
+            g AS (SELECT doc_id,
+                         unnest(range(1, len(ws) - 2)) AS i,
+                         unnest(ws[1:len(ws)-3]) || ' ' ||
+                         unnest(ws[2:len(ws)-2]) || ' ' ||
+                         unnest(ws[3:len(ws)-1]) || ' ' ||
+                         unnest(ws[4:len(ws)]) AS g4
+                  FROM w WHERE len(ws) >= 4),
+            cnt AS (SELECT g4, count(*) AS c FROM g GROUP BY g4),
+            dupg AS (SELECT doc_id, i FROM g JOIN cnt USING (g4)
+                     WHERE c >= 2),
+            cov AS (SELECT t.doc_id, t.p, t.tok,
+                           EXISTS(SELECT 1 FROM dupg d
+                                  WHERE d.doc_id = t.doc_id
+                                    AND d.i BETWEEN t.p - 3 AND t.p)
+                               AS covered
+                    FROM tok2 t),
+            per AS (SELECT doc_id,
+                           CAST(count(*) AS BIGINT) AS n_tokens,
+                           CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_removed,
+                           md5(coalesce(string_agg(
+                               CASE WHEN NOT covered THEN tok END,
+                               ' ' ORDER BY p), '')) AS clean_md5
+                    FROM cov GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed,
+                   coalesce(p.clean_md5, md5('')) AS clean_md5
             FROM documents d LEFT JOIN per p USING (doc_id)
             ORDER BY d.doc_id
         """,

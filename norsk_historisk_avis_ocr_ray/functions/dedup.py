@@ -701,6 +701,34 @@ def _gram_hashes_all(th: np.ndarray, k: int) -> np.ndarray:
     return _fmix64(acc)
 
 
+def _dup_gram_vocab(docs: Dataset, k: int, min_count: int) -> Dataset:
+    """Materialized (h) table of k-gram content hashes occurring
+    ≥ min_count times corpus-wide — the shared count pass of the
+    duplicated-substring DETECTION and REMOVAL operators. Per-batch
+    ``np.unique`` pre-counts, one bucketed int-only combine."""
+    from .combine import bucketed_combine
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        hs = [_gram_hashes_all(th, k)
+              for th in _hash_tokens_batch(t["text"].to_pylist())]
+        flat = (np.concatenate(hs) if hs else np.array([], np.uint64))
+        if flat.size == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"h": pa.array(u.view(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    def sum_filter(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", as_index=False).agg(n=("n", "sum"))
+        return out.loc[out["n"] >= min_count, ["h"]]
+
+    return bucketed_combine(
+        docs.map_batches(partial_counts, batch_format="pyarrow",
+                         batch_size=8192),
+        "h", sum_filter).materialize()
+
+
 def dedup_substring(sf_dir: str, k: int = SUBSTR_K,
                     min_count: int = SUBSTR_MIN_COUNT,
                     broadcast_cutover: int = SUBSTR_BROADCAST_CUTOVER
@@ -738,26 +766,7 @@ def dedup_substring(sf_dir: str, k: int = SUBSTR_K,
     from .rounding import round_half_away
 
     docs = _docs(sf_dir, num_blocks=scale.read_blocks())
-
-    def partial_counts(t: pa.Table) -> pa.Table:
-        hs = [_gram_hashes_all(th, k)
-              for th in _hash_tokens_batch(t["text"].to_pylist())]
-        flat = (np.concatenate(hs) if hs else np.array([], np.uint64))
-        if flat.size == 0:
-            return pa.table({"h": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        u, c = np.unique(flat, return_counts=True)
-        return pa.table({"h": pa.array(u.view(np.int64)),
-                         "n": pa.array(c.astype(np.int64))})
-
-    def sum_filter(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("h", as_index=False).agg(n=("n", "sum"))
-        return out.loc[out["n"] >= min_count, ["h"]]
-
-    dup_ds = bucketed_combine(
-        docs.map_batches(partial_counts, batch_format="pyarrow",
-                         batch_size=8192),
-        "h", sum_filter).materialize()
+    dup_ds = _dup_gram_vocab(docs, k, min_count)
     n_vocab = dup_ds.count()
 
     out_schema = pa.schema([
@@ -855,3 +864,153 @@ def dedup_substring(sf_dir: str, k: int = SUBSTR_K,
 
     return ensure_schema(
         joined.map_batches(finish, batch_format="pyarrow"), out_schema)
+
+
+# --- exact duplicated-substring REMOVAL ------------------------------------------
+
+def _remove_covered(toks: list, hit: np.ndarray, k: int) -> tuple:
+    """Drop tokens covered by any duplicated window start. ``hit`` is the
+    per-start dup flag array (len = n-k+1). Returns (kept_tokens,
+    n_removed). Vectorized sliding-OR via difference of cumsums: token p is
+    covered iff any start in [p-k+1, p] (clipped to valid starts) is dup."""
+    n = len(toks)
+    if n < k or not hit.any():
+        return toks, 0
+    cs = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
+    p = np.arange(n)
+    lo = np.clip(p - k + 1, 0, None)
+    hi = np.minimum(p, n - k)
+    covered = (hi >= lo) & (cs[hi + 1] - cs[lo] > 0)
+    kept = [t for t, c in zip(toks, covered) if not c]
+    return kept, int(covered.sum())
+
+
+def dedup_substring_remove(
+        sf_dir: str, k: int = SUBSTR_K,
+        min_count: int = SUBSTR_MIN_COUNT,
+        broadcast_cutover: int = SUBSTR_BROADCAST_CUTOVER) -> Dataset:
+    """Exact duplicated-substring REMOVAL — the rewrite half of Lee et al.
+    2022 (arXiv:2107.06499): every token covered by a word-``k``-gram
+    window whose content occurs ≥ ``min_count`` times corpus-wide is
+    excised, and the document is reassembled from the surviving tokens
+    (canonical lowercase-token form). ``dedup_substring`` reports the
+    damage; this operator performs the surgery.
+
+    Dataflow: the shared ``_dup_gram_vocab`` count pass builds the
+    duplicated-gram table (int-only bucketed combine); below
+    ``broadcast_cutover`` it broadcasts as a sorted int64 array and one
+    streaming re-scan rewrites each document (sliding-window cover via
+    difference-of-cumsums — no per-token Python); above, the exploded
+    (doc_id, start, h) stream hash-joins the vocabulary, dup STARTS are
+    list-collected per doc (bucketed combine), joined back to the
+    documents table, and the same rewrite runs per row. Output carries
+    md5(clean text) so the corpus-sized compare moves digests. Exact
+    DuckDB oracle (gram strings + window-cover replay)."""
+    from .collect import ensure_schema
+    from .combine import bucketed_combine
+
+    docs = _docs(sf_dir, num_blocks=scale.read_blocks())
+    dup_ds = _dup_gram_vocab(docs, k, min_count)
+    n_vocab = dup_ds.count()
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("n_removed", pa.int64()), ("clean_md5", pa.string())])
+
+    def _emit(ids, tok_lists, hits) -> pa.Table:
+        import hashlib
+
+        n_tok, n_rm, digests = [], [], []
+        for toks, hit in zip(tok_lists, hits):
+            kept, removed = _remove_covered(toks, hit, k)
+            n_tok.append(len(toks))
+            n_rm.append(removed)
+            digests.append(hashlib.md5(
+                " ".join(kept).encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": pa.array(np.array(n_tok, np.int64)),
+            "n_removed": pa.array(np.array(n_rm, np.int64)),
+            "clean_md5": pa.array(digests, pa.string())})
+
+    if n_vocab <= broadcast_cutover:
+        dup_pd = dup_ds.to_pandas()
+        dup_arr = (np.sort(dup_pd["h"].to_numpy(np.int64))
+                   if "h" in dup_pd.columns else np.array([], np.int64))
+        dup_ref = ray.put(dup_arr)
+
+        def clean(t: pa.Table) -> pa.Table:
+            dup = ray.get(dup_ref)
+            texts = t["text"].to_pylist()
+            tok_lists = [(s or "").lower().split() for s in texts]
+            hits = []
+            for th in _hash_tokens_batch(texts):
+                hs = _gram_hashes_all(th, k).view(np.int64)
+                if len(dup) and hs.size:
+                    pos = np.minimum(np.searchsorted(dup, hs),
+                                     len(dup) - 1)
+                    hits.append(dup[pos] == hs)
+                else:
+                    hits.append(np.zeros(hs.size, bool))
+            return _emit(t["doc_id"], tok_lists, hits)
+
+        return ensure_schema(
+            docs.map_batches(clean, batch_format="pyarrow",
+                             batch_size=8192), out_schema)
+
+    # distributed fallback: dup vocabulary too large to broadcast — ship
+    # (doc_id, start, h) gram rows through a hash join instead, collect
+    # each doc's dup starts, and join them back to the documents table.
+    def gram_start_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_i, out_h = [], [], []
+        for j, th in enumerate(_hash_tokens_batch(t["text"].to_pylist())):
+            hs = _gram_hashes_all(th, k)
+            if hs.size == 0:
+                continue
+            out_id.append(np.full(hs.size, ids[j], np.int64))
+            out_i.append(np.arange(hs.size, dtype=np.int64))
+            out_h.append(hs.view(np.int64))
+        if not out_id:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(out_id)),
+                         "i": pa.array(np.concatenate(out_i)),
+                         "h": pa.array(np.concatenate(out_h))})
+
+    starts = (docs.map_batches(gram_start_rows, batch_format="pyarrow",
+                               batch_size=8192)
+              .join(dup_ds, join_type="inner",
+                    num_partitions=scale.join_partitions(), on=("h",)))
+
+    def collect_starts(g: pd.DataFrame) -> pd.DataFrame:
+        # packed int64 bytes, not list<int64>: Acero's hash join rejects
+        # list-typed non-key payload columns
+        agg = (g.groupby("doc_id")["i"]
+               .agg(lambda v: np.sort(v.to_numpy(np.int64)).tobytes())
+               .reset_index().rename(columns={"i": "starts"}))
+        return agg
+
+    starts_ds = bucketed_combine(starts, "doc_id", collect_starts)
+    joined = docs.join(starts_ds, join_type="left_outer",
+                       num_partitions=scale.join_partitions(),
+                       on=("doc_id",))
+
+    def clean_joined(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        tok_lists = [(s or "").lower().split() for s in texts]
+        starts_col = t["starts"].to_pylist()
+        hits = []
+        for toks, st in zip(tok_lists, starts_col):
+            n_starts = max(len(toks) - k + 1, 0)
+            hit = np.zeros(n_starts, bool)
+            if st is not None and n_starts:
+                idx = np.frombuffer(st, np.int64)
+                hit[idx[(idx >= 0) & (idx < n_starts)]] = True
+            hits.append(hit)
+        return _emit(t["doc_id"], tok_lists, hits)
+
+    return ensure_schema(
+        joined.map_batches(clean_joined, batch_format="pyarrow"),
+        out_schema)

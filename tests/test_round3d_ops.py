@@ -235,3 +235,45 @@ def test_bigram_ppl_planted(tmp_path, ray_session):
     assert out["ppl"].iloc[2] == 0.0
     # smoothed-model sanity: the frequent bigram scores lower perplexity
     assert out["ppl"].iloc[1] < out["ppl"].iloc[0]
+
+
+def _substring_remove_corpus(tmp_path):
+    texts = [
+        "alpha beta gamma delta unique tail one",   # dup 4-gram at start 0
+        "prefix alpha beta gamma delta end",        # same 4-gram at start 1
+        "totally different words here now",         # untouched
+        "tiny doc",                                  # < k tokens
+    ]
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+
+
+def test_substring_remove_planted(tmp_path, ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.dedup import (
+        dedup_substring_remove)
+
+    _substring_remove_corpus(tmp_path)
+    out = (dedup_substring_remove(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["n_tokens"]) == [7, 6, 5, 2]
+    assert list(out["n_removed"]) == [4, 4, 0, 0]
+    exp = ["unique tail one", "prefix end",
+           "totally different words here now", "tiny doc"]
+    assert list(out["clean_md5"]) == [
+        hashlib.md5(e.encode()).hexdigest() for e in exp]
+
+
+def test_substring_remove_distributed_path_matches(tmp_path, ray_session):
+    """broadcast_cutover=0 forces the hash-join + starts-collect path; the
+    output must be identical to the broadcast path."""
+    from norsk_historisk_avis_ocr_ray.functions.dedup import (
+        dedup_substring_remove)
+
+    _substring_remove_corpus(tmp_path)
+    a = (dedup_substring_remove(str(tmp_path)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (dedup_substring_remove(str(tmp_path), broadcast_cutover=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
