@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q_customers_per_region": relational.q_customers_per_region,
         "q_rollup_acctbal": relational.q_rollup_acctbal,
+        "q_cube_acctbal": relational.q_cube_acctbal,
         "q_events_tumbling": relational.q_events_tumbling,
         "q_events_hopping": relational.q_events_hopping,
         "q_top_users": relational.q_top_users,
@@ -593,6 +594,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY ROLLUP(r.r_name, n.n_name)
             ORDER BY r.r_name NULLS FIRST, n.n_name NULLS FIRST
+        """,
+        "q_cube_acctbal": """
+            SELECT c.c_mktsegment, n.n_name, count(*) AS n_custs,
+                   round(sum(c.c_acctbal), 2) AS sum_acctbal,
+                   round(avg(c.c_acctbal), 6) AS avg_acctbal
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY CUBE(c.c_mktsegment, n.n_name)
+            ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST
         """,
         "q_events_tumbling": """
             SELECT event_type,

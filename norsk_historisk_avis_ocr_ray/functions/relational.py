@@ -2007,3 +2007,61 @@ def q_user_event_seq(sf_dir: str) -> Dataset:
         ds.map_batches(_bucketize_user, batch_format="pyarrow")
           .groupby("bucket").map_groups(seqs, batch_format="pandas"),
         schema)
+
+
+# --- CUBE grouping sets (one corpus shuffle, driver-derived levels) -------------
+
+def q_cube_acctbal(sf_dir: str) -> pd.DataFrame:
+    """SQL ``GROUP BY CUBE(c_mktsegment, n_name)``: all FOUR grouping sets
+    — (segment, nation), (segment), (nation), grand total — in one result,
+    NULL key = rolled-up level.
+
+    Scale shape (same as q_rollup_acctbal, plus the cross level): nation is
+    a broadcast dimension, ONE corpus shuffle computes the finest
+    (segment, nation) aggregate, and every coarser set derives from that
+    bounded (|segments| × 25)-row result on the driver from the UNROUNDED
+    sums — a cube never needs one corpus pass per grouping set."""
+    nation = collect_table(_read(sf_dir, "nation",
+                                 ["n_nationkey", "n_name"]))
+    n_names = dict(zip(nation["n_nationkey"].to_pylist(),
+                       nation["n_name"].to_pylist()))
+    lookup = ray.put(n_names)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_mktsegment", "c_nationkey", "c_acctbal"])
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        m = ray.get(lookup)
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "n_name": pa.array([m[k] for k in
+                                t["c_nationkey"].to_pylist()], pa.string()),
+            "c_acctbal": t["c_acctbal"]})
+
+    fine = (cust.map_batches(add_keys, batch_format="pyarrow")
+                .groupby(["c_mktsegment", "n_name"])
+                .aggregate(Count(alias_name="n_custs"),
+                           Sum("c_acctbal", alias_name="s"))
+                .to_pandas())
+    empty = typed_empty(c_mktsegment="object", n_name="object",
+                        n_custs="int64", sum_acctbal="float64",
+                        avg_acctbal="float64")
+    if fine.empty:
+        return empty
+    by_seg = (fine.groupby("c_mktsegment", as_index=False)
+              .agg(n_custs=("n_custs", "sum"), s=("s", "sum"))
+              .assign(n_name=None))
+    by_nat = (fine.groupby("n_name", as_index=False)
+              .agg(n_custs=("n_custs", "sum"), s=("s", "sum"))
+              .assign(c_mktsegment=None))
+    total = pd.DataFrame({"c_mktsegment": [None], "n_name": [None],
+                          "n_custs": [fine["n_custs"].sum()],
+                          "s": [fine["s"].sum()]})
+    out = pd.concat([fine, by_seg, by_nat, total], ignore_index=True)[
+        ["c_mktsegment", "n_name", "n_custs", "s"]]
+    out["n_custs"] = out["n_custs"].astype(np.int64)
+    out["sum_acctbal"] = _r(out["s"], 2)
+    out["avg_acctbal"] = _r(out["s"] / out["n_custs"], 6)
+    return (out.drop(columns=["s"])
+               .sort_values(["c_mktsegment", "n_name"], na_position="first")
+               .reset_index(drop=True))

@@ -353,6 +353,25 @@ def test_rollup_levels_are_consistent():
             == int(g["n_custs"].sum())
 
 
+def test_cube_levels_are_consistent():
+    from norsk_historisk_avis_ocr_ray.functions.relational import q_cube_acctbal
+
+    out = q_cube_acctbal("/root/testdata/sf0.01")
+    fine = out[out["c_mktsegment"].notna() & out["n_name"].notna()]
+    by_seg = out[out["c_mktsegment"].notna() & out["n_name"].isna()]
+    by_nat = out[out["c_mktsegment"].isna() & out["n_name"].notna()]
+    grand = out[out["c_mktsegment"].isna() & out["n_name"].isna()]
+    assert len(grand) == 1
+    total = int(fine["n_custs"].sum())
+    assert int(grand["n_custs"].iloc[0]) == total
+    assert int(by_seg["n_custs"].sum()) == total
+    assert int(by_nat["n_custs"].sum()) == total
+    # each segment subtotal equals the sum of its (segment, nation) cells
+    for seg, g in fine.groupby("c_mktsegment"):
+        assert int(by_seg.loc[by_seg["c_mktsegment"] == seg,
+                              "n_custs"].iloc[0]) == int(g["n_custs"].sum())
+
+
 def test_range_join_window_boundaries(tmp_path):
     # planted corpus: exact inclusive/exclusive boundary semantics —
     # events at orderdate-7d (IN), orderdate-1s (IN), orderdate (OUT),
