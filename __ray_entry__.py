@@ -366,6 +366,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_revenue": relational.q10_returned_revenue,
         "q_value_zscore": relational.q_value_zscore,
         "q_user_event_seq": relational.q_user_event_seq,
+        "q18_large_volume": relational.q18_large_volume,
+        "q12_priority_lines": relational.q12_priority_lines,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q22_idle_balance": relational.q22_idle_balance,
+        "q_event_ntile": relational.q_event_ntile,
+        "q_corr_qty_price": relational.q_corr_qty_price,
         # web main-content extraction (HTML boilerplate strip, DOM heuristics)
         "html_main_content": _html_main_content,
         # text analysis
@@ -1608,6 +1614,93 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY user_id
             ORDER BY user_id
+        """,
+        "q18_large_volume": """
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, sum(l.l_quantity) AS sum_qty
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                     o.o_totalprice
+            HAVING sum(l.l_quantity) > 250.0
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 100
+        """,
+        "q12_priority_lines": """
+            SELECT l.l_linestatus,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority NOT IN
+                                      ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate >= DATE '1997-01-01'
+              AND l.l_shipdate < DATE '1998-01-01'
+            GROUP BY l.l_linestatus
+            ORDER BY l.l_linestatus
+        """,
+        "q14_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                     THEN l.l_extendedprice
+                                          * (1 - l.l_discount)
+                                     ELSE 0.0 END)
+                         / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                       AS promo_revenue
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_shipdate >= DATE '1997-01-01'
+              AND l.l_shipdate < DATE '1997-04-01'
+        """,
+        "q22_idle_balance": """
+            WITH t AS (
+                SELECT round(avg(c_acctbal), 2) AS thr
+                FROM customer WHERE c_acctbal > 0.0)
+            SELECT c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c.c_acctbal), 2) AS totacctbal
+            FROM customer c, t
+            WHERE c.c_acctbal > t.thr
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= DATE '2001-01-01')
+            GROUP BY c.c_mktsegment
+            ORDER BY c.c_mktsegment
+        """,
+        "q_event_ntile": """
+            SELECT event_id, user_id,
+                   CAST(ntile(4) OVER (PARTITION BY user_id
+                                       ORDER BY value, event_id) AS BIGINT)
+                       AS tile
+            FROM events
+        """,
+        # corr on the exact 0.01 quantization grid: the moment sums are
+        # integers (HUGEINT), so the float expression below is evaluated
+        # from IDENTICAL integers in an identical operation order on both
+        # engines — bit-exact regardless of partitioning
+        "q_corr_qty_price": """
+            WITH g AS (
+                SELECT CAST(l_quantity AS BIGINT) AS q,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+                FROM lineitem),
+            s AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       sum(CAST(q AS HUGEINT)) AS sq,
+                       sum(CAST(p AS HUGEINT)) AS sp,
+                       sum(CAST(q AS HUGEINT) * q) AS sqq,
+                       sum(CAST(p AS HUGEINT) * p) AS spp,
+                       sum(CAST(q AS HUGEINT) * p) AS sqp
+                FROM g)
+            SELECT round(CAST(n * sqp - sq * sp AS DOUBLE)
+                         / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                            * sqrt(CAST(n * spp - sp * sp AS DOUBLE))), 9)
+                       AS corr_qty_price
+            FROM s
         """,
         # unicode NFC + whitespace canonicalization (pyarrow and DuckDB
         # both normalize with the same Unicode tables and run RE2)

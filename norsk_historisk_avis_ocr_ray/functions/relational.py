@@ -2065,3 +2065,386 @@ def q_cube_acctbal(sf_dir: str) -> pd.DataFrame:
     return (out.drop(columns=["s"])
                .sort_values(["c_mktsegment", "n_name"], na_position="first")
                .reset_index(drop=True))
+
+
+# --- Q18: large-volume orders (bucketed per-key aggregate + HAVING + joins) ----
+
+Q18_MIN_QTY = 250.0
+Q18_TOP = 100
+
+
+def q18_large_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (HAVING over a per-orderkey aggregate), order + customer
+    attributes attached, top 100 by ``o_totalprice``.
+
+    Scale shape: per-orderkey totals via batch partials (one row per
+    (orderkey, batch)) then ONE hash-bucket shuffle
+    (``bucket = orderkey & 255``) with a vectorized pandas groupby-sum
+    per bucket — the bucketed-window pattern, not a per-key
+    sort-aggregate (q4's 8.8 s lesson). Quantities are integral doubles,
+    so the bucket-order-independent sums are exact and the HAVING
+    boundary cannot flip. Only qualifying orders (rare) reach the
+    distributed orders/customer joins; each block emits its local
+    top-100, so the driver merges ≤ 100 × n_blocks rows."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .groupby("l_orderkey", as_index=False)["l_quantity"].sum())
+        df["bucket"] = df["l_orderkey"].to_numpy(np.int64) & (ASOF_BUCKETS - 1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        out = out[out["l_quantity"] > Q18_MIN_QTY]
+        return out.rename(columns={"l_orderkey": "o_orderkey",
+                                   "l_quantity": "sum_qty"})
+
+    empty = typed_empty(c_name="object", c_custkey="int64",
+                        o_orderkey="int64", o_orderdate="datetime64[us]",
+                        o_totalprice="float64", sum_qty="float64")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    if li.count() == 0 or orders.count() == 0:
+        return empty
+    big = (li.map_batches(li_partial, batch_format="pyarrow",
+                          batch_size=65536)
+             .groupby("bucket").map_groups(bucket_sum, batch_format="pandas")
+             .materialize())   # HAVING sliver (bucket_sum projects it away)
+    if big.count() == 0:
+        return empty
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    wo = big.join(orders, join_type="inner",
+                  num_partitions=scale.join_partitions(), on=("o_orderkey",))
+    wc = (wo.rename_columns({"o_custkey": "c_custkey"})
+            .join(cust, join_type="inner",
+                  num_partitions=scale.join_partitions(), on=("c_custkey",)))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= Q18_TOP:
+            return t
+        tp = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -tp))[:Q18_TOP]
+        return t.take(pa.array(order))
+
+    df = wc.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return empty
+    df = (df.sort_values(["o_totalprice", "o_orderkey"],
+                         ascending=[False, True]).head(Q18_TOP))
+    return df[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+               "o_totalprice", "sum_qty"]].reset_index(drop=True)
+
+
+# --- Q12: shipping-window priority counts (join + conditional aggregation) -----
+
+Q12_D0 = np.datetime64("1997-01-01", "us")
+Q12_D1 = np.datetime64("1998-01-01", "us")
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_lines(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape (no shipmode in this schema → grouped by
+    ``l_linestatus``): lineitems shipped in 1997, counted per linestatus
+    into high- vs low-priority orders (conditional CASE aggregation over
+    a fact-fact join).
+
+    Scale shape: the shipdate predicate is pushed into the parquet read
+    (row groups outside the window never leave storage; the filter
+    column itself is not projected), orders reduce to (key, bool) before
+    the distributed join, and the join output collapses to per-batch
+    (linestatus, high/low) count partials — the final shuffle moves a
+    few rows per batch over a 2-value key."""
+    path = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        path, columns=["l_orderkey", "l_linestatus"],
+        filter=((pc.field("l_shipdate") >= Q12_D0)
+                & (pc.field("l_shipdate") < Q12_D1)),
+        override_num_blocks=scale.read_blocks_for_path(path))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def o_high(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(t["o_orderpriority"],
+                      value_set=pa.array(Q12_HIGH, pa.string()))
+        return pa.table({"o_orderkey": t["o_orderkey"], "high": hi})
+
+    empty = typed_empty(l_linestatus="object", high_line_count="int64",
+                        low_line_count="int64")
+    if li.count() == 0 or orders.count() == 0:
+        return empty
+    joined = (li.rename_columns({"l_orderkey": "o_orderkey"})
+                .join(orders.map_batches(o_high, batch_format="pyarrow"),
+                      join_type="inner",
+                      num_partitions=scale.join_partitions(),
+                      on=("o_orderkey",)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        hi = t["high"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"l_linestatus":
+                           t["l_linestatus"].to_numpy(zero_copy_only=False),
+                           "hi": hi, "lo": 1 - hi})
+        g = df.groupby("l_linestatus", as_index=False).agg(
+            high_line_count=("hi", "sum"), low_line_count=("lo", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (joined.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+          .groupby("l_linestatus")
+          .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                     Sum("low_line_count", alias_name="low_line_count"))
+          .to_pandas())
+    if df.empty:
+        return empty
+    df["high_line_count"] = df["high_line_count"].astype(np.int64)
+    df["low_line_count"] = df["low_line_count"].astype(np.int64)
+    return (df[["l_linestatus", "high_line_count", "low_line_count"]]
+            .sort_values("l_linestatus").reset_index(drop=True))
+
+
+# --- Q14: promo revenue share (dimension join + two-aggregate ratio) -----------
+
+Q14_D0 = np.datetime64("1997-01-01", "us")
+Q14_D1 = np.datetime64("1997-04-01", "us")
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: share of discounted revenue from PROMO-type parts
+    in a 3-month ship window — a fact×dimension join feeding a global
+    two-aggregate ratio.
+
+    Scale shape: shipdate predicate pushed into the read; part reduces
+    to (key, is_promo) before the DISTRIBUTED join (part scales with the
+    corpus in TPC-H, so no broadcast); the join output collapses to one
+    (promo_rev, rev) partial row per batch and the driver folds a few
+    hundred scalars. The ratio is rounded at 6 decimals — float-sum
+    order sensitivity is ~1e-9 absolute on this ratio, far below the
+    rounding grid (same exactness class as every rounded-revenue
+    oracle here)."""
+    path = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        path, columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=((pc.field("l_shipdate") >= Q14_D0)
+                & (pc.field("l_shipdate") < Q14_D1)),
+        override_num_blocks=scale.read_blocks_for_path(path))
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def p_promo(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["p_partkey"],
+                         "promo": pc.equal(t["p_type"], "PROMO")})
+
+    empty = typed_empty(promo_revenue="float64")
+    if li.count() == 0 or part.count() == 0:
+        return empty
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        return pa.table({"p_partkey": t["l_partkey"],
+                         "rev": pa.array(rev)})
+
+    joined = (li.map_batches(li_rev, batch_format="pyarrow")
+                .join(part.map_batches(p_promo, batch_format="pyarrow"),
+                      join_type="inner",
+                      num_partitions=scale.join_partitions(),
+                      on=("p_partkey",)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        promo = t["promo"].to_numpy(zero_copy_only=False)
+        return pa.table({"promo_rev": pa.array([float(rev[promo].sum())]),
+                         "rev": pa.array([float(rev.sum())])})
+
+    promo_rev = rev = 0.0
+    for b in (joined.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=65536)
+              .iter_batches(batch_format="pyarrow", batch_size=256)):
+        promo_rev += float(pc.sum(b["promo_rev"]).as_py() or 0.0)
+        rev += float(pc.sum(b["rev"]).as_py() or 0.0)
+    if rev == 0.0:
+        return empty
+    return pd.DataFrame({"promo_revenue":
+                         [float(round_half_away(100.0 * promo_rev / rev, 6))]})
+
+
+# --- Q22: idle high-balance customers (scalar subquery + anti-join + agg) ------
+
+Q22_CUTOFF = np.datetime64("2001-01-01", "us")
+
+
+def q22_idle_balance(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape (no phone column → grouped by market segment):
+    customers whose balance exceeds the positive-balance average and who
+    placed no order since the cutoff — a broadcast scalar subquery, a
+    distributed left-anti join, and a per-segment aggregate.
+
+    Scale shape: pass 1 folds per-batch (sum, count) partials of the
+    positive balances into ONE scalar threshold on the driver (the
+    scalar subquery — rounded to 2 decimals so float-sum order cannot
+    move it); pass 2 filters customers against the scalar, anti-joins
+    the per-batch-distinct active custkeys (semi-join reduce), and
+    pre-aggregates per segment inside each batch before the 5-key final
+    shuffle."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    empty = typed_empty(c_mktsegment="object", numcust="int64",
+                        totacctbal="float64")
+    if cust.count() == 0:
+        return empty
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        v = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = v[v > 0.0]
+        return pa.table({"s": pa.array([float(pos.sum())]),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    s, n = 0.0, 0
+    for b in (cust.map_batches(bal_partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=256)):
+        s += float(pc.sum(b["s"]).as_py() or 0.0)
+        n += int(pc.sum(b["n"]).as_py() or 0)
+    if n == 0:
+        return empty
+    thr = float(round_half_away(s / n, 2))
+
+    def rich(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["c_acctbal"], thr))
+
+    def active_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"],
+                                      pa.scalar(Q22_CUTOFF)))
+        return pa.table({"o_custkey": pc.unique(t["o_custkey"])})
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow")
+    if orders.count() == 0:
+        idle = rich_ds
+    else:
+        idle = rich_ds.join(
+            orders.map_batches(active_keys, batch_format="pyarrow",
+                               batch_size=65536),
+            join_type="left_anti",
+            num_partitions=scale.join_partitions(0.25),
+            on=("c_custkey",), right_on=("o_custkey",))
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_mktsegment": t["c_mktsegment"].to_numpy(zero_copy_only=False),
+            "bal": t["c_acctbal"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            numcust=("bal", "size"), s=("bal", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (idle.map_batches(seg_partial, batch_format="pyarrow")
+          .groupby("c_mktsegment")
+          .aggregate(Sum("numcust", alias_name="numcust"),
+                     Sum("s", alias_name="s"))
+          .to_pandas())
+    if df.empty:
+        return empty
+    df["numcust"] = df["numcust"].astype(np.int64)
+    df["totacctbal"] = _r(df["s"], 2)
+    return (df[["c_mktsegment", "numcust", "totacctbal"]]
+            .sort_values("c_mktsegment").reset_index(drop=True))
+
+
+# --- NTILE window: per-user value quartiles ------------------------------------
+
+NTILE_N = 4
+
+
+def q_event_ntile(sf_dir: str) -> Dataset:
+    """SQL ``ntile(4) OVER (PARTITION BY user_id ORDER BY value,
+    event_id)``: each user's events split into 4 ordered near-equal
+    buckets (DuckDB semantics: the first ``n % 4`` buckets get the extra
+    row).
+
+    Same partitioning contract as the other windows (q_sessionize): ONE
+    shuffle on ``bucket = user_id & 255``, then a fully vectorized
+    multi-user tile assignment inside the bucket — per-user boundaries
+    by run-length, positions by ``arange - repeat(starts)``, no Python
+    loop per user. Corpus-sized output → streaming Dataset."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        cnt = np.repeat(sizes, sizes)
+        base, rem = cnt // NTILE_N, cnt % NTILE_N
+        cut = rem * (base + 1)
+        safe = np.maximum(base, 1)
+        tile = np.where(pos < cut, pos // (base + 1) + 1,
+                        rem + (pos - cut) // safe + 1)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(np.int64),
+                             "user_id": uid,
+                             "tile": tile.astype(np.int64)})
+
+    return ensure_schema(
+        ds.map_batches(_bucketize_user, batch_format="pyarrow")
+          .groupby("bucket").map_groups(tiles, batch_format="pandas"),
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                   ("tile", pa.int64())]))
+
+
+# --- Pearson correlation (exact integer-moment aggregation) --------------------
+
+def q_corr_qty_price(sf_dir: str) -> pd.DataFrame:
+    """Global Pearson correlation of (l_quantity, l_extendedprice) on the
+    0.01 price grid — the two-column covariance/moment aggregate.
+
+    Exactness shape (same family as q_value_zscore): both columns are
+    quantized to int64 (quantity is already integral; price via
+    half-away ×100), the five moment sums fold as EXACT integers (batch
+    partials in int64 — batch_size 32768 keeps Σp² < 2^62 at the
+    observed price ceiling — then arbitrary-precision Python ints on the
+    driver), and the final float expression is evaluated in ONE
+    identical operation order on both sides, so the result is
+    bit-identical to the SQL oracle regardless of partitioning: int →
+    double casts and IEEE sqrt/division are correctly rounded on both
+    engines."""
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    empty = typed_empty(corr_qty_price="float64")
+    if li.count() == 0:
+        return empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "sq": pa.array([int(q.sum())], pa.int64()),
+            "sp": pa.array([int(p.sum())], pa.int64()),
+            "sqq": pa.array([int((q * q).sum())], pa.int64()),
+            "spp": pa.array([int((p * p).sum())], pa.int64()),
+            "sqp": pa.array([int((q * p).sum())], pa.int64())})
+
+    # arbitrary-precision fold: pc.sum would wrap int64 once many partial
+    # rows (each up to ~2^61) share one iter-batch
+    n = sq = sp = sqq = spp = sqp = 0
+    for b in (li.map_batches(partial, batch_format="pyarrow",
+                             batch_size=32768)
+              .iter_batches(batch_format="pyarrow", batch_size=256)):
+        n += sum(b["n"].to_pylist())
+        sq += sum(b["sq"].to_pylist())
+        sp += sum(b["sp"].to_pylist())
+        sqq += sum(b["sqq"].to_pylist())
+        spp += sum(b["spp"].to_pylist())
+        sqp += sum(b["sqp"].to_pylist())
+    if n == 0:
+        return empty
+    da, db = n * sqq - sq * sq, n * spp - sp * sp
+    if da == 0 or db == 0:
+        return empty
+    r = float(n * sqp - sq * sp) / (
+        np.sqrt(float(da)) * np.sqrt(float(db)))
+    return pd.DataFrame({"corr_qty_price":
+                         [float(round_half_away(r, 9))]})
