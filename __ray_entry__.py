@@ -7,8 +7,8 @@ calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``   — one callable per implemented operator/pipeline
   (SURVEY.md §2 + the large-scale dedup/similarity/text-analysis suite).
 - ``oracle_sql()``— DuckDB-equivalent SQL for every SQL-expressible query;
-  non-SQL-expressible ops (LSH/SimHash candidates, IVF ANN, OCR pipeline,
-  language-ID heuristic) are intentionally omitted → rows-only check.
+  non-SQL-expressible ops (LSH/SimHash candidates, IVF ANN, OCR pipeline)
+  are intentionally omitted → rows-only check.
 """
 
 from __future__ import annotations
@@ -535,6 +535,16 @@ def _cms_cols_proj() -> str:
             f"CAST((({_mulmod_sql('sm_h', a)} + {b}::HUGEINT) "
             f"% 18446744073709551616::HUGEINT) >> 53 AS BIGINT) AS c{d}")
     return ", ".join(parts)
+
+
+def _stopword_values() -> str:
+    """SQL VALUES rows for the lang_id oracle, generated from the SAME
+    STOPWORDS table the Ray stage compiles (single source of truth)."""
+    from norsk_historisk_avis_ocr_ray.functions.textstats import STOPWORDS
+
+    return ", ".join(f"('{w}', '{lang}')"
+                     for lang in sorted(STOPWORDS)
+                     for w in sorted(STOPWORDS[lang]))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1715,7 +1725,48 @@ def oracle_sql() -> dict[str, str]:
             FROM n
             ORDER BY doc_id
         """,
-        # rows-only (not SQL-expressible): ocr_extract, lang_id,
+        # stopword-profile language ID: the score is hits/ntok — an exact
+        # small-integer ratio, identical in float64 on both engines — and
+        # the tokenization mirrors text_token_stats' proven convention.
+        # Ties (incl. all-zero scores) resolve to the alphabetically first
+        # language on both sides; the VALUES list is generated from the
+        # same STOPWORDS dict the Ray stage compiles.
+        "lang_id": f"""
+            WITH sw(word, lang) AS (VALUES {_stopword_values()}),
+            n AS (
+                SELECT doc_id,
+                       greatest(CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text),
+                                                               '\\s+'))
+                                END, 1) AS ntok
+                FROM documents),
+            tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS w
+                FROM documents WHERE trim(text) <> ''),
+            h AS (
+                SELECT t.doc_id, s.lang, count(*) AS hits
+                FROM tok t JOIN sw s ON s.word = t.w
+                GROUP BY t.doc_id, s.lang),
+            scored AS (
+                SELECT n.doc_id, l.lang,
+                       coalesce(h.hits, 0)::DOUBLE / n.ntok::DOUBLE AS score
+                FROM n CROSS JOIN (SELECT DISTINCT lang FROM sw) l
+                LEFT JOIN h ON h.doc_id = n.doc_id AND h.lang = l.lang),
+            best AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, lang) AS rn
+                FROM scored)
+            SELECT doc_id,
+                   CASE WHEN score > 0.05 THEN lang ELSE 'und' END
+                       AS lang_pred,
+                   round(score, 6) AS lang_score
+            FROM best WHERE rn = 1
+            ORDER BY doc_id
+        """,
+        # rows-only (not SQL-expressible): ocr_extract,
         # quality_classifier (iterative optimization — determinism under
         # any partitioning + planted separation pinned in pytest),
         # semdedup (k-means is iterative float; planted-dup pytest),

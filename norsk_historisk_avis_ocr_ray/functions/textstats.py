@@ -209,9 +209,11 @@ class LangIdStage:
         best = scores[best_idx, np.arange(ndocs)]
         preds = np.where(best > 0.05,
                          np.array(self.langs, dtype=object)[best_idx], "und")
+        # half-away rounding: the score is hits/ntok (exact int ratio in
+        # float64 on both engines), so the SQL oracle matches bit-for-bit
         return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
                              "lang_pred": preds,
-                             "lang_score": np.round(best, 6)})
+                             "lang_score": round_half_away(best, 6)})
 
 
 def lang_id(sf_dir: str) -> Dataset:

@@ -86,3 +86,29 @@ def test_corr_in_range_and_partition_invariant(ray_session):
     # integer-moment aggregation: re-running must be bit-identical
     r2 = q_corr_qty_price(SF)["corr_qty_price"].iloc[0]
     assert r1 == r2
+
+
+def test_lang_id_planted_texts(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from norsk_historisk_avis_ocr_ray.functions.textstats import lang_id
+
+    texts = [
+        "the cat and the dog sat in the house and it was warm",  # en
+        "der Hund und die Katze und das Haus ist nicht hier",    # de
+        "og det er en avis som er på vei til byen i dag",        # nb
+        "zzz qqq xxx yyy www vvv uuu",                           # no hits
+        "",                                                      # empty
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["x"] * 5), "source": pa.array(["s"] * 5),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    df = (lang_id(str(tmp_path)).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert df["lang_pred"].tolist() == ["en", "de", "nb", "und", "und"]
+    assert df.loc[3, "lang_score"] == 0.0
+    assert df.loc[4, "lang_score"] == 0.0
