@@ -372,6 +372,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_balance": relational.q22_idle_balance,
         "q_event_ntile": relational.q_event_ntile,
         "q_corr_qty_price": relational.q_corr_qty_price,
+        "q7_nation_volume": relational.q7_nation_volume,
+        "q13_order_distribution": relational.q13_order_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q17_small_qty_revenue": relational.q17_small_qty_revenue,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         # web main-content extraction (HTML boilerplate strip, DOM heuristics)
         "html_main_content": _html_main_content,
         # text analysis
@@ -1711,6 +1717,115 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(CAST(n * spp - sp * sp AS DOUBLE))), 9)
                        AS corr_qty_price
             FROM s
+        """,
+        "q7_nation_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o    ON o.o_orderkey = l.l_orderkey
+            JOIN customer c  ON c.c_custkey = o.o_custkey
+            JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+            JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+            WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+                OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+              AND l.l_shipdate >= DATE '1996-01-01'
+              AND l.l_shipdate <  DATE '1998-01-01'
+            GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q13_order_distribution": """
+            WITH co AS (
+                SELECT c.c_custkey,
+                       CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM co
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        # argmax over a quantized-integer revenue: cents × (100 - disc%)
+        # folds exactly on both engines (price/discount live on the 0.01
+        # grid), so the winner set cannot flip with partitioning
+        "q15_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS qrev
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate <  DATE '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name,
+                   round(CAST(r.qrev AS DOUBLE) / 10000.0, 2)
+                       AS total_revenue
+            FROM supplier s JOIN r ON r.l_suppkey = s.s_suppkey
+            WHERE r.qrev = (SELECT max(qrev) FROM r)
+            ORDER BY s.s_suppkey
+        """,
+        # the correlated AVG gate is replayed as the integer predicate
+        # 5*qty*cnt < sum_qty — the identical rational comparison with no
+        # float rounding on either side
+        "q17_small_qty_revenue": """
+            WITH pq AS (
+                SELECT l.l_partkey,
+                       sum(CAST(l.l_quantity AS BIGINT)) AS sq,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_brand = 'Brand#23'
+                GROUP BY l.l_partkey)
+            SELECT round(coalesce(sum(l.l_extendedprice), 0) / 7.0, 2)
+                       AS avg_yearly,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN pq ON pq.l_partkey = l.l_partkey
+            WHERE 5 * CAST(l.l_quantity AS BIGINT) * pq.cnt < pq.sq
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(coalesce(sum(l.l_extendedprice
+                                      * (1 - l.l_discount)), 0), 2)
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 15)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 25)
+               OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 35)
+        """,
+        # EXISTS + NOT-EXISTS double correlation, folded to per-order
+        # supplier/failure counts (schema has no commit/receipt dates;
+        # 'failed' = had a returned line)
+        "q21_waiting_suppliers": """
+            WITH ls AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                           AS failed
+                FROM lineitem
+                GROUP BY l_orderkey, l_suppkey),
+            os AS (
+                SELECT l_orderkey,
+                       count(*) AS n_supp, sum(failed) AS n_failed
+                FROM ls GROUP BY l_orderkey)
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM ls
+            JOIN os USING (l_orderkey)
+            JOIN orders o ON o.o_orderkey = ls.l_orderkey
+                 AND o.o_orderstatus = 'F'
+            JOIN supplier s ON s.s_suppkey = ls.l_suppkey
+            WHERE ls.failed = 1 AND os.n_supp > 1 AND os.n_failed = 1
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 100
         """,
         # unicode NFC + whitespace canonicalization (pyarrow and DuckDB
         # both normalize with the same Unicode tables and run RE2)

@@ -2448,3 +2448,452 @@ def q_corr_qty_price(sf_dir: str) -> pd.DataFrame:
         np.sqrt(float(da)) * np.sqrt(float(db)))
     return pd.DataFrame({"corr_qty_price":
                          [float(round_half_away(r, 9))]})
+
+
+# --- Q7: two-nation shipping volume (broadcast sliver + distributed star) ------
+
+Q7_N1, Q7_N2 = "NATION_3", "NATION_7"
+Q7_D0 = np.datetime64("1996-01-01", "us")
+Q7_D1 = np.datetime64("1998-01-01", "us")
+
+
+def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations per year.
+
+    Scale shape (reference has no multi-table joins; this exercises the
+    engine's star-join repertoire, cf. q5): the two-nation slivers of
+    supplier and customer are 2/25 of their tables — the supplier side is
+    broadcast as a sorted (key, nation) lookup probed row-locally, the
+    customer side rides a DISTRIBUTED orders⋈customer join (corpus-scale
+    both sides, never broadcast). Lineitem is date-pruned AT THE READ, the
+    nation-pair predicate is applied in the map, and revenue partials are
+    pre-aggregated per batch so the final shuffle carries one row per
+    (nation-pair, year, batch)."""
+    empty = typed_empty(supp_nation="object", cust_nation="object",
+                        l_year="int64", revenue="float64")
+    nat = collect_table(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    names = dict(zip(nat["n_nationkey"].to_pylist(),
+                     nat["n_name"].to_pylist()))
+    keys = sorted(k for k, v in names.items() if v in (Q7_N1, Q7_N2))
+    if len(keys) < 2:
+        return empty
+    kset = pa.array(keys, pa.int32())
+
+    sup = collect_table(_read(sf_dir, "supplier",
+                              ["s_suppkey", "s_nationkey"]))
+    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=kset))
+    sk = sup["s_suppkey"].to_numpy()
+    order = np.argsort(sk)
+    sup_ref = ray.put((sk[order],
+                       sup["s_nationkey"].to_numpy()[order].astype(np.int64)))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def filter_cust(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["c_nationkey"], value_set=kset))
+
+    cust_f = (cust.map_batches(filter_cust, batch_format="pyarrow")
+              .rename_columns({"c_custkey": "o_custkey"}).materialize())
+    if cust_f.count() == 0:
+        return empty
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_c = orders.join(cust_f, join_type="inner",
+                      num_partitions=scale.join_partitions(),
+                      on=("o_custkey",))
+
+    path = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        path,
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= Q7_D0)
+                & (pc.field("l_shipdate") < Q7_D1)),
+        override_num_blocks=scale.read_blocks_for_path(path))
+    li_oc = li.rename_columns({"l_orderkey": "o_orderkey"}).join(
+        o_c, join_type="inner", num_partitions=scale.join_partitions(),
+        on=("o_orderkey",))
+    k1, k2 = keys
+
+    def partial(t: pa.Table) -> pa.Table:
+        skeys, snat = ray.get(sup_ref)
+        lk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(skeys):
+            pos = np.minimum(np.searchsorted(skeys, lk), len(skeys) - 1)
+            s_nat = np.where(skeys[pos] == lk, snat[pos], -1)
+        else:
+            s_nat = np.full(len(lk), -1, np.int64)
+        c_nat = (t["c_nationkey"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64))
+        keep = ((s_nat == k1) & (c_nat == k2)) | ((s_nat == k2)
+                                                  & (c_nat == k1))
+        year = (t["l_shipdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[Y]").astype(np.int64) + 1970)[keep]
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))[keep]
+        g = (pd.DataFrame({"s_nat": s_nat[keep], "c_nat": c_nat[keep],
+                           "l_year": year, "rev": rev})
+             .groupby(["s_nat", "c_nat", "l_year"], as_index=False)["rev"]
+             .sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (li_oc.map_batches(partial, batch_format="pyarrow")
+          .groupby(["s_nat", "c_nat", "l_year"])
+          .aggregate(Sum("rev", alias_name="revenue"))
+          .to_pandas())
+    if df.empty:
+        return empty
+    df["supp_nation"] = df["s_nat"].map(names)
+    df["cust_nation"] = df["c_nat"].map(names)
+    df["l_year"] = df["l_year"].astype(np.int64)
+    df["revenue"] = _r(df["revenue"], 2)
+    return (df[["supp_nation", "cust_nation", "l_year", "revenue"]]
+            .sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+
+
+# --- Q13: customer order-count distribution (zero-join left-join shape) --------
+
+Q13_EXCLUDE = "1-URGENT"
+
+
+def q13_order_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: distribution of customers by number of qualifying
+    orders, INCLUDING the zero-order bucket of the LEFT JOIN.
+
+    Scale shape: the left join is never materialized — qualifying orders
+    pre-count per custkey in batch partials, fold in a bucketed combine
+    (custkey is corpus-cardinality: functions/combine.py), histogram
+    per batch, and one tiny final groupby on the count value. The
+    zero-order bucket is computed from two scalars (total customers −
+    customers seen in orders), so the customer table contributes a COUNT
+    and nothing else crosses the wire."""
+    from .combine import bucketed_combine
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    empty = typed_empty(c_count="int64", custdist="int64")
+    if n_cust == 0:
+        return empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["o_orderpriority"],
+                                  pa.scalar(Q13_EXCLUDE)))
+        g = (pd.DataFrame(
+                {"o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False)})
+             .groupby("o_custkey", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("o_custkey", as_index=False)["n"].sum()
+        h = (per_cust.groupby("n", as_index=False).size()
+             .rename(columns={"n": "c_count", "size": "nc"}))
+        return h
+
+    hist = bucketed_combine(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536),
+        "o_custkey", fold)
+    df = (hist.groupby("c_count")
+          .aggregate(Sum("nc", alias_name="custdist")).to_pandas())
+    n_with_orders = int(df["custdist"].sum()) if not df.empty else 0
+    zero = n_cust - n_with_orders
+    if zero > 0:
+        df = pd.concat([df, pd.DataFrame({"c_count": [0],
+                                          "custdist": [zero]})],
+                       ignore_index=True)
+    if df.empty:
+        return empty
+    df["c_count"] = df["c_count"].astype(np.int64)
+    df["custdist"] = df["custdist"].astype(np.int64)
+    return (df.sort_values(["custdist", "c_count"],
+                           ascending=[False, False])
+            .reset_index(drop=True))
+
+
+# --- Q15: top supplier by quarter revenue (quantized-exact argmax) --------------
+
+Q15_D0 = np.datetime64("1996-01-01", "us")
+Q15_D1 = np.datetime64("1996-04-01", "us")
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum total revenue in a
+    quarter — the revenue-view + argmax-subquery pattern.
+
+    Exactness: the argmax over a FLOAT sum would be partitioning-lottery
+    at the tie boundary, so revenue folds as exact int64 'cent×disc'
+    units (price and discount both live on the 0.01 grid — verified —
+    so round(p*100)·(100−round(d*100)) is an integer), the max and the
+    winner filter compare integers, and only the displayed column
+    converts to float. The oracle replays the same quantization in
+    HUGEINT. Scale: date-pruned read, per-batch partials, one
+    supplier-keyed groupby; the winner row set is result-sized."""
+    path = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        path,
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=((pc.field("l_shipdate") >= Q15_D0)
+                & (pc.field("l_shipdate") < Q15_D1)),
+        override_num_blocks=scale.read_blocks_for_path(path))
+    empty = typed_empty(s_suppkey="int64", s_name="object",
+                        total_revenue="float64")
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        d = round_half_away(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        g = (pd.DataFrame({
+                "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "qrev": p * (100 - d)})
+             .groupby("l_suppkey", as_index=False)["qrev"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+          .groupby("l_suppkey").aggregate(Sum("qrev", alias_name="qrev"))
+          .to_pandas())
+    if df.empty:
+        return empty
+    winners = df[df["qrev"] == df["qrev"].max()].copy()
+    sup = collect_table(_read(sf_dir, "supplier", ["s_suppkey", "s_name"]))
+    sup = sup.filter(pc.is_in(
+        sup["s_suppkey"],
+        value_set=pa.array(winners["l_suppkey"].to_numpy(np.int64))))
+    names = dict(zip(sup["s_suppkey"].to_pylist(),
+                     sup["s_name"].to_pylist()))
+    winners["s_suppkey"] = winners["l_suppkey"].astype(np.int64)
+    winners["s_name"] = winners["s_suppkey"].map(names)
+    winners["total_revenue"] = _r(winners["qrev"] / 10000.0, 2)
+    return (winners[["s_suppkey", "s_name", "total_revenue"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+# --- Q17: small-quantity-order revenue (per-part avg gate, integer-exact) -------
+
+Q17_BRAND = "Brand#23"
+
+
+def q17_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of the part's average quantity — the correlated-AVG-subquery
+    pattern.
+
+    Exactness: ``qty < 0.2·avg(qty)`` is evaluated as the integer
+    predicate ``5·qty·cnt < sum_qty`` (quantity is integral — verified),
+    which is the same rational comparison with NO float in the gate, so
+    membership cannot flip with partitioning; the oracle replays the
+    integer form. Scale shape: the brand sliver of part broadcasts as a
+    sorted key array; the lineitem sliver it selects is materialized
+    once (pruned int columns, spillable) and re-used for both the
+    per-part moment pass and the gated revenue pass; moments ride a
+    small per-part groupby and rejoin the sliver DISTRIBUTED on partkey
+    (at corpus scale the brand sliver of part is itself unbounded — a
+    broadcast would not survive 100 TB)."""
+    part = collect_table(_read(sf_dir, "part", ["p_partkey", "p_brand"]))
+    part = part.filter(pc.equal(part["p_brand"], pa.scalar(Q17_BRAND)))
+    pkeys = np.sort(part["p_partkey"].to_numpy().astype(np.int64))
+    empty = pd.DataFrame({"avg_yearly": [0.0],
+                          "n_lines": np.array([0], np.int64)})
+    if not len(pkeys):
+        return empty
+    pkeys_ref = ray.put(pkeys)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def filter_brand(t: pa.Table) -> pa.Table:
+        pk = ray.get(pkeys_ref)
+        lk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(pk, lk), len(pk) - 1)
+        keep = pk[pos] == lk
+        return pa.table({
+            "l_partkey": pa.array(lk[keep]),
+            "qty": pa.array(t["l_quantity"].to_numpy(zero_copy_only=False)
+                            .astype(np.int64)[keep]),
+            "l_extendedprice": t["l_extendedprice"].filter(
+                pa.array(keep))})
+
+    sliver = (li.map_batches(filter_brand, batch_format="pyarrow",
+                             batch_size=65536).materialize())
+    if sliver.count() == 0:
+        return empty
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["l_partkey", "qty"]).to_pandas()
+             .groupby("l_partkey", as_index=False)
+             .agg(sq=("qty", "sum"), cnt=("qty", "size")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (sliver.map_batches(moment_partial, batch_format="pyarrow")
+             .groupby("l_partkey")
+             .aggregate(Sum("sq", alias_name="sq"),
+                        Sum("cnt", alias_name="cnt")))
+    gated = sliver.join(stats, join_type="inner",
+                        num_partitions=scale.join_partitions(),
+                        on=("l_partkey",))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        keep = (5 * t["qty"].to_numpy(zero_copy_only=False)
+                * t["cnt"].to_numpy(zero_copy_only=False)
+                < t["sq"].to_numpy(zero_copy_only=False))
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"rev": pa.array([float(price.sum())]),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    rev, n = 0.0, 0
+    for b in (gated.map_batches(rev_partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=256)):
+        rev += float(pc.sum(b["rev"]).as_py() or 0.0)
+        n += int(pc.sum(b["n"]).as_py() or 0)
+    return pd.DataFrame({
+        "avg_yearly": [float(round_half_away(rev / 7.0, 2))],
+        "n_lines": np.array([n], np.int64)})
+
+
+# --- Q19: disjunctive-predicate revenue (broadcast part attrs, OR arms) ---------
+
+Q19_ARMS = (("Brand#12", 15, 1, 15),   # (brand, max size, qty lo, qty hi)
+            ("Brand#23", 25, 10, 25),
+            ("Brand#4", 35, 20, 35))
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of (brand, size,
+    quantity-range) arms — the classic OR-of-conjunctions predicate that
+    defeats naive pushdown.
+
+    Scale shape: what CAN be pushed down is (quantity ≤ global max arm),
+    applied at the parquet read; the three brand slivers of part
+    broadcast once as sorted (key → brand-arm, size) arrays and each arm
+    evaluates as a vectorized mask in the map — the join never
+    materializes, and the driver folds one partial row per batch."""
+    part = collect_table(_read(sf_dir, "part",
+                               ["p_partkey", "p_brand", "p_size"]))
+    brands = [a[0] for a in Q19_ARMS]
+    part = part.filter(pc.is_in(part["p_brand"],
+                                value_set=pa.array(brands)))
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    arm_of = {b: i for i, b in enumerate(brands)}
+    arm = np.array([arm_of[b] for b in part["p_brand"].to_pylist()],
+                   np.int64)[order]
+    size = part["p_size"].to_numpy().astype(np.int64)[order]
+    lookup_ref = ray.put((pk[order], arm, size))
+    qty_cap = float(max(a[3] for a in Q19_ARMS))
+    qty_floor = float(min(a[2] for a in Q19_ARMS))
+
+    path = f"{sf_dir}/lineitem.parquet"
+    li = ray.data.read_parquet(
+        path,
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+        filter=((pc.field("l_quantity") >= qty_floor)
+                & (pc.field("l_quantity") <= qty_cap)),
+        override_num_blocks=scale.read_blocks_for_path(path))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, arms, sizes = ray.get(lookup_ref)
+        lk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys):
+            pos = np.minimum(np.searchsorted(keys, lk), len(keys) - 1)
+            hit = keys[pos] == lk
+            p_arm = np.where(hit, arms[pos], -1)
+            p_size = np.where(hit, sizes[pos], -1)
+        else:
+            p_arm = np.full(len(lk), -1, np.int64)
+            p_size = np.zeros(len(lk), np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(lk), bool)
+        for i, (_, smax, qlo, qhi) in enumerate(Q19_ARMS):
+            keep |= ((p_arm == i) & (p_size >= 1) & (p_size <= smax)
+                     & (qty >= qlo) & (qty <= qhi))
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))[keep]
+        return pa.table({"rev": pa.array([float(rev.sum())]),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    rev, n = 0.0, 0
+    for b in (li.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .iter_batches(batch_format="pyarrow", batch_size=256)):
+        rev += float(pc.sum(b["rev"]).as_py() or 0.0)
+        n += int(pc.sum(b["n"]).as_py() or 0)
+    return pd.DataFrame({
+        "revenue": [float(round_half_away(rev, 2))],
+        "n_lines": np.array([n], np.int64)})
+
+
+# --- Q21: suppliers who kept orders waiting (multi-EXISTS as one combine) -------
+
+def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 shape adapted to this schema (no commit/receipt dates):
+    for completed orders ('F'), count per supplier the orders where that
+    supplier had a RETURNED line ('R'), at least one OTHER supplier
+    participated, and NO other supplier had a returned line — the
+    EXISTS + NOT-EXISTS double correlation.
+
+    Scale shape: both correlations collapse into ONE bucketed combine —
+    rows bucket by splitmix64(orderkey), so every order's (supplier,
+    failed) partials land whole in a single group, where per-order
+    n_supp / n_failed are computed vectorized and the predicate applied
+    without a second shuffle. Only surviving (orderkey, suppkey) pairs
+    join the 'F'-status sliver of orders DISTRIBUTED; the per-supplier
+    count is the final result-sized groupby."""
+    from .combine import bucketed_combine
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_returnflag"])
+    empty = typed_empty(s_name="object", numwait="int64")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            "failed": pc.equal(t["l_returnflag"], pa.scalar("R"))
+                        .to_numpy(zero_copy_only=False).astype(np.int64)})
+        g = (df.groupby(["l_orderkey", "l_suppkey"], as_index=False)
+             ["failed"].max())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        ls = (g.groupby(["l_orderkey", "l_suppkey"], as_index=False)
+              ["failed"].max())
+        st = (ls.groupby("l_orderkey", as_index=False)
+              .agg(n_supp=("l_suppkey", "size"), n_failed=("failed", "sum")))
+        m = ls.merge(st, on="l_orderkey")
+        m = m[(m["failed"] == 1) & (m["n_supp"] > 1) & (m["n_failed"] == 1)]
+        return m[["l_orderkey", "l_suppkey"]]
+
+    pairs = bucketed_combine(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "l_orderkey", per_order)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def filter_f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
+        return pa.table({"l_orderkey": t["o_orderkey"]})
+
+    orders_f = (orders.map_batches(filter_f, batch_format="pyarrow")
+                .materialize())
+    pairs = pairs.materialize()
+    if orders_f.count() == 0 or pairs.count() == 0:
+        return empty
+    joined = pairs.join(orders_f, join_type="inner",
+                        num_partitions=scale.join_partitions(),
+                        on=("l_orderkey",))
+    df = (joined.groupby("l_suppkey")
+          .aggregate(Count(alias_name="numwait")).to_pandas())
+    if df.empty:
+        return empty
+    sup = collect_table(_read(sf_dir, "supplier", ["s_suppkey", "s_name"]))
+    names = dict(zip(sup["s_suppkey"].to_pylist(),
+                     sup["s_name"].to_pylist()))
+    df["s_name"] = df["l_suppkey"].map(names)
+    df["numwait"] = df["numwait"].astype(np.int64)
+    return (df[["s_name", "numwait"]]
+            .sort_values(["numwait", "s_name"], ascending=[False, True])
+            .head(100).reset_index(drop=True))
