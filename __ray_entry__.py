@@ -378,6 +378,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": relational.q17_small_qty_revenue,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "q_median_mad": relational.q_median_mad,
+        "q_first_last": relational.q_first_last,
         # web main-content extraction (HTML boilerplate strip, DOM heuristics)
         "html_main_content": _html_main_content,
         # text analysis
@@ -386,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "winnow_fingerprint": textstats.winnow_fingerprint,
         "lang_id": textstats.lang_id,
+        "q_char_entropy": textstats.q_char_entropy,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -434,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_global_shuffle": mlprep.q_global_shuffle,
         "q_mixture_sample": mlprep.q_mixture_sample,
         "q_text_normalize": mlprep.q_text_normalize,
+        "q_pmi_topk": mlprep.q_pmi_topk,
         # anti join / lag window
         "q_inactive_customers": relational.q_inactive_customers,
         "q_bloom_inactive": relational.q_bloom_inactive,
@@ -1826,6 +1830,85 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.s_name
             ORDER BY numwait DESC, s.s_name
             LIMIT 100
+        """,
+        # per-doc character entropy: each term quantizes to
+        # floor(c·ln(c)·1e12) — DuckDB ln / CPython math.log are both
+        # glibc libm, floor and the final 2-op float expression are IEEE —
+        # so the per-doc integer sums make the score partition-independent
+        "q_char_entropy": """
+            WITH ch AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '(?s).')) AS c
+                FROM documents),
+            cc AS (
+                SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+                FROM ch GROUP BY doc_id, c),
+            s AS (
+                SELECT doc_id,
+                       sum(CAST(floor(cnt * ln(cnt) * 1e12) AS BIGINT))
+                           AS sq,
+                       sum(cnt) AS n
+                FROM cc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(length(d.text) AS BIGINT) AS n_chars,
+                   round(CASE WHEN s.n IS NULL THEN 0.0
+                         ELSE ln(CAST(s.n AS DOUBLE))
+                              - (CAST(s.sq AS DOUBLE) / 1e12)
+                                / CAST(s.n AS DOUBLE) END, 6)
+                       AS char_entropy
+            FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        # PMI decomposes into four ln's of exact integer counts —
+        # glibc-libm-identical on both engines — summed in one fixed
+        # operation order; ordering is on the rounded score
+        "q_pmi_topk": r"""
+            WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+')
+                              AS ws FROM documents),
+            bg AS (SELECT unnest(ws[1:len(ws)-1]) AS w1,
+                          unnest(ws[2:len(ws)]) AS w2
+                   FROM w WHERE len(ws) >= 2),
+            p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+                  FROM bg GROUP BY w1, w2),
+            uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                   FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bg)
+            SELECT p.w1, p.w2, p.n,
+                   round(ln(p.n) + ln(t.nt) - ln(u1.c) - ln(u2.c), 6)
+                       AS pmi
+            FROM p
+            JOIN uc u1 ON u1.w = p.w1
+            JOIN uc u2 ON u2.w = p.w2, t
+            WHERE p.n >= 5
+            ORDER BY pmi DESC, p.w1, p.w2
+            LIMIT 50
+        """,
+        # exact robust stats: quantile_cont mirrors numpy's 'linear'
+        # interpolation (the q_group_quantiles precedent); |v-med| is one
+        # IEEE subtraction
+        "q_median_mad": """
+            WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                       FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(any_value(m.med), 4) AS median_value,
+                   round(quantile_cont(abs(e.value - m.med), 0.5), 4)
+                       AS mad_value
+            FROM events e JOIN m ON m.event_type = e.event_type
+            GROUP BY e.event_type
+            ORDER BY e.event_type
+        """,
+        "q_first_last": """
+            WITH w AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events)
+            SELECT user_id, CAST(any_value(n) AS BIGINT) AS n_events,
+                   max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+                   max(CASE WHEN rn = n THEN event_type END) AS last_type
+            FROM w GROUP BY user_id ORDER BY user_id
         """,
         # unicode NFC + whitespace canonicalization (pyarrow and DuckDB
         # both normalize with the same Unicode tables and run RE2)

@@ -1291,3 +1291,124 @@ def q_bigram_ppl(sf_dir: str, n_features: int = DSIR_N_FEATURES) -> Dataset:
         ds.map_batches(score, batch_format="pyarrow", batch_size=8192),
         pa.schema([("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
                    ("ppl", pa.float64())]))
+
+
+# --- PMI collocation mining (libm-exact log scoring) ----------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 50
+
+
+def q_pmi_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-50 adjacent-word collocations by pointwise mutual information,
+    PMI = ln(c₁₂·N / (c₁·c₂)) — the association-strength upgrade of
+    ``q_bigram_topk`` (raw counts favor stopword pairs; PMI surfaces real
+    phrases).
+
+    Exactness: all counts fold as integers; the score decomposes as
+    ``ln c₁₂ + ln N − ln c₁ − ln c₂`` evaluated per SURVIVING pair with
+    ``math.log`` (glibc-libm, bit-identical to DuckDB ``ln`` — np.log is
+    NOT), so no float ever crosses a partition boundary. Scale shape:
+    per-batch vectorized bigram/unigram partials (dictionary-encode, no
+    Python per word) → two count groupbys → the ``n ≥ 5`` filter prunes
+    the pair table BEFORE two DISTRIBUTED joins attach unigram counts
+    (the vocabulary is corpus-scale — never broadcast) → block-local
+    top-k bounds the driver merge. The pair-count table is materialized
+    once: N (total bigrams) and the filtered stream both read it without
+    recomputing the corpus scan."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def tok_lists(t: pa.Table):
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        return lists
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        lists = tok_lists(t)
+        n_words = pc.list_value_length(lists).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        enc = lists.flatten().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if codes.size < 2:
+            return empty
+        doc_idx = np.repeat(np.arange(len(lists), dtype=np.int64), n_words)
+        same = doc_idx[:-1] == doc_idx[1:]
+        if not same.any():
+            return empty
+        vocab = np.int64(max(len(enc.dictionary), 1))
+        pair = codes[:-1][same] * vocab + codes[1:][same]
+        uniq, cnt = np.unique(pair, return_counts=True)
+        words = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        return pa.table({"w1": pa.array(words[uniq // vocab]),
+                         "w2": pa.array(words[uniq % vocab]),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        enc = tok_lists(t).flatten().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if not codes.size:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(codes, return_counts=True)
+        words = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        return pa.table({"w": pa.array(words[uniq]),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+             .materialize())
+    empty = typed_empty(w1="object", w2="object", n="int64", pmi="float64")
+    n_total = pairs.sum("n") if pairs.count() else 0
+    if not n_total:
+        return empty
+    uni = (ds.map_batches(unigram_partial, batch_format="pyarrow")
+           .groupby("w").aggregate(Sum("c", alias_name="c")))
+
+    surv = pairs.filter(expr=f"n >= {PMI_MIN_COUNT}")
+    surv = surv.materialize()
+    if surv.count() == 0:
+        return empty
+    j = (surv.rename_columns({"w1": "w"})
+         .join(uni, join_type="inner", num_partitions=scale.join_partitions(),
+               on=("w",))
+         .rename_columns({"w": "w1", "c": "c1"})
+         .rename_columns({"w2": "w"})
+         .join(uni, join_type="inner", num_partitions=scale.join_partitions(),
+               on=("w",))
+         .rename_columns({"w": "w2", "c": "c2"}))
+    import math
+    ln_n = math.log(n_total)
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        lncache: dict[int, float] = {}
+
+        def ln(c: int) -> float:
+            v = lncache.get(c)
+            if v is None:
+                v = math.log(c)
+                lncache[c] = v
+            return v
+
+        d["pmi"] = round_half_away(np.array(
+            [ln(int(a)) + ln_n - ln(int(b)) - ln(int(cc))
+             for a, b, cc in zip(d["n"], d["c1"], d["c2"])]), 6)
+        d = d.sort_values(["pmi", "w1", "w2"],
+                          ascending=[False, True, True], kind="mergesort")
+        return pa.Table.from_pandas(
+            d.head(PMI_TOP_N)[["w1", "w2", "n", "pmi"]],
+            preserve_index=False)
+
+    df = j.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return empty
+    df["n"] = df["n"].astype(np.int64)
+    return (df.sort_values(["pmi", "w1", "w2"],
+                           ascending=[False, True, True], kind="mergesort")
+            .head(PMI_TOP_N).reset_index(drop=True)[["w1", "w2", "n", "pmi"]])

@@ -2897,3 +2897,91 @@ def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
     return (df[["s_name", "numwait"]]
             .sort_values(["numwait", "s_name"], ascending=[False, True])
             .head(100).reset_index(drop=True))
+
+
+# --- robust per-group statistics: exact median + MAD ----------------------------
+
+def q_median_mad(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type robust center/spread: exact continuous median of
+    ``value`` and the median absolute deviation around it — the
+    outlier-insensitive counterpart of q_value_zscore's moments.
+
+    Exactness: both medians use numpy's 'linear' interpolation, which
+    mirrors DuckDB ``quantile_cont`` bit-for-bit (the q_group_quantiles
+    precedent); |v − med| is one IEEE subtraction identical on both
+    sides. Scale shape: event_type is the few-hot-keys case — ONE
+    groupby shuffle carrying only (type, value); both medians compute
+    vectorized inside the group. Past ~10^9 rows per group the exact
+    sort gives way to the bottom-k / histogram sketch path
+    (approx_group_quantiles) — documented, not needed at bench scale."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def robust(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        med = np.quantile(np.sort(v), 0.5, method="linear")
+        mad = np.quantile(np.sort(np.abs(v - med)), 0.5, method="linear")
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_events": np.array([len(v)], np.int64),
+            "median_value": _r(pd.Series([med]), 4).to_numpy(),
+            "mad_value": _r(pd.Series([mad]), 4).to_numpy()})
+
+    df = (ds.groupby("event_type").map_groups(robust, batch_format="pandas")
+          .to_pandas())
+    if df.empty:
+        return typed_empty(event_type="object", n_events="int64",
+                           median_value="float64", mad_value="float64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+# --- FIRST_VALUE / LAST_VALUE per user (reducible endpoint aggregate) -----------
+
+def q_first_last(sf_dir: str) -> Dataset:
+    """Per-user first and last ``event_type`` in (ts, event_id) order plus
+    the event count — SQL FIRST_VALUE/LAST_VALUE, but expressed as a
+    REDUCIBLE aggregate instead of a window: endpoints distribute over
+    batch partials (the global first is the min of batch-local firsts),
+    so no per-user sort or window pass ever runs — each batch reduces to
+    one row per (user, batch) and a bucketed combine (splitmix64(user))
+    folds them vectorized. Corpus-sized output → streaming Dataset."""
+    from .combine import bucketed_combine
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "ts": t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", as_index=False)
+        out = g.agg(n_events=("event_id", "size"))
+        first = g.nth(0).reset_index(drop=True)
+        last = g.nth(-1).reset_index(drop=True)
+        out["fts"], out["fid"], out["ftype"] = (
+            first["ts"], first["event_id"], first["event_type"])
+        out["lts"], out["lid"], out["ltype"] = (
+            last["ts"], last["event_id"], last["event_type"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        fst = (g.sort_values(["user_id", "fts", "fid"], kind="mergesort")
+               .groupby("user_id", as_index=False).nth(0))
+        lst = (g.sort_values(["user_id", "lts", "lid"], kind="mergesort")
+               .groupby("user_id", as_index=False).nth(-1))
+        n = g.groupby("user_id", as_index=False)["n_events"].sum()
+        out = pd.DataFrame({
+            "user_id": n["user_id"].to_numpy(np.int64),
+            "n_events": n["n_events"].to_numpy(np.int64),
+            "first_type": fst.sort_values("user_id")["ftype"].to_numpy(),
+            "last_type": lst.sort_values("user_id")["ltype"].to_numpy()})
+        return out
+
+    return ensure_schema(
+        bucketed_combine(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536),
+            "user_id", fold),
+        pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
+                   ("first_type", pa.string()), ("last_type", pa.string())]))

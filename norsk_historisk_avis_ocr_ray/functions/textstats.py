@@ -330,3 +330,54 @@ def q_corpus_stats(sf_dir: str) -> pd.DataFrame:
     df["sum_tokens"] = df["sum_tokens"].astype(np.int64)
     return (df[["lang", "n_docs", "sum_tokens", "avg_quality"]]
             .sort_values("lang").reset_index(drop=True))
+
+
+# --- per-document character entropy (micro-quantized exact) --------------------
+
+ENTROPY_SCALE = 1e12
+
+
+def q_char_entropy(sf_dir: str) -> Dataset:
+    """Per-document Shannon entropy of the character distribution — the
+    gibberish/low-diversity quality signal (binary blobs and repeated-char
+    spam score near 0; natural text sits ~4-4.7 bits ≈ 2.8-3.3 nats).
+
+    Exactness (same mechanics as dsir_score/q_bigram_ppl): H = ln(n) −
+    (Σ cᵢ·ln cᵢ)/n is NOT order-stable in float, so each term quantizes to
+    ``floor(c·ln(c)·1e12)`` — glibc-libm ``ln`` and IEEE multiply/floor are
+    bit-identical in DuckDB and CPython ``math.log`` — and the per-doc sum
+    folds as exact integers; only the final two-op float expression runs in
+    double, in the same operation order on both engines. Everything is
+    row-local (zero shuffles, corpus-sized streaming output); the
+    ``c → floor(c·ln c·1e12)`` table is cached per batch since char counts
+    repeat heavily."""
+    import math
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ent = np.zeros(len(texts), np.float64)
+        nlog: dict[int, int] = {}
+        for i, tx in enumerate(texts):
+            if not tx:
+                continue
+            codes = np.frombuffer(tx.encode("utf-32-le"), np.uint32)
+            cnts = np.unique(codes, return_counts=True)[1]
+            s = 0
+            for c in cnts.tolist():
+                q = nlog.get(c)
+                if q is None:
+                    q = math.floor(c * math.log(c) * ENTROPY_SCALE)
+                    nlog[c] = q
+                s += q
+            n = len(codes)
+            ent[i] = round_half_away(
+                math.log(n) - (s / ENTROPY_SCALE) / n, 6)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.utf8_length(t["text"]).cast(pa.int64()),
+            "char_entropy": pa.array(ent, pa.float64())})
+
+    return ensure_schema(
+        _docs(sf_dir).map_batches(per_batch, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64()),
+                   ("char_entropy", pa.float64())]))
