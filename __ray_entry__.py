@@ -380,6 +380,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "q_median_mad": relational.q_median_mad,
         "q_first_last": relational.q_first_last,
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_profit": relational.q9_product_profit,
+        "q_retention_cohorts": relational.q_retention_cohorts,
+        "q_length_decile": relational.q_length_decile,
         # web main-content extraction (HTML boilerplate strip, DOM heuristics)
         "html_main_content": _html_main_content,
         # text analysis
@@ -1830,6 +1834,75 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.s_name
             ORDER BY numwait DESC, s.s_name
             LIMIT 100
+        """,
+        # the market share is a ratio of two quantized-integer sums (the
+        # q15 cent×(100-disc%) grid), so ONE IEEE division runs from
+        # identical integers on both engines
+        "q8_market_share": """
+            WITH q AS (
+                SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS qv,
+                       CASE WHEN sn.n_name = 'NATION_3'
+                            THEN CAST(round(l.l_extendedprice * 100)
+                                      AS BIGINT)
+                                 * (100 - CAST(round(l.l_discount * 100)
+                                               AS BIGINT))
+                            ELSE 0 END AS qt
+                FROM lineitem l
+                JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+                JOIN region r   ON r.r_regionkey = cn.n_regionkey
+                     AND r.r_name = 'EUROPE'
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+                WHERE o.o_orderdate >= DATE '1996-01-01'
+                  AND o.o_orderdate <  DATE '1998-01-01')
+            SELECT o_year,
+                   round(CAST(sum(qt) AS DOUBLE)
+                         / CAST(sum(qv) AS DOUBLE), 6) AS mkt_share
+            FROM q GROUP BY o_year ORDER BY o_year
+        """,
+        # profit folds on the shared 1e-4-dollar integer grid (revenue in
+        # cent×(100-d%), cost in cent·qty×100), so the per-(nation, year)
+        # sums are partitioning-independent
+        "q9_product_profit": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   round(CAST(sum(
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                         * CAST(l.l_quantity AS BIGINT) * 100) AS DOUBLE)
+                         / 10000.0, 2) AS sum_profit
+            FROM lineitem l
+            JOIN part p     ON p.p_partkey = l.l_partkey
+                 AND p.p_name LIKE '%red%'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            GROUP BY n.n_name, year(o.o_orderdate)
+            ORDER BY nation, o_year DESC
+        """,
+        "q_retention_cohorts": """
+            WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                       FROM events),
+            f AS (SELECT user_id, min(day) AS cday FROM p GROUP BY user_id)
+            SELECT strftime(f.cday, '%Y-%m-%d') AS cohort_day,
+                   CAST(datediff('day', f.cday, p.day) AS BIGINT)
+                       AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_active
+            FROM p JOIN f USING (user_id)
+            GROUP BY cohort_day, day_offset
+            ORDER BY cohort_day, day_offset
+        """,
+        "q_length_decile": """
+            SELECT doc_id, n_chars,
+                   CAST(ntile(10) OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS tile
+            FROM documents ORDER BY doc_id
         """,
         # per-doc character entropy: each term quantizes to
         # floor(c·ln(c)·1e12) — DuckDB ln / CPython math.log are both

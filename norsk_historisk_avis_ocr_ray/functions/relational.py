@@ -2985,3 +2985,384 @@ def q_first_last(sf_dir: str) -> Dataset:
             "user_id", fold),
         pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
                    ("first_type", pa.string()), ("last_type", pa.string())]))
+
+
+# --- Q8: nation market share (quantized-exact ratio of sums) --------------------
+
+Q8_NATION = "NATION_3"
+Q8_REGION = "EUROPE"
+Q8_D0 = np.datetime64("1996-01-01", "us")
+Q8_D1 = np.datetime64("1998-01-01", "us")
+
+
+def q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape: one nation's share of supplier revenue among a
+    region's customers, per order year.
+
+    Exactness: the share is a RATIO of two sums — float partials would
+    make the quotient partitioning-dependent in the last bits, so both
+    numerator and denominator fold as exact int64 cent×(100−disc%) units
+    and ONE IEEE division runs at the end (the q15 quantization). Scale
+    shape = q5's star: region→nation dimension chain and the supplier
+    nation map broadcast; customer-region sliver joins orders
+    DISTRIBUTED, lineitem joins the surviving orders; per-batch partials
+    keyed by (year, is_target_nation)."""
+    empty = typed_empty(o_year="int64", mkt_share="float64")
+    nat = collect_table(_read(sf_dir, "nation",
+                              ["n_nationkey", "n_name", "n_regionkey"]))
+    reg = collect_table(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    rkeys = reg.filter(pc.equal(reg["r_name"], Q8_REGION))["r_regionkey"]
+    cust_nkeys = (nat.filter(pc.is_in(nat["n_regionkey"], value_set=rkeys))
+                  ["n_nationkey"].combine_chunks())
+    target = nat.filter(pc.equal(nat["n_name"], Q8_NATION))["n_nationkey"]
+    if not len(target) or not len(cust_nkeys):
+        return empty
+    target_key = int(target[0].as_py())
+
+    sup = collect_table(_read(sf_dir, "supplier",
+                              ["s_suppkey", "s_nationkey"]))
+    sk = sup["s_suppkey"].to_numpy()
+    order = np.argsort(sk)
+    sup_ref = ray.put((sk[order],
+                       sup["s_nationkey"].to_numpy()[order].astype(np.int64)))
+    ckeys_ref = ray.put(cust_nkeys.sort())
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def filter_cust(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["c_nationkey"],
+                              value_set=ray.get(ckeys_ref)))
+        return pa.table({"o_custkey": t["c_custkey"]})
+
+    cust_f = (cust.map_batches(filter_cust, batch_format="pyarrow")
+              .materialize())
+    if cust_f.count() == 0:
+        return empty
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"],
+                                              pa.scalar(Q8_D0)),
+                             pc.less(t["o_orderdate"], pa.scalar(Q8_D1))))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
+            "o_year": pa.array(
+                t["o_orderdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[Y]").astype(np.int64) + 1970)})
+
+    orders_f = (orders.map_batches(filter_orders, batch_format="pyarrow")
+                .materialize())
+    if orders_f.count() == 0:
+        return empty
+    o_c = orders_f.join(cust_f, join_type="inner",
+                        num_partitions=scale.join_partitions(),
+                        on=("o_custkey",))
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    li_oc = li.rename_columns({"l_orderkey": "o_orderkey"}).join(
+        o_c, join_type="inner", num_partitions=scale.join_partitions(),
+        on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        skeys, snat = ray.get(sup_ref)
+        lk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(skeys):
+            pos = np.minimum(np.searchsorted(skeys, lk), len(skeys) - 1)
+            s_nat = np.where(skeys[pos] == lk, snat[pos], -1)
+        else:
+            s_nat = np.full(len(lk), -1, np.int64)
+        p = round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        d = round_half_away(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        g = (pd.DataFrame({
+                "o_year": t["o_year"].to_numpy(zero_copy_only=False),
+                "qv": p * (100 - d),
+                "qt": np.where(s_nat == target_key, p * (100 - d), 0)})
+             .groupby("o_year", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (li_oc.map_batches(partial, batch_format="pyarrow")
+          .groupby("o_year")
+          .aggregate(Sum("qv", alias_name="qv"), Sum("qt", alias_name="qt"))
+          .to_pandas())
+    if df.empty:
+        return empty
+    df["o_year"] = df["o_year"].astype(np.int64)
+    df["mkt_share"] = _r(df["qt"] / df["qv"], 6)
+    return (df[["o_year", "mkt_share"]]
+            .sort_values("o_year").reset_index(drop=True))
+
+
+# --- Q9: product-line profit by supplier nation and year ------------------------
+
+Q9_WORD = "red"
+
+
+def q9_product_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape (adapted: cost = p_retailprice·quantity — this
+    schema has no partsupp): profit per supplier nation per order year
+    over parts whose name contains a word.
+
+    Exactness: profit folds as exact int64 — revenue in cent×(100−d%)
+    units and cost in cent·quantity units scaled to the same 10⁻⁴ grid —
+    so the per-(nation, year) sums are partitioning-independent and ONE
+    float division converts at the end. Scale shape: the name-filtered
+    part sliver and the supplier→nation map broadcast (sorted-key
+    probes); lineitem joins date-carrying orders DISTRIBUTED; per-batch
+    partials keyed by the 25×7 (nation, year) grid."""
+    empty = typed_empty(nation="object", o_year="int64",
+                        sum_profit="float64")
+    nat = collect_table(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    names = dict(zip(nat["n_nationkey"].to_pylist(),
+                     nat["n_name"].to_pylist()))
+    part = collect_table(_read(sf_dir, "part",
+                               ["p_partkey", "p_name", "p_retailprice"]))
+    part = part.filter(pc.match_substring(part["p_name"], Q9_WORD))
+    pk = np.sort(part["p_partkey"].to_numpy().astype(np.int64))
+    if not len(pk):
+        return empty
+    pk_ref = ray.put(pk)
+    sup = collect_table(_read(sf_dir, "supplier",
+                              ["s_suppkey", "s_nationkey"]))
+    sk = sup["s_suppkey"].to_numpy()
+    order = np.argsort(sk)
+    sup_ref = ray.put((sk[order],
+                       sup["s_nationkey"].to_numpy()[order].astype(np.int64)))
+    # part retail price lookup rides with the key sliver (cent grid)
+    pprice = round_half_away(
+        part["p_retailprice"].to_numpy() * 100.0, 0).astype(np.int64)
+    p_order = np.argsort(part["p_partkey"].to_numpy().astype(np.int64))
+    pprice_ref = ray.put(pprice[p_order])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def order_year(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_year": pa.array(
+                t["o_orderdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[Y]").astype(np.int64) + 1970)})
+
+    orders_y = (orders.map_batches(order_year, batch_format="pyarrow")
+                .materialize())
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def filter_parts(t: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        lk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(keys, lk), len(keys) - 1)
+        keep = keys[pos] == lk
+        t = t.filter(pa.array(keep))
+        return t.append_column(
+            "ppos", pa.array(np.searchsorted(keys,
+                                             lk[keep]).astype(np.int64)))
+
+    sliver = (li.map_batches(filter_parts, batch_format="pyarrow",
+                             batch_size=65536)
+              .rename_columns({"l_orderkey": "o_orderkey"}).materialize())
+    if sliver.count() == 0 or orders_y.count() == 0:
+        return empty
+    j = sliver.join(orders_y, join_type="inner",
+                    num_partitions=scale.join_partitions(),
+                    on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        skeys, snat = ray.get(sup_ref)
+        prices = ray.get(pprice_ref)
+        lk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(skeys):
+            pos = np.minimum(np.searchsorted(skeys, lk), len(skeys) - 1)
+            s_nat = np.where(skeys[pos] == lk, snat[pos], -1)
+        else:
+            s_nat = np.full(len(lk), -1, np.int64)
+        p = round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        d = round_half_away(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        qty = (t["l_quantity"].to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        cost = prices[t["ppos"].to_numpy(zero_copy_only=False)] * qty
+        # both terms on the 1e-4 dollar grid: rev already is; cost is on
+        # the cent grid, scaled by 100
+        profit = p * (100 - d) - cost * 100
+        g = (pd.DataFrame({
+                "nkey": s_nat,
+                "o_year": t["o_year"].to_numpy(zero_copy_only=False),
+                "qp": profit})
+             .groupby(["nkey", "o_year"], as_index=False)["qp"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (j.map_batches(partial, batch_format="pyarrow")
+          .groupby(["nkey", "o_year"])
+          .aggregate(Sum("qp", alias_name="qp")).to_pandas())
+    if df.empty:
+        return empty
+    df["nation"] = df["nkey"].map(names)
+    df["o_year"] = df["o_year"].astype(np.int64)
+    df["sum_profit"] = _r(df["qp"] / 10000.0, 2)
+    return (df[["nation", "o_year", "sum_profit"]]
+            .sort_values(["nation", "o_year"], ascending=[True, False])
+            .reset_index(drop=True))
+
+
+# --- cohort retention (first-activity day × day offset) -------------------------
+
+def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Day-grained cohort retention: users cohort by their FIRST event
+    day; for every later active day, count distinct cohort users active
+    at that day offset — the activation/retention matrix of product
+    analytics.
+
+    Scale shape: one bucketed combine on splitmix64(user_id) does
+    everything user-local — each batch emits per-(user, day) presence
+    partials, the fold computes each user's min-day and day offsets
+    vectorized (all-integer day arithmetic), and the only other shuffle
+    is the result-sized (cohort_day, offset) count. All values integer →
+    hash-exact."""
+    from .combine import bucketed_combine
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = (t["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[D]").astype(np.int64))
+        df = (pd.DataFrame({
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "day": days}).drop_duplicates())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        first = (g.groupby("user_id")["day"].transform("min")
+                 .to_numpy(np.int64))
+        day = g["day"].to_numpy(np.int64)
+        out = (pd.DataFrame({"cohort_day": first,
+                             "day_offset": day - first})
+               .groupby(["cohort_day", "day_offset"], as_index=False)
+               .size().rename(columns={"size": "n_active"}))
+        return out
+
+    df = (bucketed_combine(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536),
+            "user_id", fold)
+          .groupby(["cohort_day", "day_offset"])
+          .aggregate(Sum("n_active", alias_name="n_active"))
+          .to_pandas())
+    if df.empty:
+        return typed_empty(cohort_day="object", day_offset="int64",
+                           n_active="int64")
+    df["cohort_day"] = pd.Series(
+        df["cohort_day"].to_numpy(np.int64).astype("datetime64[D]")
+        .astype("datetime64[us]")).dt.strftime("%Y-%m-%d")
+    df["day_offset"] = df["day_offset"].astype(np.int64)
+    df["n_active"] = df["n_active"].astype(np.int64)
+    return (df.sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True))
+
+
+# --- corpus-wide NTILE (two-pass range-partitioned global rank) ------------------
+
+DECILE_N = 10
+DECILE_SAMPLE_K = 4096
+
+
+def q_length_decile(sf_dir: str) -> Dataset:
+    """NTILE(10) over the WHOLE corpus ordered by (n_chars, doc_id) — the
+    curriculum / length-bucketing assignment step, i.e. a global window
+    with no partition key.
+
+    Same two-pass range-partition contract as q_event_rank, single
+    group: (1) a mergeable bottom-k hash sample fixes n_chars boundary
+    values; tie runs can never split because bucket assignment is
+    ``searchsorted`` on n_chars alone; (2) exact per-bucket counts give
+    each bucket its global offset; (3) one groupby(bucket) shuffle
+    sorts locally by (n_chars, doc_id) and applies DuckDB's ntile fill
+    (first N%10 tiles get the extra row) from the broadcast offsets.
+    Corpus-sized output → streaming Dataset."""
+    from .sketch import _bottomk_rows
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    nb = scale.read_blocks()
+
+    def sample_partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": pa.array(["_"] * t.num_rows),
+                      "value": t["n_chars"].cast(pa.float64()),
+                      "event_id": t["doc_id"]})
+        return pa.Table.from_pandas(_bottomk_rows(t, DECILE_SAMPLE_K),
+                                    preserve_index=False)
+
+    sample = (docs.map_batches(sample_partial, batch_format="pyarrow")
+              .map_batches(
+                  lambda t: pa.Table.from_pandas(
+                      t.to_pandas().nsmallest(DECILE_SAMPLE_K, "h"),
+                      preserve_index=False),
+                  batch_format="pyarrow")
+              .to_pandas())
+    if sample.empty:
+        return ensure_schema(
+            ray.data.from_arrow(pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "tile": pa.array([], pa.int64())})),
+            pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64()),
+                       ("tile", pa.int64())]))
+    sample = sample.nsmallest(DECILE_SAMPLE_K, "h")
+    bnds = np.unique(np.quantile(sample["value"].to_numpy(),
+                                 np.arange(1, nb) / nb))
+    bnd_ref = ray.put(bnds)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = ray.get(bnd_ref)
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(
+            "bkt", pa.array(np.searchsorted(b, v, side="right")
+                            .astype(np.int64)))
+
+    bucketed = docs.map_batches(add_bucket, batch_format="pyarrow")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"bkt": t["bkt"].to_numpy(zero_copy_only=False)})
+             .groupby("bkt", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (bucketed.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("bkt").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    arr = np.zeros(nb + 1, np.int64)
+    arr[counts["bkt"].to_numpy()] = counts["n"].to_numpy(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(arr)[:-1]))
+    total = int(arr.sum())
+    off_ref = ray.put(offsets)
+    base, rem = total // DECILE_N, total % DECILE_N
+    cut = rem * (base + 1)
+
+    def tile_group(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        pos = offs[int(g["bkt"].iat[0])] + np.arange(len(g),
+                                                     dtype=np.int64)
+        safe = max(base, 1)
+        tile = np.where(pos < cut, pos // (base + 1) + 1,
+                        rem + np.maximum(pos - cut, 0) // safe + 1)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_chars": g["n_chars"].to_numpy(np.int64),
+            "tile": tile.astype(np.int64)})
+
+    return ensure_schema(
+        bucketed.groupby("bkt").map_groups(tile_group,
+                                           batch_format="pandas"),
+        pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64()),
+                   ("tile", pa.int64())]))
