@@ -384,6 +384,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_product_profit": relational.q9_product_profit,
         "q_retention_cohorts": relational.q_retention_cohorts,
         "q_length_decile": relational.q_length_decile,
+        "q_event_transitions": relational.q_event_transitions,
+        "q_decayed_value": relational.q_decayed_value,
+        "q_user_favorite": relational.q_user_favorite,
         # web main-content extraction (HTML boilerplate strip, DOM heuristics)
         "html_main_content": _html_main_content,
         # text analysis
@@ -1903,6 +1906,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(10) OVER (ORDER BY n_chars, doc_id)
                         AS BIGINT) AS tile
             FROM documents ORDER BY doc_id
+        """,
+        "q_event_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events),
+            c AS (
+                SELECT prev_type, event_type AS next_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM s WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, event_type)
+            SELECT prev_type, next_type, n,
+                   round(CAST(n AS DOUBLE)
+                         / CAST(sum(n) OVER (PARTITION BY prev_type)
+                                AS DOUBLE), 6) AS p
+            FROM c ORDER BY prev_type, next_type
+        """,
+        # each decay term quantizes to floor(qv·pow(0.9,k)·1e6): DuckDB
+        # pow and CPython math.pow are the same glibc libm binary, the
+        # multiplies are IEEE, and the per-user sums fold as exact ints
+        "q_decayed_value": """
+            WITH s AS (
+                SELECT user_id,
+                       CAST(round(value * 1000) AS BIGINT) AS qv,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) - 1
+                           AS k
+                FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(sum(CAST(floor(qv * pow(0.9, k) * 1e6)
+                                       AS BIGINT)) AS DOUBLE) / 1e9, 6)
+                       AS decayed_value
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        "q_user_favorite": """
+            WITH c AS (
+                SELECT user_id, event_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY user_id, event_type),
+            r AS (
+                SELECT user_id, event_type, n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY n DESC, event_type)
+                           AS rn,
+                       sum(n) OVER (PARTITION BY user_id) AS tot
+                FROM c)
+            SELECT user_id, event_type AS favorite_type, n AS n_fav,
+                   CAST(tot AS BIGINT) AS n_events
+            FROM r WHERE rn = 1 ORDER BY user_id
         """,
         # per-doc character entropy: each term quantizes to
         # floor(c·ln(c)·1e12) — DuckDB ln / CPython math.log are both

@@ -3366,3 +3366,144 @@ def q_length_decile(sf_dir: str) -> Dataset:
                                            batch_format="pandas"),
         pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64()),
                    ("tile", pa.int64())]))
+
+
+# --- event-type transition matrix (Markov counts + probabilities) ---------------
+
+def q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """(prev_type → next_type) transition counts over each user's
+    chronological event sequence, with transition probabilities — the
+    behavior-Markov-model estimation step (LAG adjacency at corpus
+    scale).
+
+    Scale shape: adjacency needs each user's rows co-located and ordered
+    — ONE bucketed shuffle on ``user_id & 255`` (the q_sessionize
+    contract), a vectorized multi-user consecutive-pair scan inside the
+    bucket, then a result-sized (25-cell) groupby. Probabilities are
+    ratios of exact integers → one IEEE division per cell."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ty = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        out = (pd.DataFrame({"prev_type": ty[:-1][same],
+                             "next_type": ty[1:][same]})
+               .groupby(["prev_type", "next_type"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        return out
+
+    df = (ds.map_batches(_bucketize_user, batch_format="pyarrow")
+          .groupby("bucket").map_groups(pairs, batch_format="pandas")
+          .groupby(["prev_type", "next_type"])
+          .aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
+    if df.empty:
+        return typed_empty(prev_type="object", next_type="object",
+                           n="int64", p="float64")
+    df["n"] = df["n"].astype(np.int64)
+    tot = df.groupby("prev_type")["n"].transform("sum")
+    df["p"] = _r(df["n"] / tot, 6)
+    return (df[["prev_type", "next_type", "n", "p"]]
+            .sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+
+
+# --- exponentially decayed per-user value (libm-pow exact) -----------------------
+
+DECAY_ALPHA = 0.9
+
+
+def q_decayed_value(sf_dir: str) -> Dataset:
+    """Per-user exponentially decayed value score — most recent event at
+    weight 1, each step back ×0.9 (the recency-weighted engagement /
+    freshness signal).
+
+    Exactness: each term quantizes to ``floor(qv · 0.9^k · 1e6)`` with
+    qv = round(value·1000) — the power table comes from ``math.pow``
+    (glibc libm, bit-identical to DuckDB ``pow``; np.power is NOT), the
+    multiplies are IEEE, and the per-user sum folds as exact integers,
+    so the score is partitioning-independent and the oracle replays it
+    term-for-term. Scale shape: one bucketed shuffle, vectorized
+    multi-user reverse-position scan inside the bucket; corpus-sized
+    per-user output → streaming Dataset."""
+    import math
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def decay(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ascending=[True, False, False], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        k = np.arange(n) - np.repeat(starts, sizes)   # 0 = most recent
+        qv = round_half_away(g["value"].to_numpy(np.float64) * 1000.0,
+                             0)
+        powt = np.array([math.pow(DECAY_ALPHA, int(i))
+                         for i in range(int(k.max()) + 1 if n else 1)])
+        terms = np.floor(qv * powt[k] * 1e6).astype(np.int64)
+        out = (pd.DataFrame({"user_id": uid, "t": terms})
+               .groupby("user_id", as_index=False)
+               .agg(s=("t", "sum"), n_events=("t", "size")))
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "n_events": out["n_events"].to_numpy(np.int64),
+            "decayed_value": round_half_away(
+                out["s"].to_numpy(np.float64) / 1e9, 6)})
+
+    return ensure_schema(
+        ds.map_batches(_bucketize_user, batch_format="pyarrow")
+          .groupby("bucket").map_groups(decay, batch_format="pandas"),
+        pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
+                   ("decayed_value", pa.float64())]))
+
+
+# --- per-user favorite event type (grouped mode with deterministic ties) ---------
+
+def q_user_favorite(sf_dir: str) -> Dataset:
+    """Each user's most frequent event type (count DESC, type ASC on
+    ties) with its count and the user's total — grouped MODE, the
+    categorical profile column of a feature store.
+
+    Scale shape: mode is NOT reducible from raw rows, but per-(user,
+    type) counts are — batch partials shrink to one row per (user, type,
+    batch), a bucketed combine folds them and takes the per-user argmax
+    vectorized in the same pass (sort by count DESC/type ASC + take
+    group head). All integers → hash-exact. Corpus-sized output →
+    streaming Dataset."""
+    from .combine import bucketed_combine
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_numpy(
+                    zero_copy_only=False)})
+             .groupby(["user_id", "event_type"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["user_id", "event_type"], as_index=False)["n"]
+             .sum())
+        tot = c.groupby("user_id", as_index=False)["n"].sum()
+        c = c.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = c.groupby("user_id", as_index=False).head(1)
+        out = top.merge(tot, on="user_id", suffixes=("_fav", "_tot"))
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "favorite_type": out["event_type"].to_numpy(),
+            "n_fav": out["n_fav"].to_numpy(np.int64),
+            "n_events": out["n_tot"].to_numpy(np.int64)})
+
+    return ensure_schema(
+        bucketed_combine(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536),
+            "user_id", fold),
+        pa.schema([("user_id", pa.int64()), ("favorite_type", pa.string()),
+                   ("n_fav", pa.int64()), ("n_events", pa.int64())]))
