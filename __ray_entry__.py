@@ -387,6 +387,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_transitions": relational.q_event_transitions,
         "q_decayed_value": relational.q_decayed_value,
         "q_user_favorite": relational.q_user_favorite,
+        "q_user_set_algebra": relational.q_user_set_algebra,
+        "q_daily_type_fill": relational.q_daily_type_fill,
+        "q_measure_unpivot": relational.q_measure_unpivot,
         # web main-content extraction (HTML boilerplate strip, DOM heuristics)
         "html_main_content": _html_main_content,
         # text analysis
@@ -1942,6 +1945,53 @@ def oracle_sql() -> dict[str, str]:
                                        AS BIGINT)) AS DOUBLE) / 1e9, 6)
                        AS decayed_value
             FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        "q_user_set_algebra": """
+            WITH c AS (
+                SELECT user_id,
+                       CAST(sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_purchase,
+                       CAST(sum(CASE WHEN event_type = 'error'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                       sum(CASE WHEN event_type = 'signup'
+                           THEN 1 ELSE 0 END) AS n_signup
+                FROM events GROUP BY user_id)
+            SELECT user_id, n_purchase, n_error
+            FROM c
+            WHERE n_error > n_purchase AND n_signup > 0
+            ORDER BY user_id
+        """,
+        "q_daily_type_fill": """
+            WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0,
+                              max(CAST(ts AS DATE)) AS d1 FROM events),
+            days AS (SELECT unnest(generate_series(d0, d1,
+                                                   INTERVAL 1 DAY))::DATE
+                            AS day FROM b),
+            types AS (SELECT DISTINCT event_type FROM events),
+            c AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1, 2)
+            SELECT strftime(d.day, '%Y-%m-%d') AS day, t.event_type,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+            FROM days d
+            CROSS JOIN types t
+            LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+            ORDER BY 1, 2
+        """,
+        "q_measure_unpivot": """
+            WITH u AS (
+                SELECT 'discount' AS measure, l_discount AS v
+                FROM lineitem
+                UNION ALL SELECT 'extendedprice', l_extendedprice
+                FROM lineitem
+                UNION ALL SELECT 'quantity', l_quantity FROM lineitem
+                UNION ALL SELECT 'tax', l_tax FROM lineitem)
+            SELECT measure, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(v), 2) AS total,
+                   round(min(v), 2) AS vmin,
+                   round(max(v), 2) AS vmax
+            FROM u GROUP BY measure ORDER BY measure
         """,
         "q_user_favorite": """
             WITH c AS (

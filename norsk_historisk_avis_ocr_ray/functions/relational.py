@@ -3507,3 +3507,142 @@ def q_user_favorite(sf_dir: str) -> Dataset:
             "user_id", fold),
         pa.schema([("user_id", pa.int64()), ("favorite_type", pa.string()),
                    ("n_fav", pa.int64()), ("n_events", pa.int64())]))
+
+
+# --- user set algebra (INTERSECT ∩ minus EXCEPT as one reducible pass) -----------
+
+def q_user_set_algebra(sf_dir: str) -> pd.DataFrame:
+    """Users who error more often than they purchase AND have signed up —
+    (error-heavy ∩ signups), the multi-set-membership cohort query
+    usually written as INTERSECT/EXCEPT chains (a plain intersection of
+    literal member sets is degenerate on this corpus — every user holds
+    every type — so the sets are count-conditional).
+
+    Scale shape: set membership reduces to per-(user, flag) counts, so
+    the three set ops collapse into ONE bucketed combine over per-batch
+    conditional-count partials — no distinct-materialization per set, no
+    repeated scans. All integers → hash-exact."""
+    from .combine import bucketed_combine
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "n_purchase": (ty == "purchase").astype(np.int64),
+            "n_error": (ty == "error").astype(np.int64),
+            "n_signup": (ty == "signup").astype(np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby("user_id", as_index=False).sum(),
+            preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("user_id", as_index=False).sum()
+        c = c[(c["n_error"] > c["n_purchase"]) & (c["n_signup"] > 0)]
+        return c[["user_id", "n_purchase", "n_error"]].astype(np.int64)
+
+    df = bucketed_combine(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "user_id", fold).to_pandas()
+    if df.empty:
+        return typed_empty(user_id="int64", n_purchase="int64",
+                           n_error="int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+# --- dense calendar gap fill (dimension densification) ---------------------------
+
+def q_daily_type_fill(sf_dir: str) -> pd.DataFrame:
+    """Per-(day, event_type) counts over a DENSE calendar — every day in
+    [min, max] × every type appears, zero-filled — the
+    generate_series/scaffold join that turns sparse logs into
+    regression-ready time series.
+
+    Scale shape: the sparse counts pre-aggregate per batch (day-grain
+    ints) into one small groupby; the dense grid is RESULT-sized (days ×
+    types), so the scaffold cross join and zero fill run on the driver —
+    no distributed row is ever manufactured just to be zero."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = (t["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[D]").astype(np.int64))
+        g = (pd.DataFrame({
+                "day": days,
+                "event_type": t["event_type"].to_numpy(
+                    zero_copy_only=False)})
+             .groupby(["day", "event_type"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536)
+          .groupby(["day", "event_type"])
+          .aggregate(Sum("n", alias_name="n")).to_pandas())
+    if df.empty:
+        return typed_empty(day="object", event_type="object",
+                           n_events="int64")
+    days = np.arange(df["day"].min(), df["day"].max() + 1, dtype=np.int64)
+    types = sorted(df["event_type"].unique())
+    grid = pd.MultiIndex.from_product([days, types],
+                                      names=["day", "event_type"])
+    out = (df.set_index(["day", "event_type"])["n"]
+           .reindex(grid, fill_value=0).reset_index()
+           .rename(columns={"n": "n_events"}))
+    out["day"] = pd.Series(
+        out["day"].to_numpy(np.int64).astype("datetime64[D]")
+        .astype("datetime64[us]")).dt.strftime("%Y-%m-%d")
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return (out.sort_values(["day", "event_type"])
+            .reset_index(drop=True))
+
+
+# --- measure UNPIVOT (wide → long multi-measure profile) -------------------------
+
+UNPIVOT_MEASURES = ("discount", "extendedprice", "quantity", "tax")
+
+
+def q_measure_unpivot(sf_dir: str) -> pd.DataFrame:
+    """Lineitem's four numeric measures UNPIVOTed to long form with
+    per-measure count/total/min/max — the column-profiling pass of a
+    data-quality monitor.
+
+    Scale shape: the unpivot never materializes — each batch folds its
+    four columns into FOUR partial rows (not 4× the input rows), and the
+    final groupby moves 4 × n_batches rows. The wide read is pruned to
+    exactly the measure columns."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_discount", "l_extendedprice", "l_quantity", "l_tax"])
+    cols = {"discount": "l_discount", "extendedprice": "l_extendedprice",
+            "quantity": "l_quantity", "tax": "l_tax"}
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for m, c in cols.items():
+            v = t[c].to_numpy(zero_copy_only=False)
+            rows.append((m, len(v), float(v.sum()), float(v.min()),
+                         float(v.max())))
+        return pa.table({
+            "measure": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "total": pa.array([r[2] for r in rows], pa.float64()),
+            "vmin": pa.array([r[3] for r in rows], pa.float64()),
+            "vmax": pa.array([r[4] for r in rows], pa.float64())})
+
+    df = (ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536)
+          .groupby("measure")
+          .aggregate(Sum("n", alias_name="n"),
+                     Sum("total", alias_name="total"),
+                     Min("vmin", alias_name="vmin"),
+                     Max("vmax", alias_name="vmax"))
+          .to_pandas())
+    if df.empty:
+        return typed_empty(measure="object", n="int64", total="float64",
+                           vmin="float64", vmax="float64")
+    df["n"] = df["n"].astype(np.int64)
+    for c in ("total", "vmin", "vmax"):
+        df[c] = _r(df[c], 2)
+    return (df[["measure", "n", "total", "vmin", "vmax"]]
+            .sort_values("measure").reset_index(drop=True))
