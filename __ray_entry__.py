@@ -414,6 +414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "emb_kmeans": similarity.emb_kmeans,
         "emb_pca": similarity.emb_pca,
+        "emb_label_centroid": similarity.emb_label_centroid,
+        "emb_vec_norms": similarity.emb_vec_norms,
         # multimodal
         "image_features": _image_features,
         "image_phash_dedup": _image_phash_dedup,
@@ -1992,6 +1994,36 @@ def oracle_sql() -> dict[str, str]:
                    round(min(v), 2) AS vmin,
                    round(max(v), 2) AS vmax
             FROM u GROUP BY measure ORDER BY measure
+        """,
+        # the embeddings table's exact oracles: float32 components widen
+        # exactly to double, quantize to an integer grid (one IEEE
+        # multiply+round on both engines), and fold as exact int sums
+        "emb_label_centroid": """
+            WITH e AS (
+                SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000)
+                                       AS BIGINT)) AS DOUBLE)
+                         / CAST(1000000 AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS centroid
+            FROM e GROUP BY label, dim ORDER BY label, dim
+        """,
+        "emb_vec_norms": """
+            WITH e AS (
+                SELECT vec_id,
+                       CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000) AS BIGINT) AS q
+                FROM embeddings)
+            SELECT vec_id,
+                   round(sqrt(CAST(sum(q * q) AS DOUBLE))
+                         / CAST(1000 AS DOUBLE), 6) AS l2_norm,
+                   round(CAST(max(abs(q)) AS DOUBLE)
+                         / CAST(1000 AS DOUBLE), 6) AS max_abs
+            FROM e GROUP BY vec_id ORDER BY vec_id
         """,
         "q_user_favorite": """
             WITH c AS (

@@ -660,3 +660,108 @@ def semdedup(sf_dir: str, n_clusters: int = SEMDEDUP_CLUSTERS,
     return ensure_schema(out, pa.schema([
         ("vec_id", pa.int64()), ("cluster", pa.int32()),
         ("keep", pa.int64()), ("max_sim", pa.float64())]))
+
+
+# --- exact per-label centroids (quantized moment fold) ---------------------------
+
+EMB_Q = 1_000_000.0      # 1e-6 quantization grid for exact vector sums
+
+
+def emb_label_centroid(sf_dir: str) -> pd.DataFrame:
+    """Per-(label, dimension) centroid of the embedding table — the class
+    prototype computation of a nearest-class-mean classifier / SemDeDup's
+    seed step, and the embeddings table's first EXACT-oracled operator:
+    float vector sums are order-dependent, so each component quantizes to
+    ``round(v·1e6)`` int64 (float32→float64 widening is exact; one IEEE
+    multiply+round on both engines) and the per-label sums fold as exact
+    integers under any partitioning. One small groupby; output is
+    result-sized (labels × dims)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .collect import typed_empty as _te
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(
+        path, columns=["label", "embedding"],
+        override_num_blocks=scale.read_blocks_for_path(path))
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        if len(col) == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        lens = pc.list_value_length(col).to_numpy()
+        d = int(lens[0])
+        mat = (col.flatten().to_numpy(zero_copy_only=False)
+               .astype(np.float64, copy=False).reshape(len(col), d))
+        q = round_half_away(mat * EMB_Q, 0).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(q)
+        df["label"] = lab
+        g = df.groupby("label")
+        sums = g.sum().to_numpy()                      # (labels, d)
+        cnts = g.size().to_numpy(np.int64)
+        labels = g.size().index.to_numpy(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(labels, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(labels))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnts, d))})
+
+    df = (ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=4096)
+          .groupby(["label", "dim"])
+          .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+          .to_pandas())
+    if df.empty:
+        return _te(label="int64", dim="int64", n="int64",
+                   centroid="float64")
+    df["label"] = df["label"].astype(np.int64)
+    df["dim"] = df["dim"].astype(np.int64)
+    df["n"] = df["n"].astype(np.int64)
+    df["centroid"] = round_half_away(
+        df["s"].to_numpy(np.float64) / EMB_Q / df["n"].to_numpy(np.float64),
+        6)
+    return (df[["label", "dim", "n", "centroid"]]
+            .sort_values(["label", "dim"]).reset_index(drop=True))
+
+
+# --- exact per-vector norms (quantized squared sums) -----------------------------
+
+def emb_vec_norms(sf_dir: str) -> Dataset:
+    """Per-vector L2 norm and max-|component| — the embedding sanity /
+    normalization pass, exact-oracled: the squared sum folds as int64 on
+    the 1e-3 grid (64 dims × (~530)² ≈ 2×10⁷ ≪ 2⁶³), so the norm is a
+    single ``sqrt`` of an exact integer on both engines. Row-local,
+    zero-shuffle, corpus-sized streaming output."""
+    import pyarrow.compute as pc
+
+    from .collect import ensure_schema
+
+    ds = _emb(sf_dir)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        if mat.size == 0:
+            norms = np.zeros(len(ids), np.float64)
+            mx = np.zeros(len(ids), np.float64)
+        else:
+            q = round_half_away(mat * 1000.0, 0).astype(np.int64)
+            norms = round_half_away(
+                np.sqrt((q * q).sum(axis=1).astype(np.float64)) / 1000.0,
+                6)
+            mx = round_half_away(
+                np.abs(q).max(axis=1).astype(np.float64) / 1000.0, 6)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "l2_norm": pa.array(norms, pa.float64()),
+            "max_abs": pa.array(mx, pa.float64())})
+
+    return ensure_schema(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        pa.schema([("vec_id", pa.int64()), ("l2_norm", pa.float64()),
+                   ("max_abs", pa.float64())]))
