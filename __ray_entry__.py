@@ -559,6 +559,251 @@ def _cms_cols_proj() -> str:
     return ", ".join(parts)
 
 
+# --- MinHash / SimHash oracle machinery ---------------------------------------
+# The whole family is exactly SQL-replayable because (a) the token hash is
+# md5-derived (functions/dedup._md5_64 — md5 is the one hash DuckDB shares
+# with Python) and (b) everything downstream is uint64 / mod-(2^61-1)
+# arithmetic a HUGEINT query reproduces bit-for-bit (same discipline as
+# _sm64_proj for the sketches).
+
+_U64 = "18446744073709551616"           # 2**64
+_P61_SQL = "2305843009213693951"        # 2**61 - 1 (MinHash Mersenne prime)
+_P61_SQL1 = "2305843009213693952"       # 2**61
+_FMIX_MIX1 = 0xBF58476D1CE4E5B9
+_FMIX_MIX2 = 0x94D049BB133111EB
+_SHINGLE_POS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def _fmix_proj(x: str, out: str, pfx: str) -> str:
+    """Lateral-alias stages computing fmix64(``x``) — bit-identical to
+    ``functions/dedup._fmix64`` (the splitmix64 finalizer) — as ``out``.
+    ``pfx`` keeps alias names unique when used twice in one SELECT."""
+    return (f"xor({x}, {x} >> 30) AS {pfx}y1, "
+            f"{_mulmod_sql(pfx + 'y1', _FMIX_MIX1)} AS {pfx}z1, "
+            f"xor({pfx}z1, {pfx}z1 >> 27) AS {pfx}y2, "
+            f"{_mulmod_sql(pfx + 'y2', _FMIX_MIX2)} AS {pfx}z2, "
+            f"xor({pfx}z2, {pfx}z2 >> 31) AS {out}")
+
+
+def _tok_ctes() -> str:
+    """Shared CTEs: lowered whitespace token arrays (``tokarr``) and
+    ``toks(doc_id, pos, h)`` with h = md5-64 token hash as HUGEINT — the SQL
+    replay of ``dedup._hash_tokens_batch`` (lower=True)."""
+    return r"""
+    tokarr AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                            '\s+') AS ws
+               FROM documents),
+    toks AS (SELECT doc_id, pos,
+                    CAST(('0x' || substr(md5(tok), 1, 16))
+                         AS UBIGINT)::HUGEINT AS h
+             FROM (SELECT doc_id, unnest(ws) AS tok,
+                          generate_subscripts(ws, 1) AS pos
+                   FROM tokarr
+                   WHERE NOT (len(ws) = 1 AND ws[1] = '')))
+    """
+
+
+def _shingle_ctes() -> str:
+    """CTEs producing ``sdist(doc_id, s)``: each doc's DISTINCT word-3-gram
+    shingle hashes — position-multiplier wraparound mix + fmix64, the replay
+    of ``dedup._shingles_from_tokens`` (incl. the <3-token partial gram)."""
+    p0, p1, p2 = _SHINGLE_POS
+    acc3 = (f"({_mulmod_sql('h', p0)} + {_mulmod_sql('h1', p1)} + "
+            f"{_mulmod_sql('h2', p2)}) % {_U64}::HUGEINT")
+    accsm = (f"(sum(CASE pos WHEN 1 THEN {_mulmod_sql('h', p0)} "
+             f"WHEN 2 THEN {_mulmod_sql('h', p1)} END)) % {_U64}::HUGEINT")
+    return f"""
+    leads AS (SELECT doc_id, pos, h,
+                     lead(h, 1) OVER w AS h1, lead(h, 2) OVER w AS h2
+              FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    allacc AS (
+        SELECT doc_id, {acc3} AS acc FROM leads WHERE h2 IS NOT NULL
+        UNION ALL
+        SELECT t.doc_id, {accsm} AS acc
+        FROM toks t JOIN (SELECT doc_id, count(*) AS n FROM toks
+                          GROUP BY doc_id) nt USING (doc_id)
+        WHERE nt.n < 3 GROUP BY t.doc_id),
+    sdist AS (SELECT DISTINCT doc_id, s
+              FROM (SELECT doc_id, {_fmix_proj('acc', 's', 'fm_')}
+                    FROM allacc))
+    """
+
+
+def _simhash_ctes() -> str:
+    """CTE ``ssig(doc_id, v)``: every document's 64-bit SimHash as UBIGINT
+    (0 for token-less docs) from per-token-occurrence bit votes — the replay
+    of ``dedup._simhash_batch`` (votes > 0 sets the bit; ties clear it)."""
+    return """
+    votes AS (SELECT doc_id, r.range AS bit,
+                     CASE WHEN sum(CASE WHEN (h >> CAST(r.range AS INTEGER))
+                                             % 2 = 1
+                                        THEN 1 ELSE -1 END) > 0
+                          THEN 1 ELSE 0 END AS sb
+              FROM toks CROSS JOIN range(64) r
+              GROUP BY doc_id, r.range),
+    ssig AS (SELECT d.doc_id, CAST(coalesce(v.v, 0) AS UBIGINT) AS v
+             FROM documents d
+             LEFT JOIN (SELECT doc_id,
+                               sum(sb::HUGEINT *
+                                   (1::HUGEINT << CAST(bit AS INTEGER))) AS v
+                        FROM votes GROUP BY doc_id) v USING (doc_id))
+    """
+
+
+def _minhash_perm_values() -> str:
+    """VALUES rows (perm, a, b) for the 128 MinHash permutations, read from
+    the SAME seeded MinHasher the Ray stage builds (single source of
+    truth, like _stopword_values)."""
+    from norsk_historisk_avis_ocr_ray.functions.dedup import MinHasher
+
+    h = MinHasher()
+    return ", ".join(f"({i}, {int(a)}, {int(b)})"
+                     for i, (a, b) in enumerate(zip(h.a, h.b)))
+
+
+def _band_acc_expr() -> str:
+    """SUM aggregate mixing one band's 8 signature values with the _BANDC
+    position multipliers (wraparound dot product, pre-fmix) — the replay of
+    ``MinHasher._band_keys``. A SUM + one finalizer rather than an iterated
+    fmix fold: DuckDB expands chained lateral aliases by substitution, so an
+    8-deep fmix chain explodes the plan exponentially."""
+    from norsk_historisk_avis_ocr_ray.functions.dedup import _BANDC
+
+    branches = " ".join(
+        f"WHEN {r} THEN {_mulmod_sql('sig', int(_BANDC[r]))}"
+        for r in range(8))
+    return f"(sum(CASE perm % 8 {branches} END)) % {_U64}::HUGEINT"
+
+
+def _minhash_cand_ctes() -> str:
+    """CTEs producing ``cand(a, b)``: the distinct LSH candidate pairs —
+    signatures (universal-family minima over mod-p shingles), band keys,
+    and the band-bucket self-join, all replayed exactly."""
+    return f"""
+    {_shingle_ctes()},
+    x61 AS (SELECT doc_id,
+                   CASE WHEN v >= {_P61_SQL}::HUGEINT
+                        THEN v - {_P61_SQL}::HUGEINT ELSE v END AS x
+            FROM (SELECT doc_id,
+                         (s >> 61) + (s % {_P61_SQL1}::HUGEINT) AS v
+                  FROM sdist)),
+    perms(perm, a, b) AS (VALUES {_minhash_perm_values()}),
+    sigv AS (SELECT doc_id, perm,
+                    min(CASE WHEN pv >= {_P61_SQL}::HUGEINT
+                             THEN pv - {_P61_SQL}::HUGEINT ELSE pv END) AS sig
+             FROM (SELECT t.doc_id, p.perm,
+                          (p.a * t.x) % {_P61_SQL}::HUGEINT + p.b AS pv
+                   FROM x61 t CROSS JOIN perms p)
+             GROUP BY doc_id, perm),
+    sigfull AS (SELECT d.doc_id, p.perm,
+                       coalesce(sv.sig, {_P61_SQL}::HUGEINT) AS sig
+                FROM (SELECT doc_id FROM documents) d
+                CROSS JOIN perms p
+                LEFT JOIN sigv sv ON sv.doc_id = d.doc_id
+                                 AND sv.perm = p.perm),
+    bacc AS (SELECT doc_id, perm // 8 AS band, {_band_acc_expr()} AS acc
+             FROM sigfull GROUP BY doc_id, perm // 8),
+    bk AS (SELECT doc_id, band, bkey
+           FROM (SELECT doc_id, band, {_fmix_proj('acc', 'bkey', 'bf_')}
+                 FROM bacc)),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bk x JOIN bk y
+               ON x.band = y.band AND x.bkey = y.bkey
+              AND x.doc_id < y.doc_id)
+    """
+
+
+def _minhash_pairs_body(threshold: float) -> str:
+    """CTE chain ending in ``scored(a, b, jac)`` — candidates via the full
+    MinHash replay, jaccard via literal lowered 3-gram strings (identical
+    sets: the 64-bit shingle hash is injective on the gate vocabulary, which
+    dedup_ngram_jaccard's green string-based oracle already witnesses)."""
+    return f"""{_tok_ctes()}, {_minhash_cand_ctes()},
+    g3 AS (SELECT doc_id,
+                  unnest(ws[1:len(ws)-2]) || ' ' ||
+                  unnest(ws[2:len(ws)-1]) || ' ' ||
+                  unnest(ws[3:len(ws)]) AS gm
+           FROM tokarr WHERE len(ws) >= 3),
+    gsmall AS (SELECT doc_id, array_to_string(ws, ' ') AS gm
+               FROM tokarr
+               WHERE len(ws) < 3 AND NOT (len(ws) = 1 AND ws[1] = '')),
+    gd AS (SELECT DISTINCT doc_id, gm
+           FROM (SELECT * FROM g3 UNION ALL SELECT * FROM gsmall)),
+    gn AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+    gi AS (SELECT c.a, c.b, count(*) AS i
+           FROM cand c
+           JOIN gd x ON x.doc_id = c.a
+           JOIN gd y ON y.doc_id = c.b AND y.gm = x.gm
+           GROUP BY c.a, c.b),
+    scored AS (SELECT c.a, c.b,
+                      CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0) = 0
+                           THEN 1.0
+                           ELSE coalesce(gi.i, 0) * 1.0 /
+                                (coalesce(na.n, 0) + coalesce(nb.n, 0)
+                                 - coalesce(gi.i, 0))
+                      END AS jac
+               FROM cand c
+               LEFT JOIN gi ON gi.a = c.a AND gi.b = c.b
+               LEFT JOIN gn na ON na.doc_id = c.a
+               LEFT JOIN gn nb ON nb.doc_id = c.b)"""
+
+
+def _dedup_minhash_sql(threshold: float = 0.8) -> str:
+    return f"""
+    WITH {_minhash_pairs_body(threshold)}
+    SELECT a, b, round(jac, 6) AS jaccard
+    FROM scored WHERE round(jac, 6) >= {threshold}
+    ORDER BY a, b
+    """
+
+
+def _minhash_clusters_sql(threshold: float = 0.8) -> str:
+    """Min-label propagation over the verified pairs (dup_clusters oracle
+    pattern). vp/bidir are MATERIALIZED: without it DuckDB inlines the whole
+    candidate chain into the recursive part and re-executes it per iteration
+    (measured 299 s → 21 s at sf0.1)."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_body(threshold)},
+    vp AS MATERIALIZED (SELECT a, b FROM scored
+                        WHERE round(jac, 6) >= {threshold}),
+    bidir AS MATERIALIZED (SELECT a, b FROM vp UNION SELECT b, a FROM vp),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM bidir),
+    lab(node, label) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT bd.a, lab.label FROM lab
+        JOIN bidir bd ON bd.b = lab.node
+        WHERE lab.label < bd.a
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM lab GROUP BY node ORDER BY doc_id
+    """
+
+
+def _simhash_signatures_sql() -> str:
+    return f"""
+    WITH {_tok_ctes()}, {_simhash_ctes()}
+    SELECT doc_id, lower(lpad(hex(v), 16, '0')) AS simhash FROM ssig
+    """
+
+
+def _dedup_simhash_sql(max_hamming: int = 3) -> str:
+    return f"""
+    WITH {_tok_ctes()}, {_simhash_ctes()},
+    chunks AS (SELECT doc_id, v,
+                      (v >> CAST(16 * c.range AS INTEGER)) % 65536 AS cv,
+                      c.range AS c
+               FROM ssig CROSS JOIN range(4) c)
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.v, y.v)) AS BIGINT) AS hamming
+    FROM chunks x JOIN chunks y
+      ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.v, y.v)) <= {max_hamming}
+    ORDER BY a, b
+    """
+
+
 def _stopword_values() -> str:
     """SQL VALUES rows for the lang_id oracle, generated from the SAME
     STOPWORDS table the Ray stage compiles (single source of truth)."""
@@ -982,6 +1227,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.6
             ORDER BY a, b
         """,
+        # MinHash / SimHash: fully replayed in SQL (md5 token hash + HUGEINT
+        # uint64/mod-p arithmetic) — see the oracle-machinery helpers above.
+        "dedup_minhash": _dedup_minhash_sql(),
+        "minhash_clusters": _minhash_clusters_sql(),
+        "simhash_signatures": _simhash_signatures_sql(),
+        "dedup_simhash": _dedup_simhash_sql(),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
                        WHERE vec_id < 10),

@@ -36,8 +36,10 @@ Two operators:
   The pair list is the RESULT of dedup_minhash — already O(result) and
   driver-resident by that operator's contract — so the transitive closure
   runs as a driver-side union-find over those pairs (same size class as its
-  input; the corpus never leaves the cluster). Rows-only (MinHash is not
-  SQL-expressible); pytest plants transitive chains as ground truth.
+  input; the corpus never leaves the cluster). Exactly SQL-oracled since
+  round 3 (md5 token hash + HUGEINT replay of the full MinHash chain, then
+  recursive-CTE label propagation — ``__ray_entry__._minhash_clusters_sql``);
+  pytest additionally plants transitive chains as ground truth.
 
 No reference counterpart (the reference dedupes nothing); the graph/CC
 design follows the public MapReduce-CC literature.
@@ -224,7 +226,9 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 
     The pair list is O(result) and driver-resident by ``dedup_minhash``'s
     own contract, so the closure is a driver union-find over that sliver —
-    the corpus itself never moves. Rows-only (MinHash has no SQL form)."""
+    the corpus itself never moves. Exactly SQL-oracled (the oracle replays
+    the md5/mod-p MinHash chain and closes the components with a recursive
+    CTE — ``__ray_entry__._minhash_clusters_sql``)."""
     from .dedup import dedup_minhash
 
     pairs = dedup_minhash(sf_dir, threshold=threshold)

@@ -12,11 +12,15 @@ The large-scale-pipeline workhorses, expressed Ray-Data-first:
   blocking on 16-bit chunks (Hamming ≤ 3 ⇒ at least one of 4 chunks equal),
   verify by Hamming distance.
 
-Hashing uses blake2b (8-byte digests) — deterministic across worker
-processes (Python's builtin ``hash`` is salted per process and must never be
-used in a distributed pipeline) with genuinely independent 64 bits per token
-(a crc32-pair scheme used earlier had only ~32 bits of entropy because CRC32
-is linear in its init value).
+Hashing is process-deterministic (Python's builtin ``hash`` is salted per
+process and must never be used in a distributed pipeline) with genuinely
+independent 64 bits per token (a crc32-pair scheme used earlier had only
+~32 bits of entropy because CRC32 is linear in its init value). The TOKEN
+hash is md5-derived (first 8 digest bytes) rather than blake2b: md5 is the
+one cryptographic hash DuckDB shares with Python, which is what lets the
+whole MinHash/SimHash family be EXACTLY SQL-oracled — every downstream
+quantity (shingle mix, permutation minima, band keys, bit votes) is plain
+uint64/mod-p arithmetic a DuckDB HUGEINT query replays bit-for-bit.
 
 Verification hash-joins the candidate (a, b) pair list back to the documents
 table twice (text-only joins), so no worker or the driver ever holds the
@@ -49,6 +53,15 @@ def _hash64(token: str) -> int:
         hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+def _md5_64(token: str) -> int:
+    """md5-derived 64-bit token hash: the first 8 digest bytes, big-endian —
+    i.e. the first 16 hex chars of ``md5(token)``, which DuckDB reproduces as
+    ``('0x' || substr(md5(tok), 1, 16))::UBIGINT``. The shared-hash bridge
+    that makes MinHash/SimHash exactly SQL-oracle-able (``__ray_entry__``)."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8],
+                          "big")
+
+
 # Shingle hashes are derived from token hashes with a vectorized mixer, NOT
 # blake2b per shingle: a batch of 1k docs has ~60k shingles but only a few
 # thousand *distinct tokens*, so hashing the vocabulary once and combining in
@@ -67,6 +80,18 @@ def _fmix64(x: np.ndarray) -> np.ndarray:
     x = x ^ (x >> np.uint64(27))
     x = x * _MIX2
     return x ^ (x >> np.uint64(31))
+
+
+# Odd per-row multipliers for the LSH band key (rows-per-band ≤ 8): the key
+# is fmix64 of a position-weighted wraparound dot product of the band's
+# signature values. A linear mix + ONE finalizer (rather than an iterated
+# fmix chain) keeps the band key SQL-oracle-able: DuckDB expands chained
+# lateral aliases by substitution, so an 8-deep fmix fold explodes the
+# expression tree exponentially at plan time, while a SUM aggregate plus a
+# single finalizer is linear. Collision semantics are unchanged — the key
+# only has to identify equal 8-tuples.
+_BANDC = _fmix64(np.arange(1, 9, dtype=np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
 
 
 def _shingles_from_tokens(th: np.ndarray, k: int = 3) -> np.ndarray:
@@ -90,7 +115,8 @@ def _shingles_from_tokens(th: np.ndarray, k: int = 3) -> np.ndarray:
 
 def _hash_tokens_batch(texts: list, lower: bool = True) -> list[np.ndarray]:
     """Token-hash arrays for a batch of texts, hashing each DISTINCT token
-    once (blake2b over the batch vocabulary, dict lookups for the rest).
+    once (md5 over the batch vocabulary, dict lookups for the rest — md5 so
+    DuckDB oracles can replay the hash, see ``_md5_64``).
     ``lower=False`` keeps case (for ops whose SQL oracle is case-sensitive)."""
     tok_lists = [((t or "").lower() if lower else (t or "")).split()
                  for t in texts]
@@ -98,7 +124,7 @@ def _hash_tokens_batch(texts: list, lower: bool = True) -> list[np.ndarray]:
     for toks in tok_lists:
         for t in toks:
             if t not in vocab:
-                vocab[t] = _hash64(t)
+                vocab[t] = _md5_64(t)
     get = vocab.__getitem__
     return [np.fromiter(map(get, toks), np.uint64, count=len(toks))
             for toks in tok_lists]
@@ -258,15 +284,14 @@ class MinHasher:
         return sigs
 
     def _band_keys(self, sigs: np.ndarray) -> np.ndarray:
-        """(ndocs, bands) uint64 band keys: each band's ``rows`` signature
-        values folded through a splitmix64 chain (vectorized across all docs
-        and bands — replaces one blake2b call per (doc, band))."""
+        """(ndocs, bands) uint64 band keys: fmix64 of each band's
+        position-weighted wraparound dot product with ``_BANDC`` (vectorized
+        across all docs and bands — replaces one blake2b call per
+        (doc, band), and SQL-replayable: see ``_BANDC``)."""
         chunks = sigs.reshape(len(sigs), self.bands, self.rows)
-        h = np.full((len(sigs), self.bands),
-                    np.uint64(0x9E3779B97F4A7C15), np.uint64)
-        for r in range(self.rows):
-            h = _fmix64(h ^ chunks[:, :, r])
-        return h
+        acc = (chunks * _BANDC[: self.rows][None, None, :]).sum(
+            axis=2, dtype=np.uint64)
+        return _fmix64(acc)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tok_arrays = _hash_tokens_batch(batch["text"].to_pylist())

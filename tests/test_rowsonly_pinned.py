@@ -1,11 +1,13 @@
 """Driver-scale pinned ground truth for deterministic rows-only queries.
 
-``simhash_signatures`` and ``winnow_fingerprint`` have no ANSI-SQL form
-(splitmix64 / blake2b are not DuckDB expressible), so the driver records a
-rows-only check. These pins close the gap: the FULL result table at the
-driver's gate scale (sf0.01, 500 docs) is hashed against values computed
-once and frozen here — any regression in tokenization, hashing, winnowing
-selection, or batching-dependence flips the digest.
+``winnow_fingerprint`` has no ANSI-SQL form (its fp_digest is blake2b,
+not DuckDB expressible), so the driver records a rows-only check; the
+other pins here guard deterministic ops whose primary gate is elsewhere
+(``simhash_signatures`` gained an exact DuckDB oracle in round 3 — the
+pin stays as a batching-independence tripwire). The FULL result table at
+the driver's gate scale (sf0.01, 500 docs) is hashed against values
+computed once and frozen here — any regression in tokenization, hashing,
+winnowing selection, or batching-dependence flips the digest.
 """
 
 import hashlib
@@ -26,9 +28,9 @@ def test_simhash_signatures_pinned_full_table(ray_session):
     df = (simhash_signatures(SF).to_pandas()
           .sort_values("doc_id").reset_index(drop=True))
     assert len(df) == 500
-    assert df.loc[0, "simhash"] == "6ed88c1dd0a9584d"
-    assert df.loc[1, "simhash"] == "7e18afe7c0bd6b41"
-    assert table_digest(df) == "7bbda4cdc09b3faa174bc4287c4914ed"
+    assert df.loc[0, "simhash"] == "20c140db9cf2a332"
+    assert df.loc[1, "simhash"] == "10bc4ff884f2b230"
+    assert table_digest(df) == "d14ef94a8040d4cd5fd3d879bc917457"
 
 
 def test_winnow_fingerprint_pinned_full_table(ray_session):
