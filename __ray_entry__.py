@@ -1386,6 +1386,38 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
             ORDER BY doc_id
         """,
+        # seq_pack: the per-shard greedy reset-on-overflow scan is a
+        # recursive CTE over per-shard row numbers — each recursion step
+        # advances every shard by one document (depth = shard size, 256);
+        # the bin totals are the LAST state row per (shard, bin) (max_by rn).
+        "seq_pack": r"""
+            WITH RECURSIVE
+            d AS (SELECT doc_id // 256 AS shard, doc_id,
+                         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                              ELSE len(regexp_split_to_array(trim(text),
+                                                             '\s+'))
+                         END AS nt,
+                         row_number() OVER (PARTITION BY doc_id // 256
+                                            ORDER BY doc_id) AS rn
+                  FROM documents),
+            st(shard, rn, bin_idx, cur_docs, cur_toks) AS (
+                SELECT shard, rn, 0::BIGINT, 1::BIGINT, nt::BIGINT
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.shard, d.rn,
+                       CASE WHEN st.cur_toks + d.nt > 512
+                            THEN st.bin_idx + 1 ELSE st.bin_idx END,
+                       CASE WHEN st.cur_toks + d.nt > 512
+                            THEN 1::BIGINT ELSE st.cur_docs + 1 END,
+                       CASE WHEN st.cur_toks + d.nt > 512
+                            THEN d.nt::BIGINT ELSE st.cur_toks + d.nt END
+                FROM st JOIN d ON d.shard = st.shard AND d.rn = st.rn + 1
+            )
+            SELECT shard, bin_idx, max_by(cur_docs, rn) AS n_docs,
+                   max_by(cur_toks, rn) AS n_tokens,
+                   round(max_by(cur_toks, rn) / 512.0, 6) AS fill
+            FROM st GROUP BY shard, bin_idx ORDER BY shard, bin_idx
+        """,
         "q_contamination": r"""
             WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
                               AS ws FROM documents),
@@ -2433,8 +2465,12 @@ def oracle_sql() -> dict[str, str]:
         # merges + sequential-apply-reference pytests),
         # image_phash_dedup (binary media; planted noisy-dup pytest),
         # emb_kmeans / emb_pca (iterative float),
-        # dedup_minhash, dedup_simhash, minhash_clusters, simhash_signatures,
-        # ann_ivf_topk, ann_lsh_topk, winnow_fingerprint, audio_frame_energy,
-        # video_frame_sample, seq_pack (order-stateful
-        # greedy packing — pinned by the planted pytest ground truth)
+        # ann_ivf_topk, ann_lsh_topk (seeded k-means / random-hyperplane
+        # indexes; recall@5 >= 0.85 pytests vs exact brute force),
+        # winnow_fingerprint (fp_digest is blake2b — not DuckDB
+        # expressible; full-table digest pinned at driver scale),
+        # audio_frame_energy, video_frame_sample (binary media corpora,
+        # not SQL tables). dedup_minhash / dedup_simhash /
+        # minhash_clusters / simhash_signatures and seq_pack gained exact
+        # oracles in round 3 (md5/HUGEINT replay; recursive-CTE packing).
     }

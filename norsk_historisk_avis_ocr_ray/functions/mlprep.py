@@ -409,7 +409,10 @@ def seq_pack(sf_dir: str, capacity: int = PACK_CAPACITY,
     a doc that would overflow the open bin starts a new one (an oversize doc
     occupies a bin alone). Per-shard packing keeps the operator deterministic
     under any input partitioning and parallel across shards — the one
-    shuffle is the ``groupby(shard)``. Output: one row per bin."""
+    shuffle is the ``groupby(shard)``. Output: one row per bin.
+
+    Exactly SQL-oracled since round 3: the reset-on-overflow greedy scan is
+    a recursive CTE over per-shard row numbers (depth = shard size)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def tok_counts(t: pa.Table) -> pa.Table:
