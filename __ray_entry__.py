@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint": textstats.winnow_fingerprint,
         "lang_id": textstats.lang_id,
         "q_char_entropy": textstats.q_char_entropy,
+        "q_gopher_filter": textstats.q_gopher_filter,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -812,6 +813,14 @@ def _stopword_values() -> str:
     return ", ".join(f"('{w}', '{lang}')"
                      for lang in sorted(STOPWORDS)
                      for w in sorted(STOPWORDS[lang]))
+
+
+def _gopher_stop_values() -> str:
+    """SQL VALUES rows for the q_gopher_filter stop list — generated from
+    the stage's own GOPHER_STOPS set (single source of truth)."""
+    from norsk_historisk_avis_ocr_ray.functions.textstats import GOPHER_STOPS
+
+    return ", ".join(f"('{w}')" for w in sorted(GOPHER_STOPS))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2422,6 +2431,75 @@ def oracle_sql() -> dict[str, str]:
         # Ties (incl. all-zero scores) resolve to the alphabetically first
         # language on both sides; the VALUES list is generated from the
         # same STOPWORDS dict the Ray stage compiles.
+        # q_gopher_filter: the keep decision is all-integer comparisons on
+        # both sides (3n <= sum <= 10n etc.), so no float threshold can
+        # diverge; '...' symbol counting uses the non-overlapping
+        # leftmost-first convention on both sides (Arrow count_substring ==
+        # the replace()-length trick).
+        "q_gopher_filter": f"""
+            WITH stops(w) AS (VALUES {{gstops}}),
+            b AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+            wd AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(trim(tx), '\\s+'))
+                              AS tok
+                   FROM b WHERE trim(tx) <> ''),
+            wstat AS (SELECT b.doc_id,
+                             count(tok) AS n_words,
+                             coalesce(sum(len(tok)), 0) AS sum_len,
+                             count(CASE WHEN regexp_matches(
+                                       tok, '[A-Za-zæøåÆØÅ]')
+                                        THEN 1 END) AS n_alpha
+                      FROM b LEFT JOIN wd USING (doc_id)
+                      GROUP BY b.doc_id),
+            ns AS (SELECT doc_id, count(DISTINCT lower(tok)) AS n_stop
+                   FROM wd JOIN stops ON lower(tok) = stops.w
+                   GROUP BY doc_id),
+            ld AS (SELECT doc_id, unnest(string_split(tx, chr(10))) AS line
+                   FROM b),
+            lstat AS (SELECT doc_id, count(*) AS n_lines,
+                             count(CASE WHEN left(line, 1)
+                                             IN ('•', '-', '*')
+                                        THEN 1 END) AS n_bullet,
+                             count(CASE WHEN right(line, 3) = '...'
+                                         OR right(line, 1) = '…'
+                                        THEN 1 END) AS n_ellip
+                      FROM ld GROUP BY doc_id),
+            sym AS (SELECT doc_id,
+                           (len(tx) - len(replace(tx, '#', '')))
+                           + (len(tx) - len(replace(tx, '...', ''))) // 3
+                           + (len(tx) - len(replace(tx, '…', '')))
+                               AS n_sym
+                    FROM b)
+            SELECT w.doc_id, w.n_words, l.n_lines,
+                   round(CASE WHEN w.n_words > 0
+                              THEN w.sum_len * 1.0 / w.n_words
+                              ELSE 0.0 END, 6) AS mean_word_len,
+                   round(CASE WHEN w.n_words > 0
+                              THEN s.n_sym * 1.0 / w.n_words
+                              ELSE 0.0 END, 6) AS symbol_ratio,
+                   round(l.n_bullet * 1.0 / greatest(l.n_lines, 1), 6)
+                       AS bullet_frac,
+                   round(l.n_ellip * 1.0 / greatest(l.n_lines, 1), 6)
+                       AS ellipsis_frac,
+                   round(CASE WHEN w.n_words > 0
+                              THEN w.n_alpha * 1.0 / w.n_words
+                              ELSE 0.0 END, 6) AS alpha_frac,
+                   coalesce(ns.n_stop, 0) AS n_stop,
+                   CAST(CASE WHEN w.n_words BETWEEN 50 AND 100000
+                              AND 3 * w.n_words <= w.sum_len
+                              AND w.sum_len <= 10 * w.n_words
+                              AND 10 * s.n_sym < w.n_words
+                              AND 10 * l.n_bullet <= 9 * l.n_lines
+                              AND 10 * l.n_ellip <= 3 * l.n_lines
+                              AND 5 * w.n_alpha >= 4 * w.n_words
+                              AND coalesce(ns.n_stop, 0) >= 2
+                             THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM wstat w
+            JOIN lstat l USING (doc_id)
+            JOIN sym s USING (doc_id)
+            LEFT JOIN ns USING (doc_id)
+            ORDER BY doc_id
+        """.format(gstops=_gopher_stop_values()),
         "lang_id": f"""
             WITH sw(word, lang) AS (VALUES {_stopword_values()}),
             n AS (

@@ -227,6 +227,131 @@ def lang_id(sf_dir: str) -> Dataset:
                    ("lang_score", pa.float64())]))
 
 
+# --- Gopher-style quality-rule filter ------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+# Norwegian + English stop list (the Gopher "contains common words" rule,
+# localized); single source of truth — the oracle VALUES are generated from
+# this set (__ray_entry__._gopher_stop_values).
+GOPHER_STOPS = frozenset(STOPWORDS["nb"] | STOPWORDS["en"])
+_GOPHER_ALPHA_RE = "[A-Za-zæøåÆØÅ]"   # "word contains a letter" class —
+#   spelled out explicitly (not \p{L} / str.isalpha) so the Arrow kernel and
+#   the DuckDB RE2 oracle test the IDENTICAL predicate.
+_GOPHER_BULLETS = ("•", "-", "*")
+
+
+def _seg_sums(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-segment sums of a flat value array under segment lengths
+    ``counts`` — cumsum-difference form (``np.add.reduceat`` misbehaves on
+    zero-length segments)."""
+    csum = np.concatenate(([0], np.cumsum(vals, dtype=np.int64)))
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return csum[ends] - csum[starts]
+
+
+def _gopher_batch(t: pa.Table) -> pa.Table:
+    text = pc.fill_null(t["text"], "")
+    ndocs = len(text)
+
+    words = pc.utf8_split_whitespace(text)
+    # Arrow's split emits EMPTY fields for leading/trailing/repeated
+    # whitespace (Python's str.split() does not) — segment on the raw list
+    # lengths but count only nonempty tokens as words.
+    nw_raw = pc.list_value_length(words).cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    flat = pc.list_flatten(words)
+    wlen = pc.utf8_length(flat).cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    nw = _seg_sums((wlen > 0).astype(np.int64), nw_raw)
+    sum_len = _seg_sums(wlen, nw_raw)
+    alpha = pc.match_substring_regex(flat, _GOPHER_ALPHA_RE).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_alpha = _seg_sums(alpha, nw_raw)
+
+    # distinct stopwords per doc: factorize lowered tokens against the stop
+    # list, then unique (doc, stop_idx) pairs
+    stop_idx = pc.index_in(pc.utf8_lower(flat),
+                           value_set=pa.array(sorted(GOPHER_STOPS)))
+    si = stop_idx.to_numpy(zero_copy_only=False)
+    mask = ~np.isnan(si) if si.dtype.kind == "f" else si >= 0
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), nw_raw)
+    keys = np.unique(doc_idx[mask] * 64 + si[mask].astype(np.int64))
+    n_stop = np.bincount(keys // 64, minlength=ndocs).astype(np.int64)
+
+    lines = pc.split_pattern(text, "\n")
+    nl = pc.list_value_length(lines).cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    flatl = pc.list_flatten(lines)
+    bullet = np.zeros(len(flatl), np.int64)
+    for b in _GOPHER_BULLETS:
+        bullet |= pc.starts_with(flatl, b).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    n_bullet = _seg_sums(bullet, nl)
+    ellip = (pc.ends_with(flatl, "...").to_numpy(zero_copy_only=False)
+             | pc.ends_with(flatl, "…").to_numpy(zero_copy_only=False))
+    n_ellip = _seg_sums(ellip.astype(np.int64), nl)
+
+    n_sym = (pc.count_substring(text, "#").cast(pa.int64()).to_numpy(
+                 zero_copy_only=False)
+             + pc.count_substring(text, "...").cast(pa.int64()).to_numpy(
+                 zero_copy_only=False)
+             + pc.count_substring(text, "…").cast(pa.int64()).to_numpy(
+                 zero_copy_only=False))
+
+    nw_f = np.maximum(nw, 1).astype(np.float64)
+    nl_f = np.maximum(nl, 1).astype(np.float64)
+    # the keep decision is ALL-INTEGER comparisons (ratio thresholds cleared
+    # of floats: mean in [3,10] <=> 3n <= sum <= 10n, etc.) so the oracle
+    # can never diverge on a rounding edge
+    keep = ((nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS)
+            & (3 * nw <= sum_len) & (sum_len <= 10 * nw)
+            & (10 * n_sym < nw)
+            & (10 * n_bullet <= 9 * nl)
+            & (10 * n_ellip <= 3 * nl)
+            & (5 * n_alpha >= 4 * nw)
+            & (n_stop >= 2)).astype(np.int64)
+
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_words": pa.array(nw, pa.int64()),
+        "n_lines": pa.array(nl, pa.int64()),
+        "mean_word_len": pa.array(
+            round_half_away(np.where(nw > 0, sum_len / nw_f, 0.0), 6)),
+        "symbol_ratio": pa.array(
+            round_half_away(np.where(nw > 0, n_sym / nw_f, 0.0), 6)),
+        "bullet_frac": pa.array(round_half_away(n_bullet / nl_f, 6)),
+        "ellipsis_frac": pa.array(round_half_away(n_ellip / nl_f, 6)),
+        "alpha_frac": pa.array(
+            round_half_away(np.where(nw > 0, n_alpha / nw_f, 0.0), 6)),
+        "n_stop": pa.array(n_stop, pa.int64()),
+        "keep": pa.array(keep, pa.int64()),
+    })
+
+
+def q_gopher_filter(sf_dir: str) -> Dataset:
+    """Gopher-style quality-rule document filter (Rae et al. 2021 §A1.1,
+    localized): per doc the rule signals — word count, mean word length,
+    symbol-to-word ratio ('#'/'...'/'…'), bullet-start and ellipsis-end line
+    fractions, letter-word fraction, distinct-stopword count — plus the
+    all-rules ``keep`` decision as integer predicates (no float thresholds
+    anywhere in the decision, so it is partitioning- and oracle-exact).
+
+    One vectorized Arrow pass per batch, zero shuffles — the canonical
+    pre-dedup quality gate of a web-scale training-data pipeline."""
+    return ensure_schema(
+        _docs(sf_dir).map_batches(_gopher_batch, batch_format="pyarrow",
+                                  batch_size=8192),
+        pa.schema([("doc_id", pa.int64()), ("n_words", pa.int64()),
+                   ("n_lines", pa.int64()), ("mean_word_len", pa.float64()),
+                   ("symbol_ratio", pa.float64()),
+                   ("bullet_frac", pa.float64()),
+                   ("ellipsis_frac", pa.float64()),
+                   ("alpha_frac", pa.float64()), ("n_stop", pa.int64()),
+                   ("keep", pa.int64())]))
+
+
 # --- Gopher-style repetition statistics ---------------------------------------
 
 def q_repetition_stats(sf_dir: str) -> Dataset:

@@ -1,0 +1,83 @@
+"""Planted edge cases for q_gopher_filter (exact equality vs DuckDB is
+enforced by tools/check_oracle.py — these tests pin the rule SEMANTICS on
+hand-constructed documents)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.01"
+
+# 54 words, mean word length 5.30 (inside [3, 10]), stopwords {det, som}
+GOOD = ("avisen skriver mange gode saker om byen det som skjer rundt "
+        "havnen gir folk glede hver eneste morgen und kveld mens "
+        "redaksjonen arbeider videre med nye artikler om fiske handel "
+        "skipsfart vær politikk kultur idrett skole kirke marked torg "
+        "bønder fiskere sjømenn kjøpmenn lærere prester leser avisen "
+        "det som alltid kommer presis klokken seks")
+
+
+def _write_docs(tmp_path, texts):
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _run(sf_dir):
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_gopher_filter)
+
+    return (q_gopher_filter(sf_dir).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_gopher_rules_planted(ray_session, tmp_path):
+    assert len(GOOD.split()) >= 50
+    docs = [
+        GOOD,                                     # 0: passes everything
+        "og er det kort",                         # 1: too few words
+        "\n".join(["- punkt nummer " + str(i) for i in range(20)]),  # 2: all bullet lines
+        "\n".join([("rad nummer " + str(i) + " slutter slik ...")
+                   for i in range(10)]),          # 3: all lines end with ellipsis
+        "123 456 789 " * 20,                      # 4: no alphabetic words
+        GOOD.replace("det", "xxx").replace("som", "vvv"),  # 5: no stopwords
+        "",                                       # 6: empty
+    ]
+    df = _run(_write_docs(tmp_path, docs))
+
+    assert df.loc[0, "keep"] == 1
+    assert df.loc[1, "keep"] == 0 and df.loc[1, "n_words"] == 4
+    assert df.loc[2, "keep"] == 0 and df.loc[2, "bullet_frac"] == 1.0
+    assert df.loc[3, "keep"] == 0 and df.loc[3, "ellipsis_frac"] == 1.0
+    assert df.loc[4, "keep"] == 0 and df.loc[4, "alpha_frac"] == 0.0
+    assert df.loc[5, "keep"] == 0 and df.loc[5, "n_stop"] < 2
+    assert df.loc[6, "keep"] == 0 and df.loc[6, "n_words"] == 0
+    assert df.loc[6, "mean_word_len"] == 0.0
+
+
+def test_gopher_symbol_counting_nonoverlapping(ray_session, tmp_path):
+    # 6 dots = two non-overlapping '...'; one '#'; '….' = one '…'
+    df = _run(_write_docs(tmp_path, [GOOD + " ...... #. ….", GOOD]))
+    n_words0 = df.loc[0, "n_words"]
+    assert df.loc[0, "symbol_ratio"] == round((2 + 1 + 1) / n_words0, 6)
+    assert df.loc[1, "symbol_ratio"] == 0.0
+    assert df.loc[1, "keep"] == 1
+
+
+def test_gopher_integer_thresholds_edge(ray_session, tmp_path):
+    # exactly 50 words, every word exactly 3 chars → mean exactly 3.0
+    # (inclusive lower bound) — the integer predicate 3n <= sum must keep it
+    fifty = " ".join(["ord"] * 47 + ["det", "som", "til"])
+    ws = fifty.split()
+    assert len(ws) == 50 and all(len(w) == 3 for w in ws)
+    df = _run(_write_docs(tmp_path, [fifty]))
+    assert df.loc[0, "n_words"] == 50
+    assert df.loc[0, "mean_word_len"] == 3.0
+    assert df.loc[0, "keep"] == 1                 # both bounds inclusive
+
+
+def test_gopher_keep_discriminates_at_gate_scale(ray_session):
+    df = _run(SF)
+    assert len(df) == 500
+    assert 0 < int(df["keep"].sum()) < 500
