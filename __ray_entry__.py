@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_global_shuffle": mlprep.q_global_shuffle,
         "q_mixture_sample": mlprep.q_mixture_sample,
         "q_text_normalize": mlprep.q_text_normalize,
+        "q_c4_filter": mlprep.q_c4_filter,
         "q_pmi_topk": mlprep.q_pmi_topk,
         # anti join / lag window
         "q_inactive_customers": relational.q_inactive_customers,
@@ -2414,6 +2415,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         # unicode NFC + whitespace canonicalization (pyarrow and DuckDB
         # both normalize with the same Unicode tables and run RE2)
+        # q_c4_filter: line-kept predicate is identical on both engines
+        # (single-char terminal after space/tab rstrip, >=5 nonempty
+        # whitespace fields, no lowered 'javascript'); the rebuilt text is
+        # compared by md5 of the ORDER BY line-index string_agg.
+        "q_c4_filter": r"""
+            WITH b AS (SELECT doc_id, coalesce(text, '') AS tx
+                       FROM documents),
+            ld AS (SELECT doc_id,
+                          unnest(string_split(tx, chr(10))) AS line,
+                          generate_subscripts(string_split(tx, chr(10)), 1)
+                              AS i
+                   FROM b),
+            lk AS (SELECT doc_id, line, i,
+                          CASE WHEN right(rtrim(line, ' ' || chr(9)), 1)
+                                    IN ('.', '!', '?', '"')
+                                AND len(list_filter(
+                                        regexp_split_to_array(line, '\s+'),
+                                        x -> x <> '')) >= 5
+                                AND NOT contains(lower(line), 'javascript')
+                               THEN 1 ELSE 0 END AS k
+                   FROM ld),
+            agg AS (SELECT doc_id, count(*) AS n_lines,
+                           count(CASE WHEN k = 1 THEN 1 END) AS n_kept,
+                           md5(coalesce(string_agg(
+                               CASE WHEN k = 1 THEN line END,
+                               chr(10) ORDER BY i), '')) AS clean_md5
+                    FROM lk GROUP BY doc_id)
+            SELECT b.doc_id, a.n_lines, a.n_kept,
+                   CAST(CASE WHEN a.n_kept >= 3
+                              AND NOT contains(lower(b.tx), 'lorem ipsum')
+                              AND NOT contains(b.tx, '{')
+                             THEN 1 ELSE 0 END AS BIGINT) AS keep,
+                   a.clean_md5
+            FROM b JOIN agg a USING (doc_id)
+            ORDER BY doc_id
+        """,
         "q_text_normalize": r"""
             WITH n AS (
                 SELECT doc_id,

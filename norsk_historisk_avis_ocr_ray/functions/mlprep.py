@@ -1153,6 +1153,87 @@ def q_unigram_ppl(sf_dir: str, n_features: int = DSIR_N_FEATURES) -> Dataset:
                    ("ppl", pa.float64())]))
 
 
+# --- C4-style line-level cleaning filter ----------------------------------------
+
+C4_TERMINALS = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_BAD_SUBSTR = "javascript"          # line-level drop (lowered match)
+C4_BAD_DOC = ("lorem ipsum", "{")     # doc-level drops (lowered match)
+
+
+def q_c4_filter(sf_dir: str) -> Dataset:
+    """C4-style cleaning (Raffel et al. 2020 §2.2, the public rule set):
+    keep a LINE iff it ends in terminal punctuation ('.', '!', '?', '\"'
+    after space/tab rstrip), has ≥ 5 whitespace words, and does not mention
+    'javascript' (lowered); keep the DOC iff ≥ 3 lines survive and the raw
+    text contains neither 'lorem ipsum' nor '{'. Emits the rebuilt text's
+    md5 (content-verified by the oracle without moving corpus-sized strings
+    through the compare) plus the line counts and the keep flag.
+
+    One vectorized Arrow pass over lines (flatten + ends_with/word-count
+    kernels), zero shuffles; the doc rebuild is a C-level join per doc.
+    Exact DuckDB oracle: same predicates over an unnest of the line list,
+    ``string_agg(... ORDER BY line idx)`` re-joined and md5'd."""
+
+    def clean(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        ndocs = len(text)
+        lines = pc.split_pattern(text, "\n")
+        nl = pc.list_value_length(lines).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(lines)
+        stripped = pc.utf8_rtrim(flat, " \t")
+        term = np.zeros(len(flat), bool)
+        for ch in C4_TERMINALS:
+            term |= pc.ends_with(stripped, ch).to_numpy(zero_copy_only=False)
+        # words per line = nonempty whitespace-split fields
+        wsplit = pc.utf8_split_whitespace(flat)
+        wflat_len = pc.utf8_length(pc.list_flatten(wsplit)).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        nw_raw = pc.list_value_length(wsplit).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        csum = np.concatenate(([0], np.cumsum((wflat_len > 0).astype(
+            np.int64))))
+        ends = np.cumsum(nw_raw)
+        line_words = csum[ends] - csum[ends - nw_raw]
+        nojs = ~pc.match_substring(pc.utf8_lower(flat),
+                                   C4_BAD_SUBSTR).to_numpy(
+            zero_copy_only=False)
+        keep_line = term & (line_words >= C4_MIN_LINE_WORDS) & nojs
+
+        lo = pc.utf8_lower(text)
+        bad_doc = np.zeros(ndocs, bool)
+        for pat in C4_BAD_DOC:
+            bad_doc |= pc.match_substring(lo, pat).to_numpy(
+                zero_copy_only=False)
+
+        flat_py = flat.to_pylist()
+        doc_ends = np.cumsum(nl)
+        n_kept, md5s = np.zeros(ndocs, np.int64), []
+        for i in range(ndocs):
+            s, e = doc_ends[i] - nl[i], doc_ends[i]
+            kept = [flat_py[j] for j in range(s, e) if keep_line[j]]
+            n_kept[i] = len(kept)
+            md5s.append(hashlib.md5("\n".join(kept).encode("utf-8"))
+                        .hexdigest())
+        keep = ((n_kept >= C4_MIN_KEPT_LINES) & ~bad_doc).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_lines": pa.array(nl, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "keep": pa.array(keep, pa.int64()),
+            "clean_md5": pa.array(md5s, pa.string()),
+        })
+
+    return ensure_schema(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            clean, batch_format="pyarrow", batch_size=8192),
+        pa.schema([("doc_id", pa.int64()), ("n_lines", pa.int64()),
+                   ("n_kept", pa.int64()), ("keep", pa.int64()),
+                   ("clean_md5", pa.string())]))
+
+
 # --- unicode text normalization (NFC + whitespace canonicalization) -------------
 
 def q_text_normalize(sf_dir: str) -> Dataset:

@@ -81,3 +81,70 @@ def test_gopher_keep_discriminates_at_gate_scale(ray_session):
     df = _run(SF)
     assert len(df) == 500
     assert 0 < int(df["keep"].sum()) < 500
+
+
+# --- q_c4_filter (line-level C4 cleaning) ------------------------------------
+
+def _run_c4(sf_dir):
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import q_c4_filter
+
+    return (q_c4_filter(sf_dir).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_c4_planted_line_rules(ray_session, tmp_path):
+    import hashlib
+
+    keep1 = "denne setningen har mange fine ord og slutter riktig."
+    keep2 = "enda en linje med nok ord som slutter med spørsmål?"
+    keep3 = 'og en tredje linje som slutter med et sitat her."'
+    docs = [
+        "\n".join([keep1,
+                   "for få ord her.",                 # < 5 words
+                   "denne linjen slutter ikke med punktum",  # no terminal
+                   "en linje om JavaScript som er lang nok.",  # javascript
+                   keep2, keep3]),                    # 3 kept → keep=1
+        "\n".join([keep1, keep2]),                    # only 2 kept → 0
+        "\n".join([keep1, keep2, keep3,
+                   "dette dokumentet nevner lorem ipsum her."]),  # bad doc
+        "\n".join([keep1, keep2, keep3]) + " {",      # brace → 0
+        "",                                           # empty → 0
+    ]
+    df = _run_c4(_write_docs(tmp_path, docs))
+
+    assert df.loc[0, "keep"] == 1 and df.loc[0, "n_kept"] == 3
+    assert df.loc[0, "n_lines"] == 6
+    expect = hashlib.md5("\n".join([keep1, keep2, keep3])
+                         .encode()).hexdigest()
+    assert df.loc[0, "clean_md5"] == expect
+    assert df.loc[1, "keep"] == 0 and df.loc[1, "n_kept"] == 2
+    # lorem-ipsum doc keeps 4 lines but is dropped doc-level
+    assert df.loc[2, "keep"] == 0 and df.loc[2, "n_kept"] == 4
+    assert df.loc[3, "keep"] == 0                    # '{' doc-level drop
+    assert df.loc[4, "keep"] == 0 and df.loc[4, "n_kept"] == 0
+    assert df.loc[4, "clean_md5"] == hashlib.md5(b"").hexdigest()
+
+    # the sf gate corpus is single-line — cross-check the ORACLE on this
+    # planted multi-line corpus too (exact frame equality, driver dtypes)
+    import duckdb
+    import importlib.util
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "rayentry", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    odf = (con.execute(mod.oracle_sql()["q_c4_filter"]).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(df, odf)
+
+
+def test_c4_rstrip_and_tab_handling(ray_session, tmp_path):
+    # terminal punctuation still counts through trailing spaces/tabs
+    line = "fem ord er her na og mer."
+    docs = ["\n".join([line + "   ", line + "\t", line])]
+    df = _run_c4(_write_docs(tmp_path, docs))
+    assert df.loc[0, "n_kept"] == 3 and df.loc[0, "keep"] == 1
