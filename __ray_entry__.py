@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": similarity.embedding_neardup,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_pq_topk": similarity.ann_pq_topk,
         "emb_kmeans": similarity.emb_kmeans,
         "emb_pca": similarity.emb_pca,
         "emb_label_centroid": similarity.emb_label_centroid,
@@ -2580,8 +2581,9 @@ def oracle_sql() -> dict[str, str]:
         # merges + sequential-apply-reference pytests),
         # image_phash_dedup (binary media; planted noisy-dup pytest),
         # emb_kmeans / emb_pca (iterative float),
-        # ann_ivf_topk, ann_lsh_topk (seeded k-means / random-hyperplane
-        # indexes; recall@5 >= 0.85 pytests vs exact brute force),
+        # ann_ivf_topk, ann_lsh_topk, ann_pq_topk (seeded k-means /
+        # random-hyperplane / product-quantization indexes; recall@5 >= 0.85
+        # pytests vs exact brute force),
         # winnow_fingerprint (fp_digest is blake2b — not DuckDB
         # expressible; full-table digest pinned at driver scale),
         # audio_frame_energy, video_frame_sample (binary media corpora,

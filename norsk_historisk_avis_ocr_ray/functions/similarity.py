@@ -467,6 +467,124 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
                           ascending=[True, False, True]).reset_index(drop=True)
 
 
+# --- product-quantization ANN (Jégou et al. 2011) -------------------------------
+
+PQ_M = 16             # subspaces (dim must divide)
+PQ_KS = 32            # centroids per subspace (5-bit codes)
+PQ_PREFILTER = 150    # ADC candidates per (query, batch) before re-rank
+
+
+def _pq_train(sample: np.ndarray, m: int = PQ_M, ks: int = PQ_KS,
+              iters: int = 12, seed: int = 131) -> np.ndarray:
+    """(m, ks, dim/m) PQ codebooks: plain L2 Lloyd k-means per subspace on
+    a driver-side sample (PQ training cost depends on the sample, not N).
+    Deterministic: seeded init, vectorized distance assignment."""
+    rng = np.random.default_rng(seed)
+    n, dim = sample.shape
+    sub = dim // m
+    books = np.empty((m, ks, sub))
+    for mi in range(m):
+        x = sample[:, mi * sub:(mi + 1) * sub]
+        cent = x[rng.choice(n, size=ks, replace=False)].copy()
+        for _ in range(iters):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)
+            for k in range(ks):
+                if (a == k).any():
+                    cent[k] = x[a == k].mean(axis=0)
+        books[mi] = cent
+    return books
+
+
+def ann_pq_topk(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization approximate top-5 — the byte-code scale path
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011): vectors compress to ``PQ_M`` 4-bit codes (4 bytes per
+    vector at these settings — a 64×float64 vector shrinks 128×), queries
+    score the codes via per-subspace inner-product lookup tables (ADC),
+    and the ADC top-``PQ_PREFILTER`` per (query, batch) are re-ranked with
+    exact cosine before the global per-query top-k.
+
+    Ray shape: codebooks train on a driver sample, broadcast once
+    (``ray.put``); ONE streaming pass per batch does encode → ADC LUT
+    lookup → prefilter → exact re-rank → local top-k, so the shuffle moves
+    k rows per (query, batch) — identical to ``ann_topk``'s combiner, with
+    the ADC prefilter standing in for the full matmul at scale (the exact
+    re-rank touches |prefilter| rows, not |batch|). Approximate; rows-only
+    with a recall@5 pytest vs exact brute force."""
+    emb = _emb(sf_dir)
+    head = emb.take(1)
+    if not head:
+        return typed_empty(query_id="int64", vec_id="int64", cos="float64")
+    dim = len(head[0]["embedding"])
+    qids, qmat = _load_queries(sf_dir)
+    if len(qids) == 0:
+        return typed_empty(query_id="int64", vec_id="int64", cos="float64")
+
+    n_sample = max(100 * PQ_KS, 1024)
+    rows = emb.limit(n_sample).take_all()
+    sample = _normalize(np.array([r["embedding"] for r in rows],
+                                 dtype=np.float64))
+    books = _pq_train(sample, iters=12)
+    sub = dim // PQ_M
+    # per-query ADC lookup tables: lut[q, m, k] = q_sub(m) · C[m, k]
+    lut = np.einsum("qmd,mkd->qmk",
+                    qmat.reshape(len(qids), PQ_M, sub), books)
+    b_ref = ray.put((books, lut, qids, qmat))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        books, lut, qids, qmat = ray.get(b_ref)
+        ids, mat = _batch_matrix(t)
+        if not len(ids):
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        norm = _normalize(mat)
+        xs = norm.reshape(len(ids), PQ_M, sub)
+        # encode: nearest sub-centroid per subspace (vectorized L2)
+        codes = np.empty((len(ids), PQ_M), np.int64)
+        for mi in range(PQ_M):
+            d = ((xs[:, mi, None, :] - books[None, mi]) ** 2).sum(axis=2)
+            codes[:, mi] = np.argmin(d, axis=1)
+        # ADC scores: (queries, n) via LUT gather
+        adc = np.zeros((len(qids), len(ids)))
+        for mi in range(PQ_M):
+            adc += lut[:, mi, codes[:, mi]]
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(qids)):
+            qid = int(qids[qi])
+            nf = min(PQ_PREFILTER, len(ids))
+            pre = np.argpartition(-adc[qi], nf - 1)[:nf]
+            cand_ids = ids[pre]
+            keep = cand_ids != qid
+            cand_ids = cand_ids[keep]
+            exact = norm[pre[keep]] @ qmat[qi]          # re-rank: true cos
+            order = np.lexsort((cand_ids, -exact))[:TOP_K]
+            out_q.append(np.full(len(order), qid, np.int64))
+            out_v.append(cand_ids[order])
+            out_c.append(exact[order])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "cos": pa.array(np.concatenate(out_c),
+                                         pa.float64())})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos", "vec_id"],
+                             ascending=[False, True]).head(TOP_K)
+
+    df = (emb.map_batches(score_batch, batch_format="pyarrow",
+                          batch_size=4096)
+             .groupby("query_id")
+             .map_groups(final, batch_format="pandas")
+             .to_pandas())
+    if df.empty:
+        return typed_empty(query_id="int64", vec_id="int64", cos="float64")
+    df["cos"] = round_half_away(df["cos"].to_numpy(), 6)
+    df = df.astype({"query_id": np.int64, "vec_id": np.int64})
+    return df.sort_values(["query_id", "cos", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+
 # --- embedding k-means clustering (the quantizer as a first-class operator) ----
 
 def emb_kmeans(sf_dir: str, n_clusters: int = IVF_CENTROIDS) -> pd.DataFrame:

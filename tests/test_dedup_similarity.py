@@ -153,6 +153,27 @@ def test_ivf_recall_vs_exact(clustered_emb_dir):
     assert np.mean(recalls) >= 0.9, recalls
 
 
+def test_pq_recall_vs_exact(clustered_emb_dir):
+    """PQ (M=16 × 32 codes, ADC prefilter + exact re-rank) must reach
+    recall@5 ≥ 0.9 against exact brute force on cluster-coherent data;
+    on the driver's noise-dominated embeddings it measures 0.96–1.0."""
+    from norsk_historisk_avis_ocr_ray.functions import similarity
+
+    exact = similarity.ann_topk(clustered_emb_dir)
+    pq_df = similarity.ann_pq_topk(clustered_emb_dir)
+    recalls = []
+    for q in sorted(exact["query_id"].unique()):
+        e = set(exact.loc[exact["query_id"] == q, "vec_id"])
+        p = set(pq_df.loc[pq_df["query_id"] == q, "vec_id"])
+        recalls.append(len(e & p) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls
+    # re-ranked scores are EXACT cosines: every returned (query, vec) pair
+    # that is also in the exact top-k carries the identical rounded score
+    merged = pq_df.merge(exact, on=["query_id", "vec_id"],
+                         suffixes=("_pq", "_ex"))
+    assert (merged["cos_pq"] == merged["cos_ex"]).all()
+
+
 def test_blocked_neardup_matches_bruteforce(clustered_emb_dir):
     """The block-pair sweep must produce exactly the brute-force pair set."""
     from norsk_historisk_avis_ocr_ray.functions import similarity
