@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mixture_sample": mlprep.q_mixture_sample,
         "q_text_normalize": mlprep.q_text_normalize,
         "q_c4_filter": mlprep.q_c4_filter,
+        "q_bm25_topk": mlprep.q_bm25_topk,
         "q_pmi_topk": mlprep.q_pmi_topk,
         # anti join / lag window
         "q_inactive_customers": relational.q_inactive_customers,
@@ -2416,6 +2417,55 @@ def oracle_sql() -> dict[str, str]:
         """,
         # unicode NFC + whitespace canonicalization (pyarrow and DuckDB
         # both normalize with the same Unicode tables and run RE2)
+        # q_bm25_topk: every per-(doc, term) BM25 contribution is
+        # floor(c * 1e9) — an integer, so the per-doc score is an
+        # order-independent sum; ln is glibc-libm (== math.log on the Ray
+        # side); all float literals are ::DOUBLE (bare 1.2 parses DECIMAL);
+        # the expression tree mirrors functions/mlprep.q_bm25_topk
+        # operation-for-operation.
+        "q_bm25_topk": r"""
+            WITH b AS (SELECT doc_id, lower(coalesce(text, '')) AS tx
+                       FROM documents),
+            wd AS (SELECT doc_id,
+                          unnest(list_filter(
+                              regexp_split_to_array(tx, '\s+'),
+                              x -> x <> '')) AS tok
+                   FROM b),
+            dstat AS (SELECT b.doc_id, count(tok) AS dl
+                      FROM b LEFT JOIN wd USING (doc_id)
+                      GROUP BY b.doc_id),
+            gstat AS (SELECT count(*)::BIGINT AS n_docs,
+                            sum(dl)::BIGINT AS total_len
+                     FROM dstat),
+            q AS (SELECT DISTINCT tok FROM wd WHERE doc_id = 0),
+            dfc AS (SELECT q.tok,
+                           count(DISTINCT wd.doc_id)::BIGINT AS df
+                    FROM q JOIN wd ON wd.tok = q.tok GROUP BY q.tok),
+            tf AS (SELECT wd.doc_id, wd.tok, count(*)::BIGINT AS tf
+                   FROM wd JOIN q ON wd.tok = q.tok
+                   GROUP BY wd.doc_id, wd.tok),
+            scored AS (
+                SELECT t.doc_id,
+                       CAST(sum(floor(
+                           ln((g.n_docs - d.df + 0.5::DOUBLE)
+                              / (d.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                           * (t.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+                           / (t.tf + 1.2::DOUBLE
+                              * (1.0::DOUBLE - 0.75::DOUBLE
+                                 + 0.75::DOUBLE
+                                   * (s.dl / (g.total_len * 1.0::DOUBLE
+                                              / g.n_docs))))
+                           * 1000000000.0::DOUBLE)) AS BIGINT) AS bm25_q
+                FROM tf t
+                JOIN dfc d USING (tok)
+                JOIN dstat s ON s.doc_id = t.doc_id
+                CROSS JOIN gstat g
+                GROUP BY t.doc_id)
+            SELECT doc_id, bm25_q,
+                   round(bm25_q / 1000000000.0, 6) AS bm25
+            FROM scored WHERE doc_id <> 0 AND bm25_q > 0
+            ORDER BY bm25_q DESC, doc_id LIMIT 20
+        """,
         # q_c4_filter: line-kept predicate is identical on both engines
         # (single-char terminal after space/tab rstrip, >=5 nonempty
         # whitespace fields, no lowered 'javascript'); the rebuilt text is

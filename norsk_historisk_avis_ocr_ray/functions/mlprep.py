@@ -1153,6 +1153,133 @@ def q_unigram_ppl(sf_dir: str, n_features: int = DSIR_N_FEATURES) -> Dataset:
                    ("ppl", pa.float64())]))
 
 
+# --- BM25 top-k retrieval --------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+BM25_QUERY_DOC = 0       # the query = distinct lowered tokens of this doc
+
+
+def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 similar-document retrieval: score every document against the
+    distinct lowered tokens of doc ``BM25_QUERY_DOC`` (classic
+    more-like-this), return the top 20 (query doc excluded).
+
+    Exactness discipline (the dsir/ppl pattern): every per-(doc, term)
+    contribution quantizes to ``floor(c · 1e9)`` int64 micro-units so the
+    per-doc score is an ORDER-INDEPENDENT integer sum; the idf's ``ln`` is
+    ``math.log`` on the driver (glibc-libm-bit-identical to DuckDB ``ln``
+    — np.log is NOT), and the tf/length normalization mirrors the oracle's
+    expression tree operation-for-operation (all SQL float literals cast
+    ::DOUBLE — a bare ``1.2`` parses as DECIMAL and diverges).
+
+    Ray shape: pass A streams per-batch partials (df per query term, total
+    token count, doc count — a few dozen int rows per batch, no shuffle);
+    the driver folds them and broadcasts (terms, idf, avgdl) once; pass B
+    scores each batch vectorized (token→term ``index_in``, bincount tf
+    matrix) and emits its LOCAL top-20, so the driver sees ≤ 20 rows per
+    batch — the ann_topk combiner shape for text."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    qrows = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=pc.field("doc_id") == BM25_QUERY_DOC).take_all()
+    if not qrows:
+        return typed_empty(doc_id="int64", bm25_q="int64", bm25="float64")
+    terms = sorted(set((qrows[0]["text"] or "").lower().split()))
+    if not terms:
+        return typed_empty(doc_id="int64", bm25_q="int64", bm25="float64")
+    terms_arr = pa.array(terms)
+    t_ref = ray.put(terms_arr)
+
+    def _doc_tokens(t: pa.Table):
+        """(flat lowered tokens, raw field counts, true word counts)."""
+        text = pc.fill_null(t["text"], "")
+        words = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        nw_raw = pc.list_value_length(words).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        nonempty = (pc.utf8_length(flat).cast(pa.int64())
+                    .to_numpy(zero_copy_only=False) > 0)
+        csum = np.concatenate(([0], np.cumsum(nonempty.astype(np.int64))))
+        ends = np.cumsum(nw_raw)
+        dl = csum[ends] - csum[ends - nw_raw]
+        return flat, nw_raw, dl
+
+    def partials(t: pa.Table) -> pa.Table:
+        terms_arr = ray.get(t_ref)
+        flat, nw_raw, dl = _doc_tokens(t)
+        ndocs = len(nw_raw)
+        ti = pc.index_in(flat, value_set=terms_arr).to_numpy(
+            zero_copy_only=False)
+        mask = ~np.isnan(ti) if ti.dtype.kind == "f" else ti >= 0
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), nw_raw)
+        hit = np.unique(doc_idx[mask] * len(terms_arr)
+                        + ti[mask].astype(np.int64))
+        df_part = np.bincount(hit % len(terms_arr),
+                              minlength=len(terms_arr)).astype(np.int64)
+        idx = np.concatenate((np.arange(len(terms_arr), dtype=np.int64),
+                              [-1, -2]))
+        val = np.concatenate((df_part, [int(dl.sum()), ndocs]))
+        return pa.table({"idx": pa.array(idx, pa.int64()),
+                         "val": pa.array(val, pa.int64())})
+
+    agg = np.zeros(len(terms) + 2, np.int64)
+    for b in (ds.map_batches(partials, batch_format="pyarrow",
+                             batch_size=8192)
+                .iter_batches(batch_format="pyarrow")):
+        idx = b["idx"].to_numpy()
+        val = b["val"].to_numpy()
+        agg[np.where(idx >= 0, idx, len(terms) + (-idx) - 1)] += val
+    df_counts = agg[: len(terms)]
+    total_len, n_docs = int(agg[len(terms)]), int(agg[len(terms) + 1])
+    if n_docs == 0:
+        return typed_empty(doc_id="int64", bm25_q="int64", bm25="float64")
+    avgdl = total_len / n_docs
+    idf = np.array([math.log((n_docs - int(d) + 0.5) / (int(d) + 0.5) + 1.0)
+                    for d in df_counts], np.float64)
+    s_ref = ray.put((terms_arr, idf, avgdl))
+
+    def score(t: pa.Table) -> pa.Table:
+        terms_arr, idf, avgdl = ray.get(s_ref)
+        flat, nw_raw, dl = _doc_tokens(t)
+        ndocs = len(nw_raw)
+        nt = len(terms_arr)
+        ti = pc.index_in(flat, value_set=terms_arr).to_numpy(
+            zero_copy_only=False)
+        mask = ~np.isnan(ti) if ti.dtype.kind == "f" else ti >= 0
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), nw_raw)
+        tf = np.bincount(doc_idx[mask] * nt + ti[mask].astype(np.int64),
+                         minlength=ndocs * nt).reshape(ndocs, nt)
+        tf = tf.astype(np.float64)
+        dlf = dl.astype(np.float64)
+        # EXACT mirror of the oracle expression tree (left-assoc):
+        # floor(idf * (tf * (k1+1)) / (tf + k1*(1 - b + b*(dl/avgdl))) * 1e9)
+        den = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dlf / avgdl))[:, None]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            contrib = idf[None, :] * (tf * (BM25_K1 + 1.0)) / den * 1e9
+        contrib = np.where(tf > 0, np.floor(contrib), 0.0)
+        score_q = contrib.sum(axis=1).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (ids != BM25_QUERY_DOC) & (score_q > 0)
+        ids, score_q = ids[keep], score_q[keep]
+        order = np.lexsort((ids, -score_q))[:BM25_TOP]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "bm25_q": pa.array(score_q[order], pa.int64())})
+
+    df = (ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+            .to_pandas())
+    if df.empty:
+        return typed_empty(doc_id="int64", bm25_q="int64", bm25="float64")
+    df = (df.sort_values(["bm25_q", "doc_id"], ascending=[False, True])
+            .head(BM25_TOP).reset_index(drop=True))
+    df["bm25"] = _r(df["bm25_q"] / 1e9, 6)
+    return df
+
+
 # --- C4-style line-level cleaning filter ----------------------------------------
 
 C4_TERMINALS = (".", "!", "?", '"')

@@ -142,6 +142,39 @@ def test_c4_planted_line_rules(ray_session, tmp_path):
     pd.testing.assert_frame_equal(df, odf)
 
 
+# --- q_bm25_topk (BM25 more-like-this retrieval) -----------------------------
+
+def test_bm25_planted_ranking(ray_session, tmp_path):
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import q_bm25_topk
+
+    query = "fjord laks torsk sild makrell"          # doc 0 = the query doc
+    docs = [
+        query,
+        "fjord laks torsk sild makrell",              # 1: exact term match
+        "fjord laks torsk sild",                      # 2: 4 of 5 terms
+        "fjord laks",                                 # 3: 2 of 5
+        "helt andre ord uten treff her",              # 4: no terms → absent
+        "fjord " * 30,                                # 5: one term, high tf
+    ]
+    df = q_bm25_topk(_write_docs(tmp_path, docs))
+    assert list(df.columns) == ["doc_id", "bm25_q", "bm25"]
+    assert 0 not in set(df["doc_id"])                 # query doc excluded
+    assert 4 not in set(df["doc_id"])                 # zero-score excluded
+    ranks = {int(r.doc_id): i for i, r in df.iterrows()}
+    assert ranks[1] < ranks[2] < ranks[3]             # more terms → higher
+    # scores are positive and the int/float columns agree
+    assert (df["bm25_q"] > 0).all()
+    assert (df["bm25"] == (df["bm25_q"] / 1e9).round(6)).all()
+
+
+def test_bm25_gate_scale_shape(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import q_bm25_topk
+
+    df = q_bm25_topk(SF)
+    assert len(df) == 20
+    assert df["bm25_q"].is_monotonic_decreasing
+
+
 def test_c4_rstrip_and_tab_handling(ray_session, tmp_path):
     # terminal punctuation still counts through trailing spaces/tabs
     line = "fem ord er her na og mer."
