@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample": _video_frame_sample,
         # sketches
         "approx_distinct_users": _approx_distinct_users,
+        "approx_distinct_hll": _approx_distinct_hll,
         "approx_top_users": _approx_top_users,
         "approx_group_quantiles": _approx_group_quantiles,
         # training-data preparation
@@ -508,6 +509,12 @@ def _approx_top_users(sf_dir: str) -> Any:
     # all-distinct candidates = exact-oracle mode (pure function of the
     # input); the bounded top-k-per-batch sketch is the library default
     return approx_top_users(sf_dir, cand_per_batch=None)
+
+
+def _approx_distinct_hll(sf_dir: str) -> Any:
+    from norsk_historisk_avis_ocr_ray.functions.sketch import (
+        approx_distinct_hll)
+    return approx_distinct_hll(sf_dir)
 
 
 def _approx_group_quantiles(sf_dir: str) -> Any:
@@ -1781,6 +1788,55 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(kth AS DOUBLE), 2)
                    END AS approx_users
             FROM agg
+        """,
+        # HLL: registers are max-aggregates of a pure hash function, so the
+        # "approximate" estimate is an exact function of the input. The
+        # harmonic sum is SUM of HUGEINT powers of two (order-free); the
+        # highest set bit of the 56-bit rank word comes from a range(56)
+        # explode (integer-exact, no float log2); ln/float ops mirror
+        # sketch.hll_estimate operation-for-operation.
+        "approx_distinct_hll": f"""
+            WITH hd AS (
+                SELECT DISTINCT sm_h
+                FROM (SELECT {_sm64_proj("user_id")} FROM events)
+            ),
+            parts AS (SELECT sm_h, CAST(sm_h >> 56 AS BIGINT) AS bucket,
+                             sm_h % 72057594037927936::HUGEINT AS w
+                      FROM hd),
+            hsb AS (SELECT sm_h, bucket, w,
+                           max(CASE WHEN (w >> CAST(b.range AS INTEGER))
+                                         % 2 = 1
+                                    THEN b.range END) AS top
+                    FROM parts CROSS JOIN range(56) b
+                    GROUP BY sm_h, bucket, w),
+            rho AS (SELECT bucket,
+                           CASE WHEN w = 0 THEN 57
+                                ELSE 56 - CAST(top AS BIGINT) END AS rho
+                    FROM hsb),
+            regs AS (SELECT r256.range AS bucket,
+                            coalesce(mr.m, 0) AS mr
+                     FROM range(256) r256
+                     LEFT JOIN (SELECT bucket, max(rho) AS m FROM rho
+                                GROUP BY bucket) mr
+                       ON mr.bucket = r256.range),
+            sums AS (SELECT sum(CAST(1 AS HUGEINT)
+                                << CAST(57 - mr AS INTEGER)) AS s,
+                            count(CASE WHEN mr = 0 THEN 1 END) AS v
+                     FROM regs),
+            est AS (SELECT CASE
+                       WHEN (0.7213::DOUBLE
+                             / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+                            * 65536.0::DOUBLE * 144115188075855872.0::DOUBLE
+                            / CAST(s AS DOUBLE) <= 640.0::DOUBLE
+                        AND v > 0
+                       THEN 256.0::DOUBLE * ln(256.0::DOUBLE / v)
+                       ELSE (0.7213::DOUBLE
+                             / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+                            * 65536.0::DOUBLE * 144115188075855872.0::DOUBLE
+                            / CAST(s AS DOUBLE)
+                       END AS e
+                    FROM sums)
+            SELECT round(e, 2) AS approx_users_hll FROM est
         """,
         # CMS heavy hitters: with distinct-keys candidates (the default)
         # the output is a pure function of the input; the oracle replays

@@ -76,6 +76,87 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"approx_users": [float(round_half_away(est, 2))]})
 
 
+# --- HyperLogLog distinct sketch -----------------------------------------------
+
+HLL_P = 8                     # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_WBITS = 64 - HLL_P        # 56-bit rank word per hash
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length of uint64 values (0 → 0). frexp's exponent IS
+    the bit length for exactly-representable ints; values above 2^53 can
+    round UP across a power of two, so the exponent is re-checked against
+    the integer and decremented where the rounding overshot."""
+    e = np.frexp(w.astype(np.float64))[1].astype(np.int64)
+    pos = e > 0
+    over = np.zeros_like(e)
+    over[pos] = ((np.uint64(1) << (e[pos] - 1).astype(np.uint64))
+                 > w[pos]).astype(np.int64)
+    bl = e - over
+    bl[w == 0] = 0
+    return bl
+
+
+def hll_registers(keys: np.ndarray) -> np.ndarray:
+    """(256,) int64 register maxima for a batch of integer keys: bucket =
+    top 8 hash bits, rho = leading zeros of the 56-bit remainder + 1."""
+    h = _splitmix64(np.asarray(keys).astype(np.uint64))
+    bucket = (h >> np.uint64(HLL_WBITS)).astype(np.int64)
+    w = h & np.uint64((1 << HLL_WBITS) - 1)
+    rho = HLL_WBITS + 1 - _bit_length_u64(w)
+    regs = np.zeros(HLL_M, np.int64)
+    np.maximum.at(regs, bucket, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Flajolet et al. 2007 estimator with the small-range correction.
+
+    EXACT under any partitioning AND SQL-replayable: the harmonic sum runs
+    in arbitrary-precision INTEGERS (Σ 2^(57−M_j) — each term a power of
+    two, so no float summation order exists), and the one float expression
+    mirrors the DuckDB oracle operation-for-operation (``ln`` is
+    glibc-libm, identical to ``math.log``)."""
+    import math
+
+    s = sum(1 << (HLL_WBITS + 1 - int(r)) for r in regs)   # Python int
+    v = int((regs == 0).sum())
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    raw = alpha * 65536.0 * 144115188075855872.0 / float(s)
+    if raw <= 640.0 and v > 0:                              # 2.5 * m
+        return 256.0 * math.log(256.0 / v)
+    return raw
+
+
+def approx_distinct_hll(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog approximate distinct user_id count over events — the
+    fixed-memory counterpart of the KMV sketch (256 registers = 256 bytes
+    per partial, vs KMV's 2 KiB of minima). Per-batch partial registers
+    merge by elementwise max (one 256-int row per batch, no shuffle).
+    "Approximate" yet EXACTLY oracled — see ``hll_estimate``."""
+    from .rounding import round_half_away
+
+    path = f"{sf_dir}/events.parquet"
+    ds = ray.data.read_parquet(
+        path, columns=["user_id"],
+        override_num_blocks=scale.read_blocks_for_path(path))
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = hll_registers(t["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(HLL_M, np.int64)
+    for b in (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+                .iter_batches(batch_format="pyarrow", batch_size=1)):
+        merged = np.maximum(
+            merged, np.frombuffer(b["regs"][0].as_py(), dtype=np.int64))
+    est = hll_estimate(merged)
+    return pd.DataFrame(
+        {"approx_users_hll": [float(round_half_away(est, 2))]})
+
+
 # --- Count-Min Sketch heavy hitters -------------------------------------------
 
 CMS_DEPTH = 4

@@ -82,6 +82,40 @@ def test_kmv_accuracy():
     assert abs(est - exact) / exact < 0.15
 
 
+def test_hll_accuracy_and_merge():
+    from norsk_historisk_avis_ocr_ray.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    rng = np.random.default_rng(5)
+    values = rng.integers(0, 5000, size=40000)
+    exact = len(set(values.tolist()))
+    # partial registers per 10k-chunk, elementwise-max merge — the
+    # distributed pattern; must equal the single-pass registers exactly
+    parts = [hll_registers(values[i:i + 10000])
+             for i in range(0, 40000, 10000)]
+    merged = np.maximum.reduce(parts)
+    assert (merged == hll_registers(values)).all()
+    est = hll_estimate(merged)
+    assert abs(est - exact) / exact < 0.15   # m=256 → ~6.5% typical error
+
+
+def test_hll_bit_length_u64_matches_python():
+    from norsk_historisk_avis_ocr_ray.functions.sketch import _bit_length_u64
+
+    rng = np.random.default_rng(11)
+    # adversarial values around powers of two (float rounding overshoots)
+    edges = []
+    for k in range(1, 57):
+        edges += [(1 << k) - 1, 1 << k, (1 << k) + 1]
+    w = np.array([0, 1, 2, 3] + edges
+                 + rng.integers(0, 1 << 56, size=4096).tolist(),
+                 dtype=np.uint64)
+    got = _bit_length_u64(w)
+    exp = np.array([int(x).bit_length() for x in w], np.int64)
+    assert (got == exp).all()
+
+
 def test_kmv_exact_below_k():
     from norsk_historisk_avis_ocr_ray.functions.sketch import (
         kmv_estimate,
