@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_last_order": relational.q_asof_last_order,
         "q_events_before_order": relational.q_events_before_order,
         "q_rolling_dau": relational.q_rolling_dau,
+        "q_funnel": relational.q_funnel,
         "q_range_window_events": relational.q_range_window_events,
         "q_topk_per_group": relational.q_topk_per_group,
         "q_rolling_avg": relational.q_rolling_avg,
@@ -969,6 +970,41 @@ def oracle_sql() -> dict[str, str]:
             FROM sessioned
             GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        # q_funnel: strictly-after min-ts step semantics; fractions are one
+        # division of identical int64 counts per row (CASE 0-guard matches
+        # the Ray side's `if p else 0.0`).
+        "q_funnel": """
+            WITH u AS (SELECT count(DISTINCT user_id)::BIGINT AS n0
+                       FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY e.user_id),
+            c AS (SELECT (SELECT n0 FROM u) AS n0,
+                         (SELECT count(*)::BIGINT FROM s1) AS n1,
+                         (SELECT count(*)::BIGINT FROM s2) AS n2,
+                         (SELECT count(*)::BIGINT FROM s3) AS n3)
+            SELECT 'view' AS step, n1 AS n_users,
+                   CASE WHEN n0 = 0 THEN 0.0
+                        ELSE round(n1 / (n0 * 1.0), 6) END AS frac_prev
+            FROM c
+            UNION ALL
+            SELECT 'click', n2,
+                   CASE WHEN n1 = 0 THEN 0.0
+                        ELSE round(n2 / (n1 * 1.0), 6) END
+            FROM c
+            UNION ALL
+            SELECT 'purchase', n3,
+                   CASE WHEN n2 = 0 THEN 0.0
+                        ELSE round(n3 / (n2 * 1.0), 6) END
+            FROM c
         """,
         "q_rolling_dau": """
             WITH du AS (SELECT DISTINCT

@@ -3646,3 +3646,57 @@ def q_measure_unpivot(sf_dir: str) -> pd.DataFrame:
         df[c] = _r(df[c], 2)
     return (df[["measure", "n", "total", "vmin", "vmax"]]
             .sort_values("measure").reset_index(drop=True))
+
+
+# --- behavioral conversion funnel ----------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user converts
+    at step k iff an event of that type occurs STRICTLY AFTER their step
+    k−1 conversion time (min-ts semantics at every step). Output: one row
+    per step with the converted-user count and the conversion fraction vs
+    the previous step (step 1 vs all active users) — the classic
+    product-analytics funnel as a distributed operator.
+
+    Ray shape: the shared ``_bucketize_user`` hash-bucket shuffle
+    co-locates each user's events; inside a bucket the three step times
+    are vectorized pandas min-merges (no per-user Python), and each bucket
+    emits ONE 4-int partial row — the driver folds ~NB rows. Fractions are
+    single divisions of identical int64 counts on both engines, so the
+    oracle hash is exact."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        s1 = (g[g["event_type"] == FUNNEL_STEPS[0]]
+              .groupby("user_id", as_index=False)["ts"].min()
+              .rename(columns={"ts": "t1"}))
+        m2 = g[g["event_type"] == FUNNEL_STEPS[1]].merge(s1, on="user_id")
+        s2 = (m2[m2["ts"] > m2["t1"]]
+              .groupby("user_id", as_index=False)["ts"].min()
+              .rename(columns={"ts": "t2"}))
+        m3 = g[g["event_type"] == FUNNEL_STEPS[2]].merge(s2, on="user_id")
+        s3 = (m3[m3["ts"] > m3["t2"]]
+              .groupby("user_id", as_index=False)["ts"].min())
+        return pd.DataFrame({"n0": [int(g["user_id"].nunique())],
+                             "n1": [len(s1)], "n2": [len(s2)],
+                             "n3": [len(s3)]})
+
+    parts = (ds.map_batches(_bucketize_user, batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(bucket_counts, batch_format="pandas")
+               .to_pandas())
+    if parts.empty:
+        n0 = n1 = n2 = n3 = 0
+    else:
+        n0, n1, n2, n3 = (int(parts[c].sum())
+                          for c in ("n0", "n1", "n2", "n3"))
+    counts = [n1, n2, n3]
+    prev = [n0, n1, n2]
+    frac = [float(_r(pd.Series([c / p]), 6).iloc[0]) if p else 0.0
+            for c, p in zip(counts, prev)]
+    return pd.DataFrame({"step": list(FUNNEL_STEPS),
+                         "n_users": pd.Series(counts, dtype="int64"),
+                         "frac_prev": pd.Series(frac, dtype="float64")})

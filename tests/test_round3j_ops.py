@@ -142,6 +142,51 @@ def test_c4_planted_line_rules(ray_session, tmp_path):
     pd.testing.assert_frame_equal(df, odf)
 
 
+# --- q_funnel (ordered conversion funnel) ------------------------------------
+
+def test_funnel_strictly_after_semantics(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def ev(eid, ts_s, uid, et):
+        return {"event_id": eid, "ts": ts_s * 1_000_000, "user_id": uid,
+                "event_type": et, "value": 1.0, "props": "{}"}
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 10, 1, "view"), ev(2, 20, 1, "click"), ev(3, 30, 1, "purchase"),
+        # user 2: click BEFORE view — converts step 1 only
+        ev(4, 20, 2, "click"), ev(5, 30, 2, "view"),
+        # user 3: purchase before click — steps 1..2 only
+        ev(6, 10, 3, "view"), ev(7, 15, 3, "purchase"), ev(8, 20, 3, "click"),
+        # user 4: click at the SAME instant as view — strictly-after fails
+        ev(9, 10, 4, "view"), ev(10, 10, 4, "click"),
+        # user 5: never views
+        ev(11, 10, 5, "purchase"), ev(12, 11, 5, "error"),
+    ]
+    t = pa.Table.from_pylist(rows).set_column(
+        1, "ts", pa.Table.from_pylist(rows)["ts"].cast(pa.timestamp("us")))
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    from norsk_historisk_avis_ocr_ray.functions.relational import q_funnel
+
+    df = q_funnel(str(tmp_path)).set_index("step")
+    assert df.loc["view", "n_users"] == 4          # users 1,2,3,4
+    assert df.loc["click", "n_users"] == 2         # users 1,3 (4 is same-ts)
+    assert df.loc["purchase", "n_users"] == 1      # user 1 only
+    assert df.loc["view", "frac_prev"] == round(4 / 5, 6)
+    assert df.loc["click", "frac_prev"] == 0.5
+    assert df.loc["purchase", "frac_prev"] == 0.5
+
+
+def test_funnel_gate_scale_monotone(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import q_funnel
+
+    df = q_funnel(SF)
+    n = df["n_users"].tolist()
+    assert n[0] >= n[1] >= n[2] > 0
+
+
 # --- q_bm25_topk (BM25 more-like-this retrieval) -----------------------------
 
 def test_bm25_planted_ranking(ray_session, tmp_path):
