@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # duplicate clustering (connected components)
         "dup_clusters": _dup_clusters,
         "minhash_clusters": _minhash_clusters,
+        "q_pagerank_dups": _q_pagerank_dups,
     }
 
 
@@ -477,6 +478,11 @@ def _dup_clusters(sf_dir: str) -> Any:
 def _minhash_clusters(sf_dir: str) -> Any:
     from norsk_historisk_avis_ocr_ray.functions.cluster import minhash_clusters
     return minhash_clusters(sf_dir)
+
+
+def _q_pagerank_dups(sf_dir: str) -> Any:
+    from norsk_historisk_avis_ocr_ray.functions.cluster import q_pagerank_dups
+    return q_pagerank_dups(sf_dir)
 
 
 def _bpe_train(sf_dir: str) -> Any:
@@ -814,6 +820,49 @@ def _dedup_simhash_sql(max_hamming: int = 3) -> str:
     WHERE bit_count(xor(x.v, y.v)) <= {max_hamming}
     ORDER BY a, b
     """
+
+
+def _pagerank_dups_sql(iters: int = 5) -> str:
+    """q_pagerank_dups oracle: the dup_clusters edge construction (boundary
+    8-gram keys → doc→per-key-min edges, UNION-distinct both directions)
+    followed by ``iters`` UNROLLED integer-PageRank aggregate CTEs —
+    recursive CTEs cannot GROUP BY in the recursive member, but a fixed
+    unroll is plain SQL. All arithmetic is BIGINT floor division, so the
+    match is bit-exact."""
+    head = """
+    toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+             FROM documents),
+    keys AS (SELECT doc_id, array_to_string(ts[1:8], ' ') AS k1,
+                    array_to_string(ts[-8:], ' ') AS k2
+             FROM toks),
+    g1 AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY k1) AS root
+           FROM keys),
+    g2 AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY k2) AS root
+           FROM keys),
+    e AS (SELECT doc_id AS a, root AS b FROM g1 WHERE doc_id <> root
+          UNION
+          SELECT doc_id, root FROM g2 WHERE doc_id <> root),
+    bidir AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    deg AS (SELECT a AS u, count(*)::BIGINT AS deg FROM bidir GROUP BY a),
+    nodes AS (SELECT DISTINCT a AS node FROM bidir),
+    p0 AS (SELECT node, 1000000::BIGINT AS pr FROM nodes)"""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+    p{i} AS (SELECT n.node,
+                  CAST(150000 + (85 * coalesce(s.c, 0)) // 100
+                       AS BIGINT) AS pr
+           FROM nodes n LEFT JOIN (
+               SELECT b.b AS node,
+                      CAST(sum(p.pr // d.deg) AS BIGINT) AS c
+               FROM bidir b
+               JOIN p{i - 1} p ON p.node = b.a
+               JOIN deg d ON d.u = b.a
+               GROUP BY b.b) s ON s.node = n.node)""")
+    return (f"WITH {head},{','.join(its)}\n"
+            f"SELECT p.node AS doc_id, d.deg, p.pr AS pagerank\n"
+            f"FROM p{iters} p JOIN deg d ON d.u = p.node\n"
+            f"ORDER BY doc_id")
 
 
 def _stopword_values() -> str:
@@ -1779,6 +1828,7 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(quality), 6) AS avg_quality
             FROM q GROUP BY lang ORDER BY lang
         """,
+        "q_pagerank_dups": _pagerank_dups_sql(),
         "dup_clusters": """
             WITH RECURSIVE
             toks AS (SELECT doc_id,

@@ -254,3 +254,120 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     return pd.DataFrame({
         "doc_id": pd.Series(nodes, dtype="int64"),
         "cluster_id": pd.Series([find(n) for n in nodes], dtype="int64")})
+
+
+# --- integer PageRank over the duplicate graph ---------------------------------
+
+PAGERANK_ITERS = 5
+PR_INIT = 1_000_000       # micro-unit start mass per node
+PR_BASE = 150_000         # (1 - d) in micro-units, d = 0.85
+
+
+def q_pagerank_dups(sf_dir: str, k: int = 8,
+                    broadcast_cutover: int = BROADCAST_CUTOVER_KEYS
+                    ) -> pd.DataFrame:
+    """Integer PageRank over the share-a-boundary-key duplicate graph (the
+    same doc→per-key-min-doc edges, both directions, as ``dup_clusters``):
+    ``pr' = 150_000 + (85 · Σ_incoming (pr_u // deg_u)) // 100`` for
+    ``PAGERANK_ITERS`` rounds from 1_000_000 per node — ALL arithmetic is
+    int64 floor division, so the scores are partitioning-independent and
+    the DuckDB oracle (five unrolled aggregate CTEs) matches bit-for-bit.
+
+    Scale shape: edge DISCOVERY is distributed (the dup_clusters combine —
+    one bucketed Min/Count shuffle over int key rows; hot-key sliver
+    broadcast with the same distributed-join fallback above the cutover);
+    the solve is a driver numpy loop over the RESULT-SIZED dup graph
+    (nodes = docs sharing a key — the same size class as the output, the
+    minhash_clusters argument). Output: (doc_id, deg, pagerank)."""
+    rows = _label_rows(sf_dir, k).materialize()
+
+    from .combine import bucketed_combine
+
+    def key_min(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (g.groupby("kh", as_index=False)
+                .agg(kmin=("label", "min"), n=("label", "size")))
+        out["kmin"] = out["kmin"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    per_key = bucketed_combine(
+        rows.map_batches(_explode_keys, batch_format="pyarrow"),
+        "kh", key_min)
+    hot = per_key.filter(expr="n > 1").materialize()
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "deg": pd.Series([], dtype="int64"),
+                          "pagerank": pd.Series([], dtype="int64")})
+    if hot.count() == 0:
+        return empty
+
+    if hot.count() <= broadcast_cutover:
+        hdf = hot.to_pandas()
+        order = np.argsort(hdf["kh"].to_numpy(np.int64))
+        sliver = ray.put((hdf["kh"].to_numpy(np.int64)[order],
+                          hdf["kmin"].to_numpy(np.int64)[order]))
+
+        def to_edges(t: pa.Table, ref=sliver) -> pa.Table:
+            skeys, svals = ray.get(ref)
+            doc = t["doc_id"].to_numpy(zero_copy_only=False)
+            us, vs = [], []
+            for col in ("kh1", "kh2"):
+                kh = t[col].to_numpy(zero_copy_only=False)
+                idx = np.minimum(np.searchsorted(skeys, kh),
+                                 len(skeys) - 1)
+                hit = skeys[idx] == kh
+                root = svals[idx]
+                m = hit & (root != doc)
+                us.append(doc[m])
+                vs.append(root[m])
+            return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
+                             "v": pa.array(np.concatenate(vs), pa.int64())})
+
+        edf = (rows.map_batches(to_edges, batch_format="pyarrow")
+               .to_pandas())
+    else:
+        h1 = (hot.drop_columns(["n"])
+              .rename_columns({"kh": "kh1", "kmin": "m1"}))
+        h2 = (hot.drop_columns(["n"])
+              .rename_columns({"kh": "kh2", "kmin": "m2"}))
+
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for c in ("m1", "m2"):
+                m = df[c].to_numpy(np.float64)
+                ok = ~np.isnan(m)
+                doc = df["doc_id"].to_numpy(np.int64)[ok]
+                root = m[ok].astype(np.int64)
+                keep = doc != root
+                outs.append(pd.DataFrame({"u": doc[keep],
+                                          "v": root[keep]}))
+            return pd.concat(outs, ignore_index=True)
+
+        edf = (rows.join(h1, join_type="left_outer",
+                         num_partitions=scale.join_partitions(),
+                         on=("kh1",))
+               .join(h2, join_type="left_outer",
+                     num_partitions=scale.join_partitions(), on=("kh2",))
+               .map_batches(pick, batch_format="pandas")
+               .to_pandas())
+
+    if edf.empty:
+        return empty
+    # undirected closure + dedup (UNION-distinct of both directions,
+    # matching the oracle's bidir CTE) — O(result) driver work
+    e = pd.concat([edf, edf.rename(columns={"u": "v", "v": "u"})],
+                  ignore_index=True).drop_duplicates()
+    nodes = np.unique(np.concatenate([e["u"].to_numpy(np.int64),
+                                      e["v"].to_numpy(np.int64)]))
+    nid = {int(n): i for i, n in enumerate(nodes)}
+    eu = e["u"].map(nid).to_numpy(np.int64)
+    ev = e["v"].map(nid).to_numpy(np.int64)
+    deg = np.bincount(eu, minlength=len(nodes)).astype(np.int64)
+    pr = np.full(len(nodes), PR_INIT, np.int64)
+    for _ in range(PAGERANK_ITERS):
+        contrib = pr[eu] // deg[eu]
+        acc = np.zeros(len(nodes), np.int64)
+        np.add.at(acc, ev, contrib)
+        pr = PR_BASE + (85 * acc) // 100
+    return pd.DataFrame({"doc_id": pd.Series(nodes, dtype="int64"),
+                         "deg": pd.Series(deg, dtype="int64"),
+                         "pagerank": pd.Series(pr, dtype="int64")})

@@ -142,6 +142,55 @@ def test_c4_planted_line_rules(ray_session, tmp_path):
     pd.testing.assert_frame_equal(df, odf)
 
 
+# --- q_pagerank_dups (integer PageRank over the dup graph) -------------------
+
+def test_pagerank_planted_graph(ray_session, tmp_path):
+    """Star of 3 docs sharing a prefix key (+ 1 pair sharing a suffix key,
+    + isolated docs): node set, degrees, hub dominance, and exact equality
+    vs the unrolled-CTE oracle."""
+    import duckdb
+    import importlib.util
+    import pandas as pd
+
+    pre = "felles start paa alle tre dokumenter i denne gruppen"  # 9 words
+    assert len(pre.split()) >= 8
+    suf = "og helt lik slutt for de to siste dokumentene her"
+    docs = [
+        pre + " unik hale nummer en",                    # 0 ┐ share k1
+        pre + " annen hale nummer to",                   # 1 │ (prefix key)
+        pre + " tredje hale nummer tre",                 # 2 ┘
+        "helt egen tekst " + suf,                        # 3 ┐ share k2
+        "annen egen tekst " + suf,                       # 4 ┘
+        "et dokument uten noen delte kanter i det hele tatt",  # 5 isolated
+    ]
+    from norsk_historisk_avis_ocr_ray.functions.cluster import q_pagerank_dups
+
+    d = _write_docs(tmp_path, docs)
+    df = q_pagerank_dups(d).set_index("doc_id")
+    assert sorted(df.index) == [0, 1, 2, 3, 4]           # 5 is isolated
+    # star: 1 and 2 point at root 0 and back — deg(0)=2, deg(1)=deg(2)=1
+    assert df.loc[0, "deg"] == 2
+    assert df.loc[1, "deg"] == 1 and df.loc[2, "deg"] == 1
+    assert df.loc[3, "deg"] == 1 and df.loc[4, "deg"] == 1
+    # the hub receives two contributions: strictly higher pagerank
+    assert df.loc[0, "pagerank"] > df.loc[1, "pagerank"]
+    assert df.loc[1, "pagerank"] == df.loc[2, "pagerank"]
+    # symmetric pair: equal scores
+    assert df.loc[3, "pagerank"] == df.loc[4, "pagerank"]
+
+    spec = importlib.util.spec_from_file_location(
+        "rayentry", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    odf = (con.execute(mod.oracle_sql()["q_pagerank_dups"]).df()
+           .astype({"doc_id": "int64", "deg": "int64",
+                    "pagerank": "int64"}))
+    pd.testing.assert_frame_equal(df.reset_index(), odf)
+
+
 # --- q_funnel (ordered conversion funnel) ------------------------------------
 
 def test_funnel_strictly_after_semantics(ray_session, tmp_path):
