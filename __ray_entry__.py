@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_text_normalize": mlprep.q_text_normalize,
         "q_c4_filter": mlprep.q_c4_filter,
         "q_bm25_topk": mlprep.q_bm25_topk,
+        "q_source_kl": mlprep.q_source_kl,
         "q_pmi_topk": mlprep.q_pmi_topk,
         # anti join / lag window
         "q_inactive_customers": relational.q_inactive_customers,
@@ -2559,6 +2560,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         # unicode NFC + whitespace canonicalization (pyarrow and DuckDB
         # both normalize with the same Unicode tables and run RE2)
+        # q_source_kl: per-(source, term) KL contributions quantize to
+        # floor(c * 1e12) BIGINT before summing (a DOUBLE sum of the
+        # micro-units could pass 2^53 and go order-dependent); ln args are
+        # integer-product ratios, ln is glibc-libm (== math.log).
+        "q_source_kl": r"""
+            WITH b AS (SELECT source, lower(coalesce(text, '')) AS tx
+                       FROM documents),
+            wd AS (SELECT source,
+                          unnest(list_filter(
+                              regexp_split_to_array(tx, '\s+'),
+                              x -> x <> '')) AS tok
+                   FROM b),
+            cst AS (SELECT tok, source, count(*)::BIGINT AS c_st
+                    FROM wd GROUP BY tok, source),
+            ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t
+                   FROM cst GROUP BY tok),
+            nsrc AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+                     FROM cst GROUP BY source),
+            g AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM nsrc),
+            terms AS (SELECT c.source,
+                             CAST(floor(
+                                 (c.c_st * 1.0 / s.n_s)
+                                 * ln((c.c_st * g.n) * 1.0
+                                      / (s.n_s * t.c_t))
+                                 * 1000000000000.0) AS BIGINT) AS q
+                      FROM cst c
+                      JOIN ct t USING (tok)
+                      JOIN nsrc s USING (source)
+                      CROSS JOIN g),
+            agg AS (SELECT source, CAST(sum(q) AS BIGINT) AS kl_q
+                    FROM terms GROUP BY source)
+            SELECT a.source, s.n_s AS n_tokens, a.kl_q,
+                   round(a.kl_q / 1000000000000.0, 6) AS kl
+            FROM agg a JOIN nsrc s USING (source)
+            ORDER BY source
+        """,
         # q_bm25_topk: every per-(doc, term) BM25 contribution is
         # floor(c * 1e9) — an integer, so the per-doc score is an
         # order-independent sum; ln is glibc-libm (== math.log on the Ray

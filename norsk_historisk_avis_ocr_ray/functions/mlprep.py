@@ -1153,6 +1153,107 @@ def q_unigram_ppl(sf_dir: str, n_features: int = DSIR_N_FEATURES) -> Dataset:
                    ("ppl", pa.float64())]))
 
 
+# --- per-source KL divergence (corpus-mixture analysis) --------------------------
+
+KL_SCALE = 1_000_000_000_000   # 1e12 micro-units per contribution
+
+
+def q_source_kl(sf_dir: str) -> pd.DataFrame:
+    """KL(source ‖ corpus) over unigram distributions — the data-mixture
+    diagnostic of a multi-source training corpus (which sources diverge
+    from the blend): ``Σ_t (c_st/n_s) · ln((c_st·n)/(n_s·c_t))`` per
+    source, every term quantized to ``floor(c · 1e12)`` int64 so the sum
+    is order-independent and the DuckDB oracle (same libm ``ln``, same
+    integer ratios) matches bit-for-bit.
+
+    Ray shape: ONE bucketed-by-token combine computes (source, tok, c_st)
+    AND the token's corpus total c_t inside the same bucket (every row of
+    a token is co-located — no second shuffle, no join); per-source token
+    totals fold from a 20-row aggregate and broadcast; scoring is a
+    streaming map over the vocabulary-sized count rows; the final
+    ``groupby(source)`` moves one int row per (source, batch)."""
+    import math
+
+    from .combine import bucketed_combine
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        words = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        nw_raw = pc.list_value_length(words).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        keep = pc.utf8_length(flat).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) > 0
+        src = np.repeat(np.asarray(t["source"].to_pylist(), dtype=object),
+                        nw_raw)[keep]
+        toks = np.asarray(flat.to_pylist(), dtype=object)[keep]
+        df = (pd.DataFrame({"tok": toks, "source": src})
+              .groupby(["tok", "source"], as_index=False).size())
+        # bucketed_combine requires an int key: blake2b token hash (the
+        # bucket routing only — grouping inside the bucket is by string)
+        from .dedup import _hash64
+        cache: dict[str, int] = {}
+        th = np.fromiter(
+            (cache.setdefault(x, _hash64(x) // 2) for x in df["tok"]),
+            np.int64, count=len(df))
+        return pa.table({"tok_h": pa.array(th, pa.int64()),
+                         "tok": pa.array(df["tok"], pa.string()),
+                         "source": pa.array(df["source"], pa.string()),
+                         "c": pa.array(df["size"].to_numpy(np.int64))})
+
+    def per_tok(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["tok", "source"], as_index=False)
+                .agg(c_st=("c", "sum")))
+        tot = out.groupby("tok")["c_st"].transform("sum")
+        out["c_t"] = tot.astype(np.int64)
+        out["c_st"] = out["c_st"].astype(np.int64)
+        return out
+
+    counts = bucketed_combine(
+        ds.map_batches(tok_counts, batch_format="pyarrow",
+                       batch_size=8192),
+        "tok_h", per_tok).materialize()
+
+    totals = (counts.groupby("source")
+              .aggregate(Sum("c_st", alias_name="n_s")).to_pandas())
+    if totals.empty:
+        return typed_empty(source="object", n_tokens="int64",
+                           kl_q="int64", kl="float64")
+    n = int(totals["n_s"].sum())
+    ns_map = {s: int(v) for s, v in zip(totals["source"], totals["n_s"])}
+    ns_ref = ray.put((ns_map, n))
+
+    def score(t: pa.Table) -> pa.Table:
+        ns_map, n = ray.get(ns_ref)
+        src = t["source"].to_pylist()
+        c_st = t["c_st"].to_numpy(zero_copy_only=False)
+        c_t = t["c_t"].to_numpy(zero_copy_only=False)
+        ns = np.array([ns_map[s] for s in src], np.int64)
+        # math.log per vocabulary row: libm-bit-identical to DuckDB ln
+        # (np.log is NOT) — the dsir/pmi exactness discipline
+        q = np.fromiter(
+            (math.floor((int(cst) / int(nsi))
+                        * math.log((int(cst) * n) / (int(nsi) * int(ct)))
+                        * KL_SCALE)
+             for cst, nsi, ct in zip(c_st, ns, c_t)),
+            np.int64, count=len(ns))
+        return pa.table({"source": pa.array(src, pa.string()),
+                         "kl_q": pa.array(q, pa.int64())})
+
+    df = (counts.map_batches(score, batch_format="pyarrow",
+                             batch_size=65536)
+          .groupby("source").aggregate(Sum("kl_q", alias_name="kl_q"))
+          .to_pandas())
+    df = df.merge(totals, on="source")
+    df["kl_q"] = df["kl_q"].astype(np.int64)
+    df["n_tokens"] = df["n_s"].astype(np.int64)
+    df["kl"] = _r(df["kl_q"] / KL_SCALE, 6)
+    return (df[["source", "n_tokens", "kl_q", "kl"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 # --- BM25 top-k retrieval --------------------------------------------------------
 
 BM25_K1 = 1.2

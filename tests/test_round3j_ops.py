@@ -142,6 +142,54 @@ def test_c4_planted_line_rules(ray_session, tmp_path):
     pd.testing.assert_frame_equal(df, odf)
 
 
+# --- q_source_kl (per-source KL divergence) ----------------------------------
+
+def test_source_kl_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["vanlig tekst om fjord og fisk",      # srcA (3 docs, common)
+             "vanlig tekst om fjell og skog",
+             "vanlig tekst om hav og strand",
+             "xyzzy qwerty plugh zork frobozz"]    # srcB: alien vocabulary
+    srcs = ["srcA", "srcA", "srcA", "srcB"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["nb"] * 4, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import q_source_kl
+
+    df = q_source_kl(str(tmp_path)).set_index("source")
+    assert set(df.index) == {"srcA", "srcB"}
+    # the alien-vocabulary source diverges far more from the blend
+    assert df.loc["srcB", "kl"] > df.loc["srcA", "kl"] > 0
+    assert df.loc["srcA", "n_tokens"] == 18
+    assert df.loc["srcB", "n_tokens"] == 5
+
+
+def test_source_kl_single_source_is_zero(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["en tekst her", "en annen tekst"], pa.string()),
+        "lang": pa.array(["nb", "nb"], pa.string()),
+        "source": pa.array(["only", "only"], pa.string()),
+        "n_chars": pa.array([12, 14], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import q_source_kl
+
+    df = q_source_kl(str(tmp_path))
+    # the single source IS the corpus: every ratio is 1, every ln is 0
+    assert df.loc[0, "kl_q"] == 0 and df.loc[0, "kl"] == 0.0
+
+
 # --- q_pagerank_dups (integer PageRank over the dup graph) -------------------
 
 def test_pagerank_planted_graph(ray_session, tmp_path):
