@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "q_minhash_jaccard_est": dedup.q_minhash_jaccard_est,
         "dedup_substring": dedup.dedup_substring,
         "dedup_substring_remove": dedup.dedup_substring_remove,
         "simhash_signatures": dedup.simhash_signatures,
@@ -797,6 +798,23 @@ def _minhash_clusters_sql(threshold: float = 0.8) -> str:
     )
     SELECT node AS doc_id, min(label) AS cluster_id
     FROM lab GROUP BY node ORDER BY doc_id
+    """
+
+
+def _minhash_jaccard_est_sql() -> str:
+    """q_minhash_jaccard_est oracle: the candidate chain + a per-pair count
+    of agreeing signature slots."""
+    return f"""
+    WITH {_tok_ctes()}, {_minhash_cand_ctes()},
+    agree AS (SELECT c.a, c.b,
+                     CAST(count(CASE WHEN sx.sig = sy.sig THEN 1 END)
+                          AS BIGINT) AS agree
+              FROM cand c
+              JOIN sigfull sx ON sx.doc_id = c.a
+              JOIN sigfull sy ON sy.doc_id = c.b AND sy.perm = sx.perm
+              GROUP BY c.a, c.b)
+    SELECT a, b, agree, round(agree / 128.0, 6) AS est_jaccard
+    FROM agree ORDER BY a, b
     """
 
 
@@ -1336,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
         # uint64/mod-p arithmetic) — see the oracle-machinery helpers above.
         "dedup_minhash": _dedup_minhash_sql(),
         "minhash_clusters": _minhash_clusters_sql(),
+        "q_minhash_jaccard_est": _minhash_jaccard_est_sql(),
         "simhash_signatures": _simhash_signatures_sql(),
         "dedup_simhash": _dedup_simhash_sql(),
         "ann_topk": """

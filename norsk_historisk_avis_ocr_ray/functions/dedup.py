@@ -447,6 +447,58 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8,
 
 # --- exact n-gram Jaccard dedup -------------------------------------------------
 
+def q_minhash_jaccard_est(sf_dir: str) -> pd.DataFrame:
+    """MinHash Jaccard ESTIMATES for every LSH candidate pair: the count of
+    agreeing permutation minima (``agree``) and ``agree/128`` — the
+    estimator a web-scale dedup pipeline thresholds on before (or instead
+    of) exact verification, exposed as a first-class result so its quality
+    is inspectable against ``dedup_minhash``'s exact jaccard.
+
+    Exactly SQL-oracled end-to-end: the oracle replays the full md5 →
+    shingle → permutation-minima chain (the dedup_minhash machinery) and
+    counts equal signature slots per candidate pair. The signature pull is
+    candidate-docs-only (O(result) × 128 ints — the semi-join-reduce
+    sliver, same size class as the returned pair list)."""
+    from .rounding import round_half_away
+
+    docs = _docs(sf_dir, num_blocks=scale.read_blocks())
+    cands = minhash_candidates(docs).to_pandas().drop_duplicates()
+    if cands.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "agree": pd.Series([], dtype="int64"),
+                             "est_jaccard": pd.Series([], dtype="float64")})
+    id_set = pa.array(np.unique(np.concatenate(
+        [cands["a"].to_numpy(), cands["b"].to_numpy()])))
+    hasher = MinHasher()
+
+    def sigs_of_candidates(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.is_in(t["doc_id"], value_set=id_set))
+        if not len(t):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.binary())})
+        sigs = hasher._signatures_batch(
+            _hash_tokens_batch(t["text"].to_pylist()))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "sig": pa.array([row.tobytes() for row in sigs], pa.binary())})
+
+    sdf = (docs.map_batches(sigs_of_candidates, batch_format="pyarrow",
+                            batch_size=1024).to_pandas())
+    sig_by_id = {int(d): np.frombuffer(s, np.uint64)
+                 for d, s in zip(sdf["doc_id"], sdf["sig"])}
+    a = cands["a"].to_numpy(np.int64)
+    b = cands["b"].to_numpy(np.int64)
+    agree = np.fromiter(
+        (int((sig_by_id[int(x)] == sig_by_id[int(y)]).sum())
+         for x, y in zip(a, b)), np.int64, count=len(a))
+    df = pd.DataFrame({
+        "a": a, "b": b, "agree": agree,
+        "est_jaccard": round_half_away(agree / float(NUM_PERM), 6)})
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.6, k: int = 3,
                         max_df: int | None = None) -> pd.DataFrame:
     """Exact word-k-gram Jaccard near-dup pairs (``a < b``,

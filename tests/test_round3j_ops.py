@@ -142,6 +142,37 @@ def test_c4_planted_line_rules(ray_session, tmp_path):
     pd.testing.assert_frame_equal(df, odf)
 
 
+# --- q_minhash_jaccard_est (signature-agreement estimator) -------------------
+
+def test_minhash_estimate_planted(ray_session, tmp_path):
+    base = ("en ganske lang tekst om fiske og handel i byen som brukes "
+            "til aa teste minhash signaturer paa en fornuftig maate "
+            "med nok ord til at shinglene faar variasjon")
+    docs = [
+        base,                                     # 0 ┐ identical pair
+        base,                                     # 1 ┘
+        base.replace("handel", "seilas"),         # 2: near-dup of 0/1
+        "helt annen tekst om noe helt annet som ikke ligner",  # 3
+    ]
+    from norsk_historisk_avis_ocr_ray.functions.dedup import (
+        ngram_jaccard,
+        q_minhash_jaccard_est,
+    )
+
+    df = q_minhash_jaccard_est(_write_docs(tmp_path, docs))
+    pairs = {(int(r.a), int(r.b)): r for r in df.itertuples()}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)].agree == 128             # identical → all slots
+    assert pairs[(0, 1)].est_jaccard == 1.0
+    # the near-dup pair is a candidate and its estimate tracks the truth
+    assert (0, 2) in pairs
+    exact = ngram_jaccard(docs[0], docs[2])
+    assert abs(pairs[(0, 2)].est_jaccard - exact) < 0.25
+    assert pairs[(0, 2)].agree < 128
+    # the unrelated doc never pairs
+    assert not any(3 in p for p in pairs)
+
+
 # --- q_source_kl (per-source KL divergence) ----------------------------------
 
 def test_source_kl_planted(ray_session, tmp_path):
