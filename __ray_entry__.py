@@ -170,6 +170,50 @@ def _media_doc_ids(sf_dir: str) -> "Any":
                                  override_num_blocks=scale.read_blocks())
 
 
+def _synth_audio(t: "Any") -> "Any":
+    """Deterministic synthetic audio clips for the multimodal queries: one
+    RIFF/WAVE container per doc, seeded tone (200 + (doc_id % 40)·10 Hz at
+    16 kHz, amplitude 0.6) + splitmix64 counter noise (std ≈ 0.1). Shared
+    by _audio_frame_energy and _audio_spectrogram (single source of truth
+    for the planted tones — the spectrogram pytest asserts RECOVERY of
+    exactly these frequencies).
+
+    Vectorized across the whole batch: splitmix64 counter noise keyed
+    (seed, per-doc-local counter) so the bytes are deterministic and
+    independent of batching. Per-doc arrays (~100 KB) stay L2-resident: a
+    batch-wide vectorized form streamed ~12 MB of temporaries per op and
+    collapsed under concurrent tasks on this VM's memory-bandwidth ceiling
+    (measured 60 s aggregate UDF vs ~4 s for this loop)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from norsk_historisk_avis_ocr_ray.functions.dedup import _fmix64
+    from norsk_historisk_avis_ocr_ray.sources.wav import encode_wav
+
+    doc_ids = t["doc_id"].to_pylist()
+    if not doc_ids:
+        return pa.table({"media_ref": pa.array([], pa.string()),
+                         "audio": pa.array([], pa.binary()),
+                         "codec": pa.array([], pa.string())})
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    refs, bufs = [], []
+    for d in doc_ids:
+        seed = int(_fmix64(np.uint64((int(d) + 1234) & 0xFFFFFFFFFFFFFFFF)))
+        n = 8000 + seed % 8000
+        freq = 200.0 + (int(d) % 40) * 10.0
+        ctr = np.arange(n, dtype=np.uint64)
+        u = _fmix64((ctr * GOLD) ^ np.uint64(seed))
+        x = 0.6 * np.sin((2 * np.pi * freq / 16000.0)
+                         * np.arange(n, dtype=np.float64))
+        x += (u.astype(np.float64) / 2.0 ** 64 - 0.5) * 0.3464  # std≈0.1
+        refs.append(f"audio://{d}")
+        bufs.append(encode_wav(
+            np.clip(x * 32767, -32768, 32767).astype(np.int16), 16000))
+    return pa.table({"media_ref": pa.array(refs, pa.string()),
+                     "audio": pa.array(bufs, pa.binary()),
+                     "codec": pa.array(["wav"] * len(refs), pa.string())})
+
+
 def _audio_frame_energy(sf_dir: str) -> Any:
     """Multimodal audio path: deterministic synthetic clips (seeded tone +
     noise per doc) packaged as real RIFF/WAVE containers → frame sampling
@@ -179,43 +223,9 @@ def _audio_frame_energy(sf_dir: str) -> Any:
     import numpy as np
     import pyarrow as pa
 
-    from ray.data.aggregate import Count, Mean
     from norsk_historisk_avis_ocr_ray.stages.multimodal import AudioFrameSampleStage
 
-    def synth(t: pa.Table) -> pa.Table:
-        # Vectorized across the whole batch: splitmix64 counter noise keyed
-        # (seed, per-doc-local counter) so the bytes are deterministic and
-        # independent of batching (a per-doc default_rng loop was the
-        # dominant cost of this query, not the pipeline itself).
-        from norsk_historisk_avis_ocr_ray.functions.dedup import _fmix64
-        from norsk_historisk_avis_ocr_ray.sources.wav import encode_wav
-
-        doc_ids = t["doc_id"].to_pylist()
-        if not doc_ids:
-            return pa.table({"media_ref": pa.array([], pa.string()),
-                             "audio": pa.array([], pa.binary()),
-                             "codec": pa.array([], pa.string())})
-        # Per-doc arrays (~100 KB) stay L2-resident: a batch-wide vectorized
-        # form streamed ~12 MB of temporaries per op and collapsed under
-        # concurrent tasks on this VM's memory-bandwidth ceiling (measured
-        # 60 s aggregate UDF vs ~4 s for this loop).
-        GOLD = np.uint64(0x9E3779B97F4A7C15)
-        refs, bufs = [], []
-        for d in doc_ids:
-            seed = int(_fmix64(np.uint64((int(d) + 1234) & 0xFFFFFFFFFFFFFFFF)))
-            n = 8000 + seed % 8000
-            freq = 200.0 + (int(d) % 40) * 10.0
-            ctr = np.arange(n, dtype=np.uint64)
-            u = _fmix64((ctr * GOLD) ^ np.uint64(seed))
-            x = 0.6 * np.sin((2 * np.pi * freq / 16000.0)
-                             * np.arange(n, dtype=np.float64))
-            x += (u.astype(np.float64) / 2.0 ** 64 - 0.5) * 0.3464  # std≈0.1
-            refs.append(f"audio://{d}")
-            bufs.append(encode_wav(
-                np.clip(x * 32767, -32768, 32767).astype(np.int16), 16000))
-        return pa.table({"media_ref": pa.array(refs, pa.string()),
-                         "audio": pa.array(bufs, pa.binary()),
-                         "codec": pa.array(["wav"] * len(refs), pa.string())})
+    synth = _synth_audio
 
     def energy_per_clip(t: pa.Table) -> pa.Table:
         # Clip-local aggregate, NO shuffle: the sampling stage emits every
@@ -253,6 +263,86 @@ def _audio_frame_energy(sf_dir: str) -> Any:
     return ensure_schema(ds, pa.schema([
         ("media_ref", pa.string()), ("n_frames", pa.int64()),
         ("mean_rms", pa.float64())]))
+
+
+def _audio_spectrogram(sf_dir: str) -> Any:
+    """Multimodal audio DSP path: the same planted-tone WAV corpus →
+    frame sampling → per-frame rfft power spectrum
+    (`AudioSpectrogramStage`) → per-clip aggregate (majority dominant bin,
+    its frequency, mean spectral centroid, mean power). Rows-only, but
+    with a STRONG pytest: the pipeline must RECOVER each clip's planted
+    tone (200 + (doc_id % 40)·10 Hz) to within one 15.625 Hz FFT bin."""
+    import numpy as np
+    import pyarrow as pa
+
+    from norsk_historisk_avis_ocr_ray.stages.multimodal import (
+        AudioFrameSampleStage,
+        AudioSpectrogramStage,
+    )
+
+    def per_clip(t: pa.Table) -> pa.Table:
+        # clip-local aggregate, NO shuffle (same invariant as
+        # _audio_frame_energy: batch_size=None keeps clips whole)
+        import pandas as pd
+        if t.num_rows == 0:
+            out = pd.DataFrame({
+                "media_ref": pd.Series([], dtype="object"),
+                "n_frames": pd.Series([], dtype="int64"),
+                "dominant_bin": pd.Series([], dtype="int64"),
+                "dominant_hz": pd.Series([], dtype="float64"),
+                "mean_centroid_hz": pd.Series([], dtype="float64"),
+                "mean_power": pd.Series([], dtype="float64")})
+        else:
+            df = pd.DataFrame({
+                "media_ref": t["media_ref"].to_pylist(),
+                "dominant_bin": t["dominant_bin"].to_numpy(
+                    zero_copy_only=False),
+                "dominant_hz": t["dominant_hz"].to_numpy(
+                    zero_copy_only=False),
+                "centroid_hz": t["centroid_hz"].to_numpy(
+                    zero_copy_only=False),
+                "power": t["power"].to_numpy(zero_copy_only=False)})
+            # Majority dominant bin per clip (ties -> smallest bin):
+            # count-sort-dedup instead of groupby().apply (vectorized, and
+            # immune to pandas apply/include_groups shape pitfalls).
+            cnt = (df.groupby(["media_ref", "dominant_bin"])
+                   .size().reset_index(name="n")
+                   .sort_values(["media_ref", "n", "dominant_bin"],
+                                ascending=[True, False, True]))
+            mode = cnt.drop_duplicates("media_ref")[
+                ["media_ref", "dominant_bin"]]
+            hzmap = df.drop_duplicates(["media_ref", "dominant_bin"])[
+                ["media_ref", "dominant_bin", "dominant_hz"]]
+            base = df.groupby("media_ref", as_index=False).agg(
+                n_frames=("dominant_bin", "size"),
+                mean_centroid_hz=("centroid_hz", "mean"),
+                mean_power=("power", "mean"))
+            out = (base.merge(mode, on="media_ref")
+                   .merge(hzmap, on=["media_ref", "dominant_bin"]))
+        return pa.table({
+            "media_ref": pa.array(out["media_ref"], pa.string()),
+            "n_frames": pa.array(out["n_frames"].to_numpy(np.int64)),
+            "dominant_bin": pa.array(
+                out["dominant_bin"].to_numpy(np.int64)),
+            "dominant_hz": pa.array(
+                out["dominant_hz"].to_numpy(np.float64)),
+            "mean_centroid_hz": pa.array(
+                out["mean_centroid_hz"].to_numpy(np.float64)),
+            "mean_power": pa.array(
+                out["mean_power"].to_numpy(np.float64))})
+
+    ds = (_media_doc_ids(sf_dir)
+          .map_batches(_synth_audio, batch_format="pyarrow", batch_size=256)
+          .map_batches(AudioFrameSampleStage(), batch_format="pyarrow",
+                       batch_size=64)
+          .map_batches(AudioSpectrogramStage(sample_rate=16000),
+                       batch_format="pyarrow", batch_size=None)
+          .map_batches(per_clip, batch_format="pyarrow", batch_size=None))
+    from norsk_historisk_avis_ocr_ray.functions.collect import ensure_schema
+    return ensure_schema(ds, pa.schema([
+        ("media_ref", pa.string()), ("n_frames", pa.int64()),
+        ("dominant_bin", pa.int64()), ("dominant_hz", pa.float64()),
+        ("mean_centroid_hz", pa.float64()), ("mean_power", pa.float64())]))
 
 
 def _video_frame_sample(sf_dir: str) -> Any:
@@ -424,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _image_features,
         "image_phash_dedup": _image_phash_dedup,
         "audio_frame_energy": _audio_frame_energy,
+        "audio_spectrogram": _audio_spectrogram,
         "video_frame_sample": _video_frame_sample,
         # sketches
         "approx_distinct_users": _approx_distinct_users,

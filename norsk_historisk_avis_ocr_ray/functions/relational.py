@@ -3689,10 +3689,13 @@ def q_funnel(sf_dir: str) -> pd.DataFrame:
                .map_groups(bucket_counts, batch_format="pandas")
                .to_pandas())
     if parts.empty:
-        n0 = n1 = n2 = n3 = 0
-    else:
-        n0, n1, n2, n3 = (int(parts[c].sum())
-                          for c in ("n0", "n1", "n2", "n3"))
+        # empty corpus/partition: zero-row result with the normal columns
+        # (the engine-wide empty-safety contract, test_empty_corpus)
+        return pd.DataFrame({"step": pd.Series([], dtype="object"),
+                             "n_users": pd.Series([], dtype="int64"),
+                             "frac_prev": pd.Series([], dtype="float64")})
+    n0, n1, n2, n3 = (int(parts[c].sum())
+                      for c in ("n0", "n1", "n2", "n3"))
     counts = [n1, n2, n3]
     prev = [n0, n1, n2]
     frac = [float(_r(pd.Series([c / p]), 6).iloc[0]) if p else 0.0

@@ -130,6 +130,43 @@ class AudioFrameSampleStage:
         })
 
 
+class AudioSpectrogramStage:
+    """Per-frame magnitude-spectrum features from int16 PCM frames (the
+    output of ``AudioFrameSampleStage``): rfft power spectrum → dominant
+    bin/frequency, spectral centroid, total power. Pure numpy FFT —
+    deterministic, no external DSP library. Stateless task form (state is
+    one int — the MinHasher/LangIdStage actor-pool reasoning applies)."""
+
+    def __init__(self, sample_rate: int = 16000):
+        self.sample_rate = sample_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames = batch["frame"].to_pylist()
+        if not frames:
+            return pa.table({
+                "media_ref": pa.array([], pa.string()),
+                "frame_idx": pa.array([], pa.int32()),
+                "dominant_bin": pa.array([], pa.int64()),
+                "dominant_hz": pa.array([], pa.float64()),
+                "centroid_hz": pa.array([], pa.float64()),
+                "power": pa.array([], pa.float64())})
+        pcm = np.stack([np.frombuffer(b, np.int16) for b in frames]
+                       ).astype(np.float64)
+        spec = np.abs(np.fft.rfft(pcm, axis=1)) ** 2
+        spec[:, 0] = 0.0                       # drop DC so the tone wins
+        dom = spec.argmax(axis=1).astype(np.int64)
+        freqs = np.fft.rfftfreq(pcm.shape[1], d=1.0 / self.sample_rate)
+        tot = spec.sum(axis=1)
+        cent = (spec * freqs[None, :]).sum(axis=1) / np.maximum(tot, 1e-30)
+        return pa.table({
+            "media_ref": batch["media_ref"],
+            "frame_idx": batch["frame_idx"],
+            "dominant_bin": pa.array(dom, pa.int64()),
+            "dominant_hz": pa.array(freqs[dom], pa.float64()),
+            "centroid_hz": pa.array(cent, pa.float64()),
+            "power": pa.array(tot, pa.float64())})
+
+
 class VideoFrameSampleStage:
     """Sample every k-th frame from a video binary column.
 

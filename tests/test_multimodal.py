@@ -75,6 +75,45 @@ def test_video_frame_sampling():
     assert (img0 == 0).all()
 
 
+def test_spectrogram_stage_recovers_tone():
+    from norsk_historisk_avis_ocr_ray.stages.multimodal import (
+        AudioSpectrogramStage)
+    rate, n, freq = 16000, 12000, 1000.0  # 1 kHz = exactly bin 64 @1024
+    pcm = (0.5 * np.sin(2 * np.pi * freq / rate * np.arange(n))
+           * 32767).astype(np.int16)
+    batch = pa.Table.from_pylist([
+        {"media_ref": "a0", "audio": pcm.tobytes(), "codec": "pcm16"}])
+    frames = AudioFrameSampleStage()(batch)
+    out = AudioSpectrogramStage(sample_rate=rate)(frames)
+    assert out.num_rows == frames.num_rows
+    bin_hz = rate / 1024.0
+    for hz in out["dominant_hz"].to_pylist():
+        assert abs(hz - freq) <= bin_hz
+    # a pure tone's spectral centroid sits near the tone too (noise floor
+    # from int16 quantization pulls it only slightly)
+    for c in out["centroid_hz"].to_pylist():
+        assert abs(c - freq) < 200.0
+    # empty batch passes through with the same schema
+    empty = AudioSpectrogramStage(sample_rate=rate)(frames.slice(0, 0))
+    assert empty.num_rows == 0
+    assert empty.schema == out.schema
+
+
+def test_audio_spectrogram_query_recovers_planted_tones(ray_session):
+    import __ray_entry__ as entry
+
+    df = entry.queries()["audio_spectrogram"](
+        "/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    bin_hz = 16000 / 1024.0
+    for ref, hz in zip(df["media_ref"], df["dominant_hz"]):
+        doc_id = int(ref.split("//")[1])
+        planted = 200.0 + (doc_id % 40) * 10.0
+        assert abs(hz - planted) <= bin_hz, (ref, hz, planted)
+    assert (df["n_frames"] >= 1).all()
+    assert (df["mean_power"] > 0).all()
+
+
 def test_feature_stage_in_actor_pool():
     ds = ray.data.from_arrow(image_batch(8))
     out = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
