@@ -1350,6 +1350,37 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
         """,
+        # Exact replay of the winnowing chain (textstats.winnow_hashes):
+        # char 8-grams at positions 1..max(len-7, 1), md5-64 gram hash
+        # (first 16 hex chars of md5 as UBIGINT — same bridge as MinHash),
+        # 4-hash window min with partial leading frames (exactly one SQL
+        # frame: ROWS 3 PRECEDING..CURRENT ROW), DISTINCT, then the count
+        # and an md5 digest of the comma-joined ascending decimal values.
+        "winnow_fingerprint": """
+            WITH d AS (
+                SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t) - 7, 1) + 1)) AS i
+                FROM d),
+            g AS (
+                SELECT doc_id, i,
+                       ('0x' || substr(md5(substr(t, i::INTEGER, 8)),
+                                       1, 16))::UBIGINT AS h
+                FROM pos),
+            w AS (
+                SELECT doc_id,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN 3 PRECEDING
+                                    AND CURRENT ROW) AS sel
+                FROM g),
+            u AS (SELECT DISTINCT doc_id, sel FROM w)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_fingerprints,
+                   md5(string_agg(sel::VARCHAR, ',' ORDER BY sel))
+                       AS fp_digest
+            FROM u GROUP BY doc_id ORDER BY doc_id
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint
             FROM documents
@@ -2923,10 +2954,9 @@ def oracle_sql() -> dict[str, str]:
         # ann_ivf_topk, ann_lsh_topk, ann_pq_topk (seeded k-means /
         # random-hyperplane / product-quantization indexes; recall@5 >= 0.85
         # pytests vs exact brute force),
-        # winnow_fingerprint (fp_digest is blake2b — not DuckDB
-        # expressible; full-table digest pinned at driver scale),
         # audio_frame_energy, video_frame_sample (binary media corpora,
         # not SQL tables). dedup_minhash / dedup_simhash /
-        # minhash_clusters / simhash_signatures and seq_pack gained exact
-        # oracles in round 3 (md5/HUGEINT replay; recursive-CTE packing).
+        # minhash_clusters / simhash_signatures, seq_pack and
+        # winnow_fingerprint gained exact oracles in round 3 (md5/HUGEINT
+        # replay; recursive-CTE packing; md5-gram winnowing replay).
     }

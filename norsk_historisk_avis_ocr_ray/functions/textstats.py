@@ -118,52 +118,86 @@ def doc_fingerprint(sf_dir: str) -> Dataset:
         pa.schema([("doc_id", pa.int64()), ("fingerprint", pa.string())]))
 
 
-# --- winnowing fingerprint (rolling hash) ------------------------------------
+# --- winnowing fingerprint ----------------------------------------------------
 
-WINNOW_K = 8          # k-gram length (bytes)
+WINNOW_K = 8          # k-gram length (characters)
 WINNOW_W = 4          # winnowing window (hashes)
-_WINNOW_BASE = np.uint64(1000003)
-_POWERS = _WINNOW_BASE ** np.arange(WINNOW_K - 1, -1, -1, dtype=np.uint64)
 
 
-def winnow_hashes(text: str) -> np.ndarray:
-    """Selected rolling-hash values of ``text`` under standard winnowing
-    (Schleimer/Wilkerson/Aiken, SIGMOD'03): Karp-Rabin hash of every
-    k-gram (vectorized sliding-window dot product in uint64 wraparound
-    arithmetic), then the minimum of each w-hash window, deduplicated.
-    Guarantee: two texts sharing a substring of length ≥ w + k - 1 share
-    at least one selected hash."""
-    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-    if len(b) < WINNOW_K:
-        b = np.pad(b, (0, WINNOW_K - len(b)))
-    grams = np.lib.stride_tricks.sliding_window_view(b, WINNOW_K)
-    h = grams.astype(np.uint64) @ _POWERS          # mod 2^64 wraparound
-    if len(h) < WINNOW_W:
-        return np.unique(h)
-    return np.unique(np.lib.stride_tricks.sliding_window_view(
-        h, WINNOW_W).min(axis=1))
+def winnow_hashes(text: str, cache: dict | None = None) -> np.ndarray:
+    """Selected k-gram hash values of ``text`` under winnowing
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03): an md5-derived 64-bit hash of
+    every character k-gram, then the minimum of each w-hash window —
+    partial leading windows included, so the rule is uniform at every
+    position (and exactly one SQL window frame:
+    ``min(h) OVER (... ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``) —
+    deduplicated. Guarantee: two texts sharing a substring of length
+    ≥ w + k - 1 share at least one selected hash (the w consecutive
+    shared grams form one full window in both texts; partial-window
+    extras only ADD selections). The gram hash is ``dedup._md5_64`` —
+    md5 is the one digest DuckDB shares with Python, which is what makes
+    this operator exactly SQL-oracle-able (round-3; it replaced a
+    Karp-Rabin uint64 dot product whose wraparound arithmetic DuckDB
+    cannot replay over bytes). ``cache`` (gram → hash) amortizes the md5
+    across a batch: natural-language 8-grams repeat heavily (~2% distinct
+    across a 2k-doc batch at sf0.1), so a shared per-batch dict cuts the
+    digest calls ~45×."""
+    from .dedup import _md5_64
+
+    t = text or ""
+    n = max(len(t) - WINNOW_K + 1, 1)
+    if cache is None:
+        h = np.fromiter((_md5_64(t[i:i + WINNOW_K]) for i in range(n)),
+                        dtype=np.uint64, count=n)
+    else:
+        get = cache.get
+
+        def hv(i: int) -> int:
+            g = t[i:i + WINNOW_K]
+            v = get(g)
+            if v is None:
+                v = _md5_64(g)
+                cache[g] = v
+            return v
+
+        h = np.fromiter(map(hv, range(n)), dtype=np.uint64, count=n)
+    if n <= WINNOW_W - 1:
+        sel = np.minimum.accumulate(h)
+    else:
+        lead = np.minimum.accumulate(h[:WINNOW_W - 1])
+        body = np.lib.stride_tricks.sliding_window_view(
+            h, WINNOW_W).min(axis=1)
+        sel = np.concatenate([lead, body])
+    return np.unique(sel)
 
 
 def winnow_fingerprint(sf_dir: str) -> Dataset:
-    """Per-doc winnowed rolling-hash fingerprint: the count of selected
-    hashes plus a stable digest over them (blake2b of the sorted hash
-    bytes). Rows-only check; the winnowing sharing guarantee and
-    determinism are pinned in pytest."""
+    """Per-doc winnowed fingerprint: the count of selected k-gram hashes
+    plus a stable digest over them (md5 of the comma-joined sorted decimal
+    hash values — DuckDB: ``md5(string_agg(sel::VARCHAR, ',' ORDER BY
+    sel))``). Exactly SQL-oracled (``__ray_entry__``): the oracle replays
+    gram extraction (char-based substr on both engines), the md5-64 gram
+    hash, the w-window min with partial leading frames, DISTINCT, and the
+    digest."""
 
     def fp(t: pa.Table) -> pa.Table:
         counts, digests = [], []
+        cache: dict = {}
         for x in t["text"].to_pylist():
-            hs = winnow_hashes(x or "")
+            hs = winnow_hashes(x or "", cache)
             counts.append(len(hs))
-            digests.append(hashlib.blake2b(hs.tobytes(),
-                                           digest_size=16).hexdigest())
+            digests.append(hashlib.md5(
+                ",".join(str(int(v)) for v in hs).encode()).hexdigest())
         return pa.table({"doc_id": t["doc_id"],
                          "n_fingerprints": pa.array(counts, pa.int64()),
                          "fp_digest": pa.array(digests, pa.string())})
 
     return ensure_schema(
+        # batch_size=None → one batch per read block (cluster-size-derived),
+        # so the per-gram Python scan parallelizes; 8192 was coalescing the
+        # whole sf0.1 table into ONE task (0.98 s single-task UDF).
         _docs(sf_dir).map_batches(fp, batch_format="pyarrow",
-                                  batch_size=8192),
+                                  batch_size=None),
         pa.schema([("doc_id", pa.int64()), ("n_fingerprints", pa.int64()),
                    ("fp_digest", pa.string())]))
 

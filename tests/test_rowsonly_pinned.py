@@ -1,10 +1,10 @@
 """Driver-scale pinned ground truth for deterministic rows-only queries.
 
-``winnow_fingerprint`` has no ANSI-SQL form (its fp_digest is blake2b,
-not DuckDB expressible), so the driver records a rows-only check; the
-other pins here guard deterministic ops whose primary gate is elsewhere
-(``simhash_signatures`` gained an exact DuckDB oracle in round 3 — the
-pin stays as a batching-independence tripwire). The FULL result table at
+These pins guard deterministic ops whose primary gate is elsewhere
+(``simhash_signatures`` and ``winnow_fingerprint`` gained exact DuckDB
+oracles in round 3 — the pins stay as batching-independence tripwires;
+``bpe_train`` / ``quality_classifier`` are iterative and rows-only for
+the driver, so these pins ARE their gate). The FULL result table at
 the driver's gate scale (sf0.01, 500 docs) is hashed against values
 computed once and frozen here — any regression in tokenization, hashing,
 winnowing selection, or batching-dependence flips the digest.
@@ -39,9 +39,9 @@ def test_winnow_fingerprint_pinned_full_table(ray_session):
     df = (winnow_fingerprint(SF).to_pandas()
           .sort_values("doc_id").reset_index(drop=True))
     assert len(df) == 500
-    assert df.loc[0, "n_fingerprints"] == 56
-    assert df.loc[0, "fp_digest"] == "527c950524c89bd3586753036c703169"
-    assert table_digest(df) == "ba507f6d677e2add95998e427c9b71f8"
+    assert df.loc[0, "n_fingerprints"] == 57
+    assert df.loc[0, "fp_digest"] == "0c0257827538ed98af688dfd75ae3f9c"
+    assert table_digest(df) == "09e12bf86663a36571becb687376702d"
 
 
 def test_bpe_train_pinned_full_table(ray_session):
