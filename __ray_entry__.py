@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_edit_distance": dedup.dedup_edit_distance,
         "q_minhash_jaccard_est": dedup.q_minhash_jaccard_est,
         "dedup_substring": dedup.dedup_substring,
         "dedup_substring_remove": dedup.dedup_substring_remove,
@@ -1507,6 +1508,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
             ORDER BY a, b
+        """,
+        # Brute-force counterpart of the PassJoin pigeonhole blocking: the
+        # Ray side's segment join + DP verify must equal the exhaustive
+        # levenshtein self-join over the distinct names. DuckDB's
+        # levenshtein is byte-level on the UTF-8 octets, which is exactly
+        # what dedup._edit_distance_bytes computes.
+        "dedup_edit_distance": """
+            WITH n AS (SELECT DISTINCT p_name FROM part
+                       WHERE p_name IS NOT NULL)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM n a JOIN n b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+            ORDER BY name_a, name_b
         """,
         "q_hash_split": """
             SELECT split, count(*) AS n_docs,

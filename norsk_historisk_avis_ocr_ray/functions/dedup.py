@@ -1091,3 +1091,172 @@ def dedup_substring_remove(
     return ensure_schema(
         joined.map_batches(clean_joined, batch_format="pyarrow"),
         out_schema)
+
+
+# --- exact edit-distance similarity join (PassJoin) ---------------------------
+
+EDIT_D = 3            # byte-level Levenshtein threshold
+
+
+def _edit_distance_bytes(a: bytes, b: bytes) -> int:
+    """Exact byte-level Levenshtein distance (unit costs), matching
+    DuckDB's ``levenshtein`` (which operates on the UTF-8 OCTETS:
+    ``levenshtein('blåbær','blaber') = 4``, not the character-level 2).
+    Row-vectorized DP: the sequential insertion recurrence
+    ``cur[j] <= cur[j-1] + 1`` is closed with one prefix-min over
+    ``cur - j`` (f[j] = cur[j] - j is non-increasing under insertion
+    chains), so each of the |a| rows is O(|b|) numpy ops."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    n = len(b)
+    bb = np.frombuffer(b, dtype=np.uint8)
+    j = np.arange(n + 1, dtype=np.int64)
+    prev = j.copy()
+    cur = np.empty(n + 1, np.int64)
+    for i, ca in enumerate(a, 1):
+        cur[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (bb != ca), out=cur[1:])
+        cur = np.minimum.accumulate(cur - j) + j
+        prev, cur = cur, prev
+    return int(prev[n])
+
+
+def _ed_segments(L: int, d: int) -> list[tuple[int, int]]:
+    """Even partition of ``[0, L)`` into ``d + 1`` (start, length) segments;
+    the first ``L mod (d+1)`` segments carry the extra byte. Both the index
+    and the probe side derive positions from this one rule."""
+    k = d + 1
+    base, extra = divmod(L, k)
+    out, p = [], 0
+    for i in range(k):
+        m = base + (1 if i < extra else 0)
+        out.append((p, m))
+        p += m
+    return out
+
+
+def _ed_key(seg_i: int, src_len: int, sub: bytes) -> int:
+    """int64 join key for a (segment index, source length, substring)
+    triple. Collisions only MERGE candidate buckets — verification culls
+    every candidate with a full DP, so exactness is preserved."""
+    h = hashlib.md5(bytes((seg_i,)) + src_len.to_bytes(4, "big") + sub)
+    return int.from_bytes(h.digest()[:8], "big") - (1 << 63)
+
+
+def dedup_edit_distance(sf_dir: str, d: int = EDIT_D) -> pd.DataFrame:
+    """Exact edit-distance similarity self-join over the DISTINCT
+    ``part.p_name`` values: every unordered pair of distinct names within
+    byte-Levenshtein distance ``d`` (columns ``name_a < name_b``,
+    ``dist``). The typo-clustering operator for a string column at corpus
+    scale, shaped as:
+
+    1. **distinct-reduce** — the raw column (every part row) collapses to
+       its vocabulary first (batch-local distinct + one groupby), so all
+       downstream work is vocab-sized, not corpus-sized;
+    2. **pigeonhole blocking** (PassJoin, Li/Deng/Feng, VLDB'11): each
+       name is split into ``d + 1`` byte segments; ``ed(s, t) <= d``
+       forces at least one segment of ``s`` to appear EXACTLY in ``t``,
+       start position shifted by at most ``d``. The index side emits its
+       ``d + 1`` segment keys; the probe side emits every substring of
+       the matching length within the position window, for every
+       candidate source length in ``[len(t) - d, len(t) + d]``. One
+       distributed hash join on the int64 segment key replaces the
+       all-pairs cross product (names of byte-length < d + 1 fall back
+       to a short-string key: some segment is empty, so every
+       length-compatible pair must meet);
+    3. **DP verification**: each candidate pair is checked with the exact
+       byte-level Levenshtein DP — blocking is lossless (a superset), so
+       the result equals the brute-force join the DuckDB oracle runs.
+
+    The candidate pair list is result-sized (vocab pairs sharing a
+    segment), so the distinct + verify step runs on the driver below the
+    established pair cutover, mirroring ``dedup_minhash``."""
+    import pyarrow.compute as pc
+
+    path = f"{sf_dir}/part.parquet"
+    names_ds = ray.data.read_parquet(
+        path, columns=["p_name"],
+        override_num_blocks=scale.read_blocks_for_path(path))
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        col = pc.drop_null(t["p_name"]).unique()
+        return pa.table({"p_name": col})
+
+    distinct = (names_ds.map_batches(local_distinct, batch_format="pyarrow")
+                .groupby("p_name").count().select_columns(["p_name"])
+                .materialize())     # vocab-sized; two consumers below
+
+    empty = pd.DataFrame({"name_a": pd.Series([], dtype="object"),
+                          "name_b": pd.Series([], dtype="object"),
+                          "dist": pd.Series([], dtype="int64")})
+    if distinct.count() == 0:
+        return empty
+
+    k = d + 1
+
+    def index_rows(t: pa.Table) -> pa.Table:
+        keys, names = [], []
+        for s in t["p_name"].to_pylist():
+            sb = s.encode("utf-8")
+            L = len(sb)
+            if L < k:       # some segment empty: short-string bucket
+                keys.append(_ed_key(255, L, b""))
+                names.append(s)
+                continue
+            for i, (p, m) in enumerate(_ed_segments(L, d)):
+                keys.append(_ed_key(i, L, sb[p:p + m]))
+                names.append(s)
+        return pa.table({"key": pa.array(keys, pa.int64()),
+                         "iname": pa.array(names, pa.string())})
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        keys, names = [], []
+        for s in t["p_name"].to_pylist():
+            tb = s.encode("utf-8")
+            lt = len(tb)
+            seen = set()
+            for l in range(max(lt - d, 0), lt + d + 1):
+                if l < k:   # pair with short indexed strings
+                    seen.add(_ed_key(255, l, b""))
+                    continue
+                for i, (p, m) in enumerate(_ed_segments(l, d)):
+                    lo = max(0, p - d)
+                    hi = min(lt - m, p + d)
+                    for q in range(lo, hi + 1):
+                        seen.add(_ed_key(i, l, tb[q:q + m]))
+            keys.extend(seen)
+            names.extend([s] * len(seen))
+        return pa.table({"key": pa.array(keys, pa.int64()),
+                         "pname": pa.array(names, pa.string())})
+
+    idx = distinct.map_batches(index_rows, batch_format="pyarrow")
+    prb = distinct.map_batches(probe_rows, batch_format="pyarrow")
+    joined = idx.join(prb, join_type="inner",
+                      num_partitions=scale.join_partitions(), on=("key",))
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        # batch-local normalize + distinct: candidate pairs are vocab-pair
+        # sized; most duplicates (one per shared segment key) collapse here
+        a = t["iname"].to_pylist()
+        b = t["pname"].to_pylist()
+        pairs = {(x, y) if x < y else (y, x)
+                 for x, y in zip(a, b) if x != y}
+        pairs = sorted(pairs)
+        return pa.table({"name_a": pa.array([p[0] for p in pairs]),
+                         "name_b": pa.array([p[1] for p in pairs])})
+
+    cand = (joined.map_batches(local_pairs, batch_format="pyarrow",
+                               batch_size=None)
+            .to_pandas().drop_duplicates(ignore_index=True))
+
+    if cand.empty:
+        return empty
+    dists = np.fromiter(
+        (_edit_distance_bytes(x.encode("utf-8"), y.encode("utf-8"))
+         for x, y in zip(cand["name_a"], cand["name_b"])),
+        dtype=np.int64, count=len(cand))
+    out = cand.loc[dists <= d].copy()
+    out["dist"] = dists[dists <= d]
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)

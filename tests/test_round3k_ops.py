@@ -1,0 +1,96 @@
+"""Planted edge cases for dedup_edit_distance (exact equality vs DuckDB
+is enforced by tools/check_oracle.py — these tests pin the PassJoin
+blocking LOSSLESSNESS and the byte-level DP semantics on hand-built
+corpora where the oracle's brute-force join is replayed locally)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_part(tmp_path, names):
+    pq.write_table(
+        pa.table({"p_partkey": pa.array(range(len(names)), pa.int64()),
+                  "p_name": pa.array(names, pa.string())}),
+        str(tmp_path / "part.parquet"))
+    return str(tmp_path)
+
+
+def _brute(names, d=3):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE n (s VARCHAR)")
+    for s in set(n for n in names if n is not None):
+        con.execute("INSERT INTO n VALUES (?)", [s])
+    return con.sql(f"""
+        SELECT a.s AS name_a, b.s AS name_b,
+               CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        FROM n a JOIN n b ON a.s < b.s
+        WHERE levenshtein(a.s, b.s) <= {d}
+        ORDER BY name_a, name_b""").df()
+
+
+def _run(sf_dir):
+    from norsk_historisk_avis_ocr_ray.functions.dedup import (
+        dedup_edit_distance)
+
+    return dedup_edit_distance(sf_dir)
+
+
+def test_edit_distance_dp_matches_duckdb_bytes():
+    """Byte-level DP == DuckDB levenshtein, including multibyte UTF-8
+    (octet distance, NOT character distance) and empty strings."""
+    import random
+
+    from norsk_historisk_avis_ocr_ray.functions.dedup import (
+        _edit_distance_bytes)
+
+    con = duckdb.connect()
+    assert _edit_distance_bytes(b"kitten", b"sitting") == 3
+    # å→a is sub+del on the octets; character-level would be 2
+    assert _edit_distance_bytes("blåbær".encode(), b"blaber") == 4
+    assert _edit_distance_bytes(b"", b"abc") == 3
+    rng = random.Random(11)
+    alpha = "abæø Z"
+    for _ in range(200):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 10)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 10)))
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert _edit_distance_bytes(a.encode(), b.encode()) == want
+
+
+def test_edit_join_planted_corpus(ray_session, tmp_path):
+    """Full pipeline equals the brute-force join on a corpus built to hit
+    every blocking path: repeated names (distinct-reduce), short-string
+    bucket (byte length < d + 1), multibyte names, a pair at exactly
+    d = 3, a pair at 4 (excluded), and a prefix-insertion pair whose
+    matching segment sits at the edge of the ±d position window."""
+    names = ["kitten", "sitting",            # dist 3: kept
+             "kitten", "kitten",             # duplicates collapse
+             "blåbær", "blaber",             # octet dist 4: excluded
+             "ab", "b", "",                  # short bucket (L < 4)
+             "abcdefgh", "xyzabcdefgh",      # 3 front inserts: shift = d
+             "unrelated-long-name-here"]
+    got = _run(_write_part(tmp_path, names))
+    want = _brute(names)
+    assert got.columns.tolist() == ["name_a", "name_b", "dist"]
+    assert got["dist"].dtype == np.int64
+    assert got.values.tolist() == want.values.tolist()
+    pairs = set(zip(got["name_a"], got["name_b"]))
+    assert ("kitten", "sitting") in pairs
+    assert ("abcdefgh", "xyzabcdefgh") in pairs
+    assert ("blaber", "blåbær") not in pairs
+
+
+def test_edit_join_dense_random_vocab(ray_session, tmp_path):
+    """Adversarial density: a tiny alphabet makes most pairs land within
+    a few edits, so any pruning bug (segment rule mismatch, window
+    off-by-one, short-string path) loses a pair vs brute force."""
+    import random
+
+    rng = random.Random(23)
+    names = list({"".join(rng.choice("ab") for _ in range(rng.randint(1, 9)))
+                  for _ in range(60)})
+    got = _run(_write_part(tmp_path, names * 2))
+    want = _brute(names)
+    assert got.values.tolist() == want.values.tolist()
