@@ -561,7 +561,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _dup_clusters,
         "minhash_clusters": _minhash_clusters,
         "q_pagerank_dups": _q_pagerank_dups,
+        "q_triangle_dups": _q_triangle_dups,
     }
+
+
+def _q_triangle_dups(sf_dir: str) -> Any:
+    from norsk_historisk_avis_ocr_ray.functions.cluster import q_triangle_dups
+    return q_triangle_dups(sf_dir)
 
 
 def _dup_clusters(sf_dir: str) -> Any:
@@ -1986,6 +1992,42 @@ def oracle_sql() -> dict[str, str]:
             FROM q GROUP BY lang ORDER BY lang
         """,
         "q_pagerank_dups": _pagerank_dups_sql(),
+        # Clique edges per boundary-key group (prefix and suffix key spaces
+        # SEPARATE, as in the pagerank/dup_clusters oracles), then the
+        # canonical a<b<c three-way self-join triangle enumeration and a
+        # per-node unpivot count. The Ray side's degree-ordered orientation
+        # + neighbor intersection must census identically.
+        "q_triangle_dups": """
+            WITH toks AS (SELECT doc_id,
+                                 string_split(coalesce(text, ''), ' ') AS ts
+                          FROM documents),
+            keys AS (SELECT doc_id, array_to_string(ts[1:8], ' ') AS k1,
+                            array_to_string(ts[-8:], ' ') AS k2
+                     FROM toks),
+            ep AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM keys x JOIN keys y
+                   ON x.k1 = y.k1 AND x.doc_id < y.doc_id),
+            es AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM keys x JOIN keys y
+                   ON x.k2 = y.k2 AND x.doc_id < y.doc_id),
+            e AS (SELECT a, b FROM ep UNION SELECT a, b FROM es),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                    FROM (SELECT a AS node FROM e
+                          UNION ALL SELECT b FROM e)
+                    GROUP BY node),
+            tri AS (SELECT t1.a, t1.b, t2.b AS c
+                    FROM e t1 JOIN e t2 ON t2.a = t1.b
+                    JOIN e t3 ON t3.a = t1.a AND t3.b = t2.b),
+            pern AS (SELECT node, CAST(count(*) AS BIGINT) AS n
+                     FROM (SELECT a AS node FROM tri
+                           UNION ALL SELECT b FROM tri
+                           UNION ALL SELECT c FROM tri)
+                     GROUP BY node)
+            SELECT d.node AS doc_id, d.deg,
+                   CAST(coalesce(p.n, 0) AS BIGINT) AS n_triangles
+            FROM deg d LEFT JOIN pern p ON p.node = d.node
+            ORDER BY doc_id
+        """,
         "dup_clusters": """
             WITH RECURSIVE
             toks AS (SELECT doc_id,

@@ -371,3 +371,95 @@ def q_pagerank_dups(sf_dir: str, k: int = 8,
     return pd.DataFrame({"doc_id": pd.Series(nodes, dtype="int64"),
                          "deg": pd.Series(deg, dtype="int64"),
                          "pagerank": pd.Series(pr, dtype="int64")})
+
+
+def q_triangle_dups(sf_dir: str, k: int = 8,
+                    max_group: int | None = None) -> pd.DataFrame:
+    """Triangle census of the share-a-boundary-key duplicate graph:
+    undirected DISTINCT edges between every pair of documents whose first-k
+    or last-k token key agrees (per-key CLIQUES, unlike ``dup_clusters``'
+    star-to-min edges — the prefix and suffix key spaces stay separate,
+    mirroring the oracle's two partitioned joins), then the per-node count
+    of triangles each document closes. Triangle density separates
+    boilerplate hubs (many edges, few closures) from true duplicate
+    clusters (cliques), the standard graph-mining diagnostic over a dedup
+    candidate graph.
+
+    Scale shape (the ``q_pagerank_dups`` contract): edge discovery is
+    distributed — one int-key bucketed combine emits each key group's
+    sorted all-pairs clique; group size is dup-group-bounded, and the
+    documented web-scale knob ``max_group`` drops degenerate boilerplate
+    keys (a key shared by thousands of docs is not duplicate signal)
+    BEFORE the |group|² emit. The distinct edge list is result-sized, so
+    the triangle solve runs on the driver: degree-ordered orientation
+    (each edge directed low→high order), neighbor-set intersection per
+    oriented edge — the classical O(Σ min-deg) exact count, every triangle
+    found exactly once. Output: (doc_id, deg, n_triangles) per graph node.
+    """
+    rows = _label_rows(sf_dir, k)
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, docs in g.groupby("kh")["label"]:
+            d = np.unique(docs.to_numpy(np.int64))
+            if len(d) < 2 or (max_group is not None
+                              and len(d) > max_group):
+                continue
+            iu, ju = np.triu_indices(len(d), 1)
+            out_a.append(d[iu])
+            out_b.append(d[ju])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)}).drop_duplicates()
+
+    from .combine import bucketed_combine
+    edges = bucketed_combine(
+        rows.map_batches(_explode_keys, batch_format="pyarrow"),
+        "kh", group_pairs)
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "deg": pd.Series([], dtype="int64"),
+                          "n_triangles": pd.Series([], dtype="int64")})
+    # result-sized pair list (the dedup-output size class): distinct on the
+    # driver, as q_pagerank_dups / minhash_clusters established
+    edf = edges.to_pandas().drop_duplicates(ignore_index=True)
+    if edf.empty:
+        return empty
+
+    nodes = np.unique(np.concatenate([edf["a"].to_numpy(np.int64),
+                                      edf["b"].to_numpy(np.int64)]))
+    nid = {int(n): i for i, n in enumerate(nodes)}
+    ea = edf["a"].map(nid).to_numpy(np.int64)
+    eb = edf["b"].map(nid).to_numpy(np.int64)
+    nn = len(nodes)
+    deg = np.bincount(ea, minlength=nn) + np.bincount(eb, minlength=nn)
+
+    # degree-ordered orientation: order key (deg, node id); each edge points
+    # from the lower-ordered endpoint, so N+(u) is small for hubs and each
+    # triangle is counted at exactly one wedge apex
+    order = np.lexsort((nodes, deg))
+    rank = np.empty(nn, np.int64)
+    rank[order] = np.arange(nn)
+    lo = np.where(rank[ea] < rank[eb], ea, eb)
+    hi = np.where(rank[ea] < rank[eb], eb, ea)
+    adj: list[np.ndarray] = [np.array([], np.int64)] * nn
+    o = np.argsort(lo, kind="stable")
+    lo_s, hi_s = lo[o], hi[o]
+    starts = np.searchsorted(lo_s, np.arange(nn))
+    ends = np.searchsorted(lo_s, np.arange(nn) + 1)
+    for u in range(nn):
+        if ends[u] > starts[u]:
+            adj[u] = np.sort(hi_s[starts[u]:ends[u]])
+    tri = np.zeros(nn, np.int64)
+    for u, v in zip(lo, hi):
+        common = np.intersect1d(adj[u], adj[v], assume_unique=True)
+        if len(common):
+            tri[u] += len(common)
+            tri[v] += len(common)
+            np.add.at(tri, common, 1)
+    return pd.DataFrame({"doc_id": pd.Series(nodes, dtype="int64"),
+                         "deg": pd.Series(deg.astype(np.int64),
+                                          dtype="int64"),
+                         "n_triangles": pd.Series(tri, dtype="int64")})

@@ -94,3 +94,56 @@ def test_edit_join_dense_random_vocab(ray_session, tmp_path):
     got = _run(_write_part(tmp_path, names * 2))
     want = _brute(names)
     assert got.values.tolist() == want.values.tolist()
+
+
+# --- q_triangle_dups ---------------------------------------------------------
+
+P = "p1 p2 p3 p4 p5 p6 p7 p8"      # shared 8-token prefix key
+S = "s1 s2 s3 s4 s5 s6 s7 s8"      # shared 8-token suffix key
+
+
+def _write_docs(tmp_path, texts):
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_triangle_census_planted(ray_session, tmp_path):
+    """A K4 prefix clique (4 triangles, every node deg 3 / tri 3), a
+    2-doc suffix edge (no triangle), and an isolated doc (absent)."""
+    from norsk_historisk_avis_ocr_ray.functions.cluster import (
+        q_triangle_dups)
+
+    texts = [f"{P} k4 member zero", f"{P} k4 member one",
+             f"{P} k4 member two", f"{P} k4 member three",
+             f"edge doc number four tail is {S}",
+             f"edge doc number five tail is {S}",
+             "totally isolated document six with enough tokens here ok"]
+    df = (q_triangle_dups(_write_docs(tmp_path, texts))
+          .sort_values("doc_id").reset_index(drop=True))
+    assert df["doc_id"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert df.loc[:3, "deg"].tolist() == [3, 3, 3, 3]
+    assert df.loc[:3, "n_triangles"].tolist() == [3, 3, 3, 3]
+    assert df.loc[4:, "deg"].tolist() == [1, 1]
+    assert df.loc[4:, "n_triangles"].tolist() == [0, 0]
+
+
+def test_triangle_max_group_drops_boilerplate(ray_session, tmp_path):
+    """The max_group knob removes a degenerate hub key BEFORE the
+    |group|-squared pair emit; the remaining clique is unaffected."""
+    from norsk_historisk_avis_ocr_ray.functions.cluster import (
+        q_triangle_dups)
+
+    texts = ([f"{P} k3 member {i}" for i in range(3)]
+             + [f"boiler plate key words all same here now tail {i}"
+                for i in range(6)])
+    # the boilerplate 6-group shares its PREFIX key ("boiler plate ...")
+    sf = _write_docs(tmp_path, texts)
+    full = q_triangle_dups(sf).sort_values("doc_id")
+    assert len(full) == 9            # both groups edge up
+    capped = (q_triangle_dups(sf, max_group=4)
+              .sort_values("doc_id").reset_index(drop=True))
+    assert capped["doc_id"].tolist() == [0, 1, 2]
+    assert capped["n_triangles"].tolist() == [1, 1, 1]
