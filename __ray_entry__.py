@@ -417,6 +417,73 @@ def _video_frame_sample(sf_dir: str) -> Any:
         ("media_ref", pa.string()), ("n_sampled", pa.int64())]))
 
 
+def _video_shot_detect(sf_dir: str) -> Any:
+    """Multimodal shot-boundary path: deterministic grayscale clips with
+    PLANTED scene cuts (per-scene +60 brightness offsets on the seeded
+    gradient+noise frames — within-shot mean |Δluma| ≈ 10 from the 0..31
+    noise, far under the 24.0 threshold; cuts far over it) packaged as
+    real YUV4MPEG2 containers → actor-free task-pool
+    ``VideoShotDetectStage`` → per-clip (n_frames, n_shots, boundaries).
+    Rows-only; exact planted-cut recovery is pinned in pytest."""
+    import numpy as np
+    import pyarrow as pa
+
+    from norsk_historisk_avis_ocr_ray.stages.multimodal import (
+        VideoShotDetectStage)
+
+    W, H = 32, 24
+
+    def synth(t: pa.Table) -> pa.Table:
+        from norsk_historisk_avis_ocr_ray.functions.dedup import _fmix64
+        from norsk_historisk_avis_ocr_ray.sources.y4m import encode_y4m
+
+        doc_ids = t["doc_id"].to_pylist()
+        if not doc_ids:
+            return pa.table({"media_ref": pa.array([], pa.string()),
+                             "video": pa.array([], pa.binary()),
+                             "width": pa.array([], pa.int32()),
+                             "height": pa.array([], pa.int32()),
+                             "codec": pa.array([], pa.string())})
+        GOLD = np.uint64(0x9E3779B97F4A7C15)
+        base = np.linspace(0, 120, W, dtype=np.float64)
+        refs, bufs = [], []
+        for d in doc_ids:
+            seed = int(_fmix64(np.uint64((int(d) + 8765)
+                                         & 0xFFFFFFFFFFFFFFFF)))
+            nf = 24 + seed % 25            # 24..48 frames
+            n_scenes = 2 + seed % 3        # 2..4 shots
+            size = nf * H * W
+            ctr = np.arange(size, dtype=np.uint64)
+            noise = (_fmix64((ctr * GOLD) ^ np.uint64(seed))
+                     & np.uint64(31)).astype(np.float64)
+            col = (ctr % np.uint64(W)).astype(np.intp)
+            px = (base[col] + noise).reshape(nf, H, W)
+            # planted cuts at deterministic interior frames: scene s covers
+            # [cut_s, cut_{s+1}) with brightness offset (s % 2) * 60
+            cuts = [(s * nf) // n_scenes for s in range(1, n_scenes)]
+            offs = np.zeros(nf, np.float64)
+            for s, c in enumerate(cuts, 1):
+                offs[c:] = (s % 2) * 60.0
+            px = np.minimum(px + offs[:, None, None], 255.0).astype(np.uint8)
+            refs.append(f"video://{d}")
+            bufs.append(encode_y4m(px))
+        n = len(doc_ids)
+        return pa.table({"media_ref": pa.array(refs, pa.string()),
+                         "video": pa.array(bufs, pa.binary()),
+                         "width": pa.array([W] * n, pa.int32()),
+                         "height": pa.array([H] * n, pa.int32()),
+                         "codec": pa.array(["y4m"] * n, pa.string())})
+
+    ds = (_media_doc_ids(sf_dir)
+          .map_batches(synth, batch_format="pyarrow", batch_size=128)
+          .map_batches(VideoShotDetectStage(), batch_format="pyarrow",
+                       batch_size=32))
+    from norsk_historisk_avis_ocr_ray.functions.collect import ensure_schema
+    return ensure_schema(ds, pa.schema([
+        ("media_ref", pa.string()), ("n_frames", pa.int64()),
+        ("n_shots", pa.int64()), ("boundaries", pa.string())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from norsk_historisk_avis_ocr_ray.functions import (
         dedup, mlprep, relational, similarity, textstats)
@@ -517,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frame_energy": _audio_frame_energy,
         "audio_spectrogram": _audio_spectrogram,
         "video_frame_sample": _video_frame_sample,
+        "video_shot_detect": _video_shot_detect,
         # sketches
         "approx_distinct_users": _approx_distinct_users,
         "approx_distinct_hll": _approx_distinct_hll,
@@ -3011,8 +3079,9 @@ def oracle_sql() -> dict[str, str]:
         # ann_ivf_topk, ann_lsh_topk, ann_pq_topk (seeded k-means /
         # random-hyperplane / product-quantization indexes; recall@5 >= 0.85
         # pytests vs exact brute force),
-        # audio_frame_energy, video_frame_sample (binary media corpora,
-        # not SQL tables). dedup_minhash / dedup_simhash /
+        # audio_frame_energy, video_frame_sample, video_shot_detect
+        # (binary media corpora, not SQL tables; shot detection's planted
+        # cuts are recovered exactly in pytest). dedup_minhash / dedup_simhash /
         # minhash_clusters / simhash_signatures, seq_pack and
         # winnow_fingerprint gained exact oracles in round 3 (md5/HUGEINT
         # replay; recursive-CTE packing; md5-gram winnowing replay).

@@ -211,6 +211,61 @@ class VideoFrameSampleStage:
         })
 
 
+class VideoShotDetectStage:
+    """Shot-boundary detection over a video binary column: mean absolute
+    luma difference between consecutive frames, a cut wherever the
+    difference exceeds ``threshold`` (the classical intensity-based
+    detector; content jumps dwarf within-shot noise). Decode paths match
+    ``VideoFrameSampleStage`` (y4m / rawvideo-gray; compressed codecs
+    raise). Per-clip outputs only — no shuffle: the clip is the unit of
+    work, so boundaries never cross a batch.
+
+    Output: (media_ref, n_frames, n_shots, boundaries) where boundaries is
+    the comma-joined list of first-frame indices of each new shot
+    (empty string when the clip is a single shot)."""
+
+    def __init__(self, threshold: float = 24.0):
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.y4m import decode_y4m
+
+        refs, nfs, nss, bss = [], [], [], []
+        for ref, buf, w, h, codec in zip(batch["media_ref"].to_pylist(),
+                                         batch["video"].to_pylist(),
+                                         batch["width"].to_pylist(),
+                                         batch["height"].to_pylist(),
+                                         batch["codec"].to_pylist()):
+            if codec == "y4m":
+                arr, w, h, _fps = decode_y4m(buf)
+            elif codec == "rawvideo-gray":
+                frame_bytes = w * h
+                n = len(buf) // frame_bytes
+                arr = np.frombuffer(buf[:n * frame_bytes], dtype=np.uint8)
+                arr = arr.reshape(n, h, w)
+            else:
+                raise NotImplementedError(
+                    f"video codec {codec!r} requires a decoder not present "
+                    "in this environment; provide rawvideo-gray/y4m or plug "
+                    "a decoder")
+            if len(arr) < 2:
+                cuts = np.array([], np.int64)
+            else:
+                d = np.abs(np.diff(arr.astype(np.int16), axis=0))
+                score = d.mean(axis=(1, 2))
+                cuts = np.flatnonzero(score > self.threshold) + 1
+            refs.append(ref)
+            nfs.append(len(arr))
+            nss.append(len(cuts) + 1)
+            bss.append(",".join(str(int(c)) for c in cuts))
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "n_frames": pa.array(nfs, pa.int64()),
+            "n_shots": pa.array(nss, pa.int64()),
+            "boundaries": pa.array(bss, pa.string()),
+        })
+
+
 class ImagePHashStage:
     """Perceptual hash (pHash) per image — the image-dedup fingerprint a
     multimodal training pipeline runs before cross-modal training: decode →

@@ -119,3 +119,62 @@ def test_feature_stage_in_actor_pool():
     out = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
                          batch_size=4, concurrency=2, num_cpus=1)
     assert out.count() == 8
+
+
+def test_shot_detect_planted_cuts():
+    """Stage-level: two abrupt brightness jumps in a rawvideo-gray clip
+    are recovered exactly; within-shot noise stays silent."""
+    from norsk_historisk_avis_ocr_ray.stages.multimodal import (
+        VideoShotDetectStage)
+
+    rng = np.random.default_rng(3)
+    w, h, n = 16, 8, 30
+    base = rng.integers(0, 32, size=(n, h, w)).astype(np.float64)
+    offs = np.zeros(n)
+    offs[10:] += 60
+    offs[20:] -= 60
+    frames = np.minimum(base + offs[:, None, None], 255).astype(np.uint8)
+    batch = pa.Table.from_pylist([{
+        "media_ref": "v0", "video": frames.tobytes(), "width": w,
+        "height": h, "codec": "rawvideo-gray"}])
+    out = VideoShotDetectStage()(batch)
+    assert out["n_frames"].to_pylist() == [30]
+    assert out["n_shots"].to_pylist() == [3]
+    assert out["boundaries"].to_pylist() == ["10,20"]
+
+
+def test_shot_detect_single_frame_and_flat_clip():
+    from norsk_historisk_avis_ocr_ray.stages.multimodal import (
+        VideoShotDetectStage)
+
+    w, h = 8, 4
+    one = np.full((1, h, w), 7, np.uint8)
+    flat = np.full((12, h, w), 7, np.uint8)
+    batch = pa.Table.from_pylist([
+        {"media_ref": "v1", "video": one.tobytes(), "width": w,
+         "height": h, "codec": "rawvideo-gray"},
+        {"media_ref": "v2", "video": flat.tobytes(), "width": w,
+         "height": h, "codec": "rawvideo-gray"}])
+    out = VideoShotDetectStage()(batch)
+    assert out["n_shots"].to_pylist() == [1, 1]
+    assert out["boundaries"].to_pylist() == ["", ""]
+
+
+def test_video_shot_detect_query_recovers_synth_plan(ray_session):
+    """End-to-end over the y4m container path: every clip's detected cut
+    list equals the planted scene plan replayed from the doc seed."""
+    import __ray_entry__ as entry
+    from norsk_historisk_avis_ocr_ray.functions.dedup import _fmix64
+
+    df = (entry.queries()["video_shot_detect"]("/root/testdata/sf0.001")
+          .to_pandas().sort_values("media_ref").reset_index(drop=True))
+    assert len(df) > 0
+    for _, row in df.iterrows():
+        d = int(row["media_ref"].split("://")[1])
+        seed = int(_fmix64(np.uint64((d + 8765) & 0xFFFFFFFFFFFFFFFF)))
+        nf = 24 + seed % 25
+        n_scenes = 2 + seed % 3
+        cuts = [(s * nf) // n_scenes for s in range(1, n_scenes)]
+        assert row["n_frames"] == nf
+        assert row["n_shots"] == n_scenes
+        assert row["boundaries"] == ",".join(str(c) for c in cuts)
