@@ -598,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": mlprep.pii_scrub,
         "q_json_extract": mlprep.q_json_extract,
         "tfidf_top_term": mlprep.tfidf_top_term,
+        "q_temperature_mix": mlprep.q_temperature_mix,
         "seq_pack": mlprep.seq_pack,
         "q_contamination": mlprep.q_contamination,
         "line_dedup": mlprep.line_dedup,
@@ -625,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher-style repetition quality signals
         "q_repetition_stats": textstats.q_repetition_stats,
         "q_corpus_stats": textstats.q_corpus_stats,
+        "q_heaps_curve": textstats.q_heaps_curve,
         # duplicate clustering (connected components)
         "dup_clusters": _dup_clusters,
         "minhash_clusters": _minhash_clusters,
@@ -1893,6 +1895,49 @@ def oracle_sql() -> dict[str, str]:
                    min(quality) AS quality,
                    min(contamination_frac) AS contamination_frac
             FROM kept GROUP BY md5(text) ORDER BY doc_id
+        """,
+        # Temperature mixing: pow on the REDUCED count (one libm call both
+        # engines), weight quantized to an int64 grid BEFORE the
+        # normalizing sum (integer summation has no order), quota in pure
+        # BIGINT floor arithmetic, prob/weight rounded half-away.
+        "q_temperature_mix": """
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                       FROM documents GROUP BY source),
+            w AS (SELECT source, n_docs,
+                         CAST(round(pow(n_docs, 0.3) * 1000000000, 0)
+                              AS BIGINT) AS wq
+                  FROM c),
+            t AS (SELECT CAST(sum(wq) AS BIGINT) AS total FROM w)
+            SELECT w.source, w.n_docs,
+                   round(CAST(wq AS DOUBLE) / 1000000000.0, 6) AS weight,
+                   round(CAST(wq AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+                       AS prob,
+                   CAST((wq * 1000000) // t.total AS BIGINT) AS quota
+            FROM w, t ORDER BY source
+        """,
+        # Heaps' curve: first-occurrence aggregation — min doc_id per
+        # distinct token, counted under each doc-id-prefix checkpoint
+        # T = (max_id + 1) * pct // 100 (pure integer thresholds).
+        "q_heaps_curve": """
+            WITH m AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n
+                       FROM documents),
+            tk AS (SELECT DISTINCT doc_id, tok FROM (
+                       SELECT doc_id,
+                              unnest(string_split(lower(text), ' ')) AS tok
+                       FROM documents) WHERE tok <> ''),
+            fo AS (SELECT tok, min(doc_id) AS first_doc FROM tk
+                   GROUP BY tok),
+            cp AS (SELECT CAST(unnest([10, 25, 50, 75, 100]) AS BIGINT)
+                          AS pct)
+            SELECT cp.pct,
+                   CAST((SELECT count(*) FROM documents d, m
+                         WHERE d.doc_id < m.n * cp.pct // 100) AS BIGINT)
+                       AS n_docs,
+                   CAST((SELECT count(*) FROM fo, m
+                         WHERE fo.first_doc < m.n * cp.pct // 100)
+                        AS BIGINT) AS vocab_size
+            FROM cp WHERE EXISTS (SELECT 1 FROM m WHERE m.n IS NOT NULL)
+            ORDER BY pct
         """,
         "q_vocab_topk": """
             WITH toks AS (

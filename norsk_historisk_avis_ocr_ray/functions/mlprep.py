@@ -1724,3 +1724,50 @@ def q_pmi_topk(sf_dir: str) -> pd.DataFrame:
     return (df.sort_values(["pmi", "w1", "w2"],
                            ascending=[False, True, True], kind="mergesort")
             .head(PMI_TOP_N).reset_index(drop=True)[["w1", "w2", "n", "pmi"]])
+
+
+# --- temperature-weighted source mixing ---------------------------------------
+
+MIX_ALPHA = 0.3           # sampling temperature exponent (mT5-style)
+MIX_BUDGET = 1_000_000    # integer draw budget the floor-quota is taken from
+_MIX_WQ = 1_000_000_000   # weight quantization grid (1e-9 resolution)
+
+
+def q_temperature_mix(sf_dir: str, alpha: float = MIX_ALPHA) -> pd.DataFrame:
+    """Temperature-weighted corpus mixing plan: per-source sampling
+    weights ``n_docs ** alpha`` (alpha < 1 upsamples low-resource
+    sources — the multilingual-LM sampling rule of Arivazhagan et al. '19
+    / mT5), normalized to probabilities and to an integer draw quota out
+    of ``MIX_BUDGET``. The float chain is exact under any partitioning:
+    ``pow`` is a single libm call on the REDUCED per-source count (shared
+    bit-for-bit with DuckDB's ``pow``), the weight is quantized to an
+    int64 grid before the normalizing sum (integer summation has no
+    order), and the quota is pure BIGINT floor arithmetic.
+
+    Scale shape: one per-batch partial count + a source-cardinality
+    groupby; everything after is result-sized driver math."""
+    ds = _read(sf_dir, "documents", ["source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t["source"].combine_chunks().value_counts()
+        return pa.table({"source": c.field("values"),
+                         "n": c.field("counts").cast(pa.int64())})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("source").aggregate(Sum("n", alias_name="n_docs"))
+         .to_pandas())
+    if g.empty:
+        return typed_empty(source="object", n_docs="int64", weight="float64",
+                           prob="float64", quota="int64")
+    n = g["n_docs"].to_numpy(np.int64)
+    wq = np.array([int(round_half_away(float(x) ** alpha * _MIX_WQ, 0))
+                   for x in n], dtype=np.int64)
+    total = int(wq.sum())
+    out = pd.DataFrame({
+        "source": g["source"].astype(object),
+        "n_docs": pd.Series(n, dtype="int64"),
+        "weight": round_half_away(wq / _MIX_WQ, 6),
+        "prob": round_half_away(wq / total, 6),
+        "quota": pd.Series(wq * MIX_BUDGET // total, dtype="int64"),
+    })
+    return out.sort_values("source").reset_index(drop=True)

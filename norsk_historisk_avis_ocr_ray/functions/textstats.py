@@ -540,3 +540,83 @@ def q_char_entropy(sf_dir: str) -> Dataset:
         _docs(sf_dir).map_batches(per_batch, batch_format="pyarrow"),
         pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64()),
                    ("char_entropy", pa.float64())]))
+
+
+# --- Heaps'-law vocabulary growth curve ---------------------------------------
+
+HEAPS_PCTS = (10, 25, 50, 75, 100)
+
+
+def q_heaps_curve(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary-growth checkpoints (the empirical Heaps'-law curve): at
+    each doc-id-prefix checkpoint ``T = (max_id + 1) * pct // 100``, how
+    many documents precede T and how many DISTINCT tokens first occur
+    before T. The distributed kernel is the FIRST-OCCURRENCE aggregation:
+    per-batch distinct (doc, token-hash) pairs → one ``groupby(tok)`` Min
+    over int64 rows (token md5-64, the established vocabulary-collision
+    acceptance) → a 5-int histogram partial per block, summed. Nothing
+    corpus-sized ever reaches the driver; the shuffle carries
+    (token-hash, doc_id) ints only. Tokenization is the ``q_vocab_topk``
+    convention (lowercased single-space split, empties dropped)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .dedup import _md5_64
+
+    ds = _docs(sf_dir)
+
+    bounds = ds.aggregate(Max("doc_id"))
+    max_id = bounds["max(doc_id)"]
+    if max_id is None:    # empty corpus: no curve (oracle: WHERE n NOT NULL)
+        return pd.DataFrame({
+            "pct": pd.Series([], dtype="int64"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "vocab_size": pd.Series([], dtype="int64")})
+    n = int(max_id) + 1
+    cuts = np.array([n * p // 100 for p in HEAPS_PCTS], np.int64)
+
+    def doc_tok_rows(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist(),
+                      index=t["doc_id"].to_pylist()).fillna("")
+        ex = s.str.lower().str.split(" ").explode()
+        ex = ex[ex != ""]
+        pairs = (ex.rename("tok").rename_axis("doc_id").reset_index()
+                 .drop_duplicates())
+        th = np.fromiter((_md5_64(x) for x in pairs["tok"]), np.uint64,
+                         len(pairs)).view(np.int64)
+        return pa.table({"tok": pa.array(th, pa.int64()),
+                         "doc_id": pa.array(
+                             pairs["doc_id"].to_numpy(np.int64))})
+
+    first = (ds.map_batches(doc_tok_rows, batch_format="pyarrow",
+                            batch_size=4096)
+             .groupby("tok").aggregate(Min("doc_id",
+                                           alias_name="first_doc")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        fd = t["first_doc"].to_numpy(zero_copy_only=False)
+        v = np.array([(fd < c).sum() for c in cuts], np.int64)
+        return pa.table({"pct": pa.array(list(HEAPS_PCTS), pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    vs = (first.map_batches(hist_partial, batch_format="pyarrow",
+                            batch_size=None)
+          .groupby("pct").aggregate(Sum("v", alias_name="vocab_size"))
+          .to_pandas().set_index("pct")["vocab_size"])
+
+    def docs_partial(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        v = np.array([(d < c).sum() for c in cuts], np.int64)
+        return pa.table({"pct": pa.array(list(HEAPS_PCTS), pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    nd = (ds.map_batches(docs_partial, batch_format="pyarrow",
+                         batch_size=None)
+          .groupby("pct").aggregate(Sum("v", alias_name="n_docs"))
+          .to_pandas().set_index("pct")["n_docs"])
+
+    return pd.DataFrame({
+        "pct": pd.Series(HEAPS_PCTS, dtype="int64"),
+        "n_docs": pd.Series([int(nd.get(p, 0)) for p in HEAPS_PCTS],
+                            dtype="int64"),
+        "vocab_size": pd.Series([int(vs.get(p, 0)) for p in HEAPS_PCTS],
+                                dtype="int64")})

@@ -147,3 +147,61 @@ def test_triangle_max_group_drops_boilerplate(ray_session, tmp_path):
               .sort_values("doc_id").reset_index(drop=True))
     assert capped["doc_id"].tolist() == [0, 1, 2]
     assert capped["n_triangles"].tolist() == [1, 1, 1]
+
+
+# --- q_temperature_mix / q_heaps_curve ---------------------------------------
+
+
+def _write_docs_src(tmp_path, rows):
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(rows)), pa.int64()),
+                  "text": pa.array([t for t, _ in rows], pa.string()),
+                  "source": pa.array([s for _, s in rows], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_temperature_mix_upsamples_low_resource(ray_session, tmp_path):
+    """alpha = 0.3 compresses an 8:1 corpus skew to an 8^0.3 : 1 ≈
+    1.87 : 1 sampling ratio; quotas floor-split the integer budget."""
+    import math
+
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import (
+        MIX_BUDGET, q_temperature_mix)
+
+    rows = [("doc a", "big")] * 8 + [("doc b", "small")]
+    df = q_temperature_mix(_write_docs_src(tmp_path, rows))
+    assert df["source"].tolist() == ["big", "small"]
+    assert df["n_docs"].tolist() == [8, 1]
+    wq_big = round(8 ** 0.3 * 1e9)
+    wq_small = round(1.0 * 1e9)
+    total = wq_big + wq_small
+    assert df["quota"].tolist() == [wq_big * MIX_BUDGET // total,
+                                    wq_small * MIX_BUDGET // total]
+    # corpus share of 'small' is 1/9 ~= 0.111; its sampling prob is higher
+    assert df.loc[1, "prob"] > 1 / 9
+    assert math.isclose(df["prob"].sum(), 1.0, abs_tol=2e-6)
+
+
+def test_heaps_curve_planted_vocab_plan(ray_session, tmp_path):
+    """10 docs introducing a known token schedule: the checkpoint counts
+    equal the hand-computed first-occurrence census."""
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_heaps_curve)
+
+    texts = ["a b c",        # doc 0: 3 new
+             "a b",          # doc 1: 0 new
+             "d",            # doc 2: 1 new
+             "a d",          # 3: 0
+             "e f",          # 4: 2 new
+             "a",            # 5: 0
+             "g",            # 6: 1 new
+             "a b c d e f",  # 7: 0
+             "h i j",        # 8: 3 new
+             "a"]            # 9: 0
+    rows = [(t, "s") for t in texts]
+    df = q_heaps_curve(_write_docs_src(tmp_path, rows))
+    # thresholds: (10 * pct) // 100 -> 1, 2, 5, 7, 10 docs
+    assert df["pct"].tolist() == [10, 25, 50, 75, 100]
+    assert df["n_docs"].tolist() == [1, 2, 5, 7, 10]
+    assert df["vocab_size"].tolist() == [3, 3, 6, 7, 10]
