@@ -599,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_json_extract": mlprep.q_json_extract,
         "tfidf_top_term": mlprep.tfidf_top_term,
         "q_temperature_mix": mlprep.q_temperature_mix,
+        "q_dedup_survivorship": mlprep.q_dedup_survivorship,
         "seq_pack": mlprep.seq_pack,
         "q_contamination": mlprep.q_contamination,
         "line_dedup": mlprep.line_dedup,
@@ -623,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_inactive_customers": relational.q_inactive_customers,
         "q_bloom_inactive": relational.q_bloom_inactive,
         "q_user_gaps": relational.q_user_gaps,
+        "q_watermark_lateness": relational.q_watermark_lateness,
         # Gopher-style repetition quality signals
         "q_repetition_stats": textstats.q_repetition_stats,
         "q_corpus_stats": textstats.q_corpus_stats,
@@ -1794,6 +1796,22 @@ def oracle_sql() -> dict[str, str]:
                                 AND o.o_orderdate >= TIMESTAMP '1998-09-01')
             ORDER BY c_custkey
         """,
+        # Global (un-partitioned) running max in arrival order — the window
+        # frame the Ray side's two-phase bucket scan must reproduce.
+        "q_watermark_lateness": """
+            WITH e AS (SELECT event_id,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                       FROM events),
+            r AS (SELECT event_id, sec,
+                         max(sec) OVER (ORDER BY event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS wm
+                  FROM e)
+            SELECT event_id, CAST(wm - sec AS BIGINT) AS lateness_s,
+                   CAST(CASE WHEN wm > sec THEN 1 ELSE 0 END AS BIGINT)
+                       AS is_late
+            FROM r ORDER BY event_id
+        """,
         "q_user_gaps": """
             WITH s AS (SELECT user_id, event_id,
                               CAST(floor(epoch(ts)) AS BIGINT) AS sec
@@ -1914,6 +1932,26 @@ def oracle_sql() -> dict[str, str]:
                        AS prob,
                    CAST((wq * 1000000) // t.total AS BIGINT) AS quota
             FROM w, t ORDER BY source
+        """,
+        # Per-source exact-dedup survivorship: survivor = min doc_id within
+        # its md5(text) fingerprint group; counts are BIGINT count(*) (no
+        # HUGEINT sums), rate is one double division rounded half-away.
+        "q_dedup_survivorship": """
+            WITH k AS (SELECT source, doc_id, md5(text) AS fp
+                       FROM documents),
+            s AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+                  FROM (SELECT source, doc_id,
+                               min(doc_id) OVER (PARTITION BY fp) AS mn
+                        FROM k)
+                  WHERE doc_id = mn GROUP BY source),
+            t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                  FROM documents GROUP BY source)
+            SELECT t.source, t.n_docs,
+                   CAST(coalesce(s.ns, 0) AS BIGINT) AS n_survivors,
+                   round(CAST(coalesce(s.ns, 0) AS DOUBLE) / t.n_docs, 6)
+                       AS survival_rate
+            FROM t LEFT JOIN s USING (source)
+            ORDER BY source
         """,
         # Heaps' curve: first-occurrence aggregation — min doc_id per
         # distinct token, counted under each doc-id-prefix checkpoint

@@ -1771,3 +1771,67 @@ def q_temperature_mix(sf_dir: str, alpha: float = MIX_ALPHA) -> pd.DataFrame:
         "quota": pd.Series(wq * MIX_BUDGET // total, dtype="int64"),
     })
     return out.sort_values("source").reset_index(drop=True)
+
+
+# --- dedup survivorship by source ---------------------------------------------
+
+
+def q_dedup_survivorship(sf_dir: str) -> pd.DataFrame:
+    """Per-source survivorship of exact dedup: how many of a source's
+    documents remain after keep-min-doc-per-md5(text) — the pipeline
+    health metric that tells you WHERE the duplication lives (a crawl
+    source with 40% survival is mostly mirrors; 100% is unique content).
+
+    Scale shape: the ``dedup_exact`` bucketed min-per-fingerprint combine,
+    except each bucket group resolves the survivor's SOURCE locally
+    (idxmin over the bucket's rows — fingerprint groups never span
+    buckets), so survivors reduce straight to per-source count partials
+    inside the combine; the driver sees only source-cardinality rows from
+    both sides (totals + survivor counts)."""
+    from .combine import bucketed_combine
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+                for x in t["text"].to_pylist()]
+        fph = np.array([np.uint64(int(m[:16], 16)) for m in md5s],
+                       np.uint64).view(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "source": t["source"],
+                         "fingerprint": pa.array(md5s, pa.string()),
+                         "fph": pa.array(fph, pa.int64())})
+
+    def survivors_per_source(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.loc[g.groupby("fingerprint")["doc_id"].idxmin()]
+        out = (keep.groupby("source", as_index=False)
+               .agg(ns=("doc_id", "size")))
+        out["ns"] = out["ns"].astype(np.int64)
+        return out[["source", "ns"]]
+
+    sv = (bucketed_combine(
+            ds.map_batches(add_hash, batch_format="pyarrow",
+                           batch_size=8192),
+            "fph", survivors_per_source)
+          .groupby("source").aggregate(Sum("ns", alias_name="n_survivors"))
+          .to_pandas())
+
+    def totals(t: pa.Table) -> pa.Table:
+        c = t["source"].combine_chunks().value_counts()
+        return pa.table({"source": c.field("values"),
+                         "n": c.field("counts").cast(pa.int64())})
+
+    tot = (ds.map_batches(totals, batch_format="pyarrow")
+           .groupby("source").aggregate(Sum("n", alias_name="n_docs"))
+           .to_pandas())
+    if tot.empty:
+        return typed_empty(source="object", n_docs="int64",
+                           n_survivors="int64", survival_rate="float64")
+    out = tot.merge(sv, on="source", how="left")
+    out["n_survivors"] = out["n_survivors"].fillna(0).astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["survival_rate"] = round_half_away(
+        out["n_survivors"].to_numpy(np.float64)
+        / out["n_docs"].to_numpy(np.float64), 6)
+    return (out[["source", "n_docs", "n_survivors", "survival_rate"]]
+            .sort_values("source").reset_index(drop=True))

@@ -3703,3 +3703,82 @@ def q_funnel(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"step": list(FUNNEL_STEPS),
                          "n_users": pd.Series(counts, dtype="int64"),
                          "frac_prev": pd.Series(frac, dtype="float64")})
+
+
+# --- global watermark lateness (un-partitioned prefix scan) -------------------
+
+WM_BUCKETS = 64     # arrival-order range buckets for the two-phase scan
+
+
+def q_watermark_lateness(sf_dir: str) -> Dataset:
+    """Per-event watermark lateness: with arrival order = ``event_id`` and
+    watermark = max event-time seen so far, ``lateness_s = watermark - sec``
+    (0 for in-order events) — the streaming-ingestion out-of-orderness
+    diagnostic that sizes allowed-lateness windows.
+
+    Unlike the per-user windows (hash buckets, keys independent), this is a
+    GLOBAL prefix scan — no partition key — so the distributed form is the
+    classic two-phase scan: (1) range-bucket arrival order
+    (``bucket = event_id * NB // (max_id + 1)``, contiguous arrival
+    ranges), per-bucket max partials reduce to NB ints on the driver,
+    which takes the EXCLUSIVE prefix max; (2) one bucket shuffle, each
+    group sorts its range locally and runs a vectorized
+    ``np.maximum.accumulate`` seeded with its bucket's carry-in. No global
+    sort; the only all-to-all is the one bucket groupby, and the carry-in
+    sliver is NB-sized regardless of corpus size."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    agg = ds.aggregate(Max("event_id"))
+    max_id = agg["max(event_id)"]
+    if max_id is None:
+        return ensure_schema(
+            ray.data.from_arrow(pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "lateness_s": pa.array([], pa.int64()),
+                "is_late": pa.array([], pa.int64())})),
+            pa.schema([("event_id", pa.int64()), ("lateness_s", pa.int64()),
+                       ("is_late", pa.int64())]))
+    n = int(max_id) + 1
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        sec = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 1_000_000)
+        b = e * WM_BUCKETS // n
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "event_id": pa.array(e, pa.int64()),
+                         "sec": pa.array(sec, pa.int64())})
+
+    rows = ds.map_batches(bucketize, batch_format="pyarrow").materialize()
+
+    def bucket_max(t: pa.Table) -> pa.Table:
+        tb = (t.group_by("bucket").aggregate([("sec", "max")])
+              .rename_columns(["bucket", "m"]))
+        return tb
+
+    bm = (rows.map_batches(bucket_max, batch_format="pyarrow",
+                           batch_size=None)
+          .groupby("bucket").aggregate(Max("m", alias_name="bmax"))
+          .to_pandas())
+    carry = np.full(WM_BUCKETS, np.iinfo(np.int64).min, np.int64)
+    have = bm["bucket"].to_numpy(np.int64)
+    carry[have] = bm["bmax"].to_numpy(np.int64)
+    excl = np.full(WM_BUCKETS, np.iinfo(np.int64).min, np.int64)
+    excl[1:] = np.maximum.accumulate(carry)[:-1]
+    carry_ref = ray.put(excl)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        pre = ray.get(carry_ref)
+        g = g.sort_values("event_id", kind="mergesort")
+        sec = g["sec"].to_numpy(np.int64)
+        b = int(g["bucket"].iloc[0])
+        wm = np.maximum.accumulate(np.maximum(sec, pre[b]))
+        late = wm - sec
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(np.int64),
+                             "lateness_s": late,
+                             "is_late": (late > 0).astype(np.int64)})
+
+    return ensure_schema(
+        rows.groupby("bucket").map_groups(scan, batch_format="pandas"),
+        pa.schema([("event_id", pa.int64()), ("lateness_s", pa.int64()),
+                   ("is_late", pa.int64())]))

@@ -1,0 +1,102 @@
+"""Planted ground truth for q_watermark_lateness (global prefix-max
+scan, two-phase bucket carry) and q_dedup_survivorship (per-source
+exact-dedup survival). Exact SQL equality is enforced by
+tools/check_oracle.py; these pin the distributed mechanics on corpora
+built to cross bucket boundaries / span sources."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+# --- q_watermark_lateness ----------------------------------------------------
+
+
+def _write_events(tmp_path, secs):
+    ts = pa.array(np.asarray(secs, np.int64) * 1_000_000,
+                  pa.timestamp("us"))
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(len(secs)), pa.int64()),
+                  "ts": ts}),
+        str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _run_wm(sf_dir):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_watermark_lateness)
+
+    return (q_watermark_lateness(sf_dir).to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def test_watermark_planted_out_of_order(ray_session, tmp_path):
+    """Hand-computed lateness: the watermark is the running max of event
+    time in event_id (arrival) order; late events measure their lag."""
+    secs = [100, 105, 103, 110, 104, 110, 99]
+    df = _run_wm(_write_events(tmp_path, secs))
+    assert df["lateness_s"].tolist() == [0, 0, 2, 0, 6, 0, 11]
+    assert df["is_late"].tolist() == [0, 0, 1, 0, 1, 0, 1]
+    assert df["lateness_s"].dtype == np.int64
+
+
+def test_watermark_carry_crosses_buckets(ray_session, tmp_path):
+    """A single early maximum dominates every later bucket: the carry-in
+    prefix max (not bucket-local state) must propagate it. 300 events
+    span multiple WM_BUCKETS ranges; truth is a one-line numpy scan."""
+    rng = np.random.default_rng(7)
+    secs = rng.integers(0, 500, size=300).astype(np.int64)
+    secs[3] = 10_000       # global max arrives 4th — everyone after is late
+    df = _run_wm(_write_events(tmp_path, secs))
+    wm = np.maximum.accumulate(secs)
+    assert df["lateness_s"].to_numpy().tolist() == (wm - secs).tolist()
+    assert (df["lateness_s"].to_numpy()[4:] > 0).all()
+
+
+def test_watermark_monotone_input_never_late(ray_session, tmp_path):
+    df = _run_wm(_write_events(tmp_path, list(range(50))))
+    assert df["lateness_s"].sum() == 0
+    assert df["is_late"].sum() == 0
+
+
+# --- q_dedup_survivorship ----------------------------------------------------
+
+
+def _write_docs(tmp_path, rows):
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(rows)), pa.int64()),
+                  "text": pa.array([t for t, _ in rows], pa.string()),
+                  "source": pa.array([s for _, s in rows], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_survivorship_planted(ray_session, tmp_path):
+    """mirror-heavy source keeps only the min-doc_id copy of each text;
+    cross-source duplicates survive in whichever source holds the min."""
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import (
+        q_dedup_survivorship)
+
+    rows = [("alpha", "crawl"),      # 0: min of the alpha group -> survives
+            ("alpha", "crawl"),      # 1: dup
+            ("alpha", "curated"),    # 2: dup (loses cross-source)
+            ("beta", "curated"),     # 3: unique -> survives
+            ("gamma", "crawl"),      # 4: survives
+            ("gamma", "crawl")]      # 5: dup
+    df = q_dedup_survivorship(_write_docs(tmp_path, rows))
+    assert df["source"].tolist() == ["crawl", "curated"]
+    assert df["n_docs"].tolist() == [4, 2]
+    assert df["n_survivors"].tolist() == [2, 1]
+    assert df["survival_rate"].tolist() == [0.5, 0.5]
+    assert df["n_survivors"].dtype == np.int64
+
+
+def test_survivorship_all_unique_is_100pct(ray_session, tmp_path):
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import (
+        q_dedup_survivorship)
+
+    rows = [(f"doc {i}", "s") for i in range(5)]
+    df = q_dedup_survivorship(_write_docs(tmp_path, rows))
+    assert df["n_survivors"].tolist() == [5]
+    assert df["survival_rate"].tolist() == [1.0]
