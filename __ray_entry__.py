@@ -625,6 +625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_inactive": relational.q_bloom_inactive,
         "q_user_gaps": relational.q_user_gaps,
         "q_watermark_lateness": relational.q_watermark_lateness,
+        "q_skyline": relational.q_skyline,
+        "q_type_cooccurrence": relational.q_type_cooccurrence,
         # Gopher-style repetition quality signals
         "q_repetition_stats": textstats.q_repetition_stats,
         "q_corpus_stats": textstats.q_corpus_stats,
@@ -1811,6 +1813,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN wm > sec THEN 1 ELSE 0 END AS BIGINT)
                        AS is_late
             FROM r ORDER BY event_id
+        """,
+        # Skyline = not dominated: the O(n log n) form (per-x max y, then
+        # an exclusive running max over STRICTLY larger x) — validated
+        # against the brute-force NOT EXISTS on the same tables.
+        "q_skyline": """
+            WITH p AS (SELECT o_orderkey, o_totalprice AS x, o_orderdate AS y
+                       FROM orders),
+            g AS (SELECT x, max(y) AS gy FROM p GROUP BY x),
+            r AS (SELECT x, gy,
+                         max(gy) OVER (ORDER BY x DESC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS my
+                  FROM g)
+            SELECT p.o_orderkey, p.x AS o_totalprice, p.y AS o_orderdate
+            FROM p JOIN r ON p.x = r.x
+            WHERE (r.my IS NULL OR r.my < p.y) AND NOT (r.gy > p.y)
+            ORDER BY o_orderkey
+        """,
+        # Pair counts are BIGINT count(*) over the distinct (user, type)
+        # projection; jaccard is one double division rounded half-away.
+        "q_type_cooccurrence": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM ut GROUP BY event_type),
+            p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                         CAST(count(*) AS BIGINT) AS n_both
+                  FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                     AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+            SELECT p.type_a, p.type_b, p.n_both,
+                   round(CAST(p.n_both AS DOUBLE)
+                         / (ca.n + cb.n - p.n_both), 6) AS jaccard
+            FROM p JOIN c ca ON ca.event_type = p.type_a
+                   JOIN c cb ON cb.event_type = p.type_b
+            ORDER BY type_a, type_b
         """,
         "q_user_gaps": """
             WITH s AS (SELECT user_id, event_id,

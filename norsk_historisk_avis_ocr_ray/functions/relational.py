@@ -3782,3 +3782,113 @@ def q_watermark_lateness(sf_dir: str) -> Dataset:
         rows.groupby("bucket").map_groups(scan, batch_format="pandas"),
         pa.schema([("event_id", pa.int64()), ("lateness_s", pa.int64()),
                    ("is_late", pa.int64())]))
+
+
+# --- 2-D skyline (Pareto frontier) --------------------------------------------
+
+
+def _skyline2d_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the maximize-both skyline: point B survives
+    iff no A has A >= B on both dims with one strict. Vectorized
+    sort-and-scan: x desc / y desc, a point is dominated by (a) the max y
+    over STRICTLY larger x (>= test — strictness comes from x) or (b) a
+    strictly larger y within its own x-group. ``y`` must be int64."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    new_x = np.empty(n, bool)
+    new_x[0] = True
+    np.not_equal(xs[1:], xs[:-1], out=new_x[1:])
+    grp = np.cumsum(new_x) - 1
+    gy = ys[new_x]                       # per-x-group max y (y desc in group)
+    my = np.empty(len(gy), np.int64)     # exclusive prefix max over groups
+    my[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(gy[:-1], out=my[1:])
+    keep = ~((my[grp] >= ys) | (gy[grp] > ys))
+    mask = np.empty(n, bool)
+    mask[order] = keep
+    return mask
+
+
+def q_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto-frontier orders: maximize (o_totalprice, o_orderdate) — no
+    other order is >= on both dims with one strict. The canonical
+    distributed skyline: skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)),
+    so each block reduces to its local frontier inside ``map_batches``
+    (corpus never shuffles) and the driver finishes over the union of
+    block frontiers — O(blocks × |frontier|) rows, ~H(n) each for
+    independent dims. Values pass through untouched from parquet, so the
+    driver hash needs no rounding."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local(t: pa.Table) -> pa.Table:
+        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        y = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_skyline2d_mask(x, y)))
+
+    cand = collect_table(ds.map_batches(local, batch_format="pyarrow"))
+    if cand.num_rows == 0:
+        return typed_empty(o_orderkey="int64", o_totalprice="float64",
+                           o_orderdate="datetime64[us]")
+    x = cand["o_totalprice"].to_numpy(zero_copy_only=False)
+    y = cand["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    out = cand.filter(pa.array(_skyline2d_mask(x, y))).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+# --- event-type co-occurrence (per-user set intersections) --------------------
+
+
+def q_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """For every pair of event types: how many users did BOTH, and the
+    Jaccard overlap of their user sets — the co-activity structure used
+    to collapse redundant instrumentation. One user-bucketed combine:
+    batch-local (user, type) distinct first, then each bucket emits pair
+    counts (types-per-user is bounded by the type vocabulary, so the
+    per-user self-merge is tiny) AND per-type distinct-user counts as
+    sentinel rows (type_b = ''); one small final groupby over
+    |types|²-sized partials; the division happens once on the driver."""
+    from .combine import bucketed_combine
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def distinct(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["user_id", "event_type"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        m = g.merge(g, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        p = (m.groupby(["event_type_x", "event_type_y"], as_index=False)
+             .agg(n=("user_id", "size")))
+        p.columns = ["type_a", "type_b", "n"]
+        s = (g.groupby("event_type", as_index=False)
+             .agg(n=("user_id", "size")))
+        s.columns = ["type_a", "n"]
+        s["type_b"] = ""
+        out = pd.concat([p, s[["type_a", "type_b", "n"]]], ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    hashed = ds.map_batches(distinct, batch_format="pyarrow",
+                            batch_size=8192)
+    part = (bucketed_combine(hashed, "user_id", pairs)
+            .groupby(["type_a", "type_b"])
+            .aggregate(Sum("n", alias_name="n_both")).to_pandas())
+    if part.empty:
+        return typed_empty(type_a="object", type_b="object",
+                           n_both="int64", jaccard="float64")
+    singles = (part[part["type_b"] == ""]
+               .set_index("type_a")["n_both"].astype(np.int64))
+    out = part[part["type_b"] != ""].copy()
+    out["n_both"] = out["n_both"].astype(np.int64)
+    na = singles.reindex(out["type_a"]).to_numpy(np.float64)
+    nb = singles.reindex(out["type_b"]).to_numpy(np.float64)
+    both = out["n_both"].to_numpy(np.float64)
+    out["jaccard"] = round_half_away(both / (na + nb - both), 6)
+    return (out[["type_a", "type_b", "n_both", "jaccard"]]
+            .sort_values(["type_a", "type_b"]).reset_index(drop=True))

@@ -100,3 +100,62 @@ def test_survivorship_all_unique_is_100pct(ray_session, tmp_path):
     df = q_dedup_survivorship(_write_docs(tmp_path, rows))
     assert df["n_survivors"].tolist() == [5]
     assert df["survival_rate"].tolist() == [1.0]
+
+
+# --- q_skyline ---------------------------------------------------------------
+
+
+def test_skyline_mask_dominance_semantics():
+    """Hand-built frontier: duplicates both survive, same-x lower-y is
+    dominated, >= on both dims with one strict dominates."""
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        _skyline2d_mask)
+
+    x = np.array([10.0, 10.0, 10.0, 9.0, 9.0, 8.0, 11.0])
+    y = np.array([5,     5,    3,   6,   5,   7,   1], np.int64)
+    #             dup   dup  same-x  ok  dom by  ok   ok (max x)
+    #             keep  keep  lower-y     (10,5)
+    assert _skyline2d_mask(x, y).tolist() == [
+        True, True, False, True, False, True, True]
+
+
+def test_skyline_merge_of_local_frontiers(ray_session, tmp_path):
+    """The end-to-end op over a multi-row-group file equals a local numpy
+    skyline of the whole table (skyline-of-skylines exactness)."""
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        _skyline2d_mask, q_skyline)
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    price = np.round(rng.uniform(1e3, 1e5, n), 2)
+    days = rng.integers(0, 2000, n).astype("datetime64[D]")
+    dates = days.astype("datetime64[us]")
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(range(n), pa.int64()),
+                  "o_totalprice": pa.array(price, pa.float64()),
+                  "o_orderdate": pa.array(dates, pa.timestamp("us"))}),
+        str(tmp_path / "orders.parquet"), row_group_size=512)
+    got = q_skyline(str(tmp_path))
+    mask = _skyline2d_mask(price, dates.view(np.int64))
+    want = np.flatnonzero(mask)
+    assert got["o_orderkey"].tolist() == want.tolist()
+
+
+# --- q_type_cooccurrence -----------------------------------------------------
+
+
+def test_type_cooccurrence_planted(ray_session, tmp_path):
+    """3 users: u1 does a+b, u2 does a+b, u3 does a only; repeated events
+    must not inflate the distinct-user counts."""
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_type_cooccurrence)
+
+    users = [1, 1, 1, 2, 2, 3, 3, 3]
+    types = ["a", "b", "b", "a", "b", "a", "a", "a"]
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(len(users)), pa.int64()),
+                  "user_id": pa.array(users, pa.int64()),
+                  "event_type": pa.array(types, pa.string())}),
+        str(tmp_path / "events.parquet"))
+    df = q_type_cooccurrence(str(tmp_path))
+    assert df.values.tolist() == [["a", "b", 2, round(2 / 3, 6)]]
