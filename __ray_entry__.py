@@ -631,6 +631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition_stats": textstats.q_repetition_stats,
         "q_corpus_stats": textstats.q_corpus_stats,
         "q_heaps_curve": textstats.q_heaps_curve,
+        "q_ngram_novelty": textstats.q_ngram_novelty,
+        "q_keyword_match": textstats.q_keyword_match,
         # duplicate clustering (connected components)
         "dup_clusters": _dup_clusters,
         "minhash_clusters": _minhash_clusters,
@@ -1813,6 +1815,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN wm > sec THEN 1 ELSE 0 END AS BIGINT)
                        AS is_late
             FROM r ORDER BY event_id
+        """,
+        # Novelty over literal gram strings (the Ray side's md5-64 gram
+        # hash only keys the shuffle; distinct/min sets agree under the
+        # established vocabulary-collision acceptance). Gram-less docs
+        # (< 5 tokens) are LEFT-JOIN scaffolded to novelty 1.0.
+        "q_ngram_novelty": """
+            WITH f AS (SELECT doc_id,
+                              list_filter(string_split(
+                                  lower(coalesce(text, '')), ' '),
+                                  x -> x <> '') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id, toks,
+                         unnest(range(1, greatest(len(toks) - 4, 0) + 1))
+                             AS i
+                  FROM f),
+            gr AS (SELECT DISTINCT doc_id,
+                          array_to_string(list_slice(toks, i, i + 4), ' ')
+                              AS gram
+                   FROM g),
+            fo AS (SELECT gram, min(doc_id) AS fd FROM gr GROUP BY gram),
+            per AS (SELECT gr.doc_id,
+                           CAST(count(*) AS BIGINT) AS n_grams,
+                           CAST(sum(CASE WHEN fo.fd = gr.doc_id
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                               AS n_novel
+                    FROM gr JOIN fo USING (gram) GROUP BY gr.doc_id)
+            SELECT doc_id,
+                   CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,
+                   CASE WHEN per.n_grams IS NULL THEN 1.0
+                        ELSE round(CAST(per.n_novel AS DOUBLE)
+                                   / per.n_grams, 6)
+                   END AS novelty
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # Case-sensitive substring containment; unmatched keywords are
+        # absent (inner join), so first_doc is never NULL.
+        "q_keyword_match": """
+            WITH kw AS (SELECT unnest(['hash join', 'slow query', 'spark',
+                                       'stream', 'window']) AS keyword)
+            SELECT kw.keyword, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(d.doc_id) AS BIGINT) AS first_doc
+            FROM kw JOIN documents d ON contains(d.text, kw.keyword)
+            GROUP BY kw.keyword
+            ORDER BY keyword
         """,
         # Skyline = not dominated: the O(n log n) form (per-x max y, then
         # an exclusive running max over STRICTLY larger x) — validated

@@ -620,3 +620,136 @@ def q_heaps_curve(sf_dir: str) -> pd.DataFrame:
                             dtype="int64"),
         "vocab_size": pd.Series([int(vs.get(p, 0)) for p in HEAPS_PCTS],
                                 dtype="int64")})
+
+
+# --- n-gram novelty vs earlier corpus -----------------------------------------
+
+NOVELTY_N = 5      # word n-gram order
+
+
+def q_ngram_novelty(sf_dir: str) -> Dataset:
+    """Per-doc novelty: the fraction of a document's distinct word
+    5-grams that FIRST occur in that document (min doc_id over the whole
+    corpus) — the intra-corpus freshness score that separates original
+    writing from remixes of earlier documents. Gram-less docs (< 5
+    tokens) score 1.0 (vacuously novel).
+
+    One pass over the corpus emits distinct (gram-md5-64, doc_id) int
+    rows; a gram-bucketed combine resolves each gram's first occurrence
+    AND the per-doc gram totals in the SAME bucket (both are functions of
+    the bucket's rows), emitting two int partials per (bucket, doc); a
+    doc-bucketed combine sums partials and takes the one division. Only
+    int rows shuffle; nothing corpus-sized reaches the driver. Tokens are
+    the ``q_vocab_topk`` convention (lowercased single-space split,
+    empties dropped); the gram hash is ``dedup._md5_64`` under the
+    established vocabulary-collision acceptance."""
+    from .combine import bucketed_combine
+    from .dedup import _md5_64
+
+    ds = _docs(sf_dir)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        docs: list[int] = []
+        ghs: list[int] = []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = [w for w in (x or "").lower().split(" ") if w]
+            gs = {" ".join(toks[i:i + NOVELTY_N])
+                  for i in range(len(toks) - NOVELTY_N + 1)}
+            docs.extend([d] * len(gs))
+            ghs.extend(_md5_64(g) for g in gs)
+        gh = (np.fromiter(ghs, np.uint64, len(ghs)).view(np.int64)
+              if ghs else np.empty(0, np.int64))
+        return pa.table({"gh": pa.array(gh, pa.int64()),
+                         "doc_id": pa.array(np.asarray(docs, np.int64),
+                                            pa.int64())})
+
+    def per_gram_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        fd = g.groupby("gh")["doc_id"].transform("min")
+        nv = (g.loc[g["doc_id"].to_numpy() == fd.to_numpy()]
+              .groupby("doc_id").size())
+        ng = g.groupby("doc_id").size()
+        return pd.DataFrame({
+            "doc_id": ng.index.to_numpy(np.int64),
+            "ng": ng.to_numpy(np.int64),
+            "nv": nv.reindex(ng.index).fillna(0).to_numpy(np.int64)})
+
+    partials = bucketed_combine(
+        ds.map_batches(gram_rows, batch_format="pyarrow", batch_size=4096),
+        "gh", per_gram_bucket)
+
+    def doc_scaffold(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "ng": z, "nv": z})
+
+    scaffold = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        doc_scaffold, batch_format="pyarrow")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby("doc_id", as_index=False)
+             .agg(n_grams=("ng", "sum"), n_novel=("nv", "sum")))
+        ngr = s["n_grams"].to_numpy(np.int64)
+        nov = np.where(
+            ngr == 0, 1.0,
+            round_half_away(s["n_novel"].to_numpy(np.float64)
+                            / np.maximum(ngr, 1), 6))
+        return pd.DataFrame({
+            "doc_id": s["doc_id"].to_numpy(np.int64),
+            "n_grams": ngr,
+            "n_novel": s["n_novel"].to_numpy(np.int64),
+            "novelty": nov})
+
+    return ensure_schema(
+        bucketed_combine(partials.union(scaffold), "doc_id", finalize),
+        pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64()),
+                   ("n_novel", pa.int64()), ("novelty", pa.float64())]))
+
+
+# --- multi-keyword corpus scan ------------------------------------------------
+
+KEYWORDS = ("spark", "hash join", "window", "slow query", "stream")
+
+
+def q_keyword_match(sf_dir: str,
+                    keywords: tuple[str, ...] = KEYWORDS) -> pd.DataFrame:
+    """Per-keyword corpus hit stats: how many documents contain each
+    (case-sensitive) substring, and the earliest matching doc — the
+    broadcast-pattern scan every corpus triage starts with (brand terms,
+    contamination markers, layout artifacts). The keyword list is a
+    driver-side constant closed over by the batch fn (bytes-tiny; at a
+    larger pattern inventory it would ship once via ``ray.put``);
+    per batch each pattern is ONE vectorized Arrow ``match_substring``
+    kernel, reduced to |keywords|-sized (hits, min-doc) partials — the
+    corpus never shuffles."""
+    ds = _docs(sf_dir)
+
+    def scan(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hits, first = [], []
+        for kw in keywords:
+            m = pc.match_substring(text, kw).to_numpy(zero_copy_only=False)
+            m = np.asarray(m, bool)
+            hits.append(int(m.sum()))
+            first.append(int(ids[m].min()) if m.any()
+                         else np.iinfo(np.int64).max)
+        return pa.table({"keyword": pa.array(list(keywords), pa.string()),
+                         "n": pa.array(hits, pa.int64()),
+                         "fd": pa.array(first, pa.int64())})
+
+    from ray.data.aggregate import Min, Sum
+    agg = (ds.map_batches(scan, batch_format="pyarrow", batch_size=None)
+           .groupby("keyword")
+           .aggregate(Sum("n", alias_name="n_docs"),
+                      Min("fd", alias_name="first_doc"))
+           .to_pandas())
+    # unmatched keywords are absent from the result (empty-corpus contract:
+    # zero rows), so first_doc is always a real id — no nullable ints
+    agg = agg[agg["n_docs"] > 0] if not agg.empty else agg
+    if agg.empty:
+        from .collect import typed_empty
+        return typed_empty(keyword="object", n_docs="int64",
+                           first_doc="int64")
+    out = agg.sort_values("keyword").reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["first_doc"] = out["first_doc"].astype(np.int64)
+    return out[["keyword", "n_docs", "first_doc"]]

@@ -159,3 +159,54 @@ def test_type_cooccurrence_planted(ray_session, tmp_path):
         str(tmp_path / "events.parquet"))
     df = q_type_cooccurrence(str(tmp_path))
     assert df.values.tolist() == [["a", "b", 2, round(2 / 3, 6)]]
+
+
+# --- q_ngram_novelty ---------------------------------------------------------
+
+
+def test_ngram_novelty_planted(ray_session, tmp_path):
+    """doc0 introduces all its grams; doc1 copies doc0 verbatim (novelty
+    0); doc2 is half-copied (exactly 2 of its 4 grams are new); a short
+    doc (< 5 tokens) is vacuously novel with zero grams."""
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_ngram_novelty)
+
+    base = "a b c d e f g"            # grams: abcde bcdef cdefg (3)
+    texts = [base,                     # doc0: 3/3 novel
+             base,                     # doc1: 0/3
+             "a b c d e x y z",        # doc2: abcde old; bcdex cdexy dexyz new
+             "tiny doc"]               # doc3: 0 grams -> 1.0
+    df = (q_ngram_novelty(_write_docs(tmp_path, [(t, "s") for t in texts]))
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert df["n_grams"].tolist() == [3, 3, 4, 0]
+    assert df["n_novel"].tolist() == [3, 0, 3, 0]
+    assert df["novelty"].tolist() == [1.0, 0.0, 0.75, 1.0]
+
+
+def test_ngram_novelty_duplicate_grams_within_doc(ray_session, tmp_path):
+    """Repeated grams inside one doc count once (distinct semantics)."""
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_ngram_novelty)
+
+    df = (q_ngram_novelty(_write_docs(
+            tmp_path, [("p q r s t p q r s t", "s")]))
+          .to_pandas())
+    # windows: pqrst qrstp rstpq stpqr tpqrs pqrst -> 5 distinct
+    assert df["n_grams"].tolist() == [5]
+    assert df["novelty"].tolist() == [1.0]
+
+
+# --- q_keyword_match ---------------------------------------------------------
+
+
+def test_keyword_match_planted(ray_session, tmp_path):
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_keyword_match)
+
+    texts = ["we use spark here", "a hash join beats a sort",
+             "spark again", "nothing relevant"]
+    df = q_keyword_match(_write_docs(tmp_path, [(t, "s") for t in texts]),
+                         keywords=("spark", "hash join", "absent kw"))
+    assert df["keyword"].tolist() == ["hash join", "spark"]
+    assert df["n_docs"].tolist() == [1, 2]
+    assert df["first_doc"].tolist() == [1, 0]
