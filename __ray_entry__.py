@@ -633,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_heaps_curve": textstats.q_heaps_curve,
         "q_ngram_novelty": textstats.q_ngram_novelty,
         "q_keyword_match": textstats.q_keyword_match,
+        "q_source_overlap": textstats.q_source_overlap,
         # duplicate clustering (connected components)
         "dup_clusters": _dup_clusters,
         "minhash_clusters": _minhash_clusters,
@@ -1850,6 +1851,37 @@ def oracle_sql() -> dict[str, str]:
                    END AS novelty
             FROM documents d LEFT JOIN per USING (doc_id)
             ORDER BY doc_id
+        """,
+        # Source-pair gram-set Jaccard over literal gram strings (same
+        # tokenization and collision acceptance as q_ngram_novelty); only
+        # pairs sharing >= 1 gram appear.
+        "q_source_overlap": """
+            WITH f AS (SELECT source,
+                              list_filter(string_split(
+                                  lower(coalesce(text, '')), ' '),
+                                  x -> x <> '') AS toks
+                       FROM documents),
+            g AS (SELECT source, toks,
+                         unnest(range(1, greatest(len(toks) - 4, 0) + 1))
+                             AS i
+                  FROM f),
+            gr AS (SELECT DISTINCT source,
+                          array_to_string(list_slice(toks, i, i + 4), ' ')
+                              AS gram
+                   FROM g),
+            c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM gr
+                  GROUP BY source),
+            p AS (SELECT a.source AS source_a, b.source AS source_b,
+                         CAST(count(*) AS BIGINT) AS n_shared
+                  FROM gr a JOIN gr b ON a.gram = b.gram
+                                     AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT p.source_a, p.source_b, p.n_shared,
+                   round(CAST(p.n_shared AS DOUBLE)
+                         / (ca.n + cb.n - p.n_shared), 6) AS jaccard
+            FROM p JOIN c ca ON ca.source = p.source_a
+                   JOIN c cb ON cb.source = p.source_b
+            ORDER BY source_a, source_b
         """,
         # Case-sensitive substring containment; unmatched keywords are
         # absent (inner join), so first_doc is never NULL.

@@ -753,3 +753,83 @@ def q_keyword_match(sf_dir: str,
     out["n_docs"] = out["n_docs"].astype(np.int64)
     out["first_doc"] = out["first_doc"].astype(np.int64)
     return out[["keyword", "n_docs", "first_doc"]]
+
+
+# --- source-pair content overlap ----------------------------------------------
+
+
+def q_source_overlap(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level content overlap between every pair of sources: the
+    Jaccard of their distinct word-5-gram sets — the mixture-planning
+    diagnostic that finds mirrored/recrawled sources BEFORE per-doc dedup
+    (two sources sharing 80% of their grams are one source). The overlap
+    join runs at corpus key cardinality: distinct (gram-md5-64, source)
+    int-keyed rows, a gram-bucketed combine holds each gram's source set
+    whole (sources-per-gram is bounded by |sources|, so the self-merge is
+    tiny) and emits |sources|²-sized pair partials plus per-source
+    distinct-gram totals as sentinel rows; one small final groupby. Only
+    pairs sharing ≥1 gram appear. Same token/gram conventions and
+    collision acceptance as ``q_ngram_novelty``."""
+    from .combine import bucketed_combine
+    from .dedup import _md5_64
+
+    ds = _docs(sf_dir, columns=("text", "source"))
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        ghs: list[int] = []
+        for s, x in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            toks = [w for w in (x or "").lower().split(" ") if w]
+            gs = {" ".join(toks[i:i + NOVELTY_N])
+                  for i in range(len(toks) - NOVELTY_N + 1)}
+            srcs.extend([s] * len(gs))
+            ghs.extend(_md5_64(g) for g in gs)
+        gh = (np.fromiter(ghs, np.uint64, len(ghs)).view(np.int64)
+              if ghs else np.empty(0, np.int64))
+        t2 = pa.table({"gh": pa.array(gh, pa.int64()),
+                       "source": pa.array(srcs, pa.string())})
+        # batch-local distinct: different docs of one source repeat grams
+        return pa.Table.from_pandas(
+            t2.to_pandas().drop_duplicates(["gh", "source"]),
+            preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["gh", "source"])
+        m = g.merge(g, on="gh")
+        m = m[m["source_x"] < m["source_y"]]
+        p = (m.groupby(["source_x", "source_y"], as_index=False)
+             .agg(n=("gh", "size")))
+        p.columns = ["source_a", "source_b", "n"]
+        s = (g.groupby("source", as_index=False).agg(n=("gh", "size")))
+        s.columns = ["source_a", "n"]
+        s["source_b"] = ""
+        out = pd.concat([p, s[["source_a", "source_b", "n"]]],
+                        ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from ray.data.aggregate import Sum
+    part = (bucketed_combine(
+                ds.map_batches(gram_rows, batch_format="pyarrow",
+                               batch_size=4096),
+                "gh", per_bucket)
+            .groupby(["source_a", "source_b"])
+            .aggregate(Sum("n", alias_name="n_shared")).to_pandas())
+    if part.empty:
+        from .collect import typed_empty
+        return typed_empty(source_a="object", source_b="object",
+                           n_shared="int64", jaccard="float64")
+    singles = (part[part["source_b"] == ""]
+               .set_index("source_a")["n_shared"].astype(np.int64))
+    out = part[part["source_b"] != ""].copy()
+    if out.empty:
+        from .collect import typed_empty
+        return typed_empty(source_a="object", source_b="object",
+                           n_shared="int64", jaccard="float64")
+    out["n_shared"] = out["n_shared"].astype(np.int64)
+    na = singles.reindex(out["source_a"]).to_numpy(np.float64)
+    nb = singles.reindex(out["source_b"]).to_numpy(np.float64)
+    sh = out["n_shared"].to_numpy(np.float64)
+    out["jaccard"] = round_half_away(sh / (na + nb - sh), 6)
+    return (out[["source_a", "source_b", "n_shared", "jaccard"]]
+            .sort_values(["source_a", "source_b"]).reset_index(drop=True))

@@ -210,3 +210,23 @@ def test_keyword_match_planted(ray_session, tmp_path):
     assert df["keyword"].tolist() == ["hash join", "spark"]
     assert df["n_docs"].tolist() == [1, 2]
     assert df["first_doc"].tolist() == [1, 0]
+
+
+# --- q_source_overlap --------------------------------------------------------
+
+
+def test_source_overlap_planted(ray_session, tmp_path):
+    """Source m1 mirrors m0 exactly (jaccard 1.0); h shares half its
+    grams with m0; z shares nothing and appears in no pair."""
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_source_overlap)
+
+    base = "a b c d e f"              # grams: abcde bcdef (2)
+    half = "a b c d e x"              # grams: abcde bcdex (shares 1 w/ base)
+    rows = [(base, "m0"), (base, "m1"), (half, "h"),
+            ("q r s t u v", "z")]
+    df = q_source_overlap(_write_docs(tmp_path, rows))
+    assert df[["source_a", "source_b"]].values.tolist() == [
+        ["h", "m0"], ["h", "m1"], ["m0", "m1"]]
+    assert df["n_shared"].tolist() == [1, 1, 2]
+    assert df["jaccard"].tolist() == [round(1 / 3, 6), round(1 / 3, 6), 1.0]
