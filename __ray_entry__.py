@@ -578,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca": similarity.emb_pca,
         "emb_label_centroid": similarity.emb_label_centroid,
         "emb_vec_norms": similarity.emb_vec_norms,
+        "q_vec_quantize": similarity.q_vec_quantize,
         # multimodal
         "image_features": _image_features,
         "image_phash_dedup": _image_phash_dedup,
@@ -605,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": mlprep.line_dedup,
         "q_training_corpus": mlprep.q_training_corpus,
         "q_vocab_topk": mlprep.q_vocab_topk,
+        "q_inverted_index": mlprep.q_inverted_index,
         "q_bigram_topk": mlprep.q_bigram_topk,
         "dsir_score": mlprep.dsir_score,
         "q_unigram_ppl": mlprep.q_unigram_ppl,
@@ -634,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_novelty": textstats.q_ngram_novelty,
         "q_keyword_match": textstats.q_keyword_match,
         "q_source_overlap": textstats.q_source_overlap,
+        "q_simpson_diversity": textstats.q_simpson_diversity,
         # duplicate clustering (connected components)
         "dup_clusters": _dup_clusters,
         "minhash_clusters": _minhash_clusters,
@@ -2105,6 +2108,61 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY tok
             ORDER BY df DESC, tok
             LIMIT 100
+        """,
+        "q_inverted_index": """
+            WITH pairs AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS tok
+                    FROM documents)
+                WHERE tok <> '')
+            SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM pairs GROUP BY tok ORDER BY tok
+        """,
+        "q_simpson_diversity": r"""
+            WITH b AS (SELECT source, lower(coalesce(text, '')) AS tx
+                       FROM documents),
+            wd AS (SELECT source,
+                          unnest(list_filter(
+                              regexp_split_to_array(tx, '\s+'),
+                              x -> x <> '')) AS tok
+                   FROM b),
+            c AS (SELECT source, tok, count(*)::BIGINT AS n
+                  FROM wd GROUP BY source, tok),
+            s AS (SELECT source,
+                         CAST(sum(n) AS BIGINT) AS n_tokens,
+                         CAST(count(*) AS BIGINT) AS n_distinct,
+                         CAST(sum(n * (n - 1)) AS BIGINT) AS num
+                  FROM c GROUP BY source)
+            SELECT source, n_tokens, n_distinct,
+                   CASE WHEN n_tokens > 1
+                        THEN CAST(num AS DOUBLE)
+                             / (CAST(n_tokens AS DOUBLE)
+                                * CAST(n_tokens - 1 AS DOUBLE))
+                        ELSE 0.0 END AS simpson
+            FROM s ORDER BY source
+        """,
+        "q_vec_quantize": """
+            WITH e AS (
+                SELECT vec_id,
+                       CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000) AS BIGINT) AS q,
+                       unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings),
+            mm AS (SELECT i, min(q) AS lo, max(q) AS hi FROM e GROUP BY i),
+            codes AS (SELECT e.vec_id,
+                             CASE WHEN mm.hi > mm.lo
+                                  THEN (e.q - mm.lo) * 255
+                                       // (mm.hi - mm.lo)
+                                  ELSE 0 END AS c
+                      FROM e JOIN mm USING (i))
+            SELECT vec_id, CAST(sum(c) AS BIGINT) AS code_sum,
+                   CAST(count(*) FILTER (WHERE c = 0) AS BIGINT) AS n_zero,
+                   CAST(count(*) FILTER (WHERE c = 255) AS BIGINT)
+                       AS n_full
+            FROM codes GROUP BY vec_id ORDER BY vec_id
         """,
         # DSIR: hashed-unigram log-likelihood-ratio scoring. Exact because
         # (a) the feature hash is the md5-hex-prefix convention, (b) DuckDB

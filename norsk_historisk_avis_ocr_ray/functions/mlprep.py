@@ -1835,3 +1835,60 @@ def q_dedup_survivorship(sf_dir: str) -> pd.DataFrame:
         / out["n_docs"].to_numpy(np.float64), 6)
     return (out[["source", "n_docs", "n_survivors", "survival_rate"]]
             .sort_values("source").reset_index(drop=True))
+
+
+# --- inverted-index build: token -> sorted doc-id posting list ------------------
+
+def q_inverted_index(sf_dir: str) -> Dataset:
+    """Distributed inverted-index construction — the retrieval-side
+    artifact of a training-data pipeline (contamination lookups, BM25
+    serving, dedup audits all consume posting lists). One row per
+    distinct token: document frequency + the comma-joined ``doc_id``
+    posting list in ascending order.
+
+    Scale shape: a document lives in exactly one input row, so the
+    per-batch distinct (doc_id, tok) projection is already the GLOBAL
+    distinct — the only corpus-sized exchange is ONE token-bucketed
+    combine (``bucketed_combine``: many tokens per group call) that
+    sorts and joins each token's postings locally. The vocabulary-sized
+    output streams as a Dataset; no global sort (the driver gate
+    canonicalizes row order). Tokenization is the vocab convention:
+    lowercased single-space split = SQL ``string_split(lower(text), ' ')``."""
+    from .combine import bucketed_combine
+    from .dedup import _hash64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    schema = pa.schema([("tok", pa.string()), ("df", pa.int64()),
+                        ("postings", pa.string())])
+
+    def doc_tok_pairs(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist(),
+                      index=t["doc_id"].to_pylist()).fillna("")
+        ex = s.str.lower().str.split(" ").explode()
+        ex = ex[ex != ""]
+        pairs = (ex.rename("tok").rename_axis("doc_id").reset_index()
+                 .drop_duplicates())
+        cache: dict[str, int] = {}
+        th = np.fromiter(
+            (cache.setdefault(x, _hash64(x) // 2) for x in pairs["tok"]),
+            np.int64, count=len(pairs))
+        return pa.table({
+            "tok_h": pa.array(th, pa.int64()),
+            "tok": pa.array(pairs["tok"], pa.string()),
+            "doc_id": pa.array(pairs["doc_id"].to_numpy(np.int64))})
+
+    def build_postings(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tok", "doc_id"], kind="mergesort")
+        out = (g.groupby("tok", sort=False)["doc_id"]
+               .agg([("df", "size"),
+                     ("postings", lambda d: ",".join(map(str, d)))])
+               .reset_index())
+        out["df"] = out["df"].astype(np.int64)
+        return out[["tok", "df", "postings"]]
+
+    return ensure_schema(
+        bucketed_combine(
+            ds.map_batches(doc_tok_pairs, batch_format="pyarrow",
+                           batch_size=4096),
+            "tok_h", build_postings),
+        schema)

@@ -883,3 +883,75 @@ def emb_vec_norms(sf_dir: str) -> Dataset:
         ds.map_batches(per_batch, batch_format="pyarrow"),
         pa.schema([("vec_id", pa.int64()), ("l2_norm", pa.float64()),
                    ("max_abs", pa.float64())]))
+
+
+# --- int8 scalar quantization of the embedding column ---------------------------
+
+def q_vec_quantize(sf_dir: str) -> Dataset:
+    """Int8 scalar quantization of the embedding column — the
+    vector-compression pass of an ANN serving pipeline (4× smaller
+    index, cheap SIMD distance): per dimension, map values onto the
+    0..255 grid between the GLOBAL per-dim min and max, and report each
+    vector's code checksum + saturation counts.
+
+    Exactness: components quantize onto the 1e-3 int64 grid first (the
+    ``emb_vec_norms`` bridge — DuckDB ``round`` == ``round_half_away``),
+    so the per-dim min/max are integer order-free aggregates and the
+    code is ALL-INTEGER floor division ``(q−lo)·255 // (hi−lo)`` — no
+    float enters the result at all.
+
+    Scale shape: pass 1 reduces per-batch per-dim (lo, hi) partials
+    through a dims-sized ``groupby`` (the only exchange, |dims| rows);
+    the 2×|dims| grid broadcasts via ``ray.put``; pass 2 is a
+    zero-shuffle vectorized code map streaming corpus-sized rows."""
+    from ray.data.aggregate import Max, Min
+
+    from .collect import ensure_schema
+
+    ds = _emb(sf_dir)
+    schema = pa.schema([("vec_id", pa.int64()), ("code_sum", pa.int64()),
+                        ("n_zero", pa.int64()), ("n_full", pa.int64())])
+
+    def dim_minmax(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        if mat.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        q = round_half_away(mat * 1000.0, 0).astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.arange(q.shape[1], dtype=np.int64)),
+            "lo": pa.array(q.min(axis=0)),
+            "hi": pa.array(q.max(axis=0))})
+
+    mm = (ds.map_batches(dim_minmax, batch_format="pyarrow")
+          .groupby("dim")
+          .aggregate(Min("lo", alias_name="lo"),
+                     Max("hi", alias_name="hi")).to_pandas())
+    if mm.empty:
+        return ensure_schema(
+            ray.data.from_arrow(schema.empty_table()), schema)
+    mm = mm.sort_values("dim")
+    lo = mm["lo"].to_numpy(np.int64)
+    hi = mm["hi"].to_numpy(np.int64)
+    grid_ref = ray.put((lo, hi))
+
+    def codes(t: pa.Table) -> pa.Table:
+        lo, hi = ray.get(grid_ref)
+        ids, mat = _batch_matrix(t)
+        if mat.size == 0:
+            z = np.zeros(len(ids), np.int64)
+            return pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                             "code_sum": pa.array(z), "n_zero": pa.array(z),
+                             "n_full": pa.array(z)})
+        q = round_half_away(mat * 1000.0, 0).astype(np.int64)
+        span = np.maximum(hi - lo, 1)
+        c = np.where(hi > lo, (q - lo) * 255 // span, 0)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "code_sum": pa.array(c.sum(axis=1).astype(np.int64)),
+            "n_zero": pa.array((c == 0).sum(axis=1).astype(np.int64)),
+            "n_full": pa.array((c == 255).sum(axis=1).astype(np.int64))})
+
+    return ensure_schema(
+        ds.map_batches(codes, batch_format="pyarrow"), schema)

@@ -833,3 +833,88 @@ def q_source_overlap(sf_dir: str) -> pd.DataFrame:
     out["jaccard"] = round_half_away(sh / (na + nb - sh), 6)
     return (out[["source_a", "source_b", "n_shared", "jaccard"]]
             .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+
+
+# --- per-source Simpson diversity (lexical concentration diagnostic) ------------
+
+def q_simpson_diversity(sf_dir: str) -> pd.DataFrame:
+    """Per-source Simpson index over the unigram distribution — the
+    lexical-concentration diagnostic of a multi-source training mix
+    (a source dominated by boilerplate shows a high collision
+    probability D = Σ_t c(c−1) / (N(N−1)); a diverse one tends to 0).
+
+    Exactness: D is a ratio of two BIGINT aggregates — the numerator
+    folds per-token as integer c·(c−1), so nothing depends on float
+    summation order; the single ``float(num)/float(den)`` division at
+    the end replays DuckDB's CAST-then-divide bit-for-bit.
+
+    Ray shape (the q_source_kl template): per-batch (tok, source)
+    count partials → ONE token-bucketed combine resolves each token's
+    global per-source count AND reduces straight to per-source
+    integer partials inside the bucket (only |sources|-sized rows
+    leave the shuffle) → a tiny ``groupby(source)`` Sum → the driver
+    takes the one division per source."""
+    from ray.data.aggregate import Sum
+
+    from .collect import typed_empty
+    from .combine import bucketed_combine
+    from .dedup import _hash64
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        words = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        nw_raw = pc.list_value_length(words).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        keep = pc.utf8_length(flat).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) > 0
+        src = np.repeat(np.asarray(t["source"].to_pylist(), dtype=object),
+                        nw_raw)[keep]
+        toks = np.asarray(flat.to_pylist(), dtype=object)[keep]
+        df = (pd.DataFrame({"tok": toks, "source": src})
+              .groupby(["tok", "source"], as_index=False).size())
+        cache: dict[str, int] = {}
+        th = np.fromiter(
+            (cache.setdefault(x, _hash64(x) // 2) for x in df["tok"]),
+            np.int64, count=len(df))
+        return pa.table({"tok_h": pa.array(th, pa.int64()),
+                         "tok": pa.array(df["tok"], pa.string()),
+                         "source": pa.array(df["source"], pa.string()),
+                         "c": pa.array(df["size"].to_numpy(np.int64))})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (g.groupby(["tok", "source"], as_index=False)
+                .agg(c=("c", "sum")))
+        c = cnt["c"].to_numpy(np.int64)
+        cnt["num"] = c * (c - 1)
+        out = (cnt.groupby("source", as_index=False)
+               .agg(n_tokens=("c", "sum"), n_distinct=("c", "size"),
+                    num=("num", "sum")))
+        for col in ("n_tokens", "n_distinct", "num"):
+            out[col] = out[col].astype(np.int64)
+        return out[["source", "n_tokens", "n_distinct", "num"]]
+
+    parts = bucketed_combine(
+        ds.map_batches(tok_counts, batch_format="pyarrow",
+                       batch_size=8192),
+        "tok_h", per_bucket)
+    df = (parts.groupby("source")
+          .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                     Sum("n_distinct", alias_name="n_distinct"),
+                     Sum("num", alias_name="num")).to_pandas())
+    if df.empty:
+        return typed_empty(source="object", n_tokens="int64",
+                           n_distinct="int64", simpson="float64")
+    for col in ("n_tokens", "n_distinct", "num"):
+        df[col] = df[col].astype(np.int64)
+    n = df["n_tokens"].to_numpy(np.int64)
+    num = df["num"].to_numpy(np.int64)
+    # CAST-then-divide, exactly as the oracle: int→double conversions and
+    # one IEEE division are deterministic given identical integers
+    den = n.astype(np.float64) * (n - 1).astype(np.float64)
+    df["simpson"] = np.where(
+        n > 1, num.astype(np.float64) / np.where(n > 1, den, 1.0), 0.0)
+    return (df[["source", "n_tokens", "n_distinct", "simpson"]]
+            .sort_values("source").reset_index(drop=True))
