@@ -5,10 +5,13 @@ clean → groupby(doc_id) repack → correction) over a deterministic synthetic
 page corpus (cached under /tmp). Also times the generic query suite over
 $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
-Prints ONE JSON line:
+Prints the FULL per-query JSON (an earlier line + BENCH_QUERIES.json
+sidecar), then a compact headline JSON as the FINAL stdout line
+(metric/value/top-8 slowest queries/pages_per_sec) — the driver tails
+~2000 chars and parses the last line, so the final line must stay short:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
-   "pages": P, "pages_per_sec": X}
+   "queries": {...top-8 slowest...}, "n_queries": N, "sf": ...,
+   "num_cpus": N, "pages": P, "pages_per_sec": X}
 
 `--scaling`: interleaved fresh-process runs of the headline at two CPU
 levels (default 4 and 16; `--pair A,B`, `--repeats N`), EQUAL-DURATION
@@ -244,11 +247,38 @@ def main() -> None:
         queries.update(run_queries())
 
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
-    print(json.dumps({
+    # Full per-query map: an EARLIER stdout line + a sidecar file. The
+    # FINAL stdout line must stay short — the driver tails only ~2000
+    # chars and parses the last line; round 3's single giant line
+    # overflowed it and the whole bench scored `parsed: null`.
+    full = {
         "metric": "ocr_extract_wall_sec",
         "value": headline["sec"],
         "unit": "sec",
         "queries": queries,
+        "sf": sf,
+        "num_cpus": NCPU,
+        "docs": headline["docs"],
+        "pages": headline["pages"],
+        "pages_per_sec": headline["pages_per_sec"],
+        "docs_per_sec": headline["docs_per_sec"],
+    }
+    print(json.dumps(full))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_QUERIES.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    slowest = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:8])
+    print(json.dumps({
+        "metric": "ocr_extract_wall_sec",
+        "value": headline["sec"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in slowest.items()},
+        "n_queries": len(queries),
+        "queries_total_sec": round(sum(queries.values()), 2),
+        "queries_file": "BENCH_QUERIES.json",
         "sf": sf,
         "num_cpus": NCPU,
         "docs": headline["docs"],

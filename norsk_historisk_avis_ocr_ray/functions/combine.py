@@ -12,7 +12,7 @@ rows land whole in a single bucket.
 
 Use for *final combines of pre-aggregated partials* (rows per key already
 small); for raw corpus-sized groups with per-key windows, write the bucket
-explicitly and sort inside the group (see relational._bucketize_user).
+explicitly and sort inside the group (see relational._user_bucketizer).
 """
 
 from __future__ import annotations
@@ -26,21 +26,26 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from .dedup import _fmix64
-
-N_COMBINE_BUCKETS = 64
+from .scale import pow2_buckets
 
 
 def bucketed_combine(ds: Dataset, key_col: str,
                      combine: Callable[[pd.DataFrame], pd.DataFrame],
-                     n_buckets: int = N_COMBINE_BUCKETS) -> Dataset:
+                     n_buckets: int | None = None) -> Dataset:
     """``ds.groupby(<high-cardinality key>)``-equivalent combine.
 
     ``key_col`` must be an integer column (hash string keys to int64 in the
     partial stage first). ``combine`` receives one bucket's rows (bucket
     column already dropped, MANY keys per call) and must itself group by
     ``key_col`` vectorized — a pandas ``groupby().agg`` — and may emit any
-    schema. ``n_buckets`` must be a power of two.
+    schema. ``n_buckets`` must be a power of two; the default derives from
+    the cluster CPU count at call time (``scale.pow2_buckets``, floor 64)
+    so the combine shuffle widens with the cluster instead of capping at a
+    single-VM constant. Derived ONCE here on the driver and captured by
+    the closure — every batch of this combine agrees on the bucket map.
     """
+    if n_buckets is None:
+        n_buckets = pow2_buckets()
     mask = np.uint64(n_buckets - 1)
 
     def add_bucket(t: pa.Table) -> pa.Table:

@@ -34,6 +34,19 @@ from .rounding import series_round_half_away as _r
 from . import scale
 
 Q1_CUTOFF = np.datetime64("1998-01-01", "us")
+
+
+def _cents(x) -> np.ndarray:
+    """Exact int64 quantization of a cent-grid float column (q9 pattern).
+
+    Round-3's q10 driver failure proved float ``Sum`` + ``round(., 2)``
+    flips on half-cent boundaries under summation-order drift (and the
+    round-4 boundary audit, tools/audit_round_boundaries.py, found dozens
+    of group sums sitting EXACTLY on a boundary at the gate scales), so
+    every money/value sum in this module folds on an integer grid and
+    converts to float with ONE division at the end."""
+    return round_half_away(np.asarray(x, dtype=np.float64) * 100.0,
+                           0).astype(np.int64)
 Q3_SEGMENT = "BUILDING"
 Q3_DATE = np.datetime64("1999-01-01", "us")
 WINDOW_S = 3600
@@ -58,17 +71,28 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(Q1_CUTOFF)))
-        df = t.select(["l_returnflag", "l_linestatus", "l_quantity",
-                       "l_extendedprice", "l_discount", "l_tax"]).to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        df["charge"] = df["disc_price"] * (1 + df["l_tax"])
+        p = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        d = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        tax = _cents(t["l_tax"].to_numpy(zero_copy_only=False))
+        # all-integer grids: base on cents, disc_price on 1e-4 dollars,
+        # charge on 1e-6 dollars — partition-order-independent sums
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+            "l_linestatus": t["l_linestatus"].to_numpy(zero_copy_only=False),
+            "qty": (t["l_quantity"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)),
+            "base": p,
+            "disc_price": p * (100 - d),
+            "charge": p * (100 - d) * (100 + tax),
+            "disc": d,
+        })
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
+            sum_qty=("qty", "sum"),
+            sum_base_price=("base", "sum"),
             sum_disc_price=("disc_price", "sum"),
             sum_charge=("charge", "sum"),
-            sum_disc=("l_discount", "sum"),
-            count_order=("l_quantity", "size"),
+            sum_disc=("disc", "sum"),
+            count_order=("qty", "size"),
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -89,10 +113,12 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
             sum_charge="float64", count_order="int64", avg_qty="float64",
             avg_price="float64", avg_disc="float64")
     df["avg_qty"] = _r(df["sum_qty"] / df["count_order"], 6)
-    df["avg_price"] = _r(df["sum_base_price"] / df["count_order"], 6)
-    df["avg_disc"] = _r(df["sum_disc"] / df["count_order"], 6)
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
-        df[c] = _r(df[c], 2)
+    df["avg_price"] = _r(df["sum_base_price"] / 100.0 / df["count_order"], 6)
+    df["avg_disc"] = _r(df["sum_disc"] / 100.0 / df["count_order"], 6)
+    df["sum_qty"] = _r(df["sum_qty"].astype(np.float64), 2)
+    df["sum_base_price"] = _r(df["sum_base_price"] / 100.0, 2)
+    df["sum_disc_price"] = _r(df["sum_disc_price"] / 10000.0, 2)
+    df["sum_charge"] = _r(df["sum_charge"] / 1000000.0, 2)
     df = df.drop(columns=["sum_disc"])
     return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
@@ -138,21 +164,24 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     def li_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(Q3_DATE)))
         t = t.filter(pc.is_in(t["l_orderkey"], value_set=ray.get(okeys_ref)))
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        # int64 1e-4 dollar grid (q9/q10 pattern): revenue sums exactly
+        p = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        d = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
         df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(),
-                           "rev": rev.to_numpy()})
-        g = df.groupby("l_orderkey", as_index=False)["rev"].sum()
+                           "qrev": p * (100 - d)})
+        g = df.groupby("l_orderkey", as_index=False)["qrev"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     li_agg = (li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
-                .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue")))
+                .groupby("l_orderkey").aggregate(Sum("qrev", alias_name="qrev")))
 
     def local_top10(t: pa.Table) -> pa.Table:  # per-block top-k combiner
         d = t.to_pandas()
-        d["revenue"] = _r(d["revenue"], 2)  # round first: oracle orders by rounded value
+        d["revenue"] = _r(d["qrev"] / 10000.0, 2)
         d = d.sort_values(["revenue", "l_orderkey"],
                           ascending=[False, True]).head(10)
-        return pa.Table.from_pandas(d, preserve_index=False)
+        return pa.Table.from_pandas(d.drop(columns=["qrev"]),
+                                    preserve_index=False)
 
     df = li_agg.map_batches(local_top10, batch_format="pyarrow").to_pandas()
     if df.empty:
@@ -187,19 +216,21 @@ def q_customers_per_region(sf_dir: str) -> pd.DataFrame:
         names = [m[k] for k in t["c_nationkey"].to_pylist()]
         return pa.table({
             "r_name": pa.array(names, pa.string()),
-            "c_acctbal": t["c_acctbal"],
+            "qbal": pa.array(_cents(
+                t["c_acctbal"].to_numpy(zero_copy_only=False))),
         })
 
     out = (cust.map_batches(add_region, batch_format="pyarrow")
                .groupby("r_name")
                .aggregate(Count(alias_name="n_customers"),
-                          Sum("c_acctbal", alias_name="sum_acctbal")))
+                          Sum("qbal", alias_name="qbal")))
     df = out.to_pandas()
     if df.empty:
         return typed_empty(r_name="object", n_customers="int64",
                            sum_acctbal="float64")
-    df["sum_acctbal"] = _r(df["sum_acctbal"], 2)
-    return df.sort_values("r_name").reset_index(drop=True)
+    df["sum_acctbal"] = _r(df["qbal"] / 100.0, 2)
+    return (df.drop(columns=["qbal"])
+              .sort_values("r_name").reset_index(drop=True))
 
 
 def q_rollup_acctbal(sf_dir: str) -> pd.DataFrame:
@@ -232,13 +263,14 @@ def q_rollup_acctbal(sf_dir: str) -> pd.DataFrame:
         return pa.table({
             "r_name": pa.array([x[0] for x in rn], pa.string()),
             "n_name": pa.array([x[1] for x in rn], pa.string()),
-            "c_acctbal": t["c_acctbal"],
+            "qbal": pa.array(_cents(
+                t["c_acctbal"].to_numpy(zero_copy_only=False))),
         })
 
     fine = (cust.map_batches(add_keys, batch_format="pyarrow")
                 .groupby(["r_name", "n_name"])
                 .aggregate(Count(alias_name="n_custs"),
-                           Sum("c_acctbal", alias_name="s"))
+                           Sum("qbal", alias_name="s"))
                 .to_pandas())
     if fine.empty:
         return typed_empty(r_name="object", n_name="object",
@@ -256,8 +288,8 @@ def q_rollup_acctbal(sf_dir: str) -> pd.DataFrame:
     out = pd.concat(levels, ignore_index=True)[
         ["r_name", "n_name", "n_custs", "s"]]
     out["n_custs"] = out["n_custs"].astype(np.int64)
-    out["sum_acctbal"] = _r(out["s"], 2)
-    out["avg_acctbal"] = _r(out["s"] / out["n_custs"], 6)
+    out["sum_acctbal"] = _r(out["s"] / 100.0, 2)
+    out["avg_acctbal"] = _r(out["s"] / 100.0 / out["n_custs"], 6)
     return (out.drop(columns=["s"])
                .sort_values(["r_name", "n_name"], na_position="first")
                .reset_index(drop=True))
@@ -272,22 +304,24 @@ def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
         ts = t["ts"].to_numpy()  # datetime64[us]
         win = (ts.astype("datetime64[s]").astype(np.int64) // WINDOW_S).astype(np.int64)
         df = pd.DataFrame({"event_type": t["event_type"].to_numpy(zero_copy_only=False),
-                           "win": win, "value": t["value"].to_numpy()})
+                           "win": win,
+                           "qv": _cents(t["value"].to_numpy())})
         g = df.groupby(["event_type", "win"], as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum"))
+            n=("qv", "size"), qv=("qv", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
              .groupby(["event_type", "win"])
              .aggregate(Sum("n", alias_name="n"),
-                        Sum("sum_value", alias_name="sum_value")))
+                        Sum("qv", alias_name="qv")))
     df = out.to_pandas()
     if df.empty:
         return typed_empty(event_type="object", win="int64", n="int64",
                            sum_value="float64")
-    df["sum_value"] = _r(df["sum_value"], 4)
+    df["sum_value"] = _r(df["qv"] / 100.0, 4)
     df["n"] = df["n"].astype(np.int64)
-    return df.sort_values(["event_type", "win"]).reset_index(drop=True)
+    return (df.drop(columns=["qv"])
+              .sort_values(["event_type", "win"]).reset_index(drop=True))
 
 
 # --- events: top users by total value (agg + top-k) --------------------------
@@ -297,20 +331,20 @@ def q_top_users(sf_dir: str) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({"user_id": t["user_id"].to_numpy(),
-                           "value": t["value"].to_numpy()})
+                           "qv": _cents(t["value"].to_numpy())})
         g = df.groupby("user_id", as_index=False).agg(
-            n_events=("value", "size"), total_value=("value", "sum"))
+            n_events=("qv", "size"), qv=("qv", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
              .groupby("user_id")
              .aggregate(Sum("n_events", alias_name="n_events"),
-                        Sum("total_value", alias_name="total_value")))
+                        Sum("qv", alias_name="qv")))
     df = out.to_pandas()
     if df.empty:
         return typed_empty(user_id="int64", n_events="int64",
                            total_value="float64")
-    df["total_value"] = _r(df["total_value"], 4)
+    df["total_value"] = _r(df["qv"] / 100.0, 4)
     df["n_events"] = df["n_events"].astype(np.int64)
     df = df.sort_values(["total_value", "user_id"], ascending=[False, True]).head(20)
     return df[["user_id", "n_events", "total_value"]].reset_index(drop=True)
@@ -373,15 +407,30 @@ def q_count_distinct_custs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("o_orderpriority").reset_index(drop=True)
 
 
-ASOF_BUCKETS = 256  # power of two: bucket = key & (NB-1)
+def _asof_buckets() -> int:
+    """Bucket count for the windowed/as-of co-group family (power of two:
+    ``bucket = key & (NB-1)``). Derived from the cluster CPU count at
+    QUERY-BUILD time on the driver (``scale.pow2_buckets``, floor 256 —
+    the single-VM tuned value) and captured by each query's closures, so
+    every stage of one query agrees on the bucket map even if the cluster
+    resizes mid-run. Round-3 VERDICT item 5: fixed shuffle-width constants
+    cap a big cluster's combine parallelism."""
+    return scale.pow2_buckets(floor=256)
 
 
-def _bucketize_user(t: pa.Table) -> pa.Table:
+def _user_bucketizer(nb: int | None = None):
     """Shared partitioning contract of the windowed operators: hash bucket
-    = user_id & (ASOF_BUCKETS-1), many keys per bucket."""
-    return t.append_column(
-        "bucket", pc.bit_wise_and(t["user_id"].cast(pa.int64()),
-                                  ASOF_BUCKETS - 1))
+    = user_id & (NB-1), many keys per bucket. Factory: the bucket count is
+    resolved ONCE here (driver) and closed over."""
+    if nb is None:
+        nb = _asof_buckets()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.bit_wise_and(t["user_id"].cast(pa.int64()),
+                                      nb - 1))
+
+    return bucketize
 
 
 # --- ordered window: running sum per user ------------------------------------
@@ -398,8 +447,10 @@ def q_running_user_value(sf_dir: str) -> pd.DataFrame:
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        qv = pd.Series(_cents(g["value"].to_numpy()), index=g.index)
         g["running_value"] = _r(
-            g.groupby("user_id", sort=False)["value"].cumsum(), 4)
+            qv.groupby(g["user_id"].to_numpy(), sort=False).cumsum()
+            / 100.0, 4)
         return g[["event_id", "user_id", "running_value"]]
 
     def local_topk(t: pa.Table) -> pa.Table:
@@ -409,7 +460,7 @@ def q_running_user_value(sf_dir: str) -> pd.DataFrame:
         idx = np.argpartition(ev, t.num_rows - TOP_N)[-TOP_N:]
         return t.take(np.sort(idx))
 
-    df = (ds.map_batches(_bucketize_user, batch_format="pyarrow")
+    df = (ds.map_batches(_user_bucketizer(), batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(running, batch_format="pandas")
             .map_batches(local_topk, batch_format="pyarrow")
@@ -448,13 +499,13 @@ def q_sessionize(sf_dir: str) -> Dataset:
         out = (pd.DataFrame({
             "user_id": g["user_id"].to_numpy(np.int64),
             "session_idx": (gid - first).to_numpy(np.int64),
-            "value": g["value"].to_numpy(),
+            "qv": _cents(g["value"].to_numpy()),
             "sec": sec.to_numpy()})
             .groupby(["user_id", "session_idx"], as_index=False)
-            .agg(n_events=("value", "size"), sum_value=("value", "sum"),
+            .agg(n_events=("qv", "size"), qv=("qv", "sum"),
                  s0=("sec", "min"), s1=("sec", "max")))
         out["duration_s"] = (out["s1"] - out["s0"]).astype(np.int64)
-        out["sum_value"] = _r(out["sum_value"], 4)
+        out["sum_value"] = _r(out["qv"] / 100.0, 4)
         out["n_events"] = out["n_events"].astype(np.int64)
         return out[["user_id", "session_idx", "n_events", "sum_value",
                     "duration_s"]]
@@ -462,7 +513,7 @@ def q_sessionize(sf_dir: str) -> Dataset:
     # Streaming result: one row per session is corpus-sized — hand the
     # Dataset to the consumer (sink/compare) instead of a driver pull.
     return ensure_schema(
-        ds.map_batches(_bucketize_user, batch_format="pyarrow")
+        ds.map_batches(_user_bucketizer(), batch_format="pyarrow")
           .groupby("bucket").map_groups(sessions, batch_format="pandas"),
         pa.schema([("user_id", pa.int64()), ("session_idx", pa.int64()),
                    ("n_events", pa.int64()), ("sum_value", pa.float64()),
@@ -551,22 +602,27 @@ def q_events_before_order(sf_dir: str) -> Dataset:
     ``np.add.reduceat`` — no per-order Python, no pair blowup."""
     ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
     od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    nb = _asof_buckets()   # driver-derived, captured by both tag closures
 
     def tag_events(t: pa.Table) -> pa.Table:
         key = t["user_id"].cast(pa.int64())
         return pa.table({
             "key": key,
-            "bucket": pc.bit_wise_and(key, ASOF_BUCKETS - 1),
+            "bucket": pc.bit_wise_and(key, nb - 1),
             "sec": pc.divide(t["ts"].cast(pa.int64()), 1_000_000),
             "oid": pa.nulls(t.num_rows, pa.int64()),
-            "value": t["value"],
+            # integer cents carried in float64 (union schema unchanged):
+            # every partial sum is an exact integer below 2^53
+            "value": pa.array(_cents(
+                t["value"].to_numpy(zero_copy_only=False))
+                .astype(np.float64)),
         })
 
     def tag_orders(t: pa.Table) -> pa.Table:
         key = t["o_custkey"].cast(pa.int64())
         return pa.table({
             "key": key,
-            "bucket": pc.bit_wise_and(key, ASOF_BUCKETS - 1),
+            "bucket": pc.bit_wise_and(key, nb - 1),
             "sec": pc.divide(t["o_orderdate"].cast(pa.int64()), 1_000_000),
             "oid": t["o_orderkey"].cast(pa.int64()),
             "value": pa.nulls(t.num_rows, pa.float64()),
@@ -597,7 +653,7 @@ def q_events_before_order(sf_dir: str) -> Dataset:
         return pd.DataFrame({
             "o_orderkey": o["oid"].to_numpy(np.int64),
             "n_events": n.astype(np.int64),
-            "sum_value": _r(pd.Series(sums), 4).to_numpy()})
+            "sum_value": _r(pd.Series(sums / 100.0), 4).to_numpy()})
 
     # one row per order — corpus-sized: hand back a streaming Dataset
     return ensure_schema(
@@ -641,6 +697,7 @@ def q_asof_last_order(sf_dir: str, salt_hot_keys: bool = False,
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
 
+    nb = _asof_buckets()   # driver-derived, captured by both tag closures
     hot_ref = None
     if salt_hot_keys:
         def key_counts(t: pa.Table) -> pa.Table:
@@ -679,7 +736,7 @@ def q_asof_last_order(sf_dir: str, salt_hot_keys: bool = False,
             salt = pa.array(salt_v)
         return pa.table({
             "key": key,
-            "bucket": pc.bit_wise_and(key, ASOF_BUCKETS - 1),
+            "bucket": pc.bit_wise_and(key, nb - 1),
             "salt": salt,
             "t_us": t["ts"].cast(pa.int64()),
             "event_id": t["event_id"].cast(pa.int64()),
@@ -706,7 +763,7 @@ def q_asof_last_order(sf_dir: str, salt_hot_keys: bool = False,
         keyr = tt["o_custkey"].cast(pa.int64())
         return pa.table({
             "key": keyr,
-            "bucket": pc.bit_wise_and(keyr, ASOF_BUCKETS - 1),
+            "bucket": pc.bit_wise_and(keyr, nb - 1),
             "salt": pa.array(salt_v),
             "t_us": tt["o_orderdate"].cast(pa.int64()),
             "event_id": pa.nulls(len(tt), pa.int64()),
@@ -797,22 +854,24 @@ def q_range_window_events(sf_dir: str) -> Dataset:
     exactly. Hot users could be salted on the probe side only, as
     documented for the as-of join."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    nb = _asof_buckets()
 
     def tag(t: pa.Table) -> pa.Table:
         key = t["user_id"].cast(pa.int64())
         return pa.table({
             "key": key,
-            "bucket": pc.bit_wise_and(key, ASOF_BUCKETS - 1),
+            "bucket": pc.bit_wise_and(key, nb - 1),
             "t_us": t["ts"].cast(pa.int64()),
             "event_id": t["event_id"].cast(pa.int64()),
-            "value": t["value"].cast(pa.float64()),
+            "qv": pa.array(_cents(
+                t["value"].to_numpy(zero_copy_only=False))),
         })
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         ranked = g.sort_values(["key", "t_us"], kind="mergesort")
         grp = ranked.groupby("key", sort=False)
         ranked = ranked.assign(rank=grp.cumcount() + 1,
-                               csum=grp["value"].cumsum())
+                               csum=grp["qv"].cumsum())
         right = (ranked[["key", "t_us", "rank", "csum"]]
                  .sort_values("t_us", kind="mergesort"))
         probe = g.sort_values("t_us", kind="mergesort")[
@@ -826,12 +885,16 @@ def q_range_window_events(sf_dir: str) -> Dataset:
         lo = lo.set_index("event_id").reindex(hi["event_id"])
         n = (hi["rank"].to_numpy()
              - lo["rank"].fillna(0).to_numpy()).astype(np.int64)
+        # csum is an exact int64 cumsum of cent-grid values; the NaN
+        # fill after reindex makes it float64, but the integers stay
+        # exact below 2^53, so the difference is exact and ONE division
+        # converts to dollars
         s = hi["csum"].to_numpy() - lo["csum"].fillna(0.0).to_numpy()
         return pd.DataFrame({
             "event_id": hi["event_id"].to_numpy().astype(np.int64),
             "user_id": hi["key"].to_numpy().astype(np.int64),
             "n_recent": n,
-            "sum_recent_value": round_half_away(s, 4),
+            "sum_recent_value": round_half_away(s / 100.0, 4),
         })
 
     # Streaming result (one row per event = corpus-sized).
@@ -879,10 +942,12 @@ def q_topk_per_group(sf_dir: str) -> Dataset:
                 .repartition(32)
                 .map_batches(local_topk, batch_format="pyarrow"))
 
+    nb = _asof_buckets()
+
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
             "bucket", pc.bit_wise_and(t["o_custkey"].cast(pa.int64()),
-                                      ASOF_BUCKETS - 1))
+                                      nb - 1))
 
     def final_rank(g: pd.DataFrame) -> pd.DataFrame:
         # many keys per bucket: one Ray group invocation covers ~customers/NB
@@ -926,9 +991,14 @@ def q_rolling_avg(sf_dir: str) -> Dataset:
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        avg = (g.groupby("user_id", sort=False)["value"]
-                .rolling(ROLL_WINDOW, min_periods=1).mean()
-                .reset_index(drop=True))
+        g = g.assign(qv=_cents(g["value"].to_numpy()))
+        grp = g.groupby("user_id", sort=False)["qv"]
+        rs = (grp.rolling(ROLL_WINDOW, min_periods=1).sum()
+              .reset_index(drop=True))
+        rn = (grp.rolling(ROLL_WINDOW, min_periods=1).count()
+              .reset_index(drop=True))
+        # exact integer window sums (cents in float64), ONE division chain
+        avg = rs / 100.0 / rn
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy().astype(np.int64),
             "user_id": g["user_id"].to_numpy().astype(np.int64),
@@ -937,7 +1007,7 @@ def q_rolling_avg(sf_dir: str) -> Dataset:
 
     # Streaming result (one row per event = corpus-sized).
     return ensure_schema(
-        ds.map_batches(_bucketize_user, batch_format="pyarrow")
+        ds.map_batches(_user_bucketizer(), batch_format="pyarrow")
           .groupby("bucket")
           .map_groups(roll, batch_format="pandas"),
         pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
@@ -1055,7 +1125,7 @@ def q_user_gaps(sf_dir: str) -> Dataset:
 
     # Streaming result (one row per user scales with the corpus).
     return ensure_schema(
-        ds.map_batches(_bucketize_user, batch_format="pyarrow")
+        ds.map_batches(_user_bucketizer(), batch_format="pyarrow")
           .groupby("bucket").map_groups(gaps, batch_format="pandas"),
         pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
                    ("max_gap_s", pa.int64()), ("avg_gap_s", pa.float64())]))
@@ -1084,7 +1154,7 @@ def q_lead_lag(sf_dir: str) -> Dataset:
             "next_value": g["value"].shift(-1).where(same_next).to_numpy()})
 
     return ensure_schema(
-        ds.map_batches(_bucketize_user, batch_format="pyarrow")
+        ds.map_batches(_user_bucketizer(), batch_format="pyarrow")
           .groupby("bucket").map_groups(shifts, batch_format="pandas"),
         pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
                    ("prev_value", pa.float64()), ("next_value", pa.float64())]))
@@ -1132,16 +1202,16 @@ def q_events_hopping(sf_dir: str) -> Dataset:
             "event_type": np.repeat(
                 t["event_type"].to_numpy(zero_copy_only=False), k),
             "win_start": starts,
-            "value": np.repeat(t["value"].to_numpy(), k)})
+            "qv": np.repeat(_cents(t["value"].to_numpy()), k)})
         g = df.groupby(["event_type", "win_start"], as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum"))
+            n=("qv", "size"), qv=("qv", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.groupby(["event_type", "win_start"], as_index=False)
-                .agg(n=("n", "sum"), sum_value=("sum_value", "sum")))
+                .agg(n=("n", "sum"), qv=("qv", "sum")))
         out["n"] = out["n"].astype(np.int64)
-        return out[["event_type", "win_start", "n", "sum_value"]]
+        return out[["event_type", "win_start", "n", "qv"]]
 
     from .combine import bucketed_combine
 
@@ -1155,7 +1225,7 @@ def q_events_hopping(sf_dir: str) -> Dataset:
             "win_start": t["win_start"].cast(pa.int64()),
             "n": t["n"].cast(pa.int64()),
             "sum_value": pa.array(round_half_away(
-                t["sum_value"].to_numpy(zero_copy_only=False), 4),
+                t["qv"].to_numpy(zero_copy_only=False) / 100.0, 4),
                 pa.float64())})
 
     # Streaming result (window count grows with the time span).
@@ -1248,19 +1318,20 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
             s_nat = np.full(len(lk), -1, np.int64)
         c_nat = t["c_nationkey"].to_numpy(zero_copy_only=False)
         keep = s_nat == c_nat
-        rev = (t["l_extendedprice"].to_numpy()
-               * (1.0 - t["l_discount"].to_numpy()))[keep]
-        g = (pd.DataFrame({"n_nationkey": c_nat[keep], "rev": rev})
-             .groupby("n_nationkey", as_index=False)["rev"].sum())
+        p = _cents(t["l_extendedprice"].to_numpy())[keep]
+        d = _cents(t["l_discount"].to_numpy())[keep]
+        g = (pd.DataFrame({"n_nationkey": c_nat[keep],
+                           "qrev": p * (100 - d)})
+             .groupby("n_nationkey", as_index=False)["qrev"].sum())
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (li_oc.map_batches(partial, batch_format="pyarrow")
-           .groupby("n_nationkey").aggregate(Sum("rev", alias_name="revenue")))
+           .groupby("n_nationkey").aggregate(Sum("qrev", alias_name="qrev")))
     df = out.to_pandas()
     if df.empty:
         return typed_empty(n_name="object", revenue="float64")
     df["n_name"] = df["n_nationkey"].map(names)
-    df["revenue"] = _r(df["revenue"], 2)
+    df["revenue"] = _r(df["qrev"] / 10000.0, 2)
     return (df[["n_name", "revenue"]]
             .sort_values(["revenue", "n_name"], ascending=[False, True])
             .reset_index(drop=True))
@@ -1427,8 +1498,9 @@ def q_activity_fulljoin(sf_dir: str) -> Dataset:
                          for name in row_sch.names}).cast(row_sch)
 
     def ev_partial(t: pa.Table) -> pa.Table:
+        # integer cents in float64 (schema unchanged): exact partial sums
         g = (pd.DataFrame({"id": t["user_id"].to_numpy(zero_copy_only=False),
-                           "v": t["value"].to_numpy()})
+                           "v": _cents(t["value"].to_numpy())})
              .groupby("id", as_index=False)
              .agg(n=("v", "size"), s=("v", "sum")))
         return _shape(g["id"].to_numpy(np.int64), g["n"].to_numpy(np.int64),
@@ -1437,7 +1509,7 @@ def q_activity_fulljoin(sf_dir: str) -> Dataset:
 
     def od_partial(t: pa.Table) -> pa.Table:
         g = (pd.DataFrame({"id": t["o_custkey"].to_numpy(zero_copy_only=False),
-                           "p": t["o_totalprice"].to_numpy()})
+                           "p": _cents(t["o_totalprice"].to_numpy())})
              .groupby("id", as_index=False)
              .agg(n=("p", "size"), s=("p", "sum")))
         return _shape(g["id"].to_numpy(np.int64), g["n"].to_numpy(np.int64),
@@ -1469,10 +1541,10 @@ def q_activity_fulljoin(sf_dir: str) -> Dataset:
             "id": pa.array(d["id"].to_numpy(np.int64)),
             "n_events": pa.array(ne),
             "sum_value": pa.array(round_half_away(
-                d["sum_value"].to_numpy(np.float64), 4)),
+                d["sum_value"].to_numpy(np.float64) / 100.0, 4)),
             "n_orders": pa.array(no),
             "total_spent": pa.array(round_half_away(
-                d["total_spent"].to_numpy(np.float64), 2)),
+                d["total_spent"].to_numpy(np.float64) / 100.0, 2)),
             "side": pa.array(side.tolist(), pa.string())})
 
     return ensure_schema(
@@ -1484,7 +1556,7 @@ def q_activity_fulljoin(sf_dir: str) -> Dataset:
 
 # --- two-pass global histogram ---------------------------------------------------
 
-HIST_BUCKETS = 32
+HIST_BUCKETS = 32  # semantic histogram resolution (output rows), NOT a parallelism knob
 
 
 def q_value_histogram(sf_dir: str) -> pd.DataFrame:
@@ -1563,9 +1635,9 @@ def q_pivot(sf_dir: str) -> Dataset:
         df = pd.DataFrame({
             "user_id": t["user_id"].to_numpy(zero_copy_only=False),
             "event_type": t["event_type"].to_numpy(zero_copy_only=False),
-            "value": t["value"].to_numpy(zero_copy_only=False)})
+            "qv": _cents(t["value"].to_numpy(zero_copy_only=False))})
         g = (df.groupby(["user_id", "event_type"], sort=False)
-             .agg(n=("value", "size"), v=("value", "sum")).reset_index())
+             .agg(n=("qv", "size"), v=("qv", "sum")).reset_index())
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def widen(g: pd.DataFrame) -> pd.DataFrame:
@@ -1573,14 +1645,14 @@ def q_pivot(sf_dir: str) -> Dataset:
                            values="n", aggfunc="sum", fill_value=0)
         pn = pn.reindex(columns=types, fill_value=0)
         pv = g.pivot_table(index="user_id", columns="event_type",
-                           values="v", aggfunc="sum", fill_value=0.0)
-        pv = pv.reindex(columns=types, fill_value=0.0)
+                           values="v", aggfunc="sum", fill_value=0)
+        pv = pv.reindex(columns=types, fill_value=0)
         out = pd.DataFrame({"user_id": pn.index.to_numpy(np.int64)})
         for ty in types:
             out[f"n_{ty}"] = pn[ty].to_numpy(np.int64)
         for ty in types:
             out[f"v_{ty}"] = round_half_away(
-                pv[ty].to_numpy(np.float64), 2)
+                pv[ty].to_numpy(np.float64) / 100.0, 2)
         return out
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
@@ -1710,18 +1782,19 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
         override_num_blocks=scale.read_blocks_for_path(path))
 
     def partial(t: pa.Table) -> pa.Table:
-        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
-               * t["l_discount"].to_numpy(zero_copy_only=False))
-        return pa.table({"rev": pa.array([float(rev.sum())]),
+        # int64 1e-4 dollar grid: cents × discount-pct sums exactly
+        qrev = (_cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+                * _cents(t["l_discount"].to_numpy(zero_copy_only=False)))
+        return pa.table({"qrev": pa.array([int(qrev.sum())], pa.int64()),
                          "n": pa.array([t.num_rows], pa.int64())})
 
-    rev, n = 0.0, 0
+    qrev, n = 0, 0
     parts = ds.map_batches(partial, batch_format="pyarrow")
     for b in parts.iter_batches(batch_format="pyarrow", batch_size=256):
-        rev += float(pc.sum(b["rev"]).as_py() or 0.0)
+        qrev += int(pc.sum(b["qrev"]).as_py() or 0)
         n += int(pc.sum(b["n"]).as_py() or 0)
     return pd.DataFrame({
-        "revenue": [float(round_half_away(rev, 2))],
+        "revenue": [float(round_half_away(qrev / 10000.0, 2))],
         "n_items": np.array([n], np.int64)})
 
 
@@ -1841,26 +1914,35 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
 
     Scale shape: lineitem is filtered to returnflag='R' and pre-aggregated
-    to one (orderkey, rev) row per (orderkey, batch) before joining the
+    to one (orderkey, qrev) row per (orderkey, batch) before joining the
     date-filtered orders DISTRIBUTED (both sides corpus-scale); the
     per-customer revenue groupby then moves one row per (custkey, batch);
     customer attributes attach by a second distributed join; nation (25
-    rows) is broadcast. The final ordering happens on the ROUNDED revenue
-    (ties by custkey) so the top-20 cutoff cannot hinge on float summation
-    order, and each block emits only its local top-20 (driver merges
-    20 × n_blocks rows)."""
+    rows) is broadcast, and each block emits only its local top-20
+    (driver merges 20 × n_blocks rows).
+
+    Exactness: revenue folds on the int64 1e-4 dollar grid — per row
+    ``cent(extendedprice) · (100 − pct(discount))`` exactly as q9 — so
+    the per-customer sums are partitioning-independent and ONE float
+    division converts at the end (round-3 fix: the float ``Sum('rev')``
+    flipped a half-cent boundary at sf0.01, customer 768 = 378060.5150,
+    under the driver's summation order)."""
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_returnflag", "l_extendedprice",
                 "l_discount"])
 
     def li_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["l_returnflag"], "R"))
-        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
-               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        p = round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        d = round_half_away(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
         df = pd.DataFrame({
             "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
-            "rev": rev})
-        g = df.groupby("o_orderkey", as_index=False)["rev"].sum()
+            "qrev": p * (100 - d)})
+        g = df.groupby("o_orderkey", as_index=False)["qrev"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     orders = _read(sf_dir, "orders",
@@ -1884,7 +1966,7 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
                           num_partitions=scale.join_partitions(),
                           on=("o_orderkey",))
                 .groupby("o_custkey")
-                .aggregate(Sum("rev", alias_name="revenue"))
+                .aggregate(Sum("qrev", alias_name="qrev"))
                 .rename_columns({"o_custkey": "c_custkey"}))
 
     cust = (_read(sf_dir, "customer",
@@ -1898,7 +1980,8 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
                               on=("c_custkey",))
 
     def local_topk(t: pa.Table) -> pa.Table:
-        rev = round_half_away(t["revenue"].to_numpy(zero_copy_only=False), 2)
+        rev = round_half_away(
+            t["qrev"].to_numpy(zero_copy_only=False) / 10000.0, 2)
         keys = t["c_custkey"].to_numpy(zero_copy_only=False)
         order = np.lexsort((keys, -rev))[:Q10_TOP]
         nmap = ray.get(names_ref)
@@ -2004,7 +2087,7 @@ def q_user_event_seq(sf_dir: str) -> Dataset:
         return out[["user_id", "n_events", "event_seq"]]
 
     return ensure_schema(
-        ds.map_batches(_bucketize_user, batch_format="pyarrow")
+        ds.map_batches(_user_bucketizer(), batch_format="pyarrow")
           .groupby("bucket").map_groups(seqs, batch_format="pandas"),
         schema)
 
@@ -2036,12 +2119,13 @@ def q_cube_acctbal(sf_dir: str) -> pd.DataFrame:
             "c_mktsegment": t["c_mktsegment"],
             "n_name": pa.array([m[k] for k in
                                 t["c_nationkey"].to_pylist()], pa.string()),
-            "c_acctbal": t["c_acctbal"]})
+            "qbal": pa.array(_cents(
+                t["c_acctbal"].to_numpy(zero_copy_only=False)))})
 
     fine = (cust.map_batches(add_keys, batch_format="pyarrow")
                 .groupby(["c_mktsegment", "n_name"])
                 .aggregate(Count(alias_name="n_custs"),
-                           Sum("c_acctbal", alias_name="s"))
+                           Sum("qbal", alias_name="s"))
                 .to_pandas())
     empty = typed_empty(c_mktsegment="object", n_name="object",
                         n_custs="int64", sum_acctbal="float64",
@@ -2060,8 +2144,8 @@ def q_cube_acctbal(sf_dir: str) -> pd.DataFrame:
     out = pd.concat([fine, by_seg, by_nat, total], ignore_index=True)[
         ["c_mktsegment", "n_name", "n_custs", "s"]]
     out["n_custs"] = out["n_custs"].astype(np.int64)
-    out["sum_acctbal"] = _r(out["s"], 2)
-    out["avg_acctbal"] = _r(out["s"] / out["n_custs"], 6)
+    out["sum_acctbal"] = _r(out["s"] / 100.0, 2)
+    out["avg_acctbal"] = _r(out["s"] / 100.0 / out["n_custs"], 6)
     return (out.drop(columns=["s"])
                .sort_values(["c_mktsegment", "n_name"], na_position="first")
                .reset_index(drop=True))
@@ -2088,11 +2172,12 @@ def q18_large_volume(sf_dir: str) -> pd.DataFrame:
     distributed orders/customer joins; each block emits its local
     top-100, so the driver merges ≤ 100 × n_blocks rows."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    nb = _asof_buckets()
 
     def li_partial(t: pa.Table) -> pa.Table:
         df = (t.to_pandas()
               .groupby("l_orderkey", as_index=False)["l_quantity"].sum())
-        df["bucket"] = df["l_orderkey"].to_numpy(np.int64) & (ASOF_BUCKETS - 1)
+        df["bucket"] = df["l_orderkey"].to_numpy(np.int64) & (nb - 1)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
@@ -2240,10 +2325,10 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
         return empty
 
     def li_rev(t: pa.Table) -> pa.Table:
-        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
-               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        p = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        d = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
         return pa.table({"p_partkey": t["l_partkey"],
-                         "rev": pa.array(rev)})
+                         "qrev": pa.array(p * (100 - d))})
 
     joined = (li.map_batches(li_rev, batch_format="pyarrow")
                 .join(part.map_batches(p_promo, batch_format="pyarrow"),
@@ -2252,21 +2337,22 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
                       on=("p_partkey",)))
 
     def partial(t: pa.Table) -> pa.Table:
-        rev = t["rev"].to_numpy(zero_copy_only=False)
+        qrev = t["qrev"].to_numpy(zero_copy_only=False)
         promo = t["promo"].to_numpy(zero_copy_only=False)
-        return pa.table({"promo_rev": pa.array([float(rev[promo].sum())]),
-                         "rev": pa.array([float(rev.sum())])})
+        return pa.table({"promo_rev": pa.array([int(qrev[promo].sum())],
+                                               pa.int64()),
+                         "rev": pa.array([int(qrev.sum())], pa.int64())})
 
-    promo_rev = rev = 0.0
+    promo_rev = rev = 0
     for b in (joined.map_batches(partial, batch_format="pyarrow",
                                  batch_size=65536)
               .iter_batches(batch_format="pyarrow", batch_size=256)):
-        promo_rev += float(pc.sum(b["promo_rev"]).as_py() or 0.0)
-        rev += float(pc.sum(b["rev"]).as_py() or 0.0)
-    if rev == 0.0:
+        promo_rev += int(pc.sum(b["promo_rev"]).as_py() or 0)
+        rev += int(pc.sum(b["rev"]).as_py() or 0)
+    if rev == 0:
         return empty
-    return pd.DataFrame({"promo_revenue":
-                         [float(round_half_away(100.0 * promo_rev / rev, 6))]})
+    return pd.DataFrame({"promo_revenue": [float(round_half_away(
+        100.0 * float(promo_rev) / float(rev), 6))]})
 
 
 # --- Q22: idle high-balance customers (scalar subquery + anti-join + agg) ------
@@ -2297,18 +2383,18 @@ def q22_idle_balance(sf_dir: str) -> pd.DataFrame:
 
     def bal_partial(t: pa.Table) -> pa.Table:
         v = t["c_acctbal"].to_numpy(zero_copy_only=False)
-        pos = v[v > 0.0]
-        return pa.table({"s": pa.array([float(pos.sum())]),
+        pos = _cents(v[v > 0.0])
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
                          "n": pa.array([len(pos)], pa.int64())})
 
-    s, n = 0.0, 0
+    s, n = 0, 0
     for b in (cust.map_batches(bal_partial, batch_format="pyarrow")
               .iter_batches(batch_format="pyarrow", batch_size=256)):
-        s += float(pc.sum(b["s"]).as_py() or 0.0)
+        s += int(pc.sum(b["s"]).as_py() or 0)
         n += int(pc.sum(b["n"]).as_py() or 0)
     if n == 0:
         return empty
-    thr = float(round_half_away(s / n, 2))
+    thr = float(round_half_away(s / 100.0 / n, 2))
 
     def rich(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t["c_acctbal"], thr))
@@ -2332,9 +2418,9 @@ def q22_idle_balance(sf_dir: str) -> pd.DataFrame:
     def seg_partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             "c_mktsegment": t["c_mktsegment"].to_numpy(zero_copy_only=False),
-            "bal": t["c_acctbal"].to_numpy(zero_copy_only=False)})
+            "qbal": _cents(t["c_acctbal"].to_numpy(zero_copy_only=False))})
         g = df.groupby("c_mktsegment", as_index=False).agg(
-            numcust=("bal", "size"), s=("bal", "sum"))
+            numcust=("qbal", "size"), s=("qbal", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
     df = (idle.map_batches(seg_partial, batch_format="pyarrow")
@@ -2345,7 +2431,7 @@ def q22_idle_balance(sf_dir: str) -> pd.DataFrame:
     if df.empty:
         return empty
     df["numcust"] = df["numcust"].astype(np.int64)
-    df["totacctbal"] = _r(df["s"], 2)
+    df["totacctbal"] = _r(df["s"] / 100.0, 2)
     return (df[["c_mktsegment", "numcust", "totacctbal"]]
             .sort_values("c_mktsegment").reset_index(drop=True))
 
@@ -2387,7 +2473,7 @@ def q_event_ntile(sf_dir: str) -> Dataset:
                              "tile": tile.astype(np.int64)})
 
     return ensure_schema(
-        ds.map_batches(_bucketize_user, batch_format="pyarrow")
+        ds.map_batches(_user_bucketizer(), batch_format="pyarrow")
           .groupby("bucket").map_groups(tiles, batch_format="pandas"),
         pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
                    ("tile", pa.int64())]))
@@ -2528,24 +2614,25 @@ def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
                                                   & (c_nat == k1))
         year = (t["l_shipdate"].to_numpy(zero_copy_only=False)
                 .astype("datetime64[Y]").astype(np.int64) + 1970)[keep]
-        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
-               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))[keep]
+        p = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        d = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        qrev = (p * (100 - d))[keep]
         g = (pd.DataFrame({"s_nat": s_nat[keep], "c_nat": c_nat[keep],
-                           "l_year": year, "rev": rev})
-             .groupby(["s_nat", "c_nat", "l_year"], as_index=False)["rev"]
+                           "l_year": year, "qrev": qrev})
+             .groupby(["s_nat", "c_nat", "l_year"], as_index=False)["qrev"]
              .sum())
         return pa.Table.from_pandas(g, preserve_index=False)
 
     df = (li_oc.map_batches(partial, batch_format="pyarrow")
           .groupby(["s_nat", "c_nat", "l_year"])
-          .aggregate(Sum("rev", alias_name="revenue"))
+          .aggregate(Sum("qrev", alias_name="qrev"))
           .to_pandas())
     if df.empty:
         return empty
     df["supp_nation"] = df["s_nat"].map(names)
     df["cust_nation"] = df["c_nat"].map(names)
     df["l_year"] = df["l_year"].astype(np.int64)
-    df["revenue"] = _r(df["revenue"], 2)
+    df["revenue"] = _r(df["qrev"] / 10000.0, 2)
     return (df[["supp_nation", "cust_nation", "l_year", "revenue"]]
             .sort_values(["supp_nation", "cust_nation", "l_year"])
             .reset_index(drop=True))
@@ -2739,17 +2826,18 @@ def q17_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
         keep = (5 * t["qty"].to_numpy(zero_copy_only=False)
                 * t["cnt"].to_numpy(zero_copy_only=False)
                 < t["sq"].to_numpy(zero_copy_only=False))
-        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
-        return pa.table({"rev": pa.array([float(price.sum())]),
+        price = _cents(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+        return pa.table({"rev": pa.array([int(price.sum())], pa.int64()),
                          "n": pa.array([int(keep.sum())], pa.int64())})
 
-    rev, n = 0.0, 0
+    rev, n = 0, 0
     for b in (gated.map_batches(rev_partial, batch_format="pyarrow")
               .iter_batches(batch_format="pyarrow", batch_size=256)):
-        rev += float(pc.sum(b["rev"]).as_py() or 0.0)
+        rev += int(pc.sum(b["rev"]).as_py() or 0)
         n += int(pc.sum(b["n"]).as_py() or 0)
     return pd.DataFrame({
-        "avg_yearly": [float(round_half_away(rev / 7.0, 2))],
+        "avg_yearly": [float(round_half_away(rev / 100.0 / 7.0, 2))],
         "n_lines": np.array([n], np.int64)})
 
 
@@ -2810,19 +2898,20 @@ def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
         for i, (_, smax, qlo, qhi) in enumerate(Q19_ARMS):
             keep |= ((p_arm == i) & (p_size >= 1) & (p_size <= smax)
                      & (qty >= qlo) & (qty <= qhi))
-        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
-               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))[keep]
-        return pa.table({"rev": pa.array([float(rev.sum())]),
+        pq = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        dq = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        qrev = (pq * (100 - dq))[keep]
+        return pa.table({"rev": pa.array([int(qrev.sum())], pa.int64()),
                          "n": pa.array([int(keep.sum())], pa.int64())})
 
-    rev, n = 0.0, 0
+    rev, n = 0, 0
     for b in (li.map_batches(partial, batch_format="pyarrow",
                              batch_size=65536)
               .iter_batches(batch_format="pyarrow", batch_size=256)):
-        rev += float(pc.sum(b["rev"]).as_py() or 0.0)
+        rev += int(pc.sum(b["rev"]).as_py() or 0)
         n += int(pc.sum(b["n"]).as_py() or 0)
     return pd.DataFrame({
-        "revenue": [float(round_half_away(rev, 2))],
+        "revenue": [float(round_half_away(rev / 10000.0, 2))],
         "n_lines": np.array([n], np.int64)})
 
 
@@ -3394,7 +3483,7 @@ def q_event_transitions(sf_dir: str) -> pd.DataFrame:
                .size().rename(columns={"size": "n"}))
         return out
 
-    df = (ds.map_batches(_bucketize_user, batch_format="pyarrow")
+    df = (ds.map_batches(_user_bucketizer(), batch_format="pyarrow")
           .groupby("bucket").map_groups(pairs, batch_format="pandas")
           .groupby(["prev_type", "next_type"])
           .aggregate(Sum("n", alias_name="n"))
@@ -3454,7 +3543,7 @@ def q_decayed_value(sf_dir: str) -> Dataset:
                 out["s"].to_numpy(np.float64) / 1e9, 6)})
 
     return ensure_schema(
-        ds.map_batches(_bucketize_user, batch_format="pyarrow")
+        ds.map_batches(_user_bucketizer(), batch_format="pyarrow")
           .groupby("bucket").map_groups(decay, batch_format="pandas"),
         pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
                    ("decayed_value", pa.float64())]))
@@ -3661,7 +3750,7 @@ def q_funnel(sf_dir: str) -> pd.DataFrame:
     the previous step (step 1 vs all active users) — the classic
     product-analytics funnel as a distributed operator.
 
-    Ray shape: the shared ``_bucketize_user`` hash-bucket shuffle
+    Ray shape: the shared ``_user_bucketizer`` hash-bucket shuffle
     co-locates each user's events; inside a bucket the three step times
     are vectorized pandas min-merges (no per-user Python), and each bucket
     emits ONE 4-int partial row — the driver folds ~NB rows. Fractions are
@@ -3684,7 +3773,7 @@ def q_funnel(sf_dir: str) -> pd.DataFrame:
                              "n1": [len(s1)], "n2": [len(s2)],
                              "n3": [len(s3)]})
 
-    parts = (ds.map_batches(_bucketize_user, batch_format="pyarrow")
+    parts = (ds.map_batches(_user_bucketizer(), batch_format="pyarrow")
                .groupby("bucket")
                .map_groups(bucket_counts, batch_format="pandas")
                .to_pandas())
@@ -3706,9 +3795,6 @@ def q_funnel(sf_dir: str) -> pd.DataFrame:
 
 
 # --- global watermark lateness (un-partitioned prefix scan) -------------------
-
-WM_BUCKETS = 64     # arrival-order range buckets for the two-phase scan
-
 
 def q_watermark_lateness(sf_dir: str) -> Dataset:
     """Per-event watermark lateness: with arrival order = ``event_id`` and
@@ -3739,12 +3825,15 @@ def q_watermark_lateness(sf_dir: str) -> Dataset:
             pa.schema([("event_id", pa.int64()), ("lateness_s", pa.int64()),
                        ("is_late", pa.int64())]))
     n = int(max_id) + 1
+    # arrival-order range buckets for the two-phase scan: cluster-derived
+    # (floor 64 = the tuned single-VM width), captured by every closure
+    nb = scale.pow2_buckets(floor=64)
 
     def bucketize(t: pa.Table) -> pa.Table:
         e = t["event_id"].to_numpy(zero_copy_only=False)
         sec = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
                // 1_000_000)
-        b = e * WM_BUCKETS // n
+        b = e * nb // n
         return pa.table({"bucket": pa.array(b, pa.int64()),
                          "event_id": pa.array(e, pa.int64()),
                          "sec": pa.array(sec, pa.int64())})
@@ -3760,10 +3849,10 @@ def q_watermark_lateness(sf_dir: str) -> Dataset:
                            batch_size=None)
           .groupby("bucket").aggregate(Max("m", alias_name="bmax"))
           .to_pandas())
-    carry = np.full(WM_BUCKETS, np.iinfo(np.int64).min, np.int64)
+    carry = np.full(nb, np.iinfo(np.int64).min, np.int64)
     have = bm["bucket"].to_numpy(np.int64)
     carry[have] = bm["bmax"].to_numpy(np.int64)
-    excl = np.full(WM_BUCKETS, np.iinfo(np.int64).min, np.int64)
+    excl = np.full(nb, np.iinfo(np.int64).min, np.int64)
     excl[1:] = np.maximum.accumulate(carry)[:-1]
     carry_ref = ray.put(excl)
 

@@ -482,6 +482,9 @@ def _pq_train(sample: np.ndarray, m: int = PQ_M, ks: int = PQ_KS,
     rng = np.random.default_rng(seed)
     n, dim = sample.shape
     sub = dim // m
+    # clamp the codebook to the sample: a non-empty table with fewer than
+    # `ks` rows must degrade to fewer centroids, not raise (ADVICE r03)
+    ks = min(ks, n)
     books = np.empty((m, ks, sub))
     for mi in range(m):
         x = sample[:, mi * sub:(mi + 1) * sub]
@@ -499,8 +502,9 @@ def _pq_train(sample: np.ndarray, m: int = PQ_M, ks: int = PQ_KS,
 def ann_pq_topk(sf_dir: str) -> pd.DataFrame:
     """Product-quantization approximate top-5 — the byte-code scale path
     (Jégou et al., "Product Quantization for Nearest Neighbor Search",
-    TPAMI 2011): vectors compress to ``PQ_M`` 4-bit codes (4 bytes per
-    vector at these settings — a 64×float64 vector shrinks 128×), queries
+    TPAMI 2011): vectors compress to ``PQ_M`` 5-bit codes (PQ_KS=32
+    centroids per subspace; stored as 16 small ints ≈ 10 bytes per vector
+    — a 64×float64 vector shrinks ~50×), queries
     score the codes via per-subspace inner-product lookup tables (ADC),
     and the ADC top-``PQ_PREFILTER`` per (query, batch) are re-ranked with
     exact cosine before the global per-query top-k.

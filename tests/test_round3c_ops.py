@@ -70,7 +70,10 @@ def test_bigram_topk_planted(tmp_path, ray_session):
 
 
 def test_pivot_value_sums_match_pandas(tmp_path, ray_session):
-    """Randomized cross-check: pivot sums equal a direct pandas pivot."""
+    """Randomized cross-check: pivot sums equal a direct pandas pivot on
+    the same int64 cent grid the engine folds on (round-4 quantization —
+    ``sum(round(v*100))/100`` — which makes the sum independent of
+    partition/summation order; see functions/relational._cents)."""
     from norsk_historisk_avis_ocr_ray.functions.relational import q_pivot
     from norsk_historisk_avis_ocr_ray.functions.rounding import (
         round_half_away)
@@ -83,14 +86,17 @@ def test_pivot_value_sums_match_pandas(tmp_path, ray_session):
     _write_events(tmp_path, users, vals, types)
     out = (q_pivot(str(tmp_path)).to_pandas()
            .sort_values("user_id").reset_index(drop=True))
-    df = pd.DataFrame({"u": users, "v": vals, "t": types})
+    df = pd.DataFrame({
+        "u": users,
+        "qv": round_half_away(np.asarray(vals) * 100.0, 0).astype(np.int64),
+        "t": types})
     for ty in ["a", "b", "c"]:
         exp_n = df[df["t"] == ty].groupby("u").size()
-        exp_v = df[df["t"] == ty].groupby("u")["v"].sum()
+        exp_v = df[df["t"] == ty].groupby("u")["qv"].sum()
         for _, row in out.iterrows():
             assert row[f"n_{ty}"] == exp_n.get(row["user_id"], 0)
             assert row[f"v_{ty}"] == float(round_half_away(
-                exp_v.get(row["user_id"], 0.0), 2))
+                exp_v.get(row["user_id"], 0) / 100.0, 2))
 
 
 def _brute_substring(texts, k=4, min_count=2):
