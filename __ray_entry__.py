@@ -1204,6 +1204,99 @@ def _gopher_stop_values() -> str:
     return ", ".join(f"('{w}')" for w in sorted(GOPHER_STOPS))
 
 
+def _emb_kmeans_sql() -> str:
+    """DuckDB replay of the integer-grid k-means (similarity.emb_kmeans):
+    the same normalized-quantized int64 coordinates (round/sqrt/divide are
+    the identical libm ops), the same deterministic id-spread init
+    (``vec_id = j·N//k``), KM_ITERS unrolled Lloyd passes as MATERIALIZED
+    CTEs (assignment = exact-integer squared distance, ties to the lower
+    cluster; update = exact integer coordinate sums + one round), and the
+    same 1e-9 cosine grid for the mean. Every sum the query folds is an
+    integer below 2^53, so partition order is irrelevant on both sides."""
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        IVF_CENTROIDS, KM_ITERS)
+
+    k = IVF_CENTROIDS
+    assign = """
+        SELECT vec_id, nx, n2, cluster, dot FROM (
+            SELECT e.vec_id, e.nx, e.n2, c.cluster,
+                   CAST(list_inner_product(e.nx, c.c) AS BIGINT) AS dot,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       e.n2 + c.c2
+                       - 2 * CAST(list_inner_product(e.nx, c.c) AS BIGINT),
+                       c.cluster) AS rn
+            FROM nxt e CROSS JOIN {C} c)
+        WHERE rn = 1
+    """
+    update = """
+        SELECT cl.cluster, coalesce(u.c, cl.c) AS c,
+               coalesce(u.c2, cl.c2) AS c2
+        FROM {C} cl LEFT JOIN (
+            SELECT cluster, list(cv ORDER BY i) AS c,
+                   CAST(list_sum(list_transform(list(cv ORDER BY i),
+                                                v -> v * v)) AS BIGINT) AS c2
+            FROM (
+                SELECT cluster, i,
+                       CAST(round(CAST(sum(v) AS DOUBLE)
+                                  / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                           AS cv
+                FROM (SELECT cluster, generate_subscripts(nx, 1) AS i,
+                             unnest(nx) AS v FROM {A})
+                GROUP BY cluster, i)
+            GROUP BY cluster) u USING (cluster)
+    """
+    iters = []
+    prev_c = "c0"
+    for it in range(1, KM_ITERS + 1):
+        iters.append(f"a{it} AS MATERIALIZED ({assign.format(C=prev_c)})")
+        iters.append(
+            f"c{it} AS MATERIALIZED "
+            f"({update.format(C=prev_c, A=f'a{it}')})")
+        prev_c = f"c{it}"
+    final_a = KM_ITERS + 1
+    iters.append(
+        f"a{final_a} AS MATERIALIZED ({assign.format(C=prev_c)})")
+    return f"""
+        WITH nq AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       round(1000000.0 * CAST(x AS DOUBLE))) AS q1
+            FROM embeddings
+        ), nxt AS MATERIALIZED (
+            SELECT vec_id, CAST(n2 AS BIGINT) AS n2,
+                   CASE WHEN n2 = 0
+                        THEN list_transform(q1, v -> CAST(0 AS BIGINT))
+                        ELSE list_transform(q1, v -> CAST(round(
+                            1000000.0 * v / sqrt(n2)) AS BIGINT))
+                   END AS nx
+            FROM (SELECT vec_id, q1,
+                         list_sum(list_transform(q1, v -> v * v)) AS n2
+                  FROM nq)
+        ), cnt AS (SELECT count(*) AS n FROM nxt),
+        c0 AS MATERIALIZED (
+            SELECT t.j AS cluster, e.nx AS c,
+                   CAST(list_sum(list_transform(e.nx, v -> v * v))
+                        AS BIGINT) AS c2
+            FROM range({k}) t(j) CROSS JOIN cnt
+            JOIN nxt e ON e.vec_id = (t.j * cnt.n) // {k}
+        ),
+        {',' .join(iters)},
+        scored AS (
+            SELECT a.cluster,
+                   CASE WHEN a.n2 = 0 OR c.c2 = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(round(1000000000.0 * (
+                            CAST(a.dot AS DOUBLE)
+                            / (sqrt(CAST(a.n2 AS DOUBLE))
+                               * sqrt(CAST(c.c2 AS DOUBLE))))) AS BIGINT)
+                   END AS qcos
+            FROM a{final_a} a JOIN c{KM_ITERS} c USING (cluster))
+        SELECT cluster, count(*) AS n,
+               round(CAST(sum(qcos) AS DOUBLE) / 1000000000.0
+                     / CAST(count(*) AS DOUBLE), 6) AS mean_cos
+        FROM scored GROUP BY cluster ORDER BY cluster
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # Side effect: materialize the generator's golden table so the
     # ocr_extract oracle below can read it regardless of whether the Ray
@@ -1218,6 +1311,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, combined, transcribed, n_errors
             FROM read_parquet('{golden}')
         """,
+        # integer-grid k-means replay (round-4 rows-only → exact conversion)
+        "emb_kmeans": _emb_kmeans_sql(),
         "extract_docs": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    CASE WHEN length(trim(text)) BETWEEN 1 AND 2 THEN ''
@@ -3540,7 +3635,7 @@ def oracle_sql() -> dict[str, str]:
         # bpe_train / bpe_encode (iterative merge loop; hand-computed
         # merges + sequential-apply-reference pytests),
         # image_phash_dedup (binary media; planted noisy-dup pytest),
-        # emb_kmeans / emb_pca (iterative float),
+        # emb_pca (iterative float eigendecomposition),
         # ann_ivf_topk, ann_lsh_topk, ann_pq_topk (seeded k-means /
         # random-hyperplane / product-quantization indexes; recall@5 >= 0.85
         # pytests vs exact brute force),

@@ -591,54 +591,147 @@ def ann_pq_topk(sf_dir: str) -> pd.DataFrame:
 
 # --- embedding k-means clustering (the quantizer as a first-class operator) ----
 
+KM_ITERS = 2                   # full Lloyd passes over the corpus
+KM_GRID = 1_000_000.0          # int64 coordinate grid (|coord| ≈ 1e6)
+KM_COS_GRID = 1_000_000_000.0  # per-member cosine grid for the exact mean
+
+
+def _nq_batch(mat: np.ndarray) -> np.ndarray:
+    """Normalized-quantized int64 coordinates: every dot product and
+    squared distance derived from these is an integer-valued float64 below
+    2^53, so partial sums are EXACT in any partition/summation order and
+    DuckDB replays them bit-for-bit (oracle_sql()['emb_kmeans']).
+
+    Chain — each step an elementwise IEEE op DuckDB evaluates identically:
+    ``q1 = round(1e6·x)``; ``n2 = Σ q1²``; ``nx = round(1e6·q1/√n2)``
+    (zero vectors stay zero). Integer-exactness bounds: |q1| ≤ 1e6·|x|,
+    n2 ≤ dim·|q1|² — fine through dim 64 and |x| ≤ 10; per-cluster
+    coordinate sums stay < 2^53 up to ~9e9 members per cluster."""
+    q1 = round_half_away(KM_GRID * mat, 0)
+    n2 = (q1 * q1).sum(axis=1)
+    safe = np.sqrt(np.where(n2 > 0, n2, 1.0))
+    nx = round_half_away(KM_GRID * q1 / safe[:, None], 0)
+    nx[n2 == 0] = 0.0
+    return nx.astype(np.int64)
+
+
 def emb_kmeans(sf_dir: str, n_clusters: int = IVF_CENTROIDS) -> pd.DataFrame:
-    """Per-cluster summary of a distributed spherical k-means over the
-    embedding table: cluster id → member count + mean within-cluster cosine
-    to the centroid (a cohesion signal).
+    """Per-cluster summary of a distributed k-means over the embedding
+    table: cluster id → member count + mean within-cluster cosine to the
+    centroid (a cohesion signal).
 
-    Reuses the IVF quantizer (``_kmeans_centroids``: k-means++ on a sample,
-    then streaming Lloyd passes whose shuffled state is C×(dim+2) floats per
-    batch — independent of N). The final summary pass is the same per-batch
-    partial (count, cos-sum) combine, so nothing corpus-sized ever
-    concentrates. Deterministic (seeded ++ init, fixed iteration count).
-    Rows-only: k-means is iterative/approximate, no SQL form; pytest asserts
-    determinism, full coverage and that cohesion beats a random assignment.
-    """
+    EXACTLY DuckDB-oracle-replayable (the round-4 conversion from
+    rows-only): all arithmetic runs on the ``_nq_batch`` integer grid —
+    assignments minimize exact-integer squared distance (ties to the lower
+    cluster id), centroid updates are exact integer coordinate sums with
+    one deterministic round per coordinate, and per-member cosines fold on
+    a 1e-9 grid. Init is the deterministic id-spread rule
+    ``centroid_j = vector(vec_id = j·N//k)`` (dense-id input contract,
+    like the test tables) — no RNG, so the oracle replays it with a join.
+
+    Ray shape: ``KM_ITERS`` + 1 streaming passes; each pass broadcasts the
+    k×dim int64 centroid matrix (``ray.put``) and emits ≤ k partial rows
+    per batch (count + coordinate-sum bytes), folded on the driver —
+    driver state is k×dim ints, independent of N. Nothing corpus-sized
+    concentrates."""
+    import pyarrow.compute as pc
+
     emb = _emb(sf_dir)
-    head = emb.take(1)
-    if not head:
+    n_rows = emb.count()
+    if n_rows == 0:
         return typed_empty(cluster="int64", n="int64", mean_cos="float64")
-    dim = len(head[0]["embedding"])
-    centroids = _kmeans_centroids(emb, dim, n_clusters)
-    c_ref = ray.put(centroids)
 
-    def partial(t: pa.Table) -> pa.Table:
+    # deterministic spread init: k rows picked by id, pruned at the read
+    targets = sorted({j * n_rows // n_clusters for j in range(n_clusters)})
+    init_tbl = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(targets)))
+    ids0, mat0 = _batch_matrix(init_tbl)
+    nx0 = _nq_batch(mat0)
+    by_id = {int(i): r for i, r in zip(ids0, nx0)}
+    cent = np.stack([by_id[j * n_rows // n_clusters]
+                     for j in range(n_clusters)]).astype(np.int64)
+    dim = cent.shape[1]
+
+    def _assign(c: np.ndarray, nx: np.ndarray):
+        nx2 = (nx * nx).sum(axis=1)
+        c2 = (c * c).sum(axis=1)
+        dots = nx @ c.T
+        dist2 = nx2[:, None] + c2[None, :] - 2 * dots
+        return np.argmin(dist2, axis=1), dots, nx2, c2
+
+    for _ in range(KM_ITERS):
+        c_ref = ray.put(cent)
+
+        def partial(t: pa.Table, c_ref=c_ref) -> pa.Table:
+            c = ray.get(c_ref)
+            _, mat = _batch_matrix(t)
+            if mat.size == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "count": pa.array([], pa.int64()),
+                                 "vecsum": pa.array([], pa.binary())})
+            nx = _nq_batch(mat)
+            a, _, _, _ = _assign(c, nx)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            sums = np.zeros((len(c), nx.shape[1]), np.int64)
+            np.add.at(sums, a, nx)
+            keep = np.flatnonzero(counts > 0)
+            return pa.table({
+                "cluster": pa.array(keep.astype(np.int64)),
+                "count": pa.array(counts[keep]),
+                "vecsum": pa.array([sums[i].tobytes() for i in keep],
+                                   pa.binary())})
+
+        sums = np.zeros((n_clusters, dim), np.int64)
+        counts = np.zeros(n_clusters, np.int64)
+        for b in (emb.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=4096)
+                    .iter_batches(batch_format="pyarrow")):
+            idx = b["cluster"].to_numpy()
+            counts[idx] += b["count"].to_numpy()
+            for i, raw in zip(idx, b["vecsum"].to_pylist()):
+                sums[i] += np.frombuffer(raw, np.int64)
+        ne = counts > 0
+        new = cent.copy()  # empty clusters keep their previous centroid
+        new[ne] = round_half_away(
+            sums[ne].astype(np.float64) / counts[ne, None], 0
+        ).astype(np.int64)
+        cent = new
+
+    c_ref = ray.put(cent)
+
+    def score(t: pa.Table, c_ref=c_ref) -> pa.Table:
         c = ray.get(c_ref)
         _, mat = _batch_matrix(t)
-        norm = _normalize(mat)
-        sims = norm @ c.T
-        assign = np.argmax(sims, axis=1)
-        best = sims[np.arange(len(assign)), assign]
-        counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
-        cos_sums = np.zeros(len(c))
-        np.add.at(cos_sums, assign, best)
-        return pa.table({
-            "cluster": pa.array(np.arange(len(c)), pa.int64()),
-            "n": pa.array(counts),
-            "cos_sum": pa.array(cos_sums, pa.float64())})
+        if mat.size == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "qcos_sum": pa.array([], pa.int64())})
+        nx = _nq_batch(mat)
+        a, dots, nx2, c2 = _assign(c, nx)
+        sel = dots[np.arange(len(a)), a].astype(np.float64)
+        den = (np.sqrt(nx2.astype(np.float64))
+               * np.sqrt(c2[a].astype(np.float64)))
+        cos = np.where((nx2 == 0) | (c2[a] == 0), 0.0,
+                       sel / np.where(den == 0, 1.0, den))
+        qcos = round_half_away(KM_COS_GRID * cos, 0).astype(np.int64)
+        g = (pd.DataFrame({"cluster": a.astype(np.int64), "qcos": qcos})
+             .groupby("cluster", as_index=False)
+             .agg(n=("qcos", "size"), qcos_sum=("qcos", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
-    df = (emb.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    df = (emb.map_batches(score, batch_format="pyarrow", batch_size=4096)
           .groupby("cluster")
           .aggregate(Sum("n", alias_name="n"),
-                     Sum("cos_sum", alias_name="cos_sum"))
-          .to_pandas())  # one row per cluster — result-sized
+                     Sum("qcos_sum", alias_name="qcos_sum"))
+          .to_pandas())  # one row per non-empty cluster — result-sized
     if df.empty:
         return typed_empty(cluster="int64", n="int64", mean_cos="float64")
-    df = df[df["n"] > 0].copy()
     df["mean_cos"] = round_half_away(
-        (df["cos_sum"] / df["n"]).to_numpy(), 6)
+        df["qcos_sum"].to_numpy(np.float64) / KM_COS_GRID
+        / df["n"].to_numpy(np.float64), 6)
     df["cluster"] = df["cluster"].astype(np.int64)
     df["n"] = df["n"].astype(np.int64)
     return (df[["cluster", "n", "mean_cos"]]
