@@ -703,6 +703,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "emb_label_centroid": similarity.emb_label_centroid,
         "emb_vec_norms": similarity.emb_vec_norms,
         "q_vec_quantize": similarity.q_vec_quantize,
+        "q_emb_outliers": similarity.q_emb_outliers,
         # multimodal
         "image_features": _image_features,
         "image_phash_dedup": _image_phash_dedup,
@@ -717,6 +718,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "approx_group_quantiles": _approx_group_quantiles,
         # training-data preparation
         "q_hash_split": mlprep.q_hash_split,
+        "q_hash_sample": mlprep.q_hash_sample,
+        "q_rep_ngram_ratio": mlprep.q_rep_ngram_ratio,
         "q_stratified_sample": mlprep.q_stratified_sample,
         "q_source_cap": mlprep.q_source_cap,
         "doc_chunks": mlprep.doc_chunks,
@@ -1313,6 +1316,100 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer-grid k-means replay (round-4 rows-only → exact conversion)
         "emb_kmeans": _emb_kmeans_sql(),
+        # embedding outliers on the same integer grid: exact centroid fold
+        # + exact int squared distances, top-k by (dist2 desc, vec_id)
+        "q_emb_outliers": """
+            WITH nq AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(embedding, x ->
+                           round(1000000.0 * CAST(x AS DOUBLE))) AS q1
+                FROM embeddings
+            ), nxt AS MATERIALIZED (
+                SELECT vec_id, CAST(n2 AS BIGINT) AS n2,
+                       CASE WHEN n2 = 0
+                            THEN list_transform(q1, v -> CAST(0 AS BIGINT))
+                            ELSE list_transform(q1, v -> CAST(round(
+                                1000000.0 * v / sqrt(n2)) AS BIGINT))
+                       END AS nx
+                FROM (SELECT vec_id, q1,
+                             list_sum(list_transform(q1, v -> v * v)) AS n2
+                      FROM nq)
+            ), cent AS MATERIALIZED (
+                SELECT list(cv ORDER BY i) AS g,
+                       CAST(list_sum(list_transform(list(cv ORDER BY i),
+                                                    v -> v * v))
+                            AS BIGINT) AS g2
+                FROM (
+                    SELECT i, CAST(round(CAST(sum(v) AS DOUBLE)
+                                         / CAST(count(*) AS DOUBLE))
+                                   AS BIGINT) AS cv
+                    FROM (SELECT generate_subscripts(nx, 1) AS i,
+                                 unnest(nx) AS v FROM nxt)
+                    GROUP BY i)
+            ), scored AS (
+                SELECT e.vec_id,
+                       e.n2 + c.g2
+                       - 2 * CAST(list_inner_product(e.nx, c.g) AS BIGINT)
+                           AS dist2
+                FROM nxt e CROSS JOIN cent c)
+            SELECT rk, vec_id, dist2 FROM (
+                SELECT vec_id, dist2,
+                       row_number() OVER (ORDER BY dist2 DESC, vec_id)
+                           AS rk
+                FROM scored)
+            WHERE rk <= 20 ORDER BY rk
+        """,
+        # deterministic per-source hash sampling via the shared md5 bridge
+        "q_hash_sample": """
+            SELECT source, rk, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source ORDER BY
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 16))::UBIGINT,
+                           doc_id) AS rk
+                FROM documents)
+            WHERE rk <= 20
+            ORDER BY source, rk
+        """,
+        # Gopher duplicate-trigram share; keep decided all-integer
+        "q_rep_ngram_ratio": """
+            WITH words AS (
+                SELECT doc_id, w,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                           AS pos
+                FROM (SELECT doc_id,
+                             unnest(string_split(lower(text), ' ')) AS w,
+                             generate_subscripts(
+                                 string_split(lower(text), ' '), 1) AS i
+                      FROM documents)
+                WHERE w <> ''
+            ), tri AS (
+                SELECT doc_id, g FROM (
+                    SELECT doc_id,
+                           w || ' ' || lead(w, 1) OVER w2
+                             || ' ' || lead(w, 2) OVER w2 AS g,
+                           lead(w, 2) OVER w2 AS w3
+                    FROM words
+                    WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos))
+                WHERE w3 IS NOT NULL
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_tri,
+                       count(DISTINCT g) AS n_dis
+                FROM tri GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_trigrams,
+                   CAST(coalesce(a.n_dis, 0) AS BIGINT) AS n_distinct,
+                   CASE WHEN coalesce(a.n_tri, 0) = 0 THEN 0.0
+                        ELSE round(CAST(a.n_tri - a.n_dis AS DOUBLE)
+                                   / CAST(a.n_tri AS DOUBLE), 6)
+                   END AS rep_ratio,
+                   CAST(CASE WHEN 100 * (coalesce(a.n_tri, 0)
+                                         - coalesce(a.n_dis, 0))
+                                  <= 30 * coalesce(a.n_tri, 0)
+                             THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "extract_docs": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    CASE WHEN length(trim(text)) BETWEEN 1 AND 2 THEN ''

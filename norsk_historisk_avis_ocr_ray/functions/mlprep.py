@@ -1892,3 +1892,107 @@ def q_inverted_index(sf_dir: str) -> Dataset:
                            batch_size=4096),
             "tok_h", build_postings),
         schema)
+
+
+# --- deterministic per-source hash sampling (reproducible subcorpus) -----------
+
+HASH_SAMPLE_K = 20
+
+
+def q_hash_sample(sf_dir: str, k: int = HASH_SAMPLE_K) -> pd.DataFrame:
+    """Reproducible per-source sample: the ``k`` docs with the smallest
+    md5-64 hash of their id per source — the standard deterministic
+    "uniform random but replayable" subcorpus pick for eval sets and
+    ablations (hash rank ~ uniform order; no RNG state, any worker/rerun
+    agrees). Output (source, rk, doc_id) — the hash itself stays internal
+    (uint64 would overflow the gate's int64 canon).
+
+    Ray shape: per-batch local top-k per source (sort by (source, hash)
+    combiner), then one driver fold over k × n_batches × |sources|
+    candidate rows — result-sized; the corpus never concentrates. Exactly
+    SQL-oracle-able via the shared md5 bridge
+    (``('0x' || substr(md5(id),1,16))::UBIGINT`` == ``dedup._md5_64``)."""
+    from .dedup import _md5_64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "hkey": pa.array([], pa.uint64())})
+        h = np.fromiter((_md5_64(str(int(d))) for d in ids), np.uint64,
+                        count=len(ids))
+        g = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "doc_id": ids.astype(np.int64), "hkey": h})
+        g = (g.sort_values(["source", "hkey", "doc_id"], kind="mergesort")
+             .groupby("source", sort=False).head(k))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cand = (ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=8192).to_pandas())
+    if cand.empty:
+        return typed_empty(source="object", rk="int64", doc_id="int64")
+    cand = (cand.sort_values(["source", "hkey", "doc_id"], kind="mergesort")
+            .groupby("source", sort=False).head(k))
+    cand["rk"] = cand.groupby("source", sort=False).cumcount() + 1
+    out = cand[["source", "rk", "doc_id"]].reset_index(drop=True)
+    out["rk"] = out["rk"].astype(np.int64)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values(["source", "rk"]).reset_index(drop=True)
+
+
+# --- intra-document n-gram repetition (Gopher rep signal) ----------------------
+
+REP_NGRAM_N = 3
+REP_MAX_RATIO_PCT = 30   # keep iff duplicate-trigram share <= 30%
+
+
+def q_rep_ngram_ratio(sf_dir: str) -> Dataset:
+    """Per-doc duplicate-trigram share — the Gopher repetition filter
+    (Rae et al. 2021, arXiv:2112.11446 §A1.1: "fraction of duplicate
+    n-grams") the quality family was missing: documents that loop the
+    same phrases score high and get dropped before training.
+
+    ``rep_ratio = (n_trigrams − n_distinct) / n_trigrams`` (0 when no
+    trigram), ``keep`` decided ALL-INTEGER
+    (``100·dups ≤ REP_MAX_RATIO_PCT·n_trigrams``) so no float threshold
+    can flip; the ratio itself is one exact int division rounded to 6.
+    Tokenization is the vocab convention: lowercased single-space split ==
+    SQL ``string_split(lower(text), ' ')`` with empties dropped.
+
+    Ray shape: embarrassingly parallel per-doc map (docs live whole in one
+    row), zero shuffle; corpus-sized output streams as a Dataset."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    schema = pa.schema([("doc_id", pa.int64()), ("n_trigrams", pa.int64()),
+                        ("n_distinct", pa.int64()),
+                        ("rep_ratio", pa.float64()), ("keep", pa.int64())])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_tri = np.zeros(len(ids), np.int64)
+        n_dis = np.zeros(len(ids), np.int64)
+        for j, txt in enumerate(t["text"].to_pylist()):
+            w = [x for x in (txt or "").lower().split(" ") if x != ""]
+            if len(w) < REP_NGRAM_N:
+                continue
+            grams = [" ".join(w[i:i + REP_NGRAM_N])
+                     for i in range(len(w) - REP_NGRAM_N + 1)]
+            n_tri[j] = len(grams)
+            n_dis[j] = len(set(grams))
+        dup = n_tri - n_dis
+        ratio = np.where(
+            n_tri == 0, 0.0,
+            round_half_away(dup / np.where(n_tri == 0, 1, n_tri), 6))
+        keep = (100 * dup <= REP_MAX_RATIO_PCT * n_tri).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "n_trigrams": pa.array(n_tri),
+                         "n_distinct": pa.array(n_dis),
+                         "rep_ratio": pa.array(ratio, pa.float64()),
+                         "keep": pa.array(keep)})
+
+    return ensure_schema(
+        ds.map_batches(per_doc, batch_format="pyarrow", batch_size=4096),
+        schema)

@@ -1052,3 +1052,74 @@ def q_vec_quantize(sf_dir: str) -> Dataset:
 
     return ensure_schema(
         ds.map_batches(codes, batch_format="pyarrow"), schema)
+
+
+# --- embedding outlier detection (curation: drop far-from-corpus vectors) ------
+
+OUTLIER_TOP_K = 20
+
+
+def q_emb_outliers(sf_dir: str, k: int = OUTLIER_TOP_K) -> pd.DataFrame:
+    """Top-``k`` embedding outliers: the vectors with the largest exact
+    integer squared distance to the corpus centroid on the ``_nq_batch``
+    grid — the standard "distance to centroid" data-cleaning signal for
+    embedding tables (mislabeled / corrupted / off-distribution vectors
+    rank first). Ties break by vec_id.
+
+    Exactly SQL-oracle-able for the same reason emb_kmeans is: the
+    centroid is one exact integer coordinate sum + one deterministic round
+    per coordinate, and every distance is an integer below 2^53. Ray
+    shape: pass 1 folds (count, coordsum) partials (k×dim ints of driver
+    state); pass 2 emits a per-batch local top-k combiner — result-sized
+    driver merge, zero shuffle."""
+    emb = _emb(sf_dir)
+
+    # pass 1: exact integer centroid
+    def sum_partial(t: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(t)
+        if mat.size == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "vecsum": pa.array([], pa.binary())})
+        nx = _nq_batch(mat)
+        return pa.table({
+            "n": pa.array([nx.shape[0]], pa.int64()),
+            "vecsum": pa.array([nx.sum(axis=0).tobytes()], pa.binary())})
+
+    total = 0
+    sums: np.ndarray | None = None
+    for b in (emb.map_batches(sum_partial, batch_format="pyarrow",
+                              batch_size=4096)
+                 .iter_batches(batch_format="pyarrow")):
+        for n, raw in zip(b["n"].to_pylist(), b["vecsum"].to_pylist()):
+            v = np.frombuffer(raw, np.int64)
+            sums = v.copy() if sums is None else sums + v
+            total += int(n)
+    if total == 0 or sums is None:
+        return typed_empty(rk="int64", vec_id="int64", dist2="int64")
+    gx = round_half_away(sums.astype(np.float64) / float(total),
+                         0).astype(np.int64)
+    g2 = int((gx * gx).sum())
+    g_ref = ray.put(gx)
+
+    # pass 2: exact integer distances, per-batch local top-k combiner
+    def local_topk(t: pa.Table) -> pa.Table:
+        g = ray.get(g_ref)
+        ids, mat = _batch_matrix(t)
+        if mat.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dist2": pa.array([], pa.int64())})
+        nx = _nq_batch(mat)
+        nx2 = (nx * nx).sum(axis=1)
+        dist2 = nx2 + g2 - 2 * (nx @ g)
+        d = (pd.DataFrame({"vec_id": ids.astype(np.int64), "dist2": dist2})
+             .sort_values(["dist2", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k))
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    df = (emb.map_batches(local_topk, batch_format="pyarrow",
+                          batch_size=4096).to_pandas())
+    df = (df.sort_values(["dist2", "vec_id"], ascending=[False, True],
+                         kind="mergesort").head(k).reset_index(drop=True))
+    df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    df["dist2"] = df["dist2"].astype(np.int64)
+    return df[["rk", "vec_id", "dist2"]]
