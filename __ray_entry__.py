@@ -1207,15 +1207,16 @@ def _gopher_stop_values() -> str:
     return ", ".join(f"('{w}')" for w in sorted(GOPHER_STOPS))
 
 
-def _emb_kmeans_sql() -> str:
-    """DuckDB replay of the integer-grid k-means (similarity.emb_kmeans):
-    the same normalized-quantized int64 coordinates (round/sqrt/divide are
-    the identical libm ops), the same deterministic id-spread init
-    (``vec_id = j·N//k``), KM_ITERS unrolled Lloyd passes as MATERIALIZED
-    CTEs (assignment = exact-integer squared distance, ties to the lower
-    cluster; update = exact integer coordinate sums + one round), and the
-    same 1e-9 cosine grid for the mean. Every sum the query folds is an
-    integer below 2^53, so partition order is irrelevant on both sides."""
+def _int_kmeans_ctes() -> tuple[str, str, str]:
+    """The shared CTE chain replaying ``similarity._int_kmeans_centroids``
+    (used by the emb_kmeans AND semdedup oracles): normalized-quantized
+    int64 coordinates (round/sqrt/divide are the identical libm ops), the
+    deterministic id-spread init (``vec_id = j·N//k``), and KM_ITERS
+    unrolled Lloyd passes as MATERIALIZED CTEs (assignment = exact-integer
+    squared distance, ties to the lower cluster; update = exact integer
+    coordinate sums + one round). Every folded sum is an integer below
+    2^53, so partition order is irrelevant on both sides. Returns
+    (cte_body, final_assignment_name, final_centroid_name)."""
     from norsk_historisk_avis_ocr_ray.functions.similarity import (
         IVF_CENTROIDS, KM_ITERS)
 
@@ -1259,8 +1260,8 @@ def _emb_kmeans_sql() -> str:
     final_a = KM_ITERS + 1
     iters.append(
         f"a{final_a} AS MATERIALIZED ({assign.format(C=prev_c)})")
-    return f"""
-        WITH nq AS MATERIALIZED (
+    body = f"""
+        nq AS MATERIALIZED (
             SELECT vec_id,
                    list_transform(embedding, x ->
                        round(1000000.0 * CAST(x AS DOUBLE))) AS q1
@@ -1283,7 +1284,16 @@ def _emb_kmeans_sql() -> str:
             FROM range({k}) t(j) CROSS JOIN cnt
             JOIN nxt e ON e.vec_id = (t.j * cnt.n) // {k}
         ),
-        {',' .join(iters)},
+        {',' .join(iters)}"""
+    return body, f"a{final_a}", f"c{KM_ITERS}"
+
+
+def _emb_kmeans_sql() -> str:
+    """Full k-means replay: the shared chain + the 1e-9-grid cosine
+    summary (see ``_int_kmeans_ctes``)."""
+    body, final_a, final_c = _int_kmeans_ctes()
+    return f"""
+        WITH {body},
         scored AS (
             SELECT a.cluster,
                    CASE WHEN a.n2 = 0 OR c.c2 = 0 THEN CAST(0 AS BIGINT)
@@ -1292,11 +1302,65 @@ def _emb_kmeans_sql() -> str:
                             / (sqrt(CAST(a.n2 AS DOUBLE))
                                * sqrt(CAST(c.c2 AS DOUBLE))))) AS BIGINT)
                    END AS qcos
-            FROM a{final_a} a JOIN c{KM_ITERS} c USING (cluster))
+            FROM {final_a} a JOIN {final_c} c USING (cluster))
         SELECT cluster, count(*) AS n,
                round(CAST(sum(qcos) AS DOUBLE) / 1000000000.0
                      / CAST(count(*) AS DOUBLE), 6) AS mean_cos
         FROM scored GROUP BY cluster ORDER BY cluster
+    """
+
+
+def _semdedup_sql() -> str:
+    """DuckDB replay of similarity.semdedup: the shared k-means chain
+    (``_int_kmeans_ctes``) assigns every vector, then the per-cluster
+    greedy prune replays as a recursive CTE whose state per cluster is
+    the kept (nx, n2) struct list — step pos→pos+1 scores the next vector
+    (by vec_id rank) against every kept vector on the 1e-9 integer cosine
+    grid and keeps it iff ``max qcos < round(1e9·threshold)`` (an INTEGER
+    comparison, same as the engine)."""
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        KM_COS_GRID, SEMDEDUP_T)
+
+    qt = int(round(KM_COS_GRID * SEMDEDUP_T))
+    body, final_a, _ = _int_kmeans_ctes()
+    return f"""
+        WITH RECURSIVE {body},
+        ranked AS MATERIALIZED (
+            SELECT vec_id, nx, n2, cluster,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY vec_id) AS rk
+            FROM {final_a}
+        ), rec(cluster, pos, kept, vec_id, m, keep) AS (
+            SELECT cluster, 0,
+                   CAST([] AS STRUCT(nx BIGINT[], n2 BIGINT)[]),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 0
+            FROM (SELECT DISTINCT cluster FROM ranked)
+            UNION ALL
+            SELECT cluster, pos,
+                   CASE WHEN m < {qt}
+                        THEN list_append(kept, {{'nx': nx, 'n2': n2}})
+                        ELSE kept END,
+                   vec_id, m, CASE WHEN m < {qt} THEN 1 ELSE 0 END
+            FROM (
+                SELECT s.cluster, s.pos + 1 AS pos, s.kept,
+                       r.vec_id, r.nx, r.n2,
+                       coalesce(list_max(list_transform(s.kept, t ->
+                           CASE WHEN r.n2 = 0 OR t.n2 = 0
+                                THEN CAST(0 AS BIGINT)
+                                ELSE CAST(round(1000000000.0 * (
+                                    CAST(list_inner_product(t.nx, r.nx)
+                                         AS BIGINT)
+                                    / (sqrt(CAST(t.n2 AS DOUBLE))
+                                       * sqrt(CAST(r.n2 AS DOUBLE)))))
+                                    AS BIGINT)
+                           END)), 0) AS m
+                FROM rec s JOIN ranked r
+                  ON r.cluster = s.cluster AND r.rk = s.pos + 1)
+        )
+        SELECT vec_id, cluster, CAST(keep AS BIGINT) AS keep,
+               round(CAST(m AS DOUBLE) / 1000000000.0, 6) AS max_sim
+        FROM rec WHERE vec_id IS NOT NULL
+        ORDER BY vec_id
     """
 
 
@@ -1316,6 +1380,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer-grid k-means replay (round-4 rows-only → exact conversion)
         "emb_kmeans": _emb_kmeans_sql(),
+        # SemDeDup greedy prune replay (recursive CTE over kept-set state)
+        "semdedup": _semdedup_sql(),
         # embedding outliers on the same integer grid: exact centroid fold
         # + exact int squared distances, top-k by (dist2 desc, vec_id)
         "q_emb_outliers": """
@@ -3728,7 +3794,6 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (not SQL-expressible):
         # quality_classifier (iterative optimization — determinism under
         # any partitioning + planted separation pinned in pytest),
-        # semdedup (k-means is iterative float; planted-dup pytest),
         # bpe_train / bpe_encode (iterative merge loop; hand-computed
         # merges + sequential-apply-reference pytests),
         # image_phash_dedup (binary media; planted noisy-dup pytest),

@@ -615,31 +615,32 @@ def _nq_batch(mat: np.ndarray) -> np.ndarray:
     return nx.astype(np.int64)
 
 
-def emb_kmeans(sf_dir: str, n_clusters: int = IVF_CENTROIDS) -> pd.DataFrame:
-    """Per-cluster summary of a distributed k-means over the embedding
-    table: cluster id → member count + mean within-cluster cosine to the
-    centroid (a cohesion signal).
+def _assign(c: np.ndarray, nx: np.ndarray):
+    """Exact-integer nearest-centroid assignment (ties → lower cluster)."""
+    nx2 = (nx * nx).sum(axis=1)
+    c2 = (c * c).sum(axis=1)
+    dots = nx @ c.T
+    dist2 = nx2[:, None] + c2[None, :] - 2 * dots
+    return np.argmin(dist2, axis=1), dots, nx2, c2
 
-    EXACTLY DuckDB-oracle-replayable (the round-4 conversion from
-    rows-only): all arithmetic runs on the ``_nq_batch`` integer grid —
-    assignments minimize exact-integer squared distance (ties to the lower
-    cluster id), centroid updates are exact integer coordinate sums with
-    one deterministic round per coordinate, and per-member cosines fold on
-    a 1e-9 grid. Init is the deterministic id-spread rule
-    ``centroid_j = vector(vec_id = j·N//k)`` (dense-id input contract,
-    like the test tables) — no RNG, so the oracle replays it with a join.
 
-    Ray shape: ``KM_ITERS`` + 1 streaming passes; each pass broadcasts the
-    k×dim int64 centroid matrix (``ray.put``) and emits ≤ k partial rows
-    per batch (count + coordinate-sum bytes), folded on the driver —
-    driver state is k×dim ints, independent of N. Nothing corpus-sized
-    concentrates."""
+def _int_kmeans_centroids(sf_dir: str,
+                          n_clusters: int) -> np.ndarray | None:
+    """The integer-grid Lloyd trainer shared by ``emb_kmeans`` and
+    ``semdedup`` — fully DuckDB-replayable (see ``_nq_batch``): the
+    deterministic id-spread init ``centroid_j = vector(vec_id = j·N//k)``
+    (dense-id input contract, like the test tables — no RNG, so the
+    oracle replays it with a join), then ``KM_ITERS`` streaming Lloyd
+    passes; each pass broadcasts the k×dim int64 centroid matrix
+    (``ray.put``) and emits ≤ k partial rows per batch (count +
+    coordinate-sum bytes), folded on the driver — driver state is k×dim
+    ints, independent of N. Returns None on an empty table."""
     import pyarrow.compute as pc
 
     emb = _emb(sf_dir)
     n_rows = emb.count()
     if n_rows == 0:
-        return typed_empty(cluster="int64", n="int64", mean_cos="float64")
+        return None
 
     # deterministic spread init: k rows picked by id, pruned at the read
     targets = sorted({j * n_rows // n_clusters for j in range(n_clusters)})
@@ -652,13 +653,6 @@ def emb_kmeans(sf_dir: str, n_clusters: int = IVF_CENTROIDS) -> pd.DataFrame:
     cent = np.stack([by_id[j * n_rows // n_clusters]
                      for j in range(n_clusters)]).astype(np.int64)
     dim = cent.shape[1]
-
-    def _assign(c: np.ndarray, nx: np.ndarray):
-        nx2 = (nx * nx).sum(axis=1)
-        c2 = (c * c).sum(axis=1)
-        dots = nx @ c.T
-        dist2 = nx2[:, None] + c2[None, :] - 2 * dots
-        return np.argmin(dist2, axis=1), dots, nx2, c2
 
     for _ in range(KM_ITERS):
         c_ref = ray.put(cent)
@@ -697,7 +691,24 @@ def emb_kmeans(sf_dir: str, n_clusters: int = IVF_CENTROIDS) -> pd.DataFrame:
             sums[ne].astype(np.float64) / counts[ne, None], 0
         ).astype(np.int64)
         cent = new
+    return cent
 
+
+def emb_kmeans(sf_dir: str, n_clusters: int = IVF_CENTROIDS) -> pd.DataFrame:
+    """Per-cluster summary of a distributed k-means over the embedding
+    table: cluster id → member count + mean within-cluster cosine to the
+    centroid (a cohesion signal).
+
+    EXACTLY DuckDB-oracle-replayable (the round-4 conversion from
+    rows-only): all arithmetic runs on the ``_nq_batch`` integer grid via
+    the shared ``_int_kmeans_centroids`` trainer — assignments minimize
+    exact-integer squared distance (ties to the lower cluster id) and
+    per-member cosines fold on a 1e-9 grid, so no result bit depends on
+    partition or summation order."""
+    cent = _int_kmeans_centroids(sf_dir, n_clusters)
+    if cent is None:
+        return typed_empty(cluster="int64", n="int64", mean_cos="float64")
+    emb = _emb(sf_dir)
     c_ref = ray.put(cent)
 
     def score(t: pa.Table, c_ref=c_ref) -> pa.Table:
@@ -808,73 +819,88 @@ def semdedup(sf_dir: str, n_clusters: int = SEMDEDUP_CLUSTERS,
     ONLY within clusters — the O(n²) cosine matrix becomes C × O((n/C)²),
     and each cluster prunes independently (embarrassingly parallel).
 
-    1. the shared distributed spherical-k-means quantizer
-       (``_kmeans_centroids``) trains C centroids (driver holds C × dim);
-    2. one streaming pass assigns every vector to its centroid (argmax
-       cosine against the broadcast codebook);
+    1. the shared integer-grid quantizer (``_int_kmeans_centroids``)
+       trains C centroids (driver holds C × dim ints);
+    2. one streaming pass assigns every vector by exact-integer squared
+       distance against the broadcast codebook;
     3. ``groupby(cluster).map_groups`` runs the per-cluster greedy prune:
        scan vectors in vec_id order, keep one whose max cosine to the
-       already-kept set is < threshold — deterministic (ordering is by id,
-       ties impossible), exactly one survivor per duplicate clique.
+       already-kept set is below threshold — deterministic, exactly one
+       survivor per duplicate clique.
+
+    EXACTLY DuckDB-oracle-replayable (the round-4 conversion from
+    rows-only): pairwise cosines quantize to the 1e-9 integer grid
+    (``qcos = round(1e9·dot/(√n2_a·√n2_b))``) and the keep decision
+    compares INTEGERS (``max qcos < round(1e9·threshold)``), so no float
+    comparison can flip; the oracle replays the greedy scan as a
+    per-cluster recursive CTE whose state is the kept (nx, n2) list.
 
     Output: (vec_id, cluster, keep, max_sim) per vector → streaming
-    Dataset. Rows-only driver check (k-means is iterative float);
-    correctness pinned by a planted-duplicate pytest. Partitioning
-    assumption: one cluster's vectors fit one worker (the paper's own
-    regime; split hot clusters by re-clustering if violated)."""
+    Dataset. Partitioning assumption: one cluster's vectors fit one
+    worker (the paper's own regime; split hot clusters by re-clustering
+    if violated)."""
     from .collect import ensure_schema
-    from .rounding import round_half_away
 
-    ds = _emb(sf_dir)
-    probe = ds.limit(1).take_all()
-    dim = len(probe[0]["embedding"]) if probe else 0
-    if dim == 0:
-        return ensure_schema(
-            ray.data.from_items([]),
-            pa.schema([("vec_id", pa.int64()), ("cluster", pa.int32()),
-                       ("keep", pa.int64()), ("max_sim", pa.float64())]))
-    centroids = _kmeans_centroids(ds, dim, n_clusters)
-    c_ref = ray.put(centroids)
+    schema = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64()),
+                        ("keep", pa.int64()), ("max_sim", pa.float64())])
+    cent = _int_kmeans_centroids(sf_dir, n_clusters)
+    if cent is None:
+        return ensure_schema(ray.data.from_items([]), schema)
+    qt = int(round_half_away(KM_COS_GRID * threshold, 0))
+    c_ref = ray.put(cent)
 
     def assign(t: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
         ids, mat = _batch_matrix(t)
-        norm = _normalize(mat)
-        a = np.argmax(norm @ c.T, axis=1).astype(np.int32)
+        if mat.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "n2": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.binary())})
+        nx = _nq_batch(mat)
+        a, _, nx2, _ = _assign(c, nx)
         return pa.table({
             "vec_id": pa.array(ids.astype(np.int64)),
-            "cluster": pa.array(a, pa.int32()),
-            "vec": pa.array([row.tobytes() for row in norm], pa.binary())})
+            "cluster": pa.array(a.astype(np.int64)),
+            "n2": pa.array(nx2),
+            "vec": pa.array([row.tobytes() for row in nx], pa.binary())})
 
     def prune(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id", kind="mergesort")
-        mat = np.stack([np.frombuffer(r, dtype=np.float64)
+        mat = np.stack([np.frombuffer(r, dtype=np.int64)
                         for r in g["vec"]])
+        n2 = g["n2"].to_numpy(np.int64)
         n = len(g)
         keep = np.zeros(n, bool)
-        max_sim = np.zeros(n, np.float64)
+        qmax = np.zeros(n, np.int64)
         kept_rows: list[int] = []
         for i in range(n):
-            if kept_rows:
-                sims = mat[kept_rows] @ mat[i]
-                m = float(sims.max())
-            else:
-                m = 0.0
-            max_sim[i] = m
-            if m < threshold:
+            m = 0
+            if kept_rows and n2[i] > 0:
+                k2 = n2[kept_rows]
+                dots = (mat[kept_rows] @ mat[i]).astype(np.float64)
+                den = np.sqrt(k2.astype(np.float64)) * np.sqrt(float(n2[i]))
+                q = round_half_away(
+                    np.where(k2 == 0, 0.0,
+                             KM_COS_GRID * (dots / np.where(den == 0, 1.0,
+                                                            den))), 0
+                ).astype(np.int64)
+                m = int(q.max())
+            qmax[i] = m
+            if m < qt:
                 keep[i] = True
                 kept_rows.append(i)
         return pd.DataFrame({
             "vec_id": g["vec_id"].to_numpy(np.int64),
-            "cluster": g["cluster"].to_numpy(np.int32),
+            "cluster": g["cluster"].to_numpy(np.int64),
             "keep": keep.astype(np.int64),
-            "max_sim": round_half_away(max_sim, 6)})
+            "max_sim": round_half_away(
+                qmax.astype(np.float64) / KM_COS_GRID, 6)})
 
-    out = (ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+    out = (_emb(sf_dir)
+           .map_batches(assign, batch_format="pyarrow", batch_size=4096)
            .groupby("cluster").map_groups(prune, batch_format="pandas"))
-    return ensure_schema(out, pa.schema([
-        ("vec_id", pa.int64()), ("cluster", pa.int32()),
-        ("keep", pa.int64()), ("max_sim", pa.float64())]))
+    return ensure_schema(out, schema)
 
 
 # --- exact per-label centroids (quantized moment fold) ---------------------------
