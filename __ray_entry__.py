@@ -704,6 +704,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "emb_vec_norms": similarity.emb_vec_norms,
         "q_vec_quantize": similarity.q_vec_quantize,
         "q_emb_outliers": similarity.q_emb_outliers,
+        "q_knn_graph": similarity.q_knn_graph,
         # multimodal
         "image_features": _image_features,
         "image_phash_dedup": _image_phash_dedup,
@@ -1424,6 +1425,45 @@ def oracle_sql() -> dict[str, str]:
                            AS rk
                 FROM scored)
             WHERE rk <= 20 ORDER BY rk
+        """,
+        # exact k-NN graph: all-pairs on the 1e-9 integer cosine grid,
+        # rank by (qcos desc, nbr_id) — integer comparisons, no float ulp
+        "q_knn_graph": """
+            WITH nq AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(embedding, x ->
+                           round(1000000.0 * CAST(x AS DOUBLE))) AS q1
+                FROM embeddings
+            ), nxt AS MATERIALIZED (
+                SELECT vec_id, CAST(n2 AS BIGINT) AS n2,
+                       CASE WHEN n2 = 0
+                            THEN list_transform(q1, v -> CAST(0 AS BIGINT))
+                            ELSE list_transform(q1, v -> CAST(round(
+                                1000000.0 * v / sqrt(n2)) AS BIGINT))
+                       END AS nx
+                FROM (SELECT vec_id, q1,
+                             list_sum(list_transform(q1, v -> v * v)) AS n2
+                      FROM nq)
+            ), pairs AS (
+                SELECT a.vec_id, b.vec_id AS nbr_id,
+                       CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(round(1000000000.0 * (
+                                CAST(list_inner_product(a.nx, b.nx)
+                                     AS BIGINT)
+                                / (sqrt(CAST(a.n2 AS DOUBLE))
+                                   * sqrt(CAST(b.n2 AS DOUBLE)))))
+                                AS BIGINT)
+                       END AS qcos
+                FROM nxt a JOIN nxt b ON b.vec_id <> a.vec_id)
+            SELECT vec_id, rk, nbr_id,
+                   round(CAST(qcos AS DOUBLE) / 1000000000.0, 6) AS cos
+            FROM (SELECT vec_id, nbr_id, qcos,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY qcos DESC, nbr_id)
+                             AS rk
+                  FROM pairs)
+            WHERE rk <= 3
+            ORDER BY vec_id, rk
         """,
         # deterministic per-source hash sampling via the shared md5 bridge
         "q_hash_sample": """

@@ -1149,3 +1149,116 @@ def q_emb_outliers(sf_dir: str, k: int = OUTLIER_TOP_K) -> pd.DataFrame:
     df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
     df["dist2"] = df["dist2"].astype(np.int64)
     return df[["rk", "vec_id", "dist2"]]
+
+
+# --- exact k-NN graph construction (semantic-neighborhood artifact) ------------
+
+KNN_K = 3
+
+
+def q_knn_graph(sf_dir: str, k: int = KNN_K,
+                n_blocks: int = NEARDUP_BLOCKS) -> "ray.data.Dataset":
+    """Exact k-nearest-neighbor graph over the embedding table: each
+    vector's top-``k`` cosine neighbors (self excluded) — the semantic
+    neighborhood artifact retrieval-eval, graph-based clustering and
+    duplicate triage consume.
+
+    EXACTLY DuckDB-oracle-replayable: pairwise cosines quantize to the
+    1e-9 integer grid (the semdedup/emb_kmeans pattern), so ranking —
+    ``(qcos desc, nbr_id asc)`` — compares integers and no float ulp can
+    reorder neighbors across partitionings; the emitted ``cos`` is one
+    exact int→double division rounded to 6.
+
+    Ray shape: the ``embedding_neardup`` blocked all-pairs sweep (each
+    vector rides to its ``n_blocks`` block-pair groups; no worker holds
+    the full matrix), each pair group emits its LOCAL per-vector top-k
+    (≤ k rows per vector per pair — a combiner), and a final
+    ``groupby(vec_id)`` merges k·n_blocks candidate rows per vector.
+    Output is corpus-sized (N×k rows) → streaming Dataset."""
+    from .collect import ensure_schema
+
+    schema = pa.schema([("vec_id", pa.int64()), ("rk", pa.int64()),
+                        ("nbr_id", pa.int64()), ("cos", pa.float64())])
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        if mat.size == 0:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "blk": pa.array([], pa.int64()),
+                             "n2": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.binary())})
+        nx = _nq_batch(mat)
+        n2 = (nx * nx).sum(axis=1)
+        blk = (ids % n_blocks).astype(np.int64)
+        n = len(ids)
+        rep = np.repeat(np.arange(n), n_blocks)
+        partner = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+        lo = np.minimum(blk[rep], partner)
+        hi = np.maximum(blk[rep], partner)
+        return pa.table({
+            "pair": pa.array(lo * n_blocks + hi),
+            "vec_id": pa.array(ids[rep].astype(np.int64)),
+            "blk": pa.array(blk[rep]),
+            "n2": pa.array(n2[rep]),
+            "vec": pa.array([nx[i].tobytes() for i in rep], pa.binary())})
+
+    def _qcos(mat_a, n2_a, mat_b, n2_b):
+        dots = (mat_a @ mat_b.T).astype(np.float64)
+        den = (np.sqrt(n2_a.astype(np.float64))[:, None]
+               * np.sqrt(n2_b.astype(np.float64))[None, :])
+        zero = (n2_a[:, None] == 0) | (n2_b[None, :] == 0)
+        return round_half_away(
+            np.where(zero, 0.0,
+                     KM_COS_GRID * (dots / np.where(den == 0, 1.0, den))),
+            0).astype(np.int64)
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        pair = int(g["pair"].iloc[0])
+        lo, hi = pair // n_blocks, pair % n_blocks
+        # self-partnering replicates rows into their own diagonal group —
+        # collapse to unique ids before the pairwise pass
+        g = g.drop_duplicates("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        n2 = g["n2"].to_numpy(np.int64)
+        mat = np.stack([np.frombuffer(r, np.int64) for r in g["vec"]])
+        blk = g["blk"].to_numpy(np.int64)
+        frames = []
+        dirs = ([(blk == lo, blk == hi), (blk == hi, blk == lo)]
+                if lo != hi else [(blk == lo, blk == lo)])
+        for qa, qb in dirs:   # knn is asymmetric: both directions
+            q = _qcos(mat[qa], n2[qa], mat[qb], n2[qb])
+            ia, ib = ids[qa], ids[qb]
+            d = pd.DataFrame({
+                "vec_id": np.repeat(ia, len(ib)),
+                "nbr_id": np.tile(ib, len(ia)),
+                "qcos": q.ravel()})
+            d = d[d["vec_id"] != d["nbr_id"]]
+            d = (d.sort_values(["vec_id", "qcos", "nbr_id"],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+                 .groupby("vec_id", sort=False).head(k))
+            frames.append(d)
+        if not frames:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "nbr_id": pd.Series([], dtype="int64"),
+                                 "qcos": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True).astype(np.int64)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["vec_id", "nbr_id"])
+             .sort_values(["qcos", "nbr_id"], ascending=[False, True],
+                          kind="mergesort").head(k))
+        g = g.reset_index(drop=True)
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].to_numpy(np.int64),
+            "rk": np.arange(1, len(g) + 1, dtype=np.int64),
+            "nbr_id": g["nbr_id"].to_numpy(np.int64),
+            "cos": round_half_away(
+                g["qcos"].to_numpy(np.float64) / KM_COS_GRID, 6)})
+
+    out = (_emb(sf_dir)
+           .map_batches(expand, batch_format="pyarrow", batch_size=4096)
+           .groupby("pair").map_groups(local_topk, batch_format="pandas")
+           .groupby("vec_id").map_groups(final_topk, batch_format="pandas"))
+    return ensure_schema(out, schema)

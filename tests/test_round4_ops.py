@@ -124,6 +124,56 @@ def test_emb_outliers_planted(ray_session, tmp_path):
     assert out["dist2"].dtype == np.int64
 
 
+# --- q_knn_graph ------------------------------------------------------------------
+
+
+def test_knn_graph_matches_bruteforce(ray_session, tmp_path):
+    """Exact k-NN edges equal a direct numpy brute-force on the same
+    integer grid, across the block-pair decomposition."""
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        KM_COS_GRID, _nq_batch, q_knn_graph)
+
+    def rha(x):
+        x = np.asarray(x, np.float64)
+        return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 1, (23, 6))
+    out = (q_knn_graph(_write_emb(tmp_path, vecs), k=2).to_pandas()
+           .sort_values(["vec_id", "rk"]).reset_index(drop=True))
+
+    nx = _nq_batch(np.array([np.asarray(v, np.float32) for v in vecs],
+                            dtype=np.float64))
+    n2 = (nx * nx).sum(axis=1)
+    dots = (nx @ nx.T).astype(np.float64)
+    den = np.sqrt(n2.astype(np.float64))[:, None] * \
+        np.sqrt(n2.astype(np.float64))[None, :]
+    q = rha(KM_COS_GRID * (dots / den)).astype(np.int64)
+    exp = []
+    n = len(vecs)
+    for i in range(n):
+        cand = np.array([j for j in range(n) if j != i])
+        order = cand[np.lexsort((cand, -q[i, cand]))[:2]]
+        for r, j in enumerate(order):
+            exp.append((i, r + 1, j, float(rha(q[i, j] / KM_COS_GRID
+                                               * 1e6) / 1e6)))
+    import pandas as pd
+    expdf = pd.DataFrame(exp, columns=["vec_id", "rk", "nbr_id", "cos"])
+    assert out["vec_id"].tolist() == expdf["vec_id"].tolist()
+    assert out["rk"].tolist() == expdf["rk"].tolist()
+    assert out["nbr_id"].tolist() == expdf["nbr_id"].tolist()
+    assert np.allclose(out["cos"], expdf["cos"], atol=0)
+
+
+def test_knn_graph_self_excluded_and_sized(ray_session, tmp_path):
+    from norsk_historisk_avis_ocr_ray.functions.similarity import q_knn_graph
+
+    vecs = np.eye(5)
+    out = q_knn_graph(_write_emb(tmp_path, vecs), k=3).to_pandas()
+    assert len(out) == 15                      # 5 vectors x 3 neighbors
+    assert (out["vec_id"] != out["nbr_id"]).all()
+
+
 # --- emb_kmeans (integer-grid redesign) ------------------------------------------
 
 
