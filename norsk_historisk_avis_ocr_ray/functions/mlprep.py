@@ -805,7 +805,15 @@ def q_vocab_topk(sf_dir: str) -> pd.DataFrame:
 # --- deterministic global corpus shuffle with exact positions -------------------
 
 SHUFFLE_SEED = "42"
-SHUFFLE_PREFIXES = 256   # two-hex-digit md5 prefix buckets (uniform)
+def _shuffle_prefixes() -> tuple[int, int]:
+    """(hex_digits, bucket_count) for the global-shuffle range partition:
+    2 hex digits (256 ranges) on a single VM, 3 (4096) once the cluster
+    outgrows 256-way parallelism (VERDICT r03 item 5 — fixed shuffle
+    widths cap big clusters). Exactness-neutral: positions are the global
+    ``ORDER BY md5`` rank whatever the range width; derived ONCE at query
+    build on the driver and closed over."""
+    nd = 2 if scale.pow2_buckets(floor=256) <= 256 else 3
+    return nd, 16 ** nd
 
 
 def q_global_shuffle(sf_dir: str) -> Dataset:
@@ -827,26 +835,26 @@ def q_global_shuffle(sf_dir: str) -> Dataset:
     exact global ``ORDER BY md5(...)`` rank. Corpus-sized output →
     streaming Dataset."""
     ds = _read(sf_dir, "documents", ["doc_id"])
+    nd, nb = _shuffle_prefixes()   # driver-derived, closed over below
 
     def keyed(t: pa.Table) -> tuple[np.ndarray, list[str]]:
         ids = t["doc_id"].to_pylist()
         keys = [hashlib.md5(f"{i}:{SHUFFLE_SEED}".encode("ascii"))
                 .hexdigest() for i in ids]
-        pref = np.fromiter((int(k[:2], 16) for k in keys),
+        pref = np.fromiter((int(k[:nd], 16) for k in keys),
                            dtype=np.int64, count=len(keys))
         return pref, keys
 
     def prefix_counts(t: pa.Table) -> pa.Table:
         pref, _ = keyed(t)
-        n = np.bincount(pref, minlength=SHUFFLE_PREFIXES)
-        return pa.table({"prefix": pa.array(np.arange(SHUFFLE_PREFIXES,
-                                                      dtype=np.int64)),
+        n = np.bincount(pref, minlength=nb)
+        return pa.table({"prefix": pa.array(np.arange(nb, dtype=np.int64)),
                          "n": pa.array(n.astype(np.int64))})
 
     counts = (ds.map_batches(prefix_counts, batch_format="pyarrow")
               .groupby("prefix").aggregate(Sum("n", alias_name="n"))
-              .to_pandas())            # exactly ≤ 256 rows
-    arr = np.zeros(SHUFFLE_PREFIXES, np.int64)
+              .to_pandas())            # exactly ≤ nb rows
+    arr = np.zeros(nb, np.int64)
     if len(counts):
         arr[counts["prefix"].to_numpy()] = counts["n"].to_numpy(np.int64)
     offsets = np.concatenate([[0], arr.cumsum()[:-1]])

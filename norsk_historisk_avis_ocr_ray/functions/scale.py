@@ -138,3 +138,18 @@ def join_partitions(per_cpu: float = 0.125, floor: int = 2,
     CPUs.
     """
     return _scaled(per_cpu, floor, cap)
+
+
+def pair_blocks(floor: int = 4, cap: int = 64) -> int:
+    """Block count for blocked all-pairs sweeps (``q_knn_graph``): B blocks
+    → B(B+1)/2 block-pair groups, so B ≈ √(2·CPUs) keeps every core busy
+    (the fixed 4 gave only 10 groups — 22 idle cores on a 32-CPU box, and
+    a 256-node cluster would cap at 10 tasks). Replication factor per row
+    is B, so the cap bounds object-store amplification. Exactness-neutral
+    ONLY for integer-grid pair math (int64 matmuls are exact under any
+    shape); float-cosine sweeps (``embedding_neardup``) keep their fixed
+    width because BLAS blocking varies with operand shape."""
+    import math
+
+    b = max(floor, math.isqrt(2 * cluster_cpus() - 1) + 1)
+    return min(b, cap)

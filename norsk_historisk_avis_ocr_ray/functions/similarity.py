@@ -1157,7 +1157,7 @@ KNN_K = 3
 
 
 def q_knn_graph(sf_dir: str, k: int = KNN_K,
-                n_blocks: int = NEARDUP_BLOCKS) -> "ray.data.Dataset":
+                n_blocks: int | None = None) -> "ray.data.Dataset":
     """Exact k-nearest-neighbor graph over the embedding table: each
     vector's top-``k`` cosine neighbors (self excluded) — the semantic
     neighborhood artifact retrieval-eval, graph-based clustering and
@@ -1174,8 +1174,14 @@ def q_knn_graph(sf_dir: str, k: int = KNN_K,
     the full matrix), each pair group emits its LOCAL per-vector top-k
     (≤ k rows per vector per pair — a combiner), and a final
     ``groupby(vec_id)`` merges k·n_blocks candidate rows per vector.
-    Output is corpus-sized (N×k rows) → streaming Dataset."""
+    Output is corpus-sized (N×k rows) → streaming Dataset. The block
+    count derives from the cluster at build time (``scale.pair_blocks``,
+    safe here BECAUSE the pair math is integer — int64 matmuls are exact
+    under any operand shape, unlike the float-cosine neardup sweep)."""
     from .collect import ensure_schema
+
+    if n_blocks is None:
+        n_blocks = scale.pair_blocks()
 
     schema = pa.schema([("vec_id", pa.int64()), ("rk", pa.int64()),
                         ("nbr_id", pa.int64()), ("cos", pa.float64())])
