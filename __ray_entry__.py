@@ -579,9 +579,12 @@ _GATE_FRONT = [
     # duplicate-graph analytics
     "dup_clusters", "minhash_clusters", "q_pagerank_dups",
     "q_triangle_dups",
-    # similarity / embeddings
-    "ann_topk", "embedding_neardup", "emb_label_centroid",
-    "emb_vec_norms", "q_vec_quantize",
+    # similarity / embeddings (incl. the round-4 rows-only→exact
+    # conversions and new ops — freshest driver-divergence risk, so they
+    # take window slots from six already-locally-proven ops)
+    "ann_topk", "embedding_neardup", "emb_kmeans", "semdedup",
+    "q_knn_graph", "q_emb_outliers", "q_hash_sample",
+    "q_rep_ngram_ratio",
     # sketches
     "approx_distinct_users", "approx_distinct_hll", "approx_top_users",
     "approx_group_quantiles",
@@ -590,8 +593,7 @@ _GATE_FRONT = [
     "q_pmi_topk", "tfidf_top_term",
     # text quality / analysis
     "q_gopher_filter", "q_c4_filter", "lang_id", "text_token_stats",
-    "quality_score", "doc_fingerprint", "winnow_fingerprint",
-    "q_char_entropy", "dsir_score", "q_unigram_ppl", "q_bigram_ppl",
+    "quality_score", "doc_fingerprint", "dsir_score", "q_unigram_ppl",
     # training-data prep
     "q_contamination", "q_training_corpus", "seq_pack", "q_hash_split",
     "q_source_kl",
