@@ -615,11 +615,26 @@ def _nq_batch(mat: np.ndarray) -> np.ndarray:
     return nx.astype(np.int64)
 
 
+def _int_matmul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """EXACT int64 matmul via float64 BLAS: with |coords| ≤ ~1e6 and
+    dim ≤ 64, every product (≤1e12) and every partial sum (≤6.4e13) is an
+    integer below 2^53, hence exactly representable — dgemm returns the
+    exact integer result under ANY blocking/FMA order, ~100× faster than
+    numpy's non-BLAS int64 matmul. (Guarded: falls back to int64 if the
+    bound doesn't hold.)"""
+    bound = (np.abs(a).max(initial=0) * np.abs(b).max(initial=0)
+             * a.shape[1] if a.size and b.size else 0)
+    if bound >= 2 ** 53:
+        return a @ b
+    return np.rint(a.astype(np.float64) @ b.astype(np.float64)
+                   ).astype(np.int64)
+
+
 def _assign(c: np.ndarray, nx: np.ndarray):
     """Exact-integer nearest-centroid assignment (ties → lower cluster)."""
     nx2 = (nx * nx).sum(axis=1)
     c2 = (c * c).sum(axis=1)
-    dots = nx @ c.T
+    dots = _int_matmul(nx, c.T)
     dist2 = nx2[:, None] + c2[None, :] - 2 * dots
     return np.argmin(dist2, axis=1), dots, nx2, c2
 
@@ -878,7 +893,8 @@ def semdedup(sf_dir: str, n_clusters: int = SEMDEDUP_CLUSTERS,
             m = 0
             if kept_rows and n2[i] > 0:
                 k2 = n2[kept_rows]
-                dots = (mat[kept_rows] @ mat[i]).astype(np.float64)
+                dots = _int_matmul(mat[kept_rows],
+                                   mat[i][:, None])[:, 0].astype(np.float64)
                 den = np.sqrt(k2.astype(np.float64)) * np.sqrt(float(n2[i]))
                 q = round_half_away(
                     np.where(k2 == 0, 0.0,
@@ -1136,7 +1152,7 @@ def q_emb_outliers(sf_dir: str, k: int = OUTLIER_TOP_K) -> pd.DataFrame:
                              "dist2": pa.array([], pa.int64())})
         nx = _nq_batch(mat)
         nx2 = (nx * nx).sum(axis=1)
-        dist2 = nx2 + g2 - 2 * (nx @ g)
+        dist2 = nx2 + g2 - 2 * _int_matmul(nx, g[:, None])[:, 0]
         d = (pd.DataFrame({"vec_id": ids.astype(np.int64), "dist2": dist2})
              .sort_values(["dist2", "vec_id"], ascending=[False, True],
                           kind="mergesort").head(k))
@@ -1210,7 +1226,7 @@ def q_knn_graph(sf_dir: str, k: int = KNN_K,
             "vec": pa.array([nx[i].tobytes() for i in rep], pa.binary())})
 
     def _qcos(mat_a, n2_a, mat_b, n2_b):
-        dots = (mat_a @ mat_b.T).astype(np.float64)
+        dots = _int_matmul(mat_a, mat_b.T).astype(np.float64)
         den = (np.sqrt(n2_a.astype(np.float64))[:, None]
                * np.sqrt(n2_b.astype(np.float64))[None, :])
         zero = (n2_a[:, None] == 0) | (n2_b[None, :] == 0)
@@ -1251,20 +1267,24 @@ def q_knn_graph(sf_dir: str, k: int = KNN_K,
                                  "qcos": pd.Series([], dtype="int64")})
         return pd.concat(frames, ignore_index=True).astype(np.int64)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.drop_duplicates(["vec_id", "nbr_id"])
-             .sort_values(["qcos", "nbr_id"], ascending=[False, True],
-                          kind="mergesort").head(k))
-        g = g.reset_index(drop=True)
+    def final_combine(g: pd.DataFrame) -> pd.DataFrame:
+        # MANY vec_ids per bucket (bucketed_combine contract): one
+        # vectorized sort + per-key head, no per-vector group calls
+        g = (g.sort_values(["vec_id", "qcos", "nbr_id"],
+                           ascending=[True, False, True], kind="mergesort")
+             .groupby("vec_id", sort=False).head(k))
+        rk = g.groupby("vec_id", sort=False).cumcount() + 1
         return pd.DataFrame({
             "vec_id": g["vec_id"].to_numpy(np.int64),
-            "rk": np.arange(1, len(g) + 1, dtype=np.int64),
+            "rk": rk.to_numpy(np.int64),
             "nbr_id": g["nbr_id"].to_numpy(np.int64),
             "cos": round_half_away(
                 g["qcos"].to_numpy(np.float64) / KM_COS_GRID, 6)})
 
-    out = (_emb(sf_dir)
-           .map_batches(expand, batch_format="pyarrow", batch_size=4096)
-           .groupby("pair").map_groups(local_topk, batch_format="pandas")
-           .groupby("vec_id").map_groups(final_topk, batch_format="pandas"))
-    return ensure_schema(out, schema)
+    from .combine import bucketed_combine
+
+    cand = (_emb(sf_dir)
+            .map_batches(expand, batch_format="pyarrow", batch_size=4096)
+            .groupby("pair").map_groups(local_topk, batch_format="pandas"))
+    return ensure_schema(bucketed_combine(cand, "vec_id", final_combine),
+                         schema)
