@@ -707,6 +707,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_vec_quantize": similarity.q_vec_quantize,
         "q_emb_outliers": similarity.q_emb_outliers,
         "q_knn_graph": similarity.q_knn_graph,
+        "q_cluster_sources": similarity.q_cluster_sources,
         # multimodal
         "image_features": _image_features,
         "image_phash_dedup": _image_phash_dedup,
@@ -1367,6 +1368,20 @@ def _semdedup_sql() -> str:
     """
 
 
+def _cluster_sources_sql() -> str:
+    """Replay of similarity.q_cluster_sources: the shared k-means chain
+    assigns every vector, an inner join attaches each vector's document
+    source (``vec_id = doc_id``), and the count is integer."""
+    body, final_a, _ = _int_kmeans_ctes()
+    return f"""
+        WITH {body}
+        SELECT a.cluster, d.source, count(*) AS n
+        FROM {final_a} a JOIN documents d ON d.doc_id = a.vec_id
+        GROUP BY a.cluster, d.source
+        ORDER BY a.cluster, d.source
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # Side effect: materialize the generator's golden table so the
     # ocr_extract oracle below can read it regardless of whether the Ray
@@ -1385,6 +1400,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": _emb_kmeans_sql(),
         # SemDeDup greedy prune replay (recursive CTE over kept-set state)
         "semdedup": _semdedup_sql(),
+        # cluster × source composition: k-means chain + join + count
+        "q_cluster_sources": _cluster_sources_sql(),
         # embedding outliers on the same integer grid: exact centroid fold
         # + exact int squared distances, top-k by (dist2 desc, vec_id)
         "q_emb_outliers": """

@@ -1288,3 +1288,68 @@ def q_knn_graph(sf_dir: str, k: int = KNN_K,
             .groupby("pair").map_groups(local_topk, batch_format="pandas"))
     return ensure_schema(bucketed_combine(cand, "vec_id", final_combine),
                          schema)
+
+
+# --- cluster × source composition (cross-modal mixture diagnostic) --------------
+
+def q_cluster_sources(sf_dir: str,
+                      n_clusters: int = IVF_CENTROIDS) -> pd.DataFrame:
+    """Per-(embedding-cluster, document-source) composition: how each
+    semantic cluster draws from the corpus sources — the cross-modal
+    mixture diagnostic cluster-balanced sampling plans read (a cluster
+    dominated by one source signals topical skew in that source).
+
+    EXACTLY oracle-able: assignment rides the shared integer-grid k-means
+    (``_int_kmeans_centroids``), and the rest is an inner join to the
+    documents table (``vec_id = doc_id`` — the tables share the id space)
+    plus an integer count.
+
+    Ray shape: the assignment pass streams (vec_id, cluster) rows; a
+    distributed hash join (``Dataset.join``, cluster-derived partition
+    count) attaches each vector's source; per-batch (cluster, source)
+    count partials reduce through one |clusters|×|sources|-sized groupby —
+    result-sized output, nothing corpus-sized concentrates."""
+    cent = _int_kmeans_centroids(sf_dir, n_clusters)
+    if cent is None:
+        return typed_empty(cluster="int64", source="object", n="int64")
+    c_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        ids, mat = _batch_matrix(t)
+        if mat.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        nx = _nq_batch(mat)
+        a, _, _, _ = _assign(c, nx)
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    joined = (_emb(sf_dir)
+              .map_batches(assign, batch_format="pyarrow", batch_size=4096)
+              .join(docs, join_type="inner",
+                    num_partitions=scale.join_partitions(),
+                    on=("vec_id",), right_on=("doc_id",)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+            "cluster": t["cluster"].to_numpy(zero_copy_only=False),
+            "source": t["source"].to_numpy(zero_copy_only=False)})
+            .groupby(["cluster", "source"], as_index=False).size()
+            .rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    df = (joined.map_batches(partial, batch_format="pyarrow",
+                             batch_size=8192)
+          .groupby(["cluster", "source"])
+          .aggregate(Sum("n", alias_name="n")).to_pandas())
+    if df.empty:
+        return typed_empty(cluster="int64", source="object", n="int64")
+    df["cluster"] = df["cluster"].astype(np.int64)
+    df["n"] = df["n"].astype(np.int64)
+    return (df[["cluster", "source", "n"]]
+            .sort_values(["cluster", "source"]).reset_index(drop=True))

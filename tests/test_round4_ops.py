@@ -174,6 +174,36 @@ def test_knn_graph_self_excluded_and_sized(ray_session, tmp_path):
     assert (out["vec_id"] != out["nbr_id"]).all()
 
 
+# --- q_cluster_sources ------------------------------------------------------------
+
+
+def test_cluster_sources_planted(ray_session, tmp_path):
+    """Two orthogonal planted directions, sources aligned with directions:
+    each cluster is dominated by its matching source, every joined vector
+    is counted exactly once."""
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        q_cluster_sources)
+
+    rng = np.random.default_rng(5)
+    n = 40
+    vecs, rows = [], []
+    for i in range(n):
+        if i % 2 == 0:
+            vecs.append(rng.normal(0, 0.01, 8) + np.eye(8)[0])
+            rows.append((f"text {i}", "web"))
+        else:
+            vecs.append(rng.normal(0, 0.01, 8) + np.eye(8)[1])
+            rows.append((f"text {i}", "books"))
+    _write_emb(tmp_path, vecs)
+    _write_docs(tmp_path, rows)
+    out = q_cluster_sources(str(tmp_path), n_clusters=2)
+    assert int(out["n"].sum()) == n
+    for cl in out["cluster"].unique():
+        part = out[out["cluster"] == cl]
+        assert len(part) == 1          # pure clusters on this planting
+    assert set(out["source"]) == {"web", "books"}
+
+
 # --- emb_kmeans (integer-grid redesign) ------------------------------------------
 
 
