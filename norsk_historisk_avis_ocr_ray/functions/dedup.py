@@ -74,12 +74,15 @@ _POS = (np.uint64(0x9E3779B97F4A7C15),  # odd position multipliers (k ≤ 3)
 
 
 def _fmix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer, elementwise (uint64 wrap-around is intended)."""
-    x = x ^ (x >> np.uint64(30))
-    x = x * _MIX1
-    x = x ^ (x >> np.uint64(27))
-    x = x * _MIX2
-    return x ^ (x >> np.uint64(31))
+    """splitmix64 finalizer, elementwise (uint64 wrap-around is intended;
+    errstate silences numpy's scalar-overflow RuntimeWarning — arrays wrap
+    silently but a uint64 SCALAR input warns, and some callers pass one)."""
+    with np.errstate(over="ignore"):
+        x = x ^ (x >> np.uint64(30))
+        x = x * _MIX1
+        x = x ^ (x >> np.uint64(27))
+        x = x * _MIX2
+        return x ^ (x >> np.uint64(31))
 
 
 # Odd per-row multipliers for the LSH band key (rows-per-band ≤ 8): the key
