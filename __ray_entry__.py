@@ -773,6 +773,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": _minhash_clusters,
         "q_pagerank_dups": _q_pagerank_dups,
         "q_triangle_dups": _q_triangle_dups,
+        # market-basket pair mining (two bucketed combines + top-k)
+        "q_basket_pairs": relational.q_basket_pairs,
     }
 
 
@@ -2430,6 +2432,19 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN c ca ON ca.event_type = p.type_a
                    JOIN c cb ON cb.event_type = p.type_b
             ORDER BY type_a, type_b
+        """,
+        # All-integer market-basket pair counts; the (n DESC, part_a,
+        # part_b) total order makes LIMIT 25 deterministic under ties.
+        "q_basket_pairs": """
+            WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                         CAST(count(*) AS BIGINT) AS n_orders
+                  FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey
+                                     AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2)
+            SELECT part_a, part_b, n_orders FROM p
+            ORDER BY n_orders DESC, part_a, part_b LIMIT 25
         """,
         "q_user_gaps": """
             WITH s AS (SELECT user_id, event_id,

@@ -3981,3 +3981,73 @@ def q_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
     out["jaccard"] = round_half_away(both / (na + nb - both), 6)
     return (out[["type_a", "type_b", "n_both", "jaccard"]]
             .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+
+
+# --- market-basket pair mining (frequent part pairs per order) ------------------
+
+BASKET_TOP_N = 25
+
+
+def q_basket_pairs(sf_dir: str) -> pd.DataFrame:
+    """Top-25 part pairs by the number of orders containing BOTH parts —
+    classic market-basket co-occurrence mining (the A-Priori candidate
+    pass), and structurally the "documents sharing both n-grams" probe a
+    contamination triage runs.
+
+    All-integer, so exactly oracle-replayable: counts only, total order
+    ``(n_orders DESC, part_a, part_b)`` breaks ties deterministically.
+
+    Ray shape — two bucketed combines, no per-group Python:
+    1. order-bucketed pair expansion: batch-local distinct
+       (order, part) projection, then each order-hash bucket self-merges
+       vectorized and emits per-bucket PARTIAL pair counts (an order
+       lives whole in one bucket, so partials are disjoint per order;
+       pairs-per-order is quadratic in basket size, bounded at 21 for
+       TPC-H's ≤7-line orders — a web-corpus run would cap basket size).
+    2. pair-bucketed count fold + LOCAL top-25 combiner: a pair lives
+       whole in one bucket, so bucket-local top-25 by the final total
+       order is a valid combiner — the driver merges 25 × n_buckets
+       candidate rows, never the ~N_pairs/60-per-order pair space
+       (1.2M distinct pairs at sf0.1)."""
+    from .combine import bucketed_combine
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def distinct(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        p = (m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False)
+             .agg(n=("l_orderkey", "size")))
+        p.columns = ["part_a", "part_b", "n"]
+        p["n"] = p["n"].astype(np.int64)
+        p["pkey"] = ((p["part_a"].to_numpy(np.int64) << 32)
+                     | p["part_b"].to_numpy(np.int64))
+        return p
+
+    partial = bucketed_combine(
+        ds.map_batches(distinct, batch_format="pyarrow", batch_size=8192),
+        "l_orderkey", order_pairs)
+
+    def pair_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby("pkey", as_index=False)
+             .agg(part_a=("part_a", "first"), part_b=("part_b", "first"),
+                  n_orders=("n", "sum")))
+        s = s.sort_values(["n_orders", "part_a", "part_b"],
+                          ascending=[False, True, True], kind="mergesort")
+        return s.head(BASKET_TOP_N)[["part_a", "part_b", "n_orders"]]
+
+    cand = bucketed_combine(partial, "pkey", pair_topk).to_pandas()
+    if cand.empty:
+        return typed_empty(part_a="int64", part_b="int64",
+                           n_orders="int64")
+    for c in ("part_a", "part_b", "n_orders"):
+        cand[c] = cand[c].astype(np.int64)
+    return (cand.sort_values(["n_orders", "part_a", "part_b"],
+                             ascending=[False, True, True],
+                             kind="mergesort")
+            .head(BASKET_TOP_N).reset_index(drop=True))
