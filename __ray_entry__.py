@@ -775,6 +775,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_triangle_dups": _q_triangle_dups,
         # market-basket pair mining (two bucketed combines + top-k)
         "q_basket_pairs": relational.q_basket_pairs,
+        # Zipf-exponent fit on the 1e-6 log grid (integer OLS moments)
+        "q_zipf_slope": textstats.q_zipf_slope,
     }
 
 
@@ -2432,6 +2434,52 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN c ca ON ca.event_type = p.type_a
                    JOIN c cb ON cb.event_type = p.type_b
             ORDER BY type_a, type_b
+        """,
+        # Zipf fit: logs quantize elementwise to the 1e-6 integer grid
+        # (shared libm ln — the q_pmi precedent), OLS moments fold as
+        # HUGEINT (Python ints on the Ray side), slope/R² are int→double
+        # casts with identical association on both sides, one division
+        # each. Grid scale cancels in the ratios.
+        "q_zipf_slope": r"""
+            WITH b AS (SELECT lower(coalesce(text, '')) AS tx
+                       FROM documents),
+            wd AS (SELECT unnest(list_filter(
+                              regexp_split_to_array(tx, '\s+'),
+                              x -> x <> '')) AS tok
+                   FROM b),
+            c AS (SELECT tok, count(*)::BIGINT AS freq
+                  FROM wd GROUP BY tok),
+            top AS (SELECT tok, freq FROM c
+                    ORDER BY freq DESC, tok LIMIT 128),
+            rk AS (SELECT freq,
+                          row_number() OVER (ORDER BY freq DESC, tok)
+                              AS rank
+                   FROM top),
+            q AS (SELECT CAST(round(1000000.0
+                                    * ln(CAST(rank AS DOUBLE)))
+                              AS BIGINT) AS qx,
+                         CAST(round(1000000.0
+                                    * ln(CAST(freq AS DOUBLE)))
+                              AS BIGINT) AS qy
+                  FROM rk),
+            s AS (SELECT count(*)::HUGEINT AS n,
+                         sum(qx)::HUGEINT AS sx, sum(qy)::HUGEINT AS sy,
+                         sum(qx * qy)::HUGEINT AS sxy,
+                         sum(qx * qx)::HUGEINT AS sxx,
+                         sum(qy * qy)::HUGEINT AS syy
+                  FROM q)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                       AS zipf_slope,
+                   CASE WHEN n * syy - sy * sy = 0 THEN 0.0
+                        ELSE round(
+                            (CAST(n * sxy - sx * sy AS DOUBLE)
+                             * CAST(n * sxy - sx * sy AS DOUBLE))
+                            / (CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   END AS r2
+            FROM s WHERE n >= 2
         """,
         # All-integer market-basket pair counts; the (n DESC, part_a,
         # part_b) total order makes LIMIT 25 deterministic under ties.

@@ -918,3 +918,94 @@ def q_simpson_diversity(sf_dir: str) -> pd.DataFrame:
         n > 1, num.astype(np.float64) / np.where(n > 1, den, 1.0), 0.0)
     return (df[["source", "n_tokens", "n_distinct", "simpson"]]
             .sort_values("source").reset_index(drop=True))
+
+
+# --- Zipf-exponent fit over the unigram rank-frequency curve --------------------
+
+ZIPF_TOP_V = 128
+ZIPF_LOG_GRID = 1_000_000.0
+
+
+def q_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """OLS fit of ``ln(freq) ~ ln(rank)`` over the corpus's top-128
+    unigrams — the Zipf-law diagnostic of a training mix (natural text
+    fits slope ≈ −1 with high R²; templated/boilerplate corpora flatten
+    or kink the curve).
+
+    Exactness: each log quantizes ELEMENTWISE to the 1e-6 integer grid
+    (``round(1e6·ln(x))`` — ln is the shared libm, the q_pmi_topk
+    precedent), so the OLS moment sums are integer folds (Python ints on
+    the driver, HUGEINT in DuckDB — order-free and overflow-free); slope
+    and R² are deterministic int→double casts with the SAME association
+    on both sides, one division each. The grid scale cancels in the
+    slope ratio, so the reported slope is in natural ln units.
+
+    Ray shape: per-batch token-count partials → ONE token-bucketed
+    combine resolves global frequencies AND takes the bucket-local
+    top-128 by the final total order ``(freq DESC, tok ASC)`` (a token
+    lives whole in one bucket, so this is a valid top-k combiner) → the
+    driver merges ≤ 128 × n_buckets candidate rows and fits on 128
+    points. The full vocabulary never leaves the cluster."""
+    from .collect import typed_empty
+    from .combine import bucketed_combine
+    from .dedup import _hash64
+
+    ds = _docs(sf_dir, ["text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        words = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        flat = pc.list_flatten(words)
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        toks = toks[np.fromiter((len(x) > 0 for x in toks), bool,
+                                count=len(toks))] if len(toks) else toks
+        df = (pd.DataFrame({"tok": toks})
+              .groupby("tok", as_index=False).size())
+        cache: dict[str, int] = {}
+        th = np.fromiter(
+            (cache.setdefault(x, _hash64(x) // 2) for x in df["tok"]),
+            np.int64, count=len(df))
+        return pa.table({"tok_h": pa.array(th, pa.int64()),
+                         "tok": pa.array(df["tok"], pa.string()),
+                         "freq": pa.array(df["size"].to_numpy(np.int64))})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("tok", as_index=False).agg(freq=("freq", "sum"))
+        cnt["freq"] = cnt["freq"].astype(np.int64)
+        cnt = cnt.sort_values(["freq", "tok"], ascending=[False, True],
+                              kind="mergesort")
+        return cnt.head(ZIPF_TOP_V)[["tok", "freq"]]
+
+    cand = bucketed_combine(
+        ds.map_batches(tok_counts, batch_format="pyarrow",
+                       batch_size=8192),
+        "tok_h", per_bucket).to_pandas()
+    if len(cand) < 2:
+        return typed_empty(n_terms="int64", zipf_slope="float64",
+                           r2="float64")
+    top = (cand.sort_values(["freq", "tok"], ascending=[False, True],
+                            kind="mergesort")
+           .head(ZIPF_TOP_V).reset_index(drop=True))
+    n = len(top)
+    if n < 2:
+        return typed_empty(n_terms="int64", zipf_slope="float64",
+                           r2="float64")
+    rank = np.arange(1, n + 1, dtype=np.float64)
+    freq = top["freq"].to_numpy(np.int64).astype(np.float64)
+    qx = round_half_away(ZIPF_LOG_GRID * np.log(rank), 0).astype(np.int64)
+    qy = round_half_away(ZIPF_LOG_GRID * np.log(freq), 0).astype(np.int64)
+    # Python-int moments: arbitrary precision, mirrors DuckDB's HUGEINT
+    sx, sy = int(qx.sum()), int(qy.sum())
+    sxy = int((qx * qy).sum())
+    sxx = int((qx * qx).sum())
+    syy = int((qy * qy).sum())
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = round_half_away(float(num) / float(denx), 6)
+    r2 = (0.0 if deny == 0 else
+          round_half_away((float(num) * float(num))
+                          / (float(denx) * float(deny)), 6))
+    return pd.DataFrame({"n_terms": np.array([n], np.int64),
+                         "zipf_slope": np.array([slope], np.float64),
+                         "r2": np.array([r2], np.float64)})

@@ -55,3 +55,71 @@ def test_basket_pairs_empty(ray_session, tmp_path):
     out = q_basket_pairs(sf)
     assert len(out) == 0
     assert list(out.columns) == ["part_a", "part_b", "n_orders"]
+
+
+# --- q_zipf_slope ---------------------------------------------------------------
+
+
+def _write_texts(tmp_path, texts):
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _ols_fit(freqs):
+    """Independent quantized-log OLS replication (math.log, pure ints)."""
+    import math
+    qx = [round(1e6 * math.log(r + 1)) for r in range(len(freqs))]
+    qy = [round(1e6 * math.log(f)) for f in freqs]
+    n = len(freqs)
+    sx, sy = sum(qx), sum(qy)
+    sxy = sum(a * b for a, b in zip(qx, qy))
+    sxx = sum(a * a for a in qx)
+    syy = sum(b * b for b in qy)
+    num, denx, deny = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    slope = float(num) / float(denx)
+    r2 = 0.0 if deny == 0 else (float(num) * float(num)) / (
+        float(denx) * float(deny))
+    return slope, r2
+
+
+def test_zipf_slope_recovers_planted_exponent(ray_session, tmp_path):
+    """A corpus whose token frequencies follow a 1/rank curve must fit
+    slope ≈ -1: assert exact equality against an independent quantized-log
+    OLS replication, plus a loose natural band."""
+    # freq(tok_i) = max(240 // (i+1), 1): a 1/rank curve, 40 tokens
+    freqs = [max(240 // (i + 1), 1) for i in range(40)]
+    words = []
+    for i, f in enumerate(freqs):
+        words.extend([f"tok{i:03d}"] * f)
+    # spread across docs so the combine actually folds partials
+    texts = [" ".join(words[j::7]) for j in range(7)]
+    sf = _write_texts(tmp_path, texts)
+
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_zipf_slope)
+    out = q_zipf_slope(sf)
+    assert list(out.columns) == ["n_terms", "zipf_slope", "r2"]
+    assert out["n_terms"].iloc[0] == 40
+    # ground truth: ranks are by (freq desc, tok asc); our tokens sort in
+    # rank order already, and freqs are distinct-or-tied consistently
+    ranked = sorted(zip([-f for f in freqs],
+                        [f"tok{i:03d}" for i in range(40)]))
+    exp_slope, exp_r2 = _ols_fit([-f for f, _ in ranked])
+    assert abs(out["zipf_slope"].iloc[0] - round(exp_slope, 6)) < 1e-9
+    assert abs(out["r2"].iloc[0] - round(exp_r2, 6)) < 1e-9
+    assert -1.35 < out["zipf_slope"].iloc[0] < -0.75
+    assert out["r2"].iloc[0] > 0.9
+
+
+def test_zipf_slope_flat_corpus_r2_zero(ray_session, tmp_path):
+    """All tokens equally frequent: slope 0, R² defined as 0 (deny = 0)."""
+    texts = ["alpha beta gamma delta", "alpha beta gamma delta"]
+    sf = _write_texts(tmp_path, texts)
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_zipf_slope)
+    out = q_zipf_slope(sf)
+    assert out["zipf_slope"].iloc[0] == 0.0
+    assert out["r2"].iloc[0] == 0.0
