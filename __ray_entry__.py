@@ -777,6 +777,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_basket_pairs": relational.q_basket_pairs,
         # Zipf-exponent fit on the 1e-6 log grid (integer OLS moments)
         "q_zipf_slope": textstats.q_zipf_slope,
+        # integer-grid cluster silhouette (blocked all-pairs sweep)
+        "q_silhouette": similarity.q_silhouette,
     }
 
 
@@ -1372,6 +1374,60 @@ def _semdedup_sql() -> str:
     """
 
 
+def _silhouette_sql() -> str:
+    """Replay of similarity.q_silhouette: the shared k-means chain assigns
+    every vector, the all-pairs self-join quantizes each euclidean
+    distance to the 1e-3 integer grid (``round(1e3·sqrt(d2))``, d2 an
+    exact integer), per-(vector, cluster) sums fold as integers, a and b
+    are single int→double divisions, s = (b−a)/max(a,b) quantizes to the
+    1e-9 grid, and the per-cluster mean is one integer fold + division.
+    Singleton-cluster / one-cluster corners are NULL-decided (s = 0)."""
+    body, final_a, _ = _int_kmeans_ctes()
+    return f"""
+        WITH {body},
+        pr AS MATERIALIZED (
+            SELECT i.vec_id AS vid, i.cluster AS own, j.cluster AS jc,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(1000.0 * sqrt(CAST(
+                       i.n2 + j.n2
+                       - 2 * CAST(list_inner_product(i.nx, j.nx)
+                                  AS BIGINT)
+                       AS DOUBLE))) AS BIGINT)) AS BIGINT) AS sqd
+            FROM {final_a} i JOIN {final_a} j
+              ON i.vec_id <> j.vec_id
+            GROUP BY 1, 2, 3),
+        agg AS (
+            SELECT vid, own,
+                   CAST(sum(CASE WHEN jc = own THEN sqd END)
+                        AS BIGINT) AS a_sum,
+                   CAST(sum(CASE WHEN jc = own THEN n END)
+                        AS BIGINT) AS a_n,
+                   min(CASE WHEN jc <> own
+                            THEN CAST(sqd AS DOUBLE)
+                                 / CAST(n AS DOUBLE) END) AS b
+            FROM pr GROUP BY vid, own),
+        sil AS (
+            SELECT own AS cluster,
+                   CASE WHEN a_n IS NULL OR b IS NULL THEN
+                            CAST(0 AS BIGINT)
+                        WHEN greatest(CAST(a_sum AS DOUBLE)
+                                      / CAST(a_n AS DOUBLE), b) = 0 THEN
+                            CAST(0 AS BIGINT)
+                        ELSE CAST(round(1000000000.0
+                            * (b - CAST(a_sum AS DOUBLE)
+                                   / CAST(a_n AS DOUBLE))
+                            / greatest(CAST(a_sum AS DOUBLE)
+                                       / CAST(a_n AS DOUBLE), b))
+                            AS BIGINT)
+                   END AS qs
+            FROM agg)
+        SELECT cluster, count(*) AS n,
+               round(CAST(sum(qs) AS DOUBLE) / 1000000000.0
+                     / CAST(count(*) AS DOUBLE), 6) AS mean_sil
+        FROM sil GROUP BY cluster ORDER BY cluster
+    """
+
+
 def _cluster_sources_sql() -> str:
     """Replay of similarity.q_cluster_sources: the shared k-means chain
     assigns every vector, an inner join attaches each vector's document
@@ -1406,6 +1462,8 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_sql(),
         # cluster × source composition: k-means chain + join + count
         "q_cluster_sources": _cluster_sources_sql(),
+        # per-cluster mean silhouette on the 1e-3 distance grid
+        "q_silhouette": _silhouette_sql(),
         # embedding outliers on the same integer grid: exact centroid fold
         # + exact int squared distances, top-k by (dist2 desc, vec_id)
         "q_emb_outliers": """

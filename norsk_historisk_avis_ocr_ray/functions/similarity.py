@@ -1353,3 +1353,177 @@ def q_cluster_sources(sf_dir: str,
     df["n"] = df["n"].astype(np.int64)
     return (df[["cluster", "source", "n"]]
             .sort_values(["cluster", "source"]).reset_index(drop=True))
+
+
+# --- cluster silhouette on the integer grid --------------------------------------
+
+SIL_DIST_GRID = 1_000.0   # pairwise euclidean distances quantize to 1e-3
+
+
+def q_silhouette(sf_dir: str, n_clusters: int = IVF_CENTROIDS,
+                 n_blocks: int | None = None) -> pd.DataFrame:
+    """Per-cluster mean silhouette of the integer-grid k-means — THE
+    cluster-quality diagnostic (Rousseeuw 1987): for each vector,
+    a = mean distance to its own cluster's other members, b = the nearest
+    other cluster's mean distance, s = (b − a)/max(a, b); the report is
+    each cluster's member count and mean s.
+
+    EXACTLY DuckDB-oracle-replayable, composing the shared
+    ``_int_kmeans_centroids`` trainer: pairwise euclidean distances
+    quantize ELEMENTWISE to a 1e-3 integer grid
+    (``round(1e3·sqrt(d2))``, d2 an exact integer ≤ 4e12 — sqrt/round are
+    the shared libm), so the per-(vector, cluster) distance sums fold as
+    int64 in any order; a and b are single int→double divisions, s is a
+    deterministic elementwise chain quantized to the 1e-9 grid, and the
+    per-cluster mean is one final integer fold + division. Singleton
+    clusters and the one-cluster corner score s = 0 (the sklearn
+    convention), decided by INTEGER/NULL presence, never a float
+    comparison.
+
+    Ray shape: the ``q_knn_graph`` blocked all-pairs sweep — each vector
+    rides to its ``n_blocks`` block-pair groups carrying its own-cluster
+    assignment (centroids broadcast once via ``ray.put``); each pair
+    group emits ≤ |side| × k integer partial rows
+    ``(vec_id, own, other_cluster, n, Σqd)`` (the qd fold is an exact
+    int64 BLAS matmul against the cluster one-hot); ONE vec-bucketed
+    combine resolves every vector's a/b/s and reduces straight to
+    per-cluster (count, Σqs) partials inside the bucket, so only
+    |clusters|-sized rows reach the final groupby. N=1 emits nothing
+    (no pairs) on BOTH sides."""
+    from .combine import bucketed_combine
+
+    if n_blocks is None:
+        n_blocks = scale.pair_blocks()
+    cent = _int_kmeans_centroids(sf_dir, n_clusters)
+    if cent is None:
+        return typed_empty(cluster="int64", n="int64",
+                           mean_sil="float64")
+    emb = _emb(sf_dir)
+    c_ref = ray.put(cent)
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        if mat.size == 0:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "blk": pa.array([], pa.int64()),
+                             "own": pa.array([], pa.int64()),
+                             "n2": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.binary())})
+        nx = _nq_batch(mat)
+        own, _, n2, _ = _assign(ray.get(c_ref), nx)
+        blk = (ids % n_blocks).astype(np.int64)
+        n = len(ids)
+        rep = np.repeat(np.arange(n), n_blocks)
+        partner = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+        lo = np.minimum(blk[rep], partner)
+        hi = np.maximum(blk[rep], partner)
+        return pa.table({
+            "pair": pa.array(lo * n_blocks + hi),
+            "vec_id": pa.array(ids[rep].astype(np.int64)),
+            "blk": pa.array(blk[rep]),
+            "own": pa.array(own[rep].astype(np.int64)),
+            "n2": pa.array(n2[rep]),
+            "vec": pa.array([nx[i].tobytes() for i in rep], pa.binary())})
+
+    def local_partials(g: pd.DataFrame) -> pd.DataFrame:
+        pair = int(g["pair"].iloc[0])
+        lo, hi = pair // n_blocks, pair % n_blocks
+        g = g.drop_duplicates("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        own = g["own"].to_numpy(np.int64)
+        n2 = g["n2"].to_numpy(np.int64)
+        mat = np.stack([np.frombuffer(r, np.int64) for r in g["vec"]])
+        blk = g["blk"].to_numpy(np.int64)
+        frames = []
+        dirs = ([(blk == lo, blk == hi), (blk == hi, blk == lo)]
+                if lo != hi else [(blk == lo, blk == lo)])
+        for qa, qb in dirs:
+            na, nb = int(qa.sum()), int(qb.sum())
+            if na == 0 or nb == 0:
+                continue
+            d2 = (n2[qa][:, None] + n2[qb][None, :]
+                  - 2 * _int_matmul(mat[qa], mat[qb].T))
+            qd = round_half_away(
+                SIL_DIST_GRID * np.sqrt(d2.astype(np.float64)),
+                0).astype(np.int64)
+            onehot = np.zeros((nb, len(cent)), np.int64)
+            onehot[np.arange(nb), own[qb]] = 1
+            sqd = _int_matmul(qd, onehot)          # (na, k) exact
+            cnt = np.broadcast_to(
+                np.bincount(own[qb],
+                            minlength=len(cent)).astype(np.int64),
+                sqd.shape).copy()
+            if lo == hi:
+                # the diagonal group pairs a block with itself: drop the
+                # self pair (qd self = 0 → sum unaffected; count must not
+                # include it)
+                cnt[np.arange(na), own[qa]] -= 1
+            kk = len(cent)
+            frames.append(pd.DataFrame({
+                "vec_id": np.repeat(ids[qa], kk),
+                "own": np.repeat(own[qa], kk),
+                "jc": np.tile(np.arange(kk, dtype=np.int64), na),
+                "n": cnt.reshape(-1),
+                "sqd": sqd.reshape(-1)}))
+        if not frames:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "own": pd.Series([], dtype="int64"),
+                                 "jc": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "sqd": pd.Series([], dtype="int64")})
+        out = pd.concat(frames, ignore_index=True)
+        return out[out["n"] > 0]
+
+    partials = (emb.map_batches(expand, batch_format="pyarrow",
+                                batch_size=4096)
+                .groupby("pair").map_groups(local_partials,
+                                            batch_format="pandas"))
+
+    def per_vec(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["vec_id", "own", "jc"], as_index=False)
+             .agg(n=("n", "sum"), sqd=("sqd", "sum")))
+        is_own = s["jc"].to_numpy() == s["own"].to_numpy()
+        a_rows = s[is_own].set_index("vec_id")
+        o = s[~is_own].copy()
+        o["m"] = (o["sqd"].to_numpy(np.int64).astype(np.float64)
+                  / o["n"].to_numpy(np.int64).astype(np.float64))
+        b = o.groupby("vec_id")["m"].min()
+        base = (s.drop_duplicates("vec_id")[["vec_id", "own"]]
+                .set_index("vec_id"))
+        a_sum = a_rows["sqd"].reindex(base.index)
+        a_n = a_rows["n"].reindex(base.index)
+        bb = b.reindex(base.index)
+        a = (a_sum.to_numpy(np.float64)
+             / np.where(a_n.isna(), 1.0, a_n.to_numpy(np.float64)))
+        bv = bb.to_numpy(np.float64)
+        mx = np.maximum(a, bv)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sil = np.where(
+                a_n.isna().to_numpy() | bb.isna().to_numpy() | (mx == 0),
+                0.0, (bv - a) / np.where(mx == 0, 1.0, mx))
+        qs = round_half_away(KM_COS_GRID * sil, 0).astype(np.int64)
+        out = pd.DataFrame({"cluster": base["own"].to_numpy(np.int64),
+                            "qs": qs})
+        out = (out.groupby("cluster", as_index=False)
+               .agg(n=("qs", "size"), qs_sum=("qs", "sum")))
+        out["n"] = out["n"].astype(np.int64)
+        out["qs_sum"] = out["qs_sum"].astype(np.int64)
+        return out
+
+    from ray.data.aggregate import Sum
+
+    df = (bucketed_combine(partials, "vec_id", per_vec)
+          .groupby("cluster")
+          .aggregate(Sum("n", alias_name="n"),
+                     Sum("qs_sum", alias_name="qs_sum")).to_pandas())
+    if df.empty:
+        return typed_empty(cluster="int64", n="int64",
+                           mean_sil="float64")
+    df["mean_sil"] = round_half_away(
+        df["qs_sum"].to_numpy(np.float64) / KM_COS_GRID
+        / df["n"].to_numpy(np.float64), 6)
+    df["cluster"] = df["cluster"].astype(np.int64)
+    df["n"] = df["n"].astype(np.int64)
+    return (df[["cluster", "n", "mean_sil"]]
+            .sort_values("cluster").reset_index(drop=True))

@@ -123,3 +123,95 @@ def test_zipf_slope_flat_corpus_r2_zero(ray_session, tmp_path):
     out = q_zipf_slope(sf)
     assert out["zipf_slope"].iloc[0] == 0.0
     assert out["r2"].iloc[0] == 0.0
+
+
+# --- q_silhouette ---------------------------------------------------------------
+
+
+def _write_emb(tmp_path, vecs):
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_silhouette_separated_clusters_score_high(ray_session, tmp_path):
+    """Three tight orthogonal groups, contiguous in id order so the
+    id-spread init seeds one centroid per group: every cluster's mean
+    silhouette must be near 1."""
+    rng = np.random.default_rng(7)
+    vecs = []
+    for axis in range(3):
+        for _ in range(10):
+            v = rng.normal(0, 0.01, 9)
+            v[axis * 3] += 5.0
+            vecs.append(v)
+    sf = _write_emb(tmp_path, vecs)
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        q_silhouette)
+    out = q_silhouette(sf, n_clusters=3)
+    assert list(out.columns) == ["cluster", "n", "mean_sil"]
+    assert out["n"].sum() == 30
+    assert (out["mean_sil"] > 0.8).all()
+
+
+def test_silhouette_identical_vectors_zero(ray_session, tmp_path):
+    """All-identical vectors collapse to one cluster (ties to the lower
+    id): b is undefined -> s = 0 by the sklearn convention."""
+    sf = _write_emb(tmp_path, [[1.0, 2.0, 3.0]] * 12)
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        q_silhouette)
+    out = q_silhouette(sf, n_clusters=4)
+    assert out["n"].sum() == 12
+    assert (out["mean_sil"] == 0.0).all()
+
+
+def test_silhouette_matches_bruteforce_replication(ray_session, tmp_path):
+    """Independent brute-force replication of the quantized silhouette on
+    a small random set — same grids, straight from the definition."""
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 1, (24, 6))
+    sf = _write_emb(tmp_path, vecs)
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        _int_kmeans_centroids, _nq_batch, _assign, q_silhouette)
+    from norsk_historisk_avis_ocr_ray.functions.rounding import (
+        round_half_away)
+
+    out = q_silhouette(sf, n_clusters=4)
+
+    cent = _int_kmeans_centroids(sf, 4)
+    nx = _nq_batch(np.asarray(vecs, np.float64))
+    own, _, _, _ = _assign(cent, nx)
+    n = len(vecs)
+    qs_by_cluster = {}
+    for i in range(n):
+        sums, cnts = {}, {}
+        for j in range(n):
+            if i == j:
+                continue
+            d2 = int(((nx[i] - nx[j]) ** 2).sum())
+            qd = int(round_half_away(1e3 * np.sqrt(float(d2)), 0))
+            c = int(own[j])
+            sums[c] = sums.get(c, 0) + qd
+            cnts[c] = cnts.get(c, 0) + 1
+        oc = int(own[i])
+        if oc not in cnts:
+            s = 0.0
+        else:
+            a = float(sums[oc]) / float(cnts[oc])
+            others = [float(sums[c]) / float(cnts[c])
+                      for c in cnts if c != oc]
+            if not others:
+                s = 0.0
+            else:
+                b = min(others)
+                mx = max(a, b)
+                s = 0.0 if mx == 0 else (b - a) / mx
+        qs = int(round_half_away(1e9 * s, 0))
+        qs_by_cluster.setdefault(oc, []).append(qs)
+    exp = {c: round_half_away(sum(v) / 1e9 / len(v), 6)
+           for c, v in qs_by_cluster.items()}
+    got = dict(zip(out["cluster"], out["mean_sil"]))
+    assert got == {c: exp[c] for c in sorted(exp)}
