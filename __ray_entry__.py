@@ -779,6 +779,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_zipf_slope": textstats.q_zipf_slope,
         # integer-grid cluster silhouette (blocked all-pairs sweep)
         "q_silhouette": similarity.q_silhouette,
+        # density clustering: integer eps-graph + min-label components
+        "emb_dbscan": similarity.emb_dbscan,
     }
 
 
@@ -1374,6 +1376,84 @@ def _semdedup_sql() -> str:
     """
 
 
+def _dbscan_sql() -> str:
+    """Replay of similarity.emb_dbscan: integer eps test on the quantized
+    grid, integer degree counts, min-label component closure over the
+    core-core eps-graph (the minhash_clusters recursive-CTE pattern),
+    border = min core-neighbor cluster, noise = -1."""
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        DBSCAN_EPS2, DBSCAN_MINPTS)
+
+    return f"""
+        WITH RECURSIVE nq AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       round(1000000.0 * CAST(x AS DOUBLE))) AS q1
+            FROM embeddings
+        ), nxt AS MATERIALIZED (
+            SELECT vec_id, CAST(n2 AS BIGINT) AS n2,
+                   CASE WHEN n2 = 0
+                        THEN list_transform(q1, v -> CAST(0 AS BIGINT))
+                        ELSE list_transform(q1, v -> CAST(round(
+                            1000000.0 * v / sqrt(n2)) AS BIGINT))
+                   END AS nx
+            FROM (SELECT vec_id, q1,
+                         list_sum(list_transform(q1, v -> v * v)) AS n2
+                  FROM nq)
+        ), e AS MATERIALIZED (
+            SELECT i.vec_id AS a, j.vec_id AS b
+            FROM nxt i JOIN nxt j ON i.vec_id < j.vec_id
+            WHERE i.n2 + j.n2
+                  - 2 * CAST(list_inner_product(i.nx, j.nx) AS BIGINT)
+                  <= {DBSCAN_EPS2}
+        ), bidir AS MATERIALIZED (
+            SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+        ), deg AS (
+            SELECT a AS v, CAST(1 + count(*) AS BIGINT) AS nb
+            FROM bidir GROUP BY a
+        ), allv AS MATERIALIZED (
+            SELECT n.vec_id, coalesce(d.nb, 1) AS n_nbrs,
+                   CASE WHEN coalesce(d.nb, 1) >= {DBSCAN_MINPTS}
+                        THEN 1 ELSE 0 END AS is_core
+            FROM nxt n LEFT JOIN deg d ON d.v = n.vec_id
+        ), ce AS MATERIALIZED (
+            SELECT bd.a, bd.b FROM bidir bd
+            JOIN allv x ON x.vec_id = bd.a AND x.is_core = 1
+            JOIN allv y ON y.vec_id = bd.b AND y.is_core = 1
+        ), cnodes AS (SELECT DISTINCT a AS v FROM ce),
+        lab(node, label) AS (
+            SELECT v, v FROM cnodes
+            UNION
+            SELECT ce.a, lab.label FROM lab
+            JOIN ce ON ce.b = lab.node
+            WHERE lab.label < ce.a
+        ), comp AS (SELECT node, min(label) AS cl FROM lab GROUP BY node),
+        core_cl AS (
+            SELECT v.vec_id AS node, coalesce(c.cl, v.vec_id) AS cl
+            FROM allv v LEFT JOIN comp c ON c.node = v.vec_id
+            WHERE v.is_core = 1
+        ), border AS (
+            SELECT bd.a AS v, min(cc.cl) AS cl
+            FROM bidir bd
+            JOIN allv x ON x.vec_id = bd.a AND x.is_core = 0
+            JOIN core_cl cc ON cc.node = bd.b
+            GROUP BY bd.a
+        )
+        SELECT v.vec_id,
+               CASE WHEN v.is_core = 1 THEN 'core'
+                    WHEN b.cl IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               CASE WHEN v.is_core = 1 THEN cc.cl
+                    WHEN b.cl IS NOT NULL THEN b.cl
+                    ELSE CAST(-1 AS BIGINT) END AS cluster_id,
+               v.n_nbrs
+        FROM allv v
+        LEFT JOIN core_cl cc ON cc.node = v.vec_id
+        LEFT JOIN border b ON b.v = v.vec_id
+        ORDER BY v.vec_id
+    """
+
+
 def _silhouette_sql() -> str:
     """Replay of similarity.q_silhouette: the shared k-means chain assigns
     every vector, the all-pairs self-join quantizes each euclidean
@@ -1464,6 +1544,8 @@ def oracle_sql() -> dict[str, str]:
         "q_cluster_sources": _cluster_sources_sql(),
         # per-cluster mean silhouette on the 1e-3 distance grid
         "q_silhouette": _silhouette_sql(),
+        # DBSCAN: integer eps-graph, recursive-CTE components
+        "emb_dbscan": _dbscan_sql(),
         # embedding outliers on the same integer grid: exact centroid fold
         # + exact int squared distances, top-k by (dist2 desc, vec_id)
         "q_emb_outliers": """

@@ -1527,3 +1527,221 @@ def q_silhouette(sf_dir: str, n_clusters: int = IVF_CENTROIDS,
     df["n"] = df["n"].astype(np.int64)
     return (df[["cluster", "n", "mean_sil"]]
             .sort_values("cluster").reset_index(drop=True))
+
+
+# --- DBSCAN over the embedding table on the integer grid --------------------------
+
+DBSCAN_EPS2 = 1_400_000_000_000   # eps² on the 1e-6-normalized int64 grid
+DBSCAN_MINPTS = 4                 # |N_eps(p)| including p itself (sklearn)
+
+
+def emb_dbscan(sf_dir: str, eps2: int = DBSCAN_EPS2,
+               minpts: int = DBSCAN_MINPTS,
+               n_blocks: int | None = None) -> "ray.data.Dataset":
+    """Density-based clustering (DBSCAN, Ester et al. KDD'96) over the
+    embedding table — the noise-robust complement to ``emb_kmeans``:
+    core points (≥ ``minpts`` neighbors within eps, self included) form
+    clusters as connected components of the core-core eps-graph; border
+    points attach to a neighboring core's cluster; the rest is noise.
+    Deterministic variant: a border point joins the MINIMUM cluster id
+    among its core neighbors (classic DBSCAN gives it to whichever core
+    scans it first — scan-order-dependent, so not replayable); cluster
+    id = the component's minimum core vec_id.
+
+    EXACTLY DuckDB-oracle-replayable: the eps test is an INTEGER compare
+    of the exact squared distance on the ``_nq_batch`` grid against
+    ``eps2``, neighbor counts fold as integers, and the component closure
+    is min-label (the minhash_clusters recursive-CTE oracle pattern) —
+    no float enters any decision.
+
+    Ray shape: the blocked all-pairs sweep (``q_knn_graph``) emits
+    per-vector neighbor-count partials PLUS the within-eps pair list
+    (each unordered pair lives in exactly ONE block-pair group → emitted
+    once, no dedup shuffle); counts fold in one vec-bucketed combine into
+    the corpus-sized streaming flags; the pair list is O(result) by the
+    same contract as the dedup families (~15k pairs at sf0.1) and closes
+    with a driver union-find, min-root (the ``minhash_clusters``
+    precedent — a denser graph would raise minpts / lower eps, or swap
+    the closure for ``cluster._propagate_labels``); final labels ride a
+    ``ray.put`` of the result-sized label map over the streaming flag
+    pass. Output is corpus-sized (one row per vector) → Dataset."""
+    from .collect import ensure_schema
+    from .combine import bucketed_combine
+
+    if n_blocks is None:
+        n_blocks = scale.pair_blocks()
+
+    schema = pa.schema([("vec_id", pa.int64()), ("role", pa.string()),
+                        ("cluster_id", pa.int64()),
+                        ("n_nbrs", pa.int64())])
+    emb = _emb(sf_dir)
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        if mat.size == 0:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "blk": pa.array([], pa.int64()),
+                             "n2": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.binary())})
+        nx = _nq_batch(mat)
+        n2 = (nx * nx).sum(axis=1)
+        blk = (ids % n_blocks).astype(np.int64)
+        n = len(ids)
+        rep = np.repeat(np.arange(n), n_blocks)
+        partner = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+        lo = np.minimum(blk[rep], partner)
+        hi = np.maximum(blk[rep], partner)
+        return pa.table({
+            "pair": pa.array(lo * n_blocks + hi),
+            "vec_id": pa.array(ids[rep].astype(np.int64)),
+            "blk": pa.array(blk[rep]),
+            "n2": pa.array(n2[rep]),
+            "vec": pa.array([nx[i].tobytes() for i in rep], pa.binary())})
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        pair = int(g["pair"].iloc[0])
+        lo, hi = pair // n_blocks, pair % n_blocks
+        g = g.drop_duplicates("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        n2 = g["n2"].to_numpy(np.int64)
+        mat = np.stack([np.frombuffer(r, np.int64) for r in g["vec"]])
+        blk = g["blk"].to_numpy(np.int64)
+        frames = []
+        dirs = ([(blk == lo, blk == hi), (blk == hi, blk == lo)]
+                if lo != hi else [(blk == lo, blk == lo)])
+        for di, (qa, qb) in enumerate(dirs):
+            na, nb = int(qa.sum()), int(qb.sum())
+            if na == 0 or nb == 0:
+                continue
+            ia, ib = ids[qa], ids[qb]
+            d2 = (n2[qa][:, None] + n2[qb][None, :]
+                  - 2 * _int_matmul(mat[qa], mat[qb].T))
+            within = d2 <= eps2
+            if lo == hi:
+                np.fill_diagonal(within, False)   # drop the self pair
+            # neighbor-count partials: count BOTH directions here and
+            # emit only from the first pass so a neighbor is never
+            # double-counted (pass 2 of a non-diagonal group re-scores
+            # the same matrix transposed)
+            cnt_rows = pd.DataFrame({
+                "a": ia, "b": np.int64(-1),
+                "n": within.sum(axis=1).astype(np.int64)})
+            if di == 0 and lo != hi:
+                cnt_rows = pd.concat(
+                    [cnt_rows,
+                     pd.DataFrame({"a": ib, "b": np.int64(-1),
+                                   "n": within.sum(axis=0).astype(
+                                       np.int64)})],
+                    ignore_index=True)
+                ri, ci = np.nonzero(within)
+                lo_id = np.minimum(ia[ri], ib[ci])
+                hi_id = np.maximum(ia[ri], ib[ci])
+                frames.append(pd.DataFrame({
+                    "a": lo_id, "b": hi_id,
+                    "n": np.ones(len(ri), np.int64)}))
+                frames.append(cnt_rows)
+            elif lo == hi:
+                ri, ci = np.nonzero(within)
+                keep = ia[ri] < ib[ci]
+                frames.append(pd.DataFrame({
+                    "a": ia[ri][keep], "b": ib[ci][keep],
+                    "n": np.ones(int(keep.sum()), np.int64)}))
+                frames.append(cnt_rows)
+            # di == 1 of a non-diagonal group: both sides already counted
+        if not frames:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    swept = (emb.map_batches(expand, batch_format="pyarrow",
+                             batch_size=4096)
+             .groupby("pair").map_groups(local, batch_format="pandas")
+             .materialize())   # two consumers (counts + pairs), int rows
+
+    def fold_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("a", as_index=False).agg(n=("n", "sum"))
+        out["vec_id"] = out["a"].astype(np.int64)
+        out["n_nbrs"] = (out["n"] + 1).astype(np.int64)  # self included
+        return out[["vec_id", "n_nbrs"]]
+
+    counts = bucketed_combine(swept.filter(expr="b < 0"), "a", fold_counts)
+
+    # pair list: O(result) by contract — driver union-find, min-root
+    pairs = swept.filter(expr="b >= 0").select_columns(["a", "b"]).take_all()
+    # core flags for pair endpoints only: result-sized sliver of counts
+    verts = sorted({int(r["a"]) for r in pairs}
+                   | {int(r["b"]) for r in pairs})
+    vset_ref = ray.put(np.array(verts, np.int64))
+
+    def only_verts(t: pa.Table) -> pa.Table:
+        vs = ray.get(vset_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vs, ids)
+        pos = np.minimum(pos, len(vs) - 1) if len(vs) else pos
+        keep = (vs[pos] == ids) if len(vs) else np.zeros(len(ids), bool)
+        return t.filter(pa.array(keep))
+
+    vflags = (counts.map_batches(only_verts, batch_format="pyarrow")
+              .to_pandas() if verts else pd.DataFrame(
+                  {"vec_id": pd.Series([], dtype="int64"),
+                   "n_nbrs": pd.Series([], dtype="int64")}))
+    nbrs = dict(zip(vflags["vec_id"].astype(int),
+                    vflags["n_nbrs"].astype(int)))
+    is_core = {v: nbrs.get(v, 1) >= minpts for v in verts}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    adj_core: dict[int, list[int]] = {}
+    for r in pairs:
+        a, b = int(r["a"]), int(r["b"])
+        ca, cb = is_core[a], is_core[b]
+        if ca and cb:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo_r, hi_r = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi_r] = lo_r
+        elif ca:
+            adj_core.setdefault(b, []).append(a)
+        elif cb:
+            adj_core.setdefault(a, []).append(b)
+
+    label: dict[int, int] = {}
+    for v in verts:
+        if is_core[v]:
+            label[v] = find(v)
+    for v, cores in adj_core.items():
+        if not is_core[v]:
+            label[v] = min(find(u) for u in cores)
+    lab_ref = ray.put(label)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        lm = ray.get(lab_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = t["n_nbrs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        core = nn >= minpts
+        s = pd.Series(ids).map(lm)
+        has = s.notna().to_numpy()
+        got = s.fillna(-1).to_numpy().astype(np.int64)
+        # core: component label if in a core-core pair, else own singleton
+        # cluster; non-core: border label if any core neighbor, else noise
+        cl = np.where(core, np.where(has, got, ids),
+                      np.where(has, got, -1))
+        role = np.where(core, "core",
+                        np.where(has, "border", "noise")).astype(object)
+        return pa.table({"vec_id": pa.array(ids),
+                         "role": pa.array(role, pa.string()),
+                         "cluster_id": pa.array(cl.astype(np.int64)),
+                         "n_nbrs": pa.array(nn)})
+
+    return ensure_schema(
+        counts.map_batches(finalize, batch_format="pyarrow"), schema)

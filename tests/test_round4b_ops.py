@@ -215,3 +215,83 @@ def test_silhouette_matches_bruteforce_replication(ray_session, tmp_path):
            for c, v in qs_by_cluster.items()}
     got = dict(zip(out["cluster"], out["mean_sil"]))
     assert got == {c: exp[c] for c in sorted(exp)}
+
+
+# --- emb_dbscan -----------------------------------------------------------------
+
+
+def test_dbscan_star_geometry_core_border_noise(ray_session, tmp_path):
+    """A star (center within eps of 4 satellites that are NOT within eps
+    of each other) under minpts=5: the center is core, satellites are
+    border (attached to the center's cluster), far points are noise."""
+    import math
+    c, s = math.cos(math.radians(20)), math.sin(math.radians(20))
+    vecs = [[1, 0, 0, 0, 0, 0]]                      # 0: center
+    for i in range(4):                               # 1-4: satellites
+        v = [0.0] * 6
+        v[0], v[1 + i] = c, s
+        vecs.append(v)
+    vecs.append([-1, 0, 0, 0, 0, 0])                 # 5: noise
+    vecs.append([0, 0, 0, 0, 0, -1])                 # 6: noise
+    sf = _write_emb(tmp_path, vecs)
+    from norsk_historisk_avis_ocr_ray.functions.similarity import emb_dbscan
+    out = (emb_dbscan(sf, eps2=200_000_000_000, minpts=5)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert out["role"].tolist() == (["core"] + ["border"] * 4
+                                    + ["noise"] * 2)
+    assert out["cluster_id"].tolist() == [0, 0, 0, 0, 0, -1, -1]
+    assert out["n_nbrs"].tolist() == [5, 2, 2, 2, 2, 1, 1]
+
+
+def test_dbscan_matches_bruteforce_replication(ray_session, tmp_path):
+    """Independent O(N²) replication (integer eps test, min-root
+    components, min-core-neighbor border) on random vectors."""
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(0, 1, (40, 6))
+    sf = _write_emb(tmp_path, vecs)
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        _nq_batch, emb_dbscan)
+    eps2, minpts = 1_400_000_000_000, 4
+
+    out = (emb_dbscan(sf, eps2=eps2, minpts=minpts)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    nx = _nq_batch(np.asarray(vecs, np.float64))
+    n = len(vecs)
+    within = np.zeros((n, n), bool)
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                within[i, j] = int(((nx[i] - nx[j]) ** 2).sum()) <= eps2
+    nn = within.sum(axis=1) + 1
+    core = nn >= minpts
+    # min-root union-find over core-core edges
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if within[i, j] and core[i] and core[j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    exp_role, exp_cl = [], []
+    for i in range(n):
+        if core[i]:
+            exp_role.append("core")
+            exp_cl.append(find(i))
+        else:
+            cn = [find(j) for j in range(n) if within[i, j] and core[j]]
+            if cn:
+                exp_role.append("border")
+                exp_cl.append(min(cn))
+            else:
+                exp_role.append("noise")
+                exp_cl.append(-1)
+    assert out["role"].tolist() == exp_role
+    assert out["cluster_id"].tolist() == exp_cl
+    assert out["n_nbrs"].tolist() == nn.astype(int).tolist()
