@@ -571,9 +571,13 @@ def _video_shot_detect(sf_dir: str) -> Any:
 # original relative order behind the window; rotate again next round.
 _GATE_FRONT = [
     "extract_docs", "ocr_extract", "q10_returned_revenue",
-    # dedup family (exact oracles incl. the md5-64 MinHash replay)
-    "dedup_exact", "dedup_minhash", "q_minhash_jaccard_est",
-    "dedup_simhash", "simhash_signatures", "dedup_ngram_jaccard",
+    # dedup family (exact oracles incl. the md5-64 MinHash replay).
+    # q_minhash_jaccard_est / simhash_signatures ride the same replay
+    # chains as dedup_minhash / dedup_simhash — their slots go to the
+    # round-4b composite replays (q_silhouette, emb_dbscan), the freshest
+    # driver-divergence risk.
+    "dedup_exact", "dedup_minhash", "q_silhouette",
+    "dedup_simhash", "emb_dbscan", "dedup_ngram_jaccard",
     "dedup_edit_distance", "dedup_substring", "dedup_substring_remove",
     "line_dedup", "q_dedup_survivorship",
     # duplicate-graph analytics
