@@ -785,6 +785,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_silhouette": similarity.q_silhouette,
         # density clustering: integer eps-graph + min-label components
         "emb_dbscan": similarity.emb_dbscan,
+        # LSH candidate-quality eval (recall/precision vs exact jaccard)
+        "q_minhash_recall": dedup.q_minhash_recall,
     }
 
 
@@ -1088,6 +1090,39 @@ def _minhash_pairs_body(threshold: float) -> str:
                LEFT JOIN gi ON gi.a = c.a AND gi.b = c.b
                LEFT JOIN gn na ON na.doc_id = c.a
                LEFT JOIN gn nb ON nb.doc_id = c.b)"""
+
+
+def _minhash_recall_sql(threshold: float = 0.8) -> str:
+    """q_minhash_recall oracle: the full MinHash replay (candidates +
+    verified) composed with the exhaustive literal-gram self-join (ground
+    truth over the same lowered gram space, rounded-jaccard rule on both
+    sides so verified = truth ∩ candidates). Counts are integers; recall
+    and precision are single divisions, vacuously 1.0 on zero
+    denominators; empty corpus → zero rows."""
+    return f"""
+    WITH {_minhash_pairs_body(threshold)},
+    ti AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM gd x JOIN gd y ON y.gm = x.gm AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+    truth AS (SELECT ti.a, ti.b FROM ti
+              JOIN gn na ON na.doc_id = ti.a
+              JOIN gn nb ON nb.doc_id = ti.b
+              WHERE round(ti.c * 1.0 / (na.n + nb.n - ti.c), 6)
+                    >= {threshold}),
+    m AS (SELECT
+              (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+              (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+              (SELECT count(*) FROM scored
+               WHERE round(jac, 6) >= {threshold})::BIGINT AS n_verified)
+    SELECT n_truth, n_cand, n_verified,
+           CASE WHEN n_truth = 0 THEN 1.0
+                ELSE round(n_verified / (n_truth * 1.0), 6) END AS recall,
+           CASE WHEN n_cand = 0 THEN 1.0
+                ELSE round(n_verified / (n_cand * 1.0), 6)
+           END AS precision
+    FROM m WHERE EXISTS (SELECT 1 FROM documents)
+    """
 
 
 def _dedup_minhash_sql(threshold: float = 0.8) -> str:
@@ -2209,6 +2244,7 @@ def oracle_sql() -> dict[str, str]:
         # MinHash / SimHash: fully replayed in SQL (md5 token hash + HUGEINT
         # uint64/mod-p arithmetic) — see the oracle-machinery helpers above.
         "dedup_minhash": _dedup_minhash_sql(),
+        "q_minhash_recall": _minhash_recall_sql(),
         "minhash_clusters": _minhash_clusters_sql(),
         "q_minhash_jaccard_est": _minhash_jaccard_est_sql(),
         "simhash_signatures": _simhash_signatures_sql(),

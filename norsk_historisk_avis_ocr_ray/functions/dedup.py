@@ -370,7 +370,8 @@ JOIN_CUTOVER_PAIRS = 250_000
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8,
-                  join_cutover: int = JOIN_CUTOVER_PAIRS) -> pd.DataFrame:
+                  join_cutover: int = JOIN_CUTOVER_PAIRS,
+                  pair_ids: pd.DataFrame | None = None) -> pd.DataFrame:
     """Near-duplicate pairs with verified word-3-gram Jaccard ≥ threshold.
 
     Verification texts arrive by joining the (a, b) candidate list back to
@@ -387,11 +388,12 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8,
     from .rounding import round_half_away
 
     docs = _docs(sf_dir, num_blocks=scale.read_blocks())
-    cands = minhash_candidates(docs).materialize()
-
-    # int pairs only, O(candidates); global distinct happens here (the
-    # banding stage dedupes per batch — see minhash_candidates)
-    pair_ids = cands.to_pandas().drop_duplicates()
+    if pair_ids is None:
+        # int pairs only, O(candidates); global distinct happens here (the
+        # banding stage dedupes per batch — see minhash_candidates).
+        # Callers that already hold the distinct pair list (q_minhash_recall)
+        # pass it in to skip a second candidate sweep.
+        pair_ids = minhash_candidates(docs).to_pandas().drop_duplicates()
     if pair_ids.empty:  # no candidates: skip the joins (empty sides crash)
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
@@ -1263,3 +1265,112 @@ def dedup_edit_distance(sf_dir: str, d: int = EDIT_D) -> pd.DataFrame:
     out = cand.loc[dists <= d].copy()
     out["dist"] = dists[dists <= d]
     return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+# --- MinHash candidate-quality evaluation ----------------------------------------
+
+def q_minhash_recall(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """Recall/precision of the MinHash-LSH candidate generator against the
+    EXACT Jaccard ground truth — the eval every web-scale dedup deployment
+    runs before trusting its band/row parameters (Leskovec et al., MMDS
+    ch.3): n_truth = all pairs with verified jaccard ≥ threshold over the
+    exhaustive shingle self-join, n_cand = distinct LSH candidates,
+    n_verified = candidates passing verification (= truth ∩ candidates,
+    since both use the same rounded-jaccard rule), recall =
+    n_verified / n_truth, precision = n_verified / n_cand.
+
+    All three counts are integers and the two ratios are single
+    int→double divisions, so the whole report is exactly SQL-oracled —
+    the oracle composes the full MinHash replay chain (md5 shingles →
+    mod-p permutation minima → band keys → bucket self-join) with the
+    literal-gram exhaustive self-join, over the SAME lowered token-gram
+    space (including the <k-token partial gram the signature path hashes).
+
+    Ray shape: the candidate and verified counts ride the existing
+    ``minhash_candidates`` / ``dedup_minhash`` pipelines (O(result) driver
+    pulls by their own contracts); ground truth is the
+    ``dedup_ngram_jaccard`` all-pairs-by-shared-shingle blocking — one
+    shingle self-join, a block-local pair-count combiner, and a
+    candidate-pair-sized final combine. Empty corpus → zero rows (both
+    sides)."""
+    from .rounding import round_half_away
+
+    docs = _docs(sf_dir, num_blocks=scale.read_blocks())
+    empty = pd.DataFrame({"n_truth": pd.Series([], dtype="int64"),
+                          "n_cand": pd.Series([], dtype="int64"),
+                          "n_verified": pd.Series([], dtype="int64"),
+                          "recall": pd.Series([], dtype="float64"),
+                          "precision": pd.Series([], dtype="float64")})
+    if docs.count() == 0:
+        return empty
+
+    pair_ids = minhash_candidates(docs).to_pandas().drop_duplicates()
+    n_cand = len(pair_ids)
+    n_verified = len(dedup_minhash(sf_dir, threshold=threshold,
+                                   pair_ids=pair_ids))
+
+    # ground truth: exhaustive shingle-blocked exact jaccard on the
+    # SIGNATURE gram space (lower=True + partial gram — unlike
+    # dedup_ngram_jaccard's case-preserving k≥3 grams)
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        toks = _hash_tokens_batch(t["text"].to_pylist(), lower=True)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_ids, out_ns, out_sh = [], [], []
+        for d, th in zip(ids, toks):
+            if len(th) == 0:
+                continue
+            sh = _shingles_from_tokens(th)
+            out_ids.append(np.full(len(sh), d, np.int64))
+            out_ns.append(np.full(len(sh), len(sh), np.int64))
+            out_sh.append(sh.view(np.int64))
+        if not out_ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(out_ids)),
+                         "n": pa.array(np.concatenate(out_ns)),
+                         "sh": pa.array(np.concatenate(out_sh), pa.int64())})
+
+    rows = docs.map_batches(shingle_rows, batch_format="pyarrow",
+                            batch_size=4096).materialize()
+    n_truth = 0
+    if rows.count():
+        import pyarrow.compute as pc
+
+        joined = rows.join(rows, join_type="inner",
+                           num_partitions=scale.join_partitions(),
+                           on=("sh",), right_suffix="_r")
+
+        def pair_counts(t: pa.Table) -> pa.Table:
+            # block-local combiner (see dedup_ngram_jaccard)
+            t = t.filter(pc.less(t["doc_id"], t["doc_id_r"]))
+            return (pa.table({"a": t["doc_id"], "b": t["doc_id_r"],
+                              "n_a": t["n"], "n_b": t["n_r"],
+                              "c": pa.array(np.ones(t.num_rows,
+                                                    np.int64))})
+                    .group_by(["a", "b"])
+                    .aggregate([("n_a", "max"), ("n_b", "max"),
+                                ("c", "sum")])
+                    .rename_columns(["a", "b", "n_a", "n_b", "c"]))
+
+        g = (joined.map_batches(pair_counts, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+             .groupby(["a", "b"], as_index=False, sort=False)
+             .agg(n_a=("n_a", "max"), n_b=("n_b", "max"), c=("c", "sum")))
+        if len(g):
+            c = g["c"].to_numpy(np.float64)
+            jac = round_half_away(
+                c / (g["n_a"].to_numpy(np.float64)
+                     + g["n_b"].to_numpy(np.float64) - c), 6)
+            n_truth = int((jac >= threshold).sum())
+
+    recall = (1.0 if n_truth == 0 else
+              round_half_away(n_verified / float(n_truth), 6))
+    precision = (1.0 if n_cand == 0 else
+                 round_half_away(n_verified / float(n_cand), 6))
+    return pd.DataFrame({
+        "n_truth": np.array([n_truth], np.int64),
+        "n_cand": np.array([n_cand], np.int64),
+        "n_verified": np.array([n_verified], np.int64),
+        "recall": np.array([recall], np.float64),
+        "precision": np.array([precision], np.float64)})

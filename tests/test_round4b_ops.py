@@ -295,3 +295,50 @@ def test_dbscan_matches_bruteforce_replication(ray_session, tmp_path):
     assert out["role"].tolist() == exp_role
     assert out["cluster_id"].tolist() == exp_cl
     assert out["n_nbrs"].tolist() == nn.astype(int).tolist()
+
+
+# --- q_minhash_recall -----------------------------------------------------------
+
+
+def test_minhash_recall_identical_groups(ray_session, tmp_path):
+    """Groups of identical docs: identical signatures ALWAYS collide in
+    LSH, so recall must be exactly 1.0 and verified == truth."""
+    texts = []
+    for g in range(3):
+        texts += [f"group {g} text body with several shared words"] * (g + 2)
+    texts += [f"unique document number {i} nothing alike {i*7}"
+              for i in range(6)]
+    sf = _write_texts(tmp_path, texts)
+    from norsk_historisk_avis_ocr_ray.functions.dedup import q_minhash_recall
+    out = q_minhash_recall(sf)
+    exp_truth = sum((g + 2) * (g + 1) // 2 for g in range(3))  # C(g+2, 2)
+    row = out.iloc[0]
+    assert row["n_truth"] == exp_truth
+    assert row["n_verified"] == exp_truth
+    assert row["recall"] == 1.0
+    assert row["n_cand"] >= row["n_verified"]
+    assert 0.0 < row["precision"] <= 1.0
+
+
+def test_minhash_recall_truth_matches_bruteforce(ray_session):
+    """n_truth at sf0.001 equals the brute-force all-pairs rounded-jaccard
+    count (independent of the blocking machinery)."""
+    import itertools
+
+    import pyarrow.parquet as pq2
+
+    from norsk_historisk_avis_ocr_ray.functions.dedup import (
+        ngram_jaccard, q_minhash_recall)
+    from norsk_historisk_avis_ocr_ray.functions.rounding import (
+        round_half_away)
+
+    sf = "/root/testdata/sf0.001"
+    t = pq2.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    n_truth = 0
+    for a, b in itertools.combinations(sorted(texts), 2):
+        ta, tb = texts[a] or "", texts[b] or ""
+        if ta and tb and round_half_away(ngram_jaccard(ta, tb), 6) >= 0.8:
+            n_truth += 1
+    out = q_minhash_recall(sf)
+    assert out.iloc[0]["n_truth"] == n_truth
