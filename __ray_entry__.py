@@ -787,6 +787,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "emb_dbscan": similarity.emb_dbscan,
         # LSH candidate-quality eval (recall/precision vs exact jaccard)
         "q_minhash_recall": dedup.q_minhash_recall,
+        # asymmetric containment near-dups over winnowed fingerprints
+        "q_containment_pairs": textstats.q_containment_pairs,
     }
 
 
@@ -2155,6 +2157,46 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY md5(text)
             ORDER BY doc_id
+        """,
+        # winnowing containment: hub fingerprints (df > 16) drop FIRST,
+        # set sizes count AFTER, containment = c / least(n_a, n_b) is one
+        # integer division; the filter compares the ROUNDED value.
+        "q_containment_pairs": """
+            WITH d AS (
+                SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t) - 7, 1) + 1)) AS i
+                FROM d),
+            g AS (
+                SELECT doc_id, i,
+                       ('0x' || substr(md5(substr(t, i::INTEGER, 8)),
+                                       1, 16))::UBIGINT AS h
+                FROM pos),
+            w AS (
+                SELECT doc_id,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN 3 PRECEDING
+                                    AND CURRENT ROW) AS sel
+                FROM g),
+            u0 AS (SELECT DISTINCT doc_id, sel FROM w),
+            df AS (SELECT sel, count(*) AS docs FROM u0 GROUP BY sel),
+            u AS (SELECT u0.doc_id, u0.sel FROM u0 JOIN df USING (sel)
+                  WHERE df.docs <= 16),
+            n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                  FROM u GROUP BY doc_id),
+            i AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM u x JOIN u y ON y.sel = x.sel
+                                   AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2)
+            SELECT i.a, i.b,
+                   round(i.c * 1.0 / least(na.n, nb.n), 6) AS containment
+            FROM i
+            JOIN n na ON na.doc_id = i.a
+            JOIN n nb ON nb.doc_id = i.b
+            WHERE round(i.c * 1.0 / least(na.n, nb.n), 6) >= 0.5
+            ORDER BY a, b
         """,
         "dedup_substring": r"""
             WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)),

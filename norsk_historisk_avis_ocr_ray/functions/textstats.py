@@ -1009,3 +1009,108 @@ def q_zipf_slope(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_terms": np.array([n], np.int64),
                          "zipf_slope": np.array([slope], np.float64),
                          "r2": np.array([r2], np.float64)})
+
+
+# --- winnowing containment pairs --------------------------------------------------
+
+CONTAIN_MAX_DF = 16   # drop boilerplate fingerprints present in > MAX_DF docs
+CONTAIN_T = 0.5       # containment threshold (of the smaller fingerprint set)
+
+
+def q_containment_pairs(sf_dir: str, threshold: float = CONTAIN_T,
+                        max_df: int = CONTAIN_MAX_DF) -> pd.DataFrame:
+    """ASYMMETRIC near-duplicate detection: document pairs whose winnowed
+    fingerprint sets overlap by ≥ ``threshold`` of the SMALLER set —
+    the quote/excerpt/subset-duplication case Jaccard dedup misses (a
+    short doc fully contained in a long one has low Jaccard but
+    containment 1.0; Broder's containment measure over
+    Schleimer-et-al winnowing fingerprints).
+
+    Operator definition (exactly SQL-replayable): fingerprints with
+    document frequency > ``max_df`` are dropped FIRST (boilerplate
+    8-grams — the ``dedup_ngram_jaccard`` max_df knob; without it the
+    fingerprint self-join is quadratic in the hub grams), set sizes are
+    counted AFTER the drop, containment = |∩| / min(n_a, n_b) is one
+    integer division rounded half-away to 6, and the filter compares the
+    ROUNDED value. All decisions integer-or-deterministic.
+
+    Ray shape: per-doc winnow selection (the ``winnow_fingerprint``
+    scan), a small df groupby + inner join drops hub fingerprints, one
+    doc-bucketed combine re-counts the filtered set sizes onto the rows,
+    then the ngram-jaccard blocking — self-join on the fingerprint, a
+    block-local ordered-pair combiner, and a candidate-pair-sized final
+    fold. The pair list is O(result) (~13k at sf0.1)."""
+    import pyarrow.compute as pc
+
+    from .collect import typed_empty
+    from .combine import bucketed_combine
+
+    docs = _docs(sf_dir)
+
+    def winnow_rows(t: pa.Table) -> pa.Table:
+        cache: dict = {}
+        ids, sels = [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            hs = winnow_hashes(x or "", cache)
+            ids.append(np.full(len(hs), d, np.int64))
+            sels.append(hs.view(np.int64))   # uint64 → int64 bit view
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sel": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(ids)),
+                         "sel": pa.array(np.concatenate(sels), pa.int64())})
+
+    rows = docs.map_batches(winnow_rows, batch_format="pyarrow",
+                            batch_size=None)
+
+    def under_df(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t["count()"],
+                                      max_df)).select(["sel"])
+
+    df_ok = rows.groupby("sel").count().map_batches(
+        under_df, batch_format="pyarrow")
+    rows = rows.join(df_ok, join_type="inner",
+                     num_partitions=scale.join_partitions(), on=("sel",))
+
+    def attach_n(g: pd.DataFrame) -> pd.DataFrame:
+        # post-filter set size onto every row (a doc lives in one bucket)
+        g = g.copy()
+        g["n"] = g.groupby("doc_id")["sel"].transform("size").astype(
+            np.int64)
+        return g[["doc_id", "n", "sel"]]
+
+    rows = bucketed_combine(rows, "doc_id", attach_n).materialize()
+    if rows.count() == 0:
+        return typed_empty(a="int64", b="int64", containment="float64")
+
+    joined = rows.join(rows, join_type="inner",
+                       num_partitions=scale.join_partitions(),
+                       on=("sel",), right_suffix="_r")
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        # block-local combiner (see dedup_ngram_jaccard)
+        t = t.filter(pc.less(t["doc_id"], t["doc_id_r"]))
+        return (pa.table({"a": t["doc_id"], "b": t["doc_id_r"],
+                          "n_a": t["n"], "n_b": t["n_r"],
+                          "c": pa.array(np.ones(t.num_rows, np.int64))})
+                .group_by(["a", "b"])
+                .aggregate([("n_a", "max"), ("n_b", "max"), ("c", "sum")])
+                .rename_columns(["a", "b", "n_a", "n_b", "c"]))
+
+    g = (joined.map_batches(pair_counts, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+         .groupby(["a", "b"], as_index=False, sort=False)
+         .agg(n_a=("n_a", "max"), n_b=("n_b", "max"), c=("c", "sum")))
+    if g.empty:
+        return typed_empty(a="int64", b="int64", containment="float64")
+    c = g["c"].to_numpy(np.float64)
+    cont = round_half_away(
+        c / np.minimum(g["n_a"].to_numpy(np.float64),
+                       g["n_b"].to_numpy(np.float64)), 6)
+    keep = cont >= threshold
+    out = pd.DataFrame({"a": g["a"].to_numpy(np.int64)[keep],
+                        "b": g["b"].to_numpy(np.int64)[keep],
+                        "containment": cont[keep]})
+    if out.empty:
+        return typed_empty(a="int64", b="int64", containment="float64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

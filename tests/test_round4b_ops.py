@@ -342,3 +342,59 @@ def test_minhash_recall_truth_matches_bruteforce(ray_session):
             n_truth += 1
     out = q_minhash_recall(sf)
     assert out.iloc[0]["n_truth"] == n_truth
+
+
+# --- q_containment_pairs ----------------------------------------------------------
+
+
+def test_containment_prefix_excerpt_is_one(ray_session, tmp_path):
+    """A character-prefix excerpt selects EXACTLY the long doc's window
+    minima for the shared positions (same partial leading windows), so
+    its containment must be exactly 1.0."""
+    rng = np.random.default_rng(31)
+    words = [f"w{rng.integers(0, 9999):04d}" for _ in range(200)]
+    long_doc = " ".join(words)
+    excerpt = long_doc[:300]
+    others = [" ".join(f"x{rng.integers(0, 9999):04d}y{i}"
+                       for i in range(60)) for _ in range(3)]
+    sf = _write_texts(tmp_path, [long_doc, excerpt] + others)
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_containment_pairs)
+    out = q_containment_pairs(sf)
+    assert ((out["a"] == 0) & (out["b"] == 1)).any()
+    row = out[(out["a"] == 0) & (out["b"] == 1)].iloc[0]
+    assert row["containment"] == 1.0
+
+
+def test_containment_matches_bruteforce(ray_session, tmp_path):
+    """Full output equality against a brute-force set replication
+    (winnow_hashes sets, df filter, c/min rule, rounded threshold)."""
+    import itertools
+
+    rng = np.random.default_rng(37)
+    base = " ".join(f"t{rng.integers(0, 50):02d}" for _ in range(80))
+    texts = [base, base[:200], base[100:400],
+             " ".join(f"q{i}z{rng.integers(0, 999)}" for i in range(50)),
+             base]     # exact dup of 0 → containment 1.0
+    sf = _write_texts(tmp_path, texts)
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_containment_pairs, winnow_hashes, CONTAIN_MAX_DF)
+    from norsk_historisk_avis_ocr_ray.functions.rounding import (
+        round_half_away)
+
+    sets = {i: set(winnow_hashes(t).tolist()) for i, t in enumerate(texts)}
+    from collections import Counter
+    dfc = Counter(h for s in sets.values() for h in s)
+    sets = {i: {h for h in s if dfc[h] <= CONTAIN_MAX_DF}
+            for i, s in sets.items()}
+    exp = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        mn = min(len(sets[a]), len(sets[b]))
+        if inter and mn:
+            cont = float(round_half_away(inter / mn, 6))
+            if cont >= 0.5:
+                exp.append((a, b, cont))
+    out = q_containment_pairs(sf)
+    got = list(zip(out["a"], out["b"], out["containment"]))
+    assert got == exp
