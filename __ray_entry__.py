@@ -789,6 +789,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_minhash_recall": dedup.q_minhash_recall,
         # asymmetric containment near-dups over winnowed fingerprints
         "q_containment_pairs": textstats.q_containment_pairs,
+        # SRP cosine sketch (md5-derived ±1 planes, integer sign dots)
+        "q_srp_signatures": similarity.q_srp_signatures,
     }
 
 
@@ -1587,6 +1589,39 @@ def oracle_sql() -> dict[str, str]:
         "q_silhouette": _silhouette_sql(),
         # DBSCAN: integer eps-graph, recursive-CTE components
         "emb_dbscan": _dbscan_sql(),
+        # SRP sketch: md5-parity ±1 planes, integer dots, sign bits
+        "q_srp_signatures": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(round(
+                           1000000.0 * CAST(x AS DOUBLE)) AS BIGINT)) AS q1
+                FROM embeddings),
+            ex AS (SELECT vec_id, unnest(q1) AS v,
+                          generate_subscripts(q1, 1) AS d
+                   FROM e),
+            planes AS (
+                SELECT b.range AS bit, dd.d,
+                       CASE WHEN ('0x' || substr(md5(
+                                'srp:' || b.range || ':' || (dd.d - 1)),
+                                1, 16))::UBIGINT % 2 = 1
+                            THEN 1 ELSE -1 END AS s
+                FROM range(64) b
+                CROSS JOIN (SELECT DISTINCT d FROM ex) dd),
+            bits AS (
+                SELECT ex.vec_id, p.bit,
+                       CASE WHEN sum(ex.v * p.s) > 0 THEN 1 ELSE 0 END
+                           AS sb
+                FROM ex JOIN planes p ON p.d = ex.d
+                GROUP BY ex.vec_id, p.bit),
+            sig AS (
+                SELECT vec_id,
+                       CAST(sum(sb::HUGEINT *
+                                (1::HUGEINT << CAST(bit AS INTEGER)))
+                            AS UBIGINT) AS v
+                FROM bits GROUP BY vec_id)
+            SELECT vec_id, lower(lpad(hex(v), 16, '0')) AS srp_sig
+            FROM sig ORDER BY vec_id
+        """,
         # embedding outliers on the same integer grid: exact centroid fold
         # + exact int squared distances, top-k by (dist2 desc, vec_id)
         "q_emb_outliers": """

@@ -1745,3 +1745,72 @@ def emb_dbscan(sf_dir: str, eps2: int = DBSCAN_EPS2,
 
     return ensure_schema(
         counts.map_batches(finalize, batch_format="pyarrow"), schema)
+
+
+# --- signed-random-projection (SRP) cosine sketch ----------------------------------
+
+SRP_BITS = 64
+
+
+def _srp_planes(dim: int, bits: int = SRP_BITS) -> np.ndarray:
+    """(bits, dim) ±1 Rademacher hyperplanes derived from the md5 bridge
+    (``_md5_64("srp:<bit>:<dim>")`` parity) — process-deterministic AND
+    DuckDB-replayable, unlike a seeded Gaussian. Rademacher projections
+    satisfy the same Johnson-Lindenstrauss sketch bounds as Gaussian ones
+    (Achlioptas 2003), so this IS the classic SRP-LSH cosine sketch
+    (Charikar 2002), not a toy stand-in."""
+    from .dedup import _md5_64
+
+    return np.array([[1 if _md5_64(f"srp:{b}:{d}") & 1 else -1
+                      for d in range(dim)]
+                     for b in range(bits)], np.int64)
+
+
+def q_srp_signatures(sf_dir: str) -> "ray.data.Dataset":
+    """64-bit signed-random-projection signature per embedding — the
+    cosine-LSH sketch (Charikar, STOC'02) an ANN index or embedding-dedup
+    pass banks on: P(bit agrees) = 1 − θ/π, so Hamming distance estimates
+    the angle at 8 bytes per vector.
+
+    EXACTLY DuckDB-oracle-replayable: coordinates quantize elementwise to
+    the 1e-6 integer grid (scale-invariant for a sign test), each
+    projection is an INTEGER dot with a ±1 plane (exact at any summation
+    order / BLAS blocking), and the bit is an integer sign compare
+    (> 0 → 1, ties → 0). The oracle regenerates the same planes from the
+    md5 parity and replays the dot as a join-aggregate.
+
+    Ray shape: the plane matrix (bits × dim ints) broadcasts once via
+    ``ray.put``; one streaming ``map_batches`` does quantize → int matmul
+    → bit-pack. Corpus-sized output → Dataset."""
+    from .collect import ensure_schema
+
+    schema = pa.schema([("vec_id", pa.int64()), ("srp_sig", pa.string())])
+    emb = _emb(sf_dir)
+    head = emb.take(1)
+    if not head:
+        return ensure_schema(emb.map_batches(
+            lambda t: pa.table({"vec_id": pa.array([], pa.int64()),
+                                "srp_sig": pa.array([], pa.string())}),
+            batch_format="pyarrow"), schema)
+    dim = len(head[0]["embedding"])
+    p_ref = ray.put(_srp_planes(dim))
+
+    def sig(t: pa.Table) -> pa.Table:
+        planes = ray.get(p_ref)
+        ids, mat = _batch_matrix(t)
+        if mat.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "srp_sig": pa.array([], pa.string())})
+        q1 = round_half_away(KM_GRID * mat, 0).astype(np.int64)
+        dots = _int_matmul(q1, planes.T)          # exact integer dots
+        bits = (dots > 0).astype(np.uint64)
+        sigs = (bits << np.arange(SRP_BITS, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "srp_sig": pa.array([f"{int(s):016x}" for s in sigs],
+                                pa.string())})
+
+    return ensure_schema(
+        emb.map_batches(sig, batch_format="pyarrow", batch_size=4096),
+        schema)

@@ -398,3 +398,37 @@ def test_containment_matches_bruteforce(ray_session, tmp_path):
     out = q_containment_pairs(sf)
     got = list(zip(out["a"], out["b"], out["containment"]))
     assert got == exp
+
+
+# --- q_srp_signatures -------------------------------------------------------------
+
+
+def test_srp_signature_angle_properties(ray_session, tmp_path):
+    """Charikar sketch property: identical vectors share the signature,
+    negated vectors flip every non-tied bit (Hamming 64 for generic
+    vectors), near-orthogonal pairs land near Hamming 32."""
+    rng = np.random.default_rng(41)
+    v = rng.normal(0, 1, 16)
+    w = rng.normal(0, 1, 16)
+    w -= (w @ v) / (v @ v) * v        # make w orthogonal to v
+    sf = _write_emb(tmp_path, [v, v.copy(), -v, w])
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        q_srp_signatures)
+    out = (q_srp_signatures(sf).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    sigs = [int(s, 16) for s in out["srp_sig"]]
+    assert sigs[0] == sigs[1]                       # identical
+    ham_neg = bin(sigs[0] ^ sigs[2]).count("1")
+    assert ham_neg == 64                            # antipodal
+    ham_orth = bin(sigs[0] ^ sigs[3]).count("1")
+    assert 16 <= ham_orth <= 48                     # ~32 expected
+
+
+def test_srp_planes_deterministic_and_balanced(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        _srp_planes)
+    p1, p2 = _srp_planes(32), _srp_planes(32)
+    assert (p1 == p2).all()
+    assert set(np.unique(p1)) == {-1, 1}
+    # md5 parity is ~balanced: no plane is all-same-sign
+    assert (np.abs(p1.sum(axis=1)) < 32).all()
