@@ -791,6 +791,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_containment_pairs": textstats.q_containment_pairs,
         # SRP cosine sketch (md5-derived ±1 planes, integer sign dots)
         "q_srp_signatures": similarity.q_srp_signatures,
+        # association rules over the basket top-25 (confidence + lift)
+        "q_basket_rules": relational.q_basket_rules,
     }
 
 
@@ -2750,6 +2752,32 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY 1, 2)
             SELECT part_a, part_b, n_orders FROM p
             ORDER BY n_orders DESC, part_a, part_b LIMIT 25
+        """,
+        # rules over the same top-25: integer counts, one division per
+        # ratio (lift: one integer product per side, then divide)
+        "q_basket_rules": """
+            WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            nord AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                         AS n FROM lineitem),
+            pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+                   FROM dp GROUP BY 1),
+            p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                         CAST(count(*) AS BIGINT) AS n_orders
+                  FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey
+                                     AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2),
+            top AS (SELECT part_a, part_b, n_orders FROM p
+                    ORDER BY n_orders DESC, part_a, part_b LIMIT 25)
+            SELECT t.part_a, t.part_b, t.n_orders,
+                   round(t.n_orders * 1.0 / ca.n, 6) AS conf_ab,
+                   round(t.n_orders * 1.0 / cb.n, 6) AS conf_ba,
+                   round(CAST((SELECT n FROM nord) * t.n_orders AS DOUBLE)
+                         / CAST(ca.n * cb.n AS DOUBLE), 6) AS lift
+            FROM top t
+            JOIN pc ca ON ca.l_partkey = t.part_a
+            JOIN pc cb ON cb.l_partkey = t.part_b
+            ORDER BY t.n_orders DESC, t.part_a, t.part_b
         """,
         "q_user_gaps": """
             WITH s AS (SELECT user_id, event_id,

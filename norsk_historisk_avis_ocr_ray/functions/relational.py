@@ -4051,3 +4051,84 @@ def q_basket_pairs(sf_dir: str) -> pd.DataFrame:
                              ascending=[False, True, True],
                              kind="mergesort")
             .head(BASKET_TOP_N).reset_index(drop=True))
+
+
+def q_basket_rules(sf_dir: str) -> pd.DataFrame:
+    """Association rules for the top-25 co-occurring part pairs
+    (the A-Priori rule stage over ``q_basket_pairs``'s candidates):
+    confidence(a→b) = n_ab / n_a, confidence(b→a) = n_ab / n_b and
+    lift = N·n_ab / (n_a·n_b), with n_x = distinct orders containing x
+    and N = distinct orders overall.
+
+    All counts are integers (exactly oracle-replayable); each ratio is a
+    single int→double division (lift: one product each side, identical
+    association in the SQL).
+
+    Ray shape: the pair top-25 rides ``q_basket_pairs``'s two bucketed
+    combines; N folds as per-bucket distinct-order sentinel counts; the
+    per-part order counts are computed ONLY for the ≤ 50 parts in the top
+    pairs — broadcast the id set, filter the scan, and dedupe
+    (order, part) inside one order-bucketed combine (an order lives whole
+    in a bucket, so bucket-local distinct is global). The 20k-part count
+    vector never materializes."""
+    from .combine import bucketed_combine
+
+    top = q_basket_pairs(sf_dir)
+    if top.empty:
+        return typed_empty(part_a="int64", part_b="int64",
+                           n_orders="int64", conf_ab="float64",
+                           conf_ba="float64", lift="float64")
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(t.to_pandas().drop_duplicates(),
+                                    preserve_index=False)
+
+    dp = ds.map_batches(distinct, batch_format="pyarrow",
+                        batch_size=8192)
+
+    # N: distinct orders, folded as per-bucket exact counts
+    def bucket_orders(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": np.array([g["l_orderkey"].nunique()],
+                                           np.int64)})
+
+    n_total = int(bucketed_combine(dp, "l_orderkey", bucket_orders)
+                  .to_pandas()["n"].sum())
+
+    # n_a for the <= 50 involved parts only
+    involved = np.unique(np.concatenate(
+        [top["part_a"].to_numpy(np.int64),
+         top["part_b"].to_numpy(np.int64)]))
+    inv_set = pa.array(involved)
+
+    def only_involved(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["l_partkey"], value_set=inv_set))
+
+    def part_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        out = (d.groupby("l_partkey", as_index=False)
+               .agg(n=("l_orderkey", "size")))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    pcnt = (bucketed_combine(
+        dp.map_batches(only_involved, batch_format="pyarrow"),
+        "l_orderkey", part_counts).to_pandas()
+        .groupby("l_partkey", as_index=False).agg(n=("n", "sum")))
+    n_of = dict(zip(pcnt["l_partkey"].astype(int),
+                    pcnt["n"].astype(int)))
+
+    n_ab = top["n_orders"].to_numpy(np.int64)
+    n_a = np.array([n_of[int(p)] for p in top["part_a"]], np.int64)
+    n_b = np.array([n_of[int(p)] for p in top["part_b"]], np.int64)
+    out = top.copy()
+    out["conf_ab"] = round_half_away(
+        n_ab.astype(np.float64) / n_a.astype(np.float64), 6)
+    out["conf_ba"] = round_half_away(
+        n_ab.astype(np.float64) / n_b.astype(np.float64), 6)
+    out["lift"] = round_half_away(
+        (n_total * n_ab).astype(np.float64)
+        / (n_a * n_b).astype(np.float64), 6)
+    return out[["part_a", "part_b", "n_orders",
+                "conf_ab", "conf_ba", "lift"]].reset_index(drop=True)

@@ -432,3 +432,37 @@ def test_srp_planes_deterministic_and_balanced(ray_session):
     assert set(np.unique(p1)) == {-1, 1}
     # md5 parity is ~balanced: no plane is all-same-sign
     assert (np.abs(p1.sum(axis=1)) < 32).all()
+
+
+# --- q_basket_rules ---------------------------------------------------------------
+
+
+def test_basket_rules_matches_bruteforce(ray_session, tmp_path):
+    baskets = [(1, [1, 2, 3]), (2, [2, 3]), (3, [2, 3, 4]),
+               (4, [1, 4]), (5, [2, 3, 4]), (6, [5]), (7, [1, 2])]
+    sf = _write_lineitem(tmp_path, baskets)
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_basket_rules)
+    out = q_basket_rules(sf)
+
+    sets = {o: set(p) for o, p in baskets}
+    n_total = len(sets)
+    part_n = {}
+    pair_n = {}
+    for s in sets.values():
+        for p in s:
+            part_n[p] = part_n.get(p, 0) + 1
+        for a, b in itertools.combinations(sorted(s), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    exp = sorted(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    assert len(out) == len(exp)
+    for row, ((a, b), nab) in zip(out.itertuples(index=False), exp):
+        assert (row.part_a, row.part_b, row.n_orders) == (a, b, nab)
+        assert row.conf_ab == round(nab / part_n[a], 6)
+        assert row.conf_ba == round(nab / part_n[b], 6)
+        assert row.lift == round((n_total * nab) / (part_n[a] * part_n[b]),
+                                 6)
+    # (2,3) in 4 of 7 orders; part 2 in 5 orders, part 3 in 4
+    r0 = out.iloc[0]
+    assert (r0["part_a"], r0["part_b"]) == (2, 3)
+    assert r0["lift"] == round(7 * 4 / (5 * 4), 6)
