@@ -793,6 +793,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_srp_signatures": similarity.q_srp_signatures,
         # association rules over the basket top-25 (confidence + lift)
         "q_basket_rules": relational.q_basket_rules,
+        # per-dimension embedding histogram (drift monitor, all-integer)
+        "q_emb_histogram": similarity.q_emb_histogram,
     }
 
 
@@ -1591,6 +1593,20 @@ def oracle_sql() -> dict[str, str]:
         "q_silhouette": _silhouette_sql(),
         # DBSCAN: integer eps-graph, recursive-CTE components
         "emb_dbscan": _dbscan_sql(),
+        # per-dim histogram: 1e-3 grid, floor(q/250) bins, integer counts
+        "q_emb_histogram": """
+            WITH e AS (
+                SELECT CAST(round(1000.0 * CAST(unnest(embedding)
+                                                AS DOUBLE)) AS BIGINT)
+                           AS q,
+                       CAST(generate_subscripts(embedding, 1) - 1
+                            AS BIGINT) AS dim
+                FROM embeddings)
+            SELECT dim,
+                   CAST(floor(CAST(q AS DOUBLE) / 250) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY 1, 2 ORDER BY dim, bin
+        """,
         # SRP sketch: md5-parity ±1 planes, integer dots, sign bits
         "q_srp_signatures": """
             WITH e AS (

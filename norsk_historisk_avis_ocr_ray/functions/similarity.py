@@ -1814,3 +1814,60 @@ def q_srp_signatures(sf_dir: str) -> "ray.data.Dataset":
     return ensure_schema(
         emb.map_batches(sig, batch_format="pyarrow", batch_size=4096),
         schema)
+
+
+# --- per-dimension embedding histogram ---------------------------------------------
+
+EMB_HIST_GRID = 1_000.0   # 1e-3 coordinate grid (q_vec_quantize's grid)
+EMB_HIST_WIDTH = 250      # bucket = floor(q / 250) → 0.25-wide value bins
+
+
+def q_emb_histogram(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension value histogram of the embedding table — the
+    feature-drift monitor an embedding pipeline diffs between snapshots
+    (a dimension whose distribution shifts signals an encoder change or
+    corrupt batch upstream).
+
+    All-integer, exactly oracle-replayable: coordinates quantize
+    elementwise to the 1e-3 grid, the bin is ``floor(q / 250)`` (0.25
+    value units — exact: the double division's error is ~1e-16 against a
+    1/250 lattice), and counts fold as integers.
+
+    Ray shape: one streaming pass; each batch flattens to (dim, bin)
+    keys and emits ``np.unique`` count partials (≤ |dims|·|bins| ≈ 2k
+    rows per batch), then one result-sized ``groupby((dim, bin))`` Sum.
+    Output is |dims|·|occupied bins| rows — result-sized."""
+    from ray.data.aggregate import Sum
+
+    emb = _emb(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(t)
+        if mat.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        q = round_half_away(EMB_HIST_GRID * mat, 0).astype(np.int64)
+        bins = np.floor_divide(q, EMB_HIST_WIDTH)
+        dims = np.broadcast_to(
+            np.arange(mat.shape[1], dtype=np.int64)[None, :], q.shape)
+        # encode (dim, bin) into one int key for a single unique pass;
+        # bins are small (|bin| < 2^20 at any sane embedding scale)
+        keys = dims.reshape(-1) * np.int64(1 << 21) + (
+            bins.reshape(-1) + np.int64(1 << 20))
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table({
+            "dim": pa.array(uk // (1 << 21)),
+            "bin": pa.array(uk % (1 << 21) - (1 << 20)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    df = (emb.map_batches(partials, batch_format="pyarrow",
+                          batch_size=4096)
+          .groupby(["dim", "bin"])
+          .aggregate(Sum("n", alias_name="n")).to_pandas())
+    if df.empty:
+        return typed_empty(dim="int64", bin="int64", n="int64")
+    for c in ("dim", "bin", "n"):
+        df[c] = df[c].astype(np.int64)
+    return (df[["dim", "bin", "n"]]
+            .sort_values(["dim", "bin"]).reset_index(drop=True))

@@ -466,3 +466,32 @@ def test_basket_rules_matches_bruteforce(ray_session, tmp_path):
     r0 = out.iloc[0]
     assert (r0["part_a"], r0["part_b"]) == (2, 3)
     assert r0["lift"] == round(7 * 4 / (5 * 4), 6)
+
+
+# --- q_emb_histogram --------------------------------------------------------------
+
+
+def test_emb_histogram_matches_bruteforce(ray_session, tmp_path):
+    rng = np.random.default_rng(43)
+    vecs = rng.normal(0, 1, (30, 4))
+    vecs[0, 0] = -1.9999   # bin-boundary-adjacent values
+    vecs[1, 0] = 0.25
+    vecs[2, 0] = -0.25
+    sf = _write_emb(tmp_path, vecs)
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        q_emb_histogram)
+    from norsk_historisk_avis_ocr_ray.functions.rounding import (
+        round_half_away)
+    out = q_emb_histogram(sf)
+
+    exp = {}
+    f32 = np.asarray(vecs, np.float32).astype(np.float64)  # storage dtype
+    for row in f32:
+        for d, x in enumerate(row):
+            q = int(round_half_away(1000.0 * x, 0))
+            b = q // 250   # python floor division floors, like the engine
+            exp[(d, b)] = exp.get((d, b), 0) + 1
+    got = {(int(d), int(b)): int(n)
+           for d, b, n in zip(out["dim"], out["bin"], out["n"])}
+    assert got == exp
+    assert int(out["n"].sum()) == 30 * 4
