@@ -795,6 +795,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_basket_rules": relational.q_basket_rules,
         # per-dimension embedding histogram (drift monitor, all-integer)
         "q_emb_histogram": similarity.q_emb_histogram,
+        # LSH band-bucket size histogram (shuffle-skew forecast)
+        "q_lsh_bucket_stats": dedup.q_lsh_bucket_stats,
     }
 
 
@@ -2340,6 +2342,16 @@ def oracle_sql() -> dict[str, str]:
         # uint64/mod-p arithmetic) — see the oracle-machinery helpers above.
         "dedup_minhash": _dedup_minhash_sql(),
         "q_minhash_recall": _minhash_recall_sql(),
+        # band-bucket histogram over the same replayed band-key chain
+        "q_lsh_bucket_stats": f"""
+            WITH {_tok_ctes()}, {_minhash_cand_ctes()},
+            bs AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS size
+                   FROM bk GROUP BY 1, 2)
+            SELECT CAST(band AS BIGINT) AS band,
+                   size AS bucket_size,
+                   CAST(count(*) AS BIGINT) AS n_buckets
+            FROM bs GROUP BY 1, 2 ORDER BY band, bucket_size
+        """,
         "minhash_clusters": _minhash_clusters_sql(),
         "q_minhash_jaccard_est": _minhash_jaccard_est_sql(),
         "simhash_signatures": _simhash_signatures_sql(),

@@ -1374,3 +1374,57 @@ def q_minhash_recall(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
         "n_verified": np.array([n_verified], np.int64),
         "recall": np.array([recall], np.float64),
         "precision": np.array([precision], np.float64)})
+
+
+def q_lsh_bucket_stats(sf_dir: str) -> pd.DataFrame:
+    """Band-bucket size distribution of the MinHash LSH index — the skew
+    diagnostic that decides banding parameters before a web-scale dedup
+    run: a bucket of size s costs s² candidate pairs, so the tail of this
+    histogram IS the shuffle hot-spot forecast (and the signal for
+    salting or df-capping boilerplate). Rows: (band, bucket_size,
+    n_buckets) — all integers, exactly oracle-replayable via the same
+    band-key chain the candidate generator uses.
+
+    Ray shape: the MinHasher streaming pass (signatures → band keys),
+    then ONE key-bucketed combine: a (band, band_hash) bucket lives whole
+    in its combine bucket, so its size is final there and each combine
+    bucket emits a LOCAL (band, size) histogram partial — the final
+    groupby folds ≤ bands × max_size tiny rows. The band-key space never
+    reaches the driver."""
+    from .combine import bucketed_combine
+
+    docs = _docs(sf_dir, num_blocks=scale.read_blocks())
+    hasher = MinHasher()
+    rows = docs.map_batches(hasher, batch_format="pyarrow",
+                            batch_size=1024)
+
+    def to_key(t: pa.Table) -> pa.Table:
+        bh = t["band_hash"].to_numpy(zero_copy_only=False).view(np.int64)
+        return pa.table({
+            "band": t["band"].to_numpy(zero_copy_only=False).astype(
+                np.int64),
+            "bh": pa.array(bh, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = (g.groupby(["band", "bh"], as_index=False).size()
+                 .rename(columns={"size": "bucket_size"}))
+        out = (sizes.groupby(["band", "bucket_size"], as_index=False)
+               .size().rename(columns={"size": "n_buckets"}))
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    from ray.data.aggregate import Sum
+
+    df = (bucketed_combine(
+        rows.map_batches(to_key, batch_format="pyarrow"), "bh", fold)
+        .groupby(["band", "bucket_size"])
+        .aggregate(Sum("n_buckets", alias_name="n_buckets")).to_pandas())
+    if df.empty:
+        return pd.DataFrame({"band": pd.Series([], dtype="int64"),
+                             "bucket_size": pd.Series([], dtype="int64"),
+                             "n_buckets": pd.Series([], dtype="int64")})
+    for c in ("band", "bucket_size", "n_buckets"):
+        df[c] = df[c].astype(np.int64)
+    return (df[["band", "bucket_size", "n_buckets"]]
+            .sort_values(["band", "bucket_size"]).reset_index(drop=True))

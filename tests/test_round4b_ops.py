@@ -495,3 +495,22 @@ def test_emb_histogram_matches_bruteforce(ray_session, tmp_path):
            for d, b, n in zip(out["dim"], out["bin"], out["n"])}
     assert got == exp
     assert int(out["n"].sum()) == 30 * 4
+
+
+# --- q_lsh_bucket_stats -----------------------------------------------------------
+
+
+def test_lsh_bucket_stats_invariants(ray_session, tmp_path):
+    """Mass conservation per band (Σ size·n_buckets = n_docs) and exact
+    dup groups: k identical docs always share every band bucket, so each
+    band has ≥ 1 bucket of size ≥ k."""
+    texts = (["identical duplicate body text here"] * 4
+             + [f"unique doc {i} with words {i*3} {i*5}" for i in range(8)])
+    sf = _write_texts(tmp_path, texts)
+    from norsk_historisk_avis_ocr_ray.functions.dedup import (
+        BANDS, q_lsh_bucket_stats)
+    out = q_lsh_bucket_stats(sf)
+    assert sorted(out["band"].unique()) == list(range(BANDS))
+    for band, g in out.groupby("band"):
+        assert (g["bucket_size"] * g["n_buckets"]).sum() == len(texts)
+        assert g["bucket_size"].max() >= 4
