@@ -1,7 +1,11 @@
-"""Planted ground truth for the round-4b operators: q_basket_pairs
-(market-basket part-pair mining), q_zipf_slope (Zipf-exponent fit on the
-micro-quantized log grid), and q_silhouette (integer-grid cluster
-silhouette). Exact SQL equality is enforced by tools/check_oracle.py;
+"""Planted ground truth for the round-4b operators: q_basket_pairs /
+q_basket_rules (market-basket mining + A-Priori rules), q_zipf_slope
+(Zipf OLS on the micro-quantized log grid), q_silhouette (integer-grid
+cluster silhouette), emb_dbscan (integer eps-graph density clustering),
+q_minhash_recall (LSH quality eval), q_containment_pairs (winnowing
+containment), q_srp_signatures (SRP cosine sketch), q_emb_histogram
+(per-dim drift histogram) and q_lsh_bucket_stats (band-bucket skew
+forecast). Exact SQL equality is enforced by tools/check_oracle.py;
 these pin hand-computable semantics on tiny corpora."""
 
 import itertools
