@@ -1061,7 +1061,12 @@ def q_containment_pairs(sf_dir: str, threshold: float = CONTAIN_T,
                          "sel": pa.array(np.concatenate(sels), pa.int64())})
 
     rows = docs.map_batches(winnow_rows, batch_format="pyarrow",
-                            batch_size=None)
+                            batch_size=None).materialize()
+    if rows.count() == 0:
+        # Ray's hash join crashes on schema-less empty sides; an empty
+        # corpus/partition is a routine condition (minhash_candidates
+        # has the same guard)
+        return typed_empty(a="int64", b="int64", containment="float64")
 
     def under_df(t: pa.Table) -> pa.Table:
         return t.filter(pc.less_equal(t["count()"],
