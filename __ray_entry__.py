@@ -797,6 +797,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_emb_histogram": similarity.q_emb_histogram,
         # LSH band-bucket size histogram (shuffle-skew forecast)
         "q_lsh_bucket_stats": dedup.q_lsh_bucket_stats,
+        # Efraimidis-Spirakis weighted sample (md5-uniform, exact /2^64)
+        "q_weighted_sample": mlprep.q_weighted_sample,
     }
 
 
@@ -1725,6 +1727,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY vec_id, rk
         """,
         # deterministic per-source hash sampling via the shared md5 bridge
+        # Efraimidis-Spirakis weighted sample: u = md5-64 / 2^64 (exact —
+        # power-of-two divisor), key = ln(u)/w (shared libm + one
+        # division), md5 makes rank ties impossible.
+        "q_weighted_sample": """
+            WITH w AS (
+                SELECT doc_id, n_chars,
+                       ln(CAST(('0x' || substr(
+                              md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                              ::UBIGINT AS DOUBLE)
+                          / CAST(18446744073709551616 AS DOUBLE))
+                       / n_chars AS es_key
+                FROM documents WHERE n_chars > 0)
+            SELECT CAST(row_number() OVER (ORDER BY es_key DESC)
+                        AS BIGINT) AS rk,
+                   doc_id, n_chars
+            FROM w ORDER BY es_key DESC LIMIT 50
+        """,
         "q_hash_sample": """
             SELECT source, rk, doc_id FROM (
                 SELECT source, doc_id,

@@ -2004,3 +2004,56 @@ def q_rep_ngram_ratio(sf_dir: str) -> Dataset:
     return ensure_schema(
         ds.map_batches(per_doc, batch_format="pyarrow", batch_size=4096),
         schema)
+
+
+# --- weighted sampling without replacement (Efraimidis-Spirakis) ------------------
+
+WSAMPLE_K = 50
+
+
+def q_weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> pd.DataFrame:
+    """Reproducible WEIGHTED sample without replacement: the top-``k``
+    documents by the Efraimidis-Spirakis key ``ln(u) / w`` (u uniform,
+    w = n_chars) — the standard one-pass distributed weighted reservoir
+    ("Weighted random sampling with a reservoir", IPL 2006), the
+    pick-probability-proportional-to-length subcorpus draw a mixture
+    plan executes. Deterministic and exactly SQL-oracled: u is the md5
+    bridge hash of the doc id divided by 2^64 (a power of two — the
+    division is EXACT), ln is the shared libm, the key ratio is one
+    deterministic division, and ranking compares identical doubles
+    (md5 makes ties impossible). Zero-weight docs are excluded on both
+    sides.
+
+    Ray shape: per-batch local top-k combiner (sort by key desc), one
+    driver fold over k × n_batches candidate rows — result-sized, the
+    corpus never concentrates."""
+    from .dedup import _md5_64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "es_key": pa.array([], pa.float64())})
+        h = np.fromiter((_md5_64(str(int(d))) for d in ids), np.uint64,
+                        count=len(ids))
+        u = h.astype(np.float64) / float(1 << 64)   # exact /2^64
+        key = np.log(u) / w.astype(np.float64)
+        g = (pd.DataFrame({"doc_id": ids, "n_chars": w, "es_key": key})
+             .sort_values("es_key", ascending=False, kind="mergesort")
+             .head(k))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cand = (ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=8192).to_pandas())
+    if cand.empty:
+        return typed_empty(rk="int64", doc_id="int64", n_chars="int64")
+    out = (cand.sort_values("es_key", ascending=False, kind="mergesort")
+           .head(k).reset_index(drop=True))
+    out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rk", "doc_id", "n_chars"]]

@@ -518,3 +518,58 @@ def test_lsh_bucket_stats_invariants(ray_session, tmp_path):
     for band, g in out.groupby("band"):
         assert (g["bucket_size"] * g["n_buckets"]).sum() == len(texts)
         assert g["bucket_size"].max() >= 4
+
+
+# --- q_weighted_sample ------------------------------------------------------------
+
+
+def test_weighted_sample_matches_bruteforce_and_biases_long(ray_session,
+                                                            tmp_path):
+    """Exact match against a brute-force Efraimidis-Spirakis replication,
+    and the statistical property: long docs are overrepresented vs a
+    uniform draw."""
+    import hashlib
+    import math
+
+    rng = np.random.default_rng(47)
+    # 100 short docs (20 chars) + 100 long docs (2000 chars)
+    texts = (["s" * 20] * 100 + ["L" * 2000] * 100)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "n_chars": pa.array([len(t) for t in texts],
+                                      pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import (
+        q_weighted_sample)
+    out = q_weighted_sample(str(tmp_path), k=40)
+
+    def md5_64(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+    keyed = []
+    for d, t in enumerate(texts):
+        w = len(t)
+        u = np.float64(np.uint64(md5_64(str(d))).astype(np.float64)
+                       ) / float(1 << 64)
+        keyed.append((math.log(u) / w, d, w))
+    keyed.sort(reverse=True)
+    exp = [(i + 1, d, w) for i, (_, d, w) in enumerate(keyed[:40])]
+    got = list(zip(out["rk"], out["doc_id"], out["n_chars"]))
+    assert got == exp
+    # weight bias: long docs are 100x likelier per E-S; in 40 draws the
+    # long cohort must dominate
+    assert (out["n_chars"] == 2000).sum() >= 35
+
+
+def test_weighted_sample_zero_weight_excluded(ray_session, tmp_path):
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["", "ab", "cdef"], pa.string()),
+                  "n_chars": pa.array([0, 2, 4], pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import (
+        q_weighted_sample)
+    out = q_weighted_sample(str(tmp_path))
+    assert 0 not in set(out["doc_id"])
+    assert len(out) == 2
