@@ -402,3 +402,63 @@ def test_classifier_features_l1_normalized(texts):
         toks = (txt or "").lower().split()
         assert counts.sum() == len(toks)
         assert len(ids) == len(set(ids))        # unique feature ids
+
+
+# --- round-4b pure-kernel properties --------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abcdef gh", min_size=8, max_size=120),
+       st.integers(min_value=8, max_value=120))
+def test_winnow_prefix_selection_subset(text, m):
+    """Winnowing windows look only BACKWARD, so a character-prefix's
+    selected set is a subset of the full text's (the q_containment_pairs
+    prefix-containment-equals-1 argument)."""
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        winnow_hashes)
+    m = min(m, len(text))
+    if m < 8:
+        return
+    pre = set(winnow_hashes(text[:m]).tolist())
+    full = set(winnow_hashes(text).tolist())
+    assert pre <= full
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abcd ", min_size=11, max_size=30),
+       st.text(alphabet="xyz w", max_size=20),
+       st.text(alphabet="pqr s", max_size=20))
+def test_winnow_shared_substring_guarantee(shared, left, right):
+    """Schleimer/Wilkerson/Aiken guarantee: two texts sharing a substring
+    of length >= w + k - 1 = 11 share at least one selected hash."""
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        winnow_hashes)
+    t1 = left + shared
+    t2 = shared + right
+    s1 = set(winnow_hashes(t1).tolist())
+    s2 = set(winnow_hashes(t2).tolist())
+    assert s1 & s2
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 10**6), st.integers(1, 10**4)),
+                min_size=2, max_size=30, unique_by=lambda t: t[0]),
+       st.integers(2, 16))
+def test_es_key_ranking_scale_invariant(docs, c):
+    """Efraimidis-Spirakis ranking is invariant to scaling all weights by
+    a constant (key = ln(u)/w): q_weighted_sample's pick is a function of
+    relative weights only."""
+    import hashlib
+    import math
+
+    def md5_64(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+    def ranking(scale):
+        keys = []
+        for d, w in docs:
+            u = md5_64(str(d)) / float(1 << 64)
+            keys.append((math.log(u) / (w * scale), d))
+        return [d for _, d in sorted(keys, reverse=True)]
+
+    assert ranking(1) == ranking(c)
