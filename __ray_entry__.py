@@ -799,6 +799,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_lsh_bucket_stats": dedup.q_lsh_bucket_stats,
         # Efraimidis-Spirakis weighted sample (md5-uniform, exact /2^64)
         "q_weighted_sample": mlprep.q_weighted_sample,
+        # train/test gram leakage of the hash split (corpus x corpus)
+        "q_split_leakage": mlprep.q_split_leakage,
     }
 
 
@@ -1727,6 +1729,41 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY vec_id, rk
         """,
         # deterministic per-source hash sampling via the shared md5 bridge
+        # split-hygiene: per-gram side flags fold as max; counts integer,
+        # one division; val docs excluded on both sides
+        "q_split_leakage": r"""
+            WITH b AS (
+                SELECT CAST(concat('0x',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 100 AS b,
+                       lower(trim(coalesce(text, ''))) AS tx
+                FROM documents),
+            sided AS (
+                SELECT CASE WHEN b < 80 THEN 1 ELSE 0 END AS tr,
+                       CASE WHEN b >= 90 THEN 1 ELSE 0 END AS te, tx
+                FROM b WHERE b < 80 OR b >= 90),
+            w AS (SELECT tr, te, string_split_regex(tx, '\s+') AS ws
+                  FROM sided),
+            g AS (SELECT tr, te,
+                         unnest(ws[1:len(ws)-2]) || ' ' ||
+                         unnest(ws[2:len(ws)-1]) || ' ' ||
+                         unnest(ws[3:len(ws)]) AS g3
+                  FROM w WHERE len(ws) >= 3),
+            per AS (SELECT g3, max(tr) AS tr, max(te) AS te
+                    FROM g GROUP BY g3),
+            m AS (SELECT CAST(coalesce(sum(tr), 0) AS BIGINT)
+                             AS n_train_grams,
+                         CAST(coalesce(sum(te), 0) AS BIGINT)
+                             AS n_test_grams,
+                         CAST(coalesce(sum(tr * te), 0) AS BIGINT)
+                             AS n_shared
+                  FROM per)
+            SELECT n_train_grams, n_test_grams, n_shared,
+                   CASE WHEN n_test_grams = 0 THEN 0.0
+                        ELSE round(n_shared / (n_test_grams * 1.0), 6)
+                   END AS leak_frac
+            FROM m WHERE EXISTS (SELECT 1 FROM documents)
+        """,
         # Efraimidis-Spirakis weighted sample: u = md5-64 / 2^64 (exact —
         # power-of-two divisor), key = ln(u)/w (shared libm + one
         # division), md5 makes rank ties impossible.

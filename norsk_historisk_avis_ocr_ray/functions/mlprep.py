@@ -2057,3 +2057,86 @@ def q_weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> pd.DataFrame:
            .head(k).reset_index(drop=True))
     out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out[["rk", "doc_id", "n_chars"]]
+
+
+def q_split_leakage(sf_dir: str) -> pd.DataFrame:
+    """Train/test 3-gram leakage of the md5 hash split — the split-hygiene
+    check run before trusting held-out numbers: what fraction of the test
+    split's distinct word-3-grams also occur somewhere in the train
+    split. (q_contamination checks the corpus against an external
+    benchmark sliver; this checks the split against ITSELF, so BOTH sides
+    are corpus-sized — no broadcast is possible and the overlap must fold
+    gram-bucketed.)
+
+    All-integer counts + one division, exactly SQL-oracled: the split is
+    the shared ``_md5_bucket`` rule (train < 80, test ≥ 90; val excluded),
+    grams are the lowered trimmed whitespace trigrams of the
+    dedup_ngram_jaccard oracle convention, and per-gram side flags fold
+    as ``max`` — order-free.
+
+    Ray shape: one scan emits batch-local-distinct (gram-hash, in_train,
+    in_test) int rows; ONE gram-bucketed combine resolves each gram's
+    global side flags and reduces to three per-bucket BIGINT partials
+    (train/test/both counts); the driver sums ≤ n_buckets rows. The gram
+    vocabulary never concentrates anywhere."""
+    from .dedup import _md5_64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    empty = typed_empty(n_train_grams="int64", n_test_grams="int64",
+                        n_shared="int64", leak_frac="float64")
+    if ds.count() == 0:
+        return empty
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        gh, tr, te = [], [], []
+        cache: dict[str, int] = {}
+        for d, x in zip(ids, texts):
+            b = _md5_bucket(int(d))
+            if TRAIN_PCT <= b < TRAIN_PCT + VAL_PCT:
+                continue            # val docs don't participate
+            is_test = b >= TRAIN_PCT + VAL_PCT
+            toks = (x or "").lower().strip().split()
+            if len(toks) < 3:
+                continue
+            seen = set()
+            for i in range(len(toks) - 2):
+                g3 = " ".join(toks[i:i + 3])
+                h = cache.get(g3)
+                if h is None:
+                    h = _md5_64(g3) // 2
+                    cache[g3] = h
+                if h not in seen:
+                    seen.add(h)
+                    gh.append(h)
+                    tr.append(0 if is_test else 1)
+                    te.append(1 if is_test else 0)
+        return pa.table({"gh": pa.array(gh, pa.int64()),
+                         "tr": pa.array(tr, pa.int64()),
+                         "te": pa.array(te, pa.int64())})
+
+    from .combine import bucketed_combine
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = (g.groupby("gh", as_index=False)
+               .agg(tr=("tr", "max"), te=("te", "max")))
+        return pd.DataFrame({
+            "n_train_grams": np.array([per["tr"].sum()], np.int64),
+            "n_test_grams": np.array([per["te"].sum()], np.int64),
+            "n_shared": np.array([(per["tr"] * per["te"]).sum()],
+                                 np.int64)})
+
+    parts = bucketed_combine(
+        ds.map_batches(gram_rows, batch_format="pyarrow",
+                       batch_size=4096),
+        "gh", fold).to_pandas()
+    ntr = int(parts["n_train_grams"].sum()) if len(parts) else 0
+    nte = int(parts["n_test_grams"].sum()) if len(parts) else 0
+    nsh = int(parts["n_shared"].sum()) if len(parts) else 0
+    leak = 0.0 if nte == 0 else round_half_away(nsh / float(nte), 6)
+    return pd.DataFrame({
+        "n_train_grams": np.array([ntr], np.int64),
+        "n_test_grams": np.array([nte], np.int64),
+        "n_shared": np.array([nsh], np.int64),
+        "leak_frac": np.array([leak], np.float64)})

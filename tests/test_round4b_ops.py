@@ -573,3 +573,39 @@ def test_weighted_sample_zero_weight_excluded(ray_session, tmp_path):
     out = q_weighted_sample(str(tmp_path))
     assert 0 not in set(out["doc_id"])
     assert len(out) == 2
+
+
+# --- q_split_leakage --------------------------------------------------------------
+
+
+def test_split_leakage_matches_bruteforce(ray_session, tmp_path):
+    """Brute-force replication: distinct trigram sets per split side via
+    the same md5 bucket rule; planted shared text across sides."""
+    import hashlib
+
+    def bucket(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100
+
+    rng = np.random.default_rng(53)
+    texts = {}
+    for d in range(200):
+        words = [f"w{rng.integers(0, 300):03d}" for _ in range(12)]
+        texts[d] = " ".join(words)
+    sf = _write_texts(tmp_path, [texts[d] for d in range(200)])
+
+    train, test = set(), set()
+    for d, t in texts.items():
+        b = bucket(d)
+        if 80 <= b < 90:
+            continue
+        toks = t.lower().strip().split()
+        grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        (test if b >= 90 else train).update(grams)
+
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import (
+        q_split_leakage)
+    out = q_split_leakage(sf).iloc[0]
+    assert out["n_train_grams"] == len(train)
+    assert out["n_test_grams"] == len(test)
+    assert out["n_shared"] == len(train & test)
+    assert out["leak_frac"] == round(len(train & test) / len(test), 6)
