@@ -801,6 +801,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_weighted_sample": mlprep.q_weighted_sample,
         # train/test gram leakage of the hash split (corpus x corpus)
         "q_split_leakage": mlprep.q_split_leakage,
+        # incremental ingest dedup: delta probed against the base corpus
+        "q_incremental_dedup": dedup.q_incremental_dedup,
     }
 
 
@@ -2398,6 +2400,49 @@ def oracle_sql() -> dict[str, str]:
         # uint64/mod-p arithmetic) — see the oracle-machinery helpers above.
         "dedup_minhash": _dedup_minhash_sql(),
         "q_minhash_recall": _minhash_recall_sql(),
+        # incremental dedup: delta docs probed against base fingerprints
+        # (64-bit md5 truncation — the ENGINE's exact hash) and base band
+        # keys (the replayed chain); flags are EXISTS-style max over
+        # semi-join hits, all integer.
+        "q_incremental_dedup": f"""
+            WITH {_tok_ctes()}, {_minhash_cand_ctes()},
+            side AS (SELECT doc_id,
+                            CASE WHEN CAST(concat('0x',
+                                     substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 100 >= 90
+                                 THEN 1 ELSE 0 END AS is_delta
+                     FROM documents),
+            fpt AS (SELECT d.doc_id,
+                           ('0x' || substr(md5(coalesce(d.text, '')),
+                                           1, 16))::UBIGINT AS fp
+                    FROM documents d),
+            fpb AS (SELECT DISTINCT fp FROM fpt
+                    JOIN side USING (doc_id) WHERE is_delta = 0),
+            ex AS (SELECT f.doc_id,
+                          CAST(max(CASE WHEN fb.fp IS NOT NULL
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                              AS exact_dup
+                   FROM fpt f
+                   JOIN side s ON s.doc_id = f.doc_id AND s.is_delta = 1
+                   LEFT JOIN fpb fb ON fb.fp = f.fp
+                   GROUP BY f.doc_id),
+            bkb AS (SELECT DISTINCT band, bkey FROM bk
+                    JOIN side ON side.doc_id = bk.doc_id
+                             AND side.is_delta = 0),
+            nr AS (SELECT k.doc_id,
+                          CAST(max(CASE WHEN bb.band IS NOT NULL
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                              AS near_cand
+                   FROM bk k
+                   JOIN side s ON s.doc_id = k.doc_id AND s.is_delta = 1
+                   LEFT JOIN bkb bb ON bb.band = k.band
+                                   AND bb.bkey = k.bkey
+                   GROUP BY k.doc_id)
+            SELECT e.doc_id, e.exact_dup,
+                   CAST(coalesce(n.near_cand, 0) AS BIGINT) AS near_cand
+            FROM ex e LEFT JOIN nr n USING (doc_id)
+            ORDER BY e.doc_id
+        """,
         # band-bucket histogram over the same replayed band-key chain
         "q_lsh_bucket_stats": f"""
             WITH {_tok_ctes()}, {_minhash_cand_ctes()},

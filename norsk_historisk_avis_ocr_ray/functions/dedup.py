@@ -1428,3 +1428,99 @@ def q_lsh_bucket_stats(sf_dir: str) -> pd.DataFrame:
         df[c] = df[c].astype(np.int64)
     return (df[["band", "bucket_size", "n_buckets"]]
             .sort_values(["band", "bucket_size"]).reset_index(drop=True))
+
+
+def q_incremental_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """INCREMENTAL dedup — the production ingest shape: a new crawl delta
+    is checked against the existing base corpus (here the md5 doc-id
+    split: bucket ≥ 90 is the delta, < 90 the base). Per delta doc:
+    ``exact_dup`` (its text md5 exists in the base) and ``near_cand``
+    (it shares a MinHash band bucket with a base doc — the LSH candidate
+    probe an incremental pipeline runs before exact verification).
+
+    All decisions integer/EXISTS — exactly SQL-oracled via the shared
+    band-key replay chain.
+
+    Ray shape (what makes incremental different from full-corpus dedup):
+    the base never pairs with itself — each fingerprint/band-key bucket
+    only answers "does the base occupy this key" (a ``max`` flag) and
+    flags the delta rows in the same bucket, so the exchange is one
+    key-bucketed combine per probe (no base×base quadratic work, no
+    driver pull of anything base-sized); the per-delta-doc fold is a
+    second delta-sized bucketed combine. Output is delta-sized →
+    streaming Dataset."""
+    from .collect import ensure_schema
+    from .combine import bucketed_combine
+    from .mlprep import _md5_bucket
+
+    docs = _docs(sf_dir, num_blocks=scale.read_blocks())
+    schema = pa.schema([("doc_id", pa.int64()), ("exact_dup", pa.int64()),
+                        ("near_cand", pa.int64())])
+    hasher = MinHasher()
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        """(key, doc_id, is_base, kind) rows: kind 0 = text-md5
+        fingerprint (one per doc), kind 1 = band key (BANDS per doc)."""
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        if not ids:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "is_base": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int64())})
+        is_delta = np.fromiter((_md5_bucket(int(d)) >= 90 for d in ids),
+                               bool, count=len(ids))
+        fph = np.fromiter((_md5_64(x or "") for x in texts), np.uint64,
+                          count=len(texts)).view(np.int64)
+        sigs = hasher._signatures_batch(_hash_tokens_batch(texts))
+        bands = hasher._band_keys(sigs).view(np.int64)  # (ndocs, BANDS)
+        nb = bands.shape[1]
+        ids_np = np.asarray(ids, np.int64)
+        # `key` only routes bucketing; equality is decided on the full
+        # (kind, band, key) tuple in key_probe, so cross-domain or
+        # cross-band hash collisions cost locality, never correctness
+        return pa.table({
+            "key": pa.array(np.concatenate([fph, bands.reshape(-1)])),
+            "band": pa.array(np.concatenate(
+                [np.full(len(ids_np), -1, np.int64),
+                 np.tile(np.arange(nb, dtype=np.int64), len(ids_np))])),
+            "doc_id": pa.array(np.concatenate(
+                [ids_np, np.repeat(ids_np, nb)])),
+            "is_base": pa.array(np.concatenate(
+                [~is_delta, np.repeat(~is_delta, nb)]).astype(np.int64)),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(len(ids_np), np.int64),
+                 np.ones(len(ids_np) * nb, np.int64)]))})
+
+    def key_probe(g: pd.DataFrame) -> pd.DataFrame:
+        """Per (kind, band, key): does the base occupy it? Flag the delta
+        rows that share it."""
+        base_occ = (g.groupby(["kind", "band", "key"])["is_base"]
+                    .transform("max").to_numpy(np.int64))
+        d = g[g["is_base"].to_numpy() == 0]
+        hit = base_occ[(g["is_base"].to_numpy() == 0)]
+        out = pd.DataFrame({"doc_id": d["doc_id"].to_numpy(np.int64),
+                            "kind": d["kind"].to_numpy(np.int64),
+                            "hit": hit})
+        # delta-sized partial: one row per (delta doc, kind) per bucket
+        out = (out.groupby(["doc_id", "kind"], as_index=False)
+               .agg(hit=("hit", "max")))
+        out["hit"] = out["hit"].astype(np.int64)
+        return out
+
+    partials = bucketed_combine(
+        docs.map_batches(probe_rows, batch_format="pyarrow",
+                         batch_size=1024),
+        "key", key_probe)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        p = (g.pivot_table(index="doc_id", columns="kind", values="hit",
+                           aggfunc="max", fill_value=0)
+             .reindex(columns=[0, 1], fill_value=0).reset_index())
+        p.columns = ["doc_id", "exact_dup", "near_cand"]
+        for c in p.columns:
+            p[c] = p[c].astype(np.int64)
+        return p
+
+    return ensure_schema(
+        bucketed_combine(partials, "doc_id", per_doc), schema)

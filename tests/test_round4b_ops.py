@@ -609,3 +609,42 @@ def test_split_leakage_matches_bruteforce(ray_session, tmp_path):
     assert out["n_test_grams"] == len(test)
     assert out["n_shared"] == len(train & test)
     assert out["leak_frac"] == round(len(train & test) / len(test), 6)
+
+
+# --- q_incremental_dedup ----------------------------------------------------------
+
+
+def test_incremental_dedup_planted(ray_session, tmp_path):
+    """Plant: find a delta doc id (md5 bucket >= 90), give it text
+    identical to a base doc -> exact_dup = 1 AND near_cand = 1 (identical
+    signatures share every band); another delta doc with unique text ->
+    both 0."""
+    import hashlib
+
+    def bucket(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100
+
+    ids = list(range(400))
+    delta_ids = [d for d in ids if bucket(d) >= 90]
+    base_ids = [d for d in ids if bucket(d) < 80]
+    assert len(delta_ids) >= 2 and len(base_ids) >= 2
+    shared = "this exact text lives in both the base and the delta side"
+    texts = {}
+    for d in ids:
+        texts[d] = f"unique filler document number {d} tokens {d*7} {d*13}"
+    texts[base_ids[0]] = shared
+    texts[delta_ids[0]] = shared          # exact dup of a base doc
+    # delta_ids[1] keeps unique text -> no dup
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array([texts[d] for d in ids], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    from norsk_historisk_avis_ocr_ray.functions.dedup import (
+        q_incremental_dedup)
+    out = (q_incremental_dedup(str(tmp_path)).to_pandas()
+           .set_index("doc_id"))
+    assert set(out.index) == set(delta_ids)       # one row per delta doc
+    assert out.loc[delta_ids[0], "exact_dup"] == 1
+    assert out.loc[delta_ids[0], "near_cand"] == 1
+    assert out.loc[delta_ids[1], "exact_dup"] == 0

@@ -73,8 +73,14 @@ def main() -> int:
     import __ray_entry__ as entrymod
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+        # NHAO_GATE_CPUS perturbs every cluster-derived width (read blocks,
+        # pair blocks, join partitions, batch boundaries): running the full
+        # sweep at a second CPU count is the partitioning-invariance fuzz —
+        # every oracle hash must be identical under both shapes.
+        import os
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("NHAO_GATE_CPUS", "8")),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
