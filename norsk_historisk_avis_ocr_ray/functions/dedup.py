@@ -1304,11 +1304,6 @@ def q_minhash_recall(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     if docs.count() == 0:
         return empty
 
-    pair_ids = minhash_candidates(docs).to_pandas().drop_duplicates()
-    n_cand = len(pair_ids)
-    n_verified = len(dedup_minhash(sf_dir, threshold=threshold,
-                                   pair_ids=pair_ids))
-
     # ground truth: exhaustive shingle-blocked exact jaccard on the
     # SIGNATURE gram space (lower=True + partial gram — unlike
     # dedup_ngram_jaccard's case-preserving k≥3 grams)
@@ -1331,10 +1326,11 @@ def q_minhash_recall(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
                          "n": pa.array(np.concatenate(out_ns)),
                          "sh": pa.array(np.concatenate(out_sh), pa.int64())})
 
-    rows = docs.map_batches(shingle_rows, batch_format="pyarrow",
-                            batch_size=4096).materialize()
-    n_truth = 0
-    if rows.count():
+    def truth_count() -> int:
+        rows = docs.map_batches(shingle_rows, batch_format="pyarrow",
+                                batch_size=4096).materialize()
+        if rows.count() == 0:
+            return 0
         import pyarrow.compute as pc
 
         joined = rows.join(rows, join_type="inner",
@@ -1357,12 +1353,28 @@ def q_minhash_recall(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
                                 batch_size=None).to_pandas()
              .groupby(["a", "b"], as_index=False, sort=False)
              .agg(n_a=("n_a", "max"), n_b=("n_b", "max"), c=("c", "sum")))
-        if len(g):
-            c = g["c"].to_numpy(np.float64)
-            jac = round_half_away(
-                c / (g["n_a"].to_numpy(np.float64)
-                     + g["n_b"].to_numpy(np.float64) - c), 6)
-            n_truth = int((jac >= threshold).sum())
+        if not len(g):
+            return 0
+        c = g["c"].to_numpy(np.float64)
+        jac = round_half_away(
+            c / (g["n_a"].to_numpy(np.float64)
+                 + g["n_b"].to_numpy(np.float64) - c), 6)
+        return int((jac >= threshold).sum())
+
+    # The truth chain shares nothing with the candidate chain, so it runs
+    # on a second driver thread — Ray datasets execute independently and
+    # the streaming executor interleaves both pipelines' tasks (measured
+    # ~5.5 s → ~4 s at sf0.1; results are unchanged by construction:
+    # both consumers only return counts).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        truth_fut = pool.submit(truth_count)
+        pair_ids = minhash_candidates(docs).to_pandas().drop_duplicates()
+        n_cand = len(pair_ids)
+        n_verified = len(dedup_minhash(sf_dir, threshold=threshold,
+                                       pair_ids=pair_ids))
+        n_truth = truth_fut.result()
 
     recall = (1.0 if n_truth == 0 else
               round_half_away(n_verified / float(n_truth), 6))

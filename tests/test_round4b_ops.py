@@ -648,3 +648,21 @@ def test_incremental_dedup_planted(ray_session, tmp_path):
     assert out.loc[delta_ids[0], "exact_dup"] == 1
     assert out.loc[delta_ids[0], "near_cand"] == 1
     assert out.loc[delta_ids[1], "exact_dup"] == 0
+
+
+# --- driver-contract invariants ----------------------------------------------------
+
+
+def test_gate_window_all_oracled_and_unique():
+    """The external driver gates the FIRST 50 queries() entries: every
+    window entry must carry an exact oracle, and names must be unique."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    q = list(entry.queries())
+    assert len(q) == len(set(q))
+    oracles = entry.oracle_sql()
+    window = q[:50]
+    missing = [k for k in window if k not in oracles]
+    assert not missing, f"gate-window entries without oracles: {missing}"
