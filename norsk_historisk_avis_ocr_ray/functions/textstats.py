@@ -1068,14 +1068,15 @@ def q_containment_pairs(sf_dir: str, threshold: float = CONTAIN_T,
         # has the same guard)
         return typed_empty(a="int64", b="int64", containment="float64")
 
-    def under_df(t: pa.Table) -> pa.Table:
-        return t.filter(pc.less_equal(t["count()"],
-                                      max_df)).select(["sel"])
+    def df_filter(g: pd.DataFrame) -> pd.DataFrame:
+        # a fingerprint lives whole in its sel-bucket, so the bucket-local
+        # df count is GLOBAL — one combine replaces the
+        # groupby(sel).count() + inner-join pair (a full shuffle saved)
+        keep = (g.groupby("sel")["doc_id"].transform("size")
+                <= max_df)
+        return g[keep.to_numpy()]
 
-    df_ok = rows.groupby("sel").count().map_batches(
-        under_df, batch_format="pyarrow")
-    rows = rows.join(df_ok, join_type="inner",
-                     num_partitions=scale.join_partitions(), on=("sel",))
+    rows = bucketed_combine(rows, "sel", df_filter)
 
     def attach_n(g: pd.DataFrame) -> pd.DataFrame:
         # post-filter set size onto every row (a doc lives in one bucket)
