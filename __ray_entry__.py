@@ -2486,6 +2486,75 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
             ORDER BY a, b
         """,
+        # Full replay of the integer-grid multiprobe LSH index
+        # (similarity.ann_lsh_topk): md5-parity ±1 planes, bucket codes as
+        # integer sign tests on the 1e-6 coordinate grid, multiprobe-1
+        # candidate join, 1e-9-grid integer cosines, (qcos DESC, vec_id)
+        # top-5. Every compared quantity is an integer, so the driver's
+        # typed value hash cannot flip on partitioning or summation order.
+        "ann_lsh_topk": """
+            WITH nq AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(round(
+                           1000000.0 * CAST(x AS DOUBLE)) AS BIGINT)) AS q1
+                FROM embeddings),
+            nqs AS MATERIALIZED (
+                SELECT vec_id, q1,
+                       CAST(list_sum(list_transform(q1, v -> v * v))
+                            AS BIGINT) AS n2
+                FROM nq),
+            dims AS (SELECT DISTINCT generate_subscripts(q1, 1) AS d FROM nq),
+            planes AS MATERIALIZED (
+                SELECT b.range AS bit,
+                       list(CASE WHEN ('0x' || substr(md5(
+                                'alsh:' || b.range || ':' || (dd.d - 1)),
+                                1, 16))::UBIGINT % 2 = 1
+                            THEN CAST(1 AS BIGINT)
+                            ELSE CAST(-1 AS BIGINT) END ORDER BY dd.d) AS p
+                FROM range(64) b CROSS JOIN dims dd
+                GROUP BY b.range),
+            codes AS MATERIALIZED (
+                SELECT e.vec_id, p.bit // 8 AS tbl,
+                       CAST(sum(CASE WHEN CAST(list_inner_product(e.q1, p.p)
+                                              AS BIGINT) > 0
+                                THEN 1 << CAST(p.bit % 8 AS INTEGER)
+                                ELSE 0 END) AS BIGINT) AS code
+                FROM nq e CROSS JOIN planes p
+                GROUP BY e.vec_id, p.bit // 8),
+            qcodes AS (SELECT * FROM codes WHERE vec_id < 10),
+            probes AS (
+                SELECT vec_id AS qid, tbl, code AS pcode FROM qcodes
+                UNION
+                SELECT q.vec_id, q.tbl,
+                       xor(q.code, CAST(1 << CAST(f.range AS INTEGER)
+                                        AS BIGINT))
+                FROM qcodes q CROSS JOIN range(8) f),
+            cands AS MATERIALIZED (
+                SELECT DISTINCT p.qid AS query_id, c.vec_id
+                FROM probes p
+                JOIN codes c ON c.tbl = p.tbl AND c.code = p.pcode
+                WHERE c.vec_id <> p.qid),
+            scored AS (
+                SELECT ca.query_id, ca.vec_id,
+                       CASE WHEN a.n2 = 0 OR q.n2 = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(round(1000000000.0 * (
+                                CAST(list_inner_product(a.q1, q.q1) AS DOUBLE)
+                                / (sqrt(CAST(a.n2 AS DOUBLE))
+                                   * sqrt(CAST(q.n2 AS DOUBLE)))))
+                                AS BIGINT)
+                       END AS qcos
+                FROM cands ca
+                JOIN nqs a ON a.vec_id = ca.vec_id
+                JOIN nqs q ON q.vec_id = ca.query_id),
+            topk AS (
+                SELECT query_id, vec_id, qcos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY qcos DESC, vec_id) AS rn
+                FROM scored)
+            SELECT query_id, vec_id,
+                   round(CAST(qcos AS DOUBLE) / 1000000000.0, 6) AS cos
+            FROM topk WHERE rn <= 5 ORDER BY query_id, vec_id
+        """,
         # Brute-force counterpart of the PassJoin pigeonhole blocking: the
         # Ray side's segment join + DP verify must equal the exhaustive
         # levenshtein self-join over the distinct names. DuckDB's

@@ -68,9 +68,9 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(norms, 1e-30)
 
 
-def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """The small query side only — pruned at the read (row filter pushed to
-    the parquet scan), never the full embedding table."""
+def _load_queries_raw(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """The small query side only, UNNORMALIZED — pruned at the read (row
+    filter pushed to the parquet scan), never the full embedding table."""
     import pyarrow.compute as pc
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -81,7 +81,15 @@ def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
         return np.array([], np.int64), np.zeros((0, 0))
     ids, mat = _batch_matrix(tbl)
     order = np.argsort(ids)
-    return ids[order], _normalize(mat[order])
+    return ids[order], mat[order]
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Normalized query matrix (the float exact-cosine path)."""
+    ids, mat = _load_queries_raw(sf_dir)
+    if len(ids) == 0:
+        return ids, mat
+    return ids, _normalize(mat)
 
 
 def ann_topk(sf_dir: str) -> pd.DataFrame:
@@ -352,13 +360,45 @@ LSH_TABLES = 8
 LSH_BITS = 8
 
 
-def _lsh_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    """(n, T) bucket codes: sign pattern of the projections onto each
-    table's ``LSH_BITS`` hyperplanes, packed into an int."""
-    proj = mat @ planes.reshape(-1, planes.shape[-1]).T  # (n, T*b)
-    bits = (proj > 0).astype(np.int64).reshape(len(mat), LSH_TABLES, LSH_BITS)
+def _alsh_planes(dim: int) -> np.ndarray:
+    """(T·B, dim) ±1 Rademacher hyperplanes from the md5 parity bridge
+    (``_md5_64("alsh:<flat bit>:<dim>")``) — process-deterministic AND
+    DuckDB-replayable, same construction as ``_srp_planes``. Flat bit
+    index ``t·LSH_BITS + b`` maps to table ``t``, in-table bit ``b``."""
+    from .dedup import _md5_64
+
+    return np.array([[1 if _md5_64(f"alsh:{b}:{d}") & 1 else -1
+                      for d in range(dim)]
+                     for b in range(LSH_TABLES * LSH_BITS)], np.int64)
+
+
+def _lsh_codes(q1: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, T) bucket codes: sign pattern (strict ``> 0``; ties → 0) of the
+    EXACT integer projections of the 1e-6-grid coordinates onto each
+    table's ``LSH_BITS`` ±1 hyperplanes, packed little-endian into an int.
+    Sign tests are scale-invariant, so the unnormalized ``q1`` grid gives
+    the same buckets as the normalized vector — and every quantity is an
+    integer the DuckDB oracle replays bit-for-bit."""
+    proj = _int_matmul(q1, planes.T)  # (n, T*B) exact integer dots
+    bits = (proj > 0).astype(np.int64).reshape(len(q1), LSH_TABLES, LSH_BITS)
     weights = (1 << np.arange(LSH_BITS, dtype=np.int64))
     return bits @ weights  # (n, T)
+
+
+def _q1_batch(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """1e-6-grid int64 coordinates + their squared norms (both exact)."""
+    q1 = round_half_away(KM_GRID * mat, 0).astype(np.int64)
+    n2 = (q1 * q1).sum(axis=1)
+    return q1, n2
+
+
+def _qcos(dots: np.ndarray, n2a: np.ndarray, n2b: np.ndarray) -> np.ndarray:
+    """1e-9-grid integer cosine — the emb_kmeans oracle shape: one float
+    division of exact integers, one libm sqrt per side, one round."""
+    den = np.sqrt(n2a.astype(np.float64)) * np.sqrt(n2b.astype(np.float64))
+    cos = np.where((n2a == 0) | (n2b == 0), 0.0,
+                   dots.astype(np.float64) / np.where(den == 0, 1.0, den))
+    return round_half_away(KM_COS_GRID * cos, 0).astype(np.int64)
 
 
 def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
@@ -374,23 +414,29 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     cost ~14 s at sf0.1 in per-group overhead alone), one fused
     ``map_batches`` scores each batch's vectors against exactly the queries
     probing their buckets: per table, batch rows are segmented by code
-    (argsort + unique on the packed code), each segment does one small
-    matmul against its probing queries, (query, vector) hits found by
-    several tables are deduplicated batch-locally, and only per-query local
-    top-k rows leave the task. The lone shuffle is the Q-group final merge.
-    Approximate; rows-only check with a recall assertion in tests."""
-    rng = np.random.default_rng(271828)
+    (argsort + unique on the packed code), each segment looks up its
+    probing queries, (query, vector) hits found by several tables are
+    deduplicated batch-locally, and only per-query local top-k rows leave
+    the task. The lone shuffle is the Q-group final merge.
+
+    EXACTLY DuckDB-oracle-replayable (the round-4 conversion from
+    rows-only): the hyperplanes are md5-parity ±1 Rademacher vectors
+    (``_alsh_planes``), bucket codes are integer sign tests on the 1e-6
+    coordinate grid, candidate cosines fold on the 1e-9 integer grid, and
+    the top-5 tie-break is (qcos DESC, vec_id) over integers — no result
+    bit depends on partitioning, summation order, or RNG state."""
     emb = _emb(sf_dir)
     head = emb.take(1)
     if not head:
         return typed_empty(query_id="int64", vec_id="int64", cos="float64")
     dim = len(head[0]["embedding"])
-    planes = rng.standard_normal((LSH_TABLES, LSH_BITS, dim))
+    planes = _alsh_planes(dim)
 
-    qids, qmat = _load_queries(sf_dir)
+    qids, qraw = _load_queries_raw(sf_dir)
     if len(qids) == 0:
         return typed_empty(query_id="int64", vec_id="int64", cos="float64")
-    q_codes = _lsh_codes(qmat, planes)  # (Q, T)
+    q_q1, q_n2 = _q1_batch(qraw)
+    q_codes = _lsh_codes(q_q1, planes)  # (Q, T)
     # multiprobe-1: each query probes its code and every 1-bit flip of it
     probe_by_bucket: dict[int, np.ndarray] = {}
     for qi in range(len(qids)):
@@ -402,14 +448,14 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     probe_by_bucket = {k: np.unique(v) for k, v in probe_by_bucket.items()}
 
     p_ref = ray.put(planes)
-    q_ref = ray.put((qids, qmat, probe_by_bucket))
+    q_ref = ray.put((qids, q_q1, q_n2, probe_by_bucket))
 
     def score_batch(t: pa.Table) -> pa.Table:
         planes = ray.get(p_ref)
-        qids, qmat, probe = ray.get(q_ref)
+        qids, q_q1, q_n2, probe = ray.get(q_ref)
         ids, mat = _batch_matrix(t)
-        nm = _normalize(mat)
-        codes = _lsh_codes(nm, planes)  # (n, T)
+        q1, n2 = _q1_batch(mat)
+        codes = _lsh_codes(q1, planes)  # (n, T)
         qi_parts, rj_parts = [], []
         for ti in range(LSH_TABLES):
             col = codes[:, ti]
@@ -427,14 +473,16 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
         if not qi_parts:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
-                             "cos": pa.array([], pa.float64())})
+                             "qcos": pa.array([], pa.int64())})
         qi = np.concatenate(qi_parts)
         rj = np.concatenate(rj_parts)
         # dedupe (query, vector) hits repeated across tables
         key = qi.astype(np.int64) * len(ids) + rj
         _, first_idx = np.unique(key, return_index=True)
         qi, rj = qi[first_idx], rj[first_idx]
-        sims = np.einsum("ij,ij->i", nm[rj], qmat[qi])
+        dots = np.einsum("ij,ij->i", q1[rj].astype(np.float64),
+                         q_q1[qi].astype(np.float64))  # exact ints < 2^53
+        sims = _qcos(dots, n2[rj], q_n2[qi])
         out_q, out_v, out_c = [], [], []
         for q in np.unique(qi):
             qid = int(qids[q])
@@ -448,11 +496,11 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
             out_c.append(cand[order])
         return pa.table({"query_id": pa.array(np.concatenate(out_q), pa.int64()),
                          "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
-                         "cos": pa.array(np.concatenate(out_c), pa.float64())})
+                         "qcos": pa.array(np.concatenate(out_c), pa.int64())})
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("vec_id")
-        return g.sort_values(["cos", "vec_id"],
+        return g.sort_values(["qcos", "vec_id"],
                              ascending=[False, True]).head(TOP_K)
 
     df = (emb.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
@@ -461,10 +509,13 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
              .to_pandas())
     if df.empty:
         return typed_empty(query_id="int64", vec_id="int64", cos="float64")
-    df["cos"] = round_half_away(df["cos"].to_numpy(), 6)
+    df["cos"] = round_half_away(
+        df["qcos"].to_numpy(np.float64) / KM_COS_GRID, 6)
     df = df.astype({"query_id": np.int64, "vec_id": np.int64})
-    return df.sort_values(["query_id", "cos", "vec_id"],
-                          ascending=[True, False, True]).reset_index(drop=True)
+    return (df[["query_id", "vec_id", "cos"]]
+            .sort_values(["query_id", "cos", "vec_id"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True))
 
 
 # --- product-quantization ANN (Jégou et al. 2011) -------------------------------
