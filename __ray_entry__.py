@@ -1377,6 +1377,54 @@ def _emb_kmeans_sql() -> str:
     """
 
 
+def _ann_ivf_sql() -> str:
+    """Full replay of the integer-grid IVF index (similarity.ann_ivf_topk):
+    the shared k-means chain (``_int_kmeans_ctes``) trains the coarse
+    quantizer and assigns every vector; queries rank centroids by exact
+    integer squared distance (ties → lower cluster, the per-query norm
+    term cancels), probe their ``IVF_NPROBE`` nearest inverted lists, and
+    candidate cosines fold on the 1e-9 integer grid with the
+    (qcos DESC, vec_id) top-5 tie-break — every compared quantity is an
+    integer."""
+    from norsk_historisk_avis_ocr_ray.functions.similarity import IVF_NPROBE
+
+    body, final_a, final_c = _int_kmeans_ctes()
+    return f"""
+        WITH {body},
+        qv AS (SELECT vec_id AS qid, nx, n2 FROM nxt WHERE vec_id < 10),
+        qprobe AS (
+            SELECT qid, cluster FROM (
+                SELECT q.qid, c.cluster,
+                       row_number() OVER (PARTITION BY q.qid ORDER BY
+                           c.c2 - 2 * CAST(list_inner_product(q.nx, c.c)
+                                           AS BIGINT),
+                           c.cluster) AS rn
+                FROM qv q CROSS JOIN {final_c} c)
+            WHERE rn <= {IVF_NPROBE}),
+        cands AS MATERIALIZED (
+            SELECT p.qid AS query_id, a.vec_id, a.nx, a.n2
+            FROM qprobe p JOIN {final_a} a ON a.cluster = p.cluster
+            WHERE a.vec_id <> p.qid),
+        scored AS (
+            SELECT ca.query_id, ca.vec_id,
+                   CASE WHEN ca.n2 = 0 OR q.n2 = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(round(1000000000.0 * (
+                            CAST(list_inner_product(ca.nx, q.nx) AS DOUBLE)
+                            / (sqrt(CAST(ca.n2 AS DOUBLE))
+                               * sqrt(CAST(q.n2 AS DOUBLE))))) AS BIGINT)
+                   END AS qcos
+            FROM cands ca JOIN qv q ON q.qid = ca.query_id),
+        topk AS (
+            SELECT query_id, vec_id, qcos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcos DESC, vec_id) AS rn
+            FROM scored)
+        SELECT query_id, vec_id,
+               round(CAST(qcos AS DOUBLE) / 1000000000.0, 6) AS cos
+        FROM topk WHERE rn <= 5 ORDER BY query_id, vec_id
+    """
+
+
 def _semdedup_sql() -> str:
     """DuckDB replay of similarity.semdedup: the shared k-means chain
     (``_int_kmeans_ctes``) assigns every vector, then the per-cluster
@@ -1593,6 +1641,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer-grid k-means replay (round-4 rows-only → exact conversion)
         "emb_kmeans": _emb_kmeans_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         # SemDeDup greedy prune replay (recursive CTE over kept-set state)
         "semdedup": _semdedup_sql(),
         # cluster × source composition: k-means chain + join + count

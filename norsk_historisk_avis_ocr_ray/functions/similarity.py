@@ -206,141 +206,96 @@ def embedding_neardup(sf_dir: str, threshold: float = NEARDUP_T,
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-IVF_KMEANS_ITERS = 2
-
-
-def _kmeans_pp_sample(sample: np.ndarray, n_centroids: int,
-                      rng: np.random.Generator,
-                      sample_iters: int = 10) -> np.ndarray:
-    """k-means++ init + Lloyd on a driver-side SAMPLE (standard IVF coarse-
-    quantizer training: cost depends on sample size, not N). Random-Gaussian
-    init was seed-fragile (recall 0.74–0.92 across seeds); this is stable."""
-    c = [sample[rng.integers(len(sample))]]
-    for _ in range(n_centroids - 1):
-        d = 1.0 - np.max(np.stack([sample @ ci for ci in c], axis=1), axis=1)
-        p = np.maximum(d, 1e-12)
-        c.append(sample[rng.choice(len(sample), p=p / p.sum())])
-    cent = _normalize(np.stack(c))
-    for _ in range(sample_iters):
-        a = np.argmax(sample @ cent.T, axis=1)
-        for k in range(n_centroids):
-            if (a == k).any():
-                cent[k] = sample[a == k].mean(axis=0)
-        cent = _normalize(cent)
-    return cent
-
-
-def _kmeans_centroids(ds: Dataset, dim: int, n_centroids: int,
-                      iters: int = IVF_KMEANS_ITERS,
-                      seed: int = 97) -> np.ndarray:
-    """Distributed spherical k-means: k-means++ training on a small sample
-    (driver-side), then ``iters`` full Lloyd passes where each pass is one
-    streaming map_batches — per-batch partial (sum, count) per centroid
-    (C rows per batch), combined on the driver (C × dim floats, independent
-    of N). At cluster scale the ``limit()`` sample would be a
-    ``random_sample``; the quantizer only needs a representative sketch."""
-    rng = np.random.default_rng(seed)
-    n_sample = max(100 * n_centroids, 1024)
-    rows = ds.limit(n_sample).take_all()
-    sample = _normalize(np.array([r["embedding"] for r in rows],
-                                 dtype=np.float64))
-    centroids = _kmeans_pp_sample(sample, n_centroids, rng)
-    for _ in range(iters):
-        c_ref = ray.put(centroids)
-
-        def partial(t: pa.Table) -> pa.Table:
-            c = ray.get(c_ref)
-            _, mat = _batch_matrix(t)
-            norm = _normalize(mat)
-            assign = np.argmax(norm @ c.T, axis=1)
-            sums = np.zeros_like(c)
-            np.add.at(sums, assign, norm)
-            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
-            return pa.table({
-                "centroid": pa.array(np.arange(len(c)), pa.int32()),
-                "count": pa.array(counts, pa.int64()),
-                "vecsum": pa.array([row.tobytes() for row in sums], pa.binary()),
-            })
-
-        sums = np.zeros((n_centroids, dim))
-        counts = np.zeros(n_centroids, dtype=np.int64)
-        for b in (ds.map_batches(partial, batch_format="pyarrow",
-                                 batch_size=4096)
-                    .iter_batches(batch_format="pyarrow")):
-            idx = b["centroid"].to_numpy()
-            counts[idx] += b["count"].to_numpy()
-            for i, raw in zip(idx, b["vecsum"].to_pylist()):
-                sums[i] += np.frombuffer(raw, dtype=np.float64)
-        nonempty = counts > 0
-        centroids = centroids.copy()
-        centroids[nonempty] = _normalize(sums[nonempty] /
-                                         counts[nonempty, None])
-    return centroids
-
-
 def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     """IVF approximate top-5: k-means bucket index + probe-only scan.
 
-    Build: distributed k-means (``_kmeans_centroids``) → one assignment pass
-    adds a ``bucket`` column → ``groupby(bucket)`` forms the inverted lists
-    as physical blocks. Query: each bucket group scores ONLY the queries
-    whose ``nprobe`` nearest centroids include it — unprobed buckets do no
-    similarity work — then a per-query final top-k. Work per bucket is
-    |bucket| × (queries probing it), i.e. the pruned-scan saving is real
-    (the round-1 version scored every vector against every query and merely
-    masked afterwards). Rows-only check (approximate); recall vs the exact
-    ``ann_topk`` is asserted in tests."""
-    emb = _emb(sf_dir)
-    head = emb.take(1)
-    if not head:
-        return typed_empty(query_id="int64", vec_id="int64", cos="float64")
-    dim = len(head[0]["embedding"])
-    centroids = _kmeans_centroids(emb, dim, IVF_CENTROIDS)
+    Build: the shared integer-grid Lloyd trainer (``_int_kmeans_centroids``
+    — the same coarse quantizer emb_kmeans/semdedup replay in SQL) → one
+    assignment pass adds a ``bucket`` column → ``groupby(bucket)`` forms
+    the inverted lists as physical blocks. Query: each bucket group scores
+    ONLY the queries whose ``nprobe`` nearest centroids include it —
+    unprobed buckets do no similarity work — then a per-query final top-k.
+    Work per bucket is |bucket| × (queries probing it), i.e. the
+    pruned-scan saving is real (the round-1 version scored every vector
+    against every query and merely masked afterwards).
 
-    qids, qmat = _load_queries(sf_dir)
+    EXACTLY DuckDB-oracle-replayable (the round-4 conversion from
+    rows-only): the quantizer, the probe ranking (integer squared
+    distance, ties → lower cluster), the bucket assignment, and the
+    1e-9-grid integer candidate cosines all replay by composing
+    ``_int_kmeans_ctes`` — no result bit depends on partitioning,
+    summation order, or RNG state. Recall vs the exact ``ann_topk`` is
+    additionally asserted in tests."""
+    cent = _int_kmeans_centroids(sf_dir, IVF_CENTROIDS)
+    if cent is None:
+        return typed_empty(query_id="int64", vec_id="int64", cos="float64")
+
+    qids, qraw = _load_queries_raw(sf_dir)
     if len(qids) == 0:
         return typed_empty(query_id="int64", vec_id="int64", cos="float64")
-    q_probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :IVF_NPROBE]
+    q_nx = _nq_batch(qraw)
+    _, q_n2 = _q1_batch(qraw)   # Σq1² — the norm the oracle's nxt carries
+    # probe ranking: exact-integer squared distance, ties -> lower cluster
+    # (the per-query constant Σnx² term cancels in the ranking)
+    c2 = (cent * cent).sum(axis=1)
+    qdots = _int_matmul(q_nx, cent.T)
+    dist2 = c2[None, :] - 2 * qdots
+    q_probe = np.argsort(dist2, axis=1, kind="stable")[:, :IVF_NPROBE]
     # inverted probe map: bucket -> indices of queries probing it
     probe_by_bucket = {
         int(c): np.flatnonzero((q_probe == c).any(axis=1))
         for c in np.unique(q_probe)
     }
-    c_ref = ray.put(centroids)
-    q_ref = ray.put((qids, qmat, probe_by_bucket))
+    c_ref = ray.put(cent)
+    q_ref = ray.put((qids, q_nx, q_n2, probe_by_bucket))
 
     def assign(t: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
-        _, mat = _batch_matrix(t)
-        bucket = np.argmax(_normalize(mat) @ c.T, axis=1).astype(np.int64)
-        return t.append_column("bucket", pa.array(bucket, pa.int64()))
+        ids, mat = _batch_matrix(t)
+        if mat.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "n2": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.binary())})
+        nx = _nq_batch(mat)
+        _, n2 = _q1_batch(mat)
+        a, _, _, _ = _assign(c, nx)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "bucket": pa.array(a.astype(np.int64)),
+            "n2": pa.array(n2),
+            "vec": pa.array([row.tobytes() for row in nx], pa.binary())})
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        qids, qmat, probe_by_bucket = ray.get(q_ref)
+        qids, q_nx, q_n2, probe_by_bucket = ray.get(q_ref)
         bucket = int(g["bucket"].iloc[0])
         probing = probe_by_bucket.get(bucket)
         if probing is None or len(probing) == 0:
             return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                                  "vec_id": pd.Series([], dtype="int64"),
-                                 "cos": pd.Series([], dtype="float64")})
+                                 "qcos": pd.Series([], dtype="int64")})
         ids = g["vec_id"].to_numpy()
-        mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
-        sims = mat @ qmat[probing].T          # (|bucket|, |probing queries|)
+        nx = np.stack([np.frombuffer(r, np.int64) for r in g["vec"]])
+        n2 = g["n2"].to_numpy(np.int64)
+        dots = _int_matmul(nx, q_nx[probing].T)  # (|bucket|, |probing|)
         out = []
         for j, qi in enumerate(probing):
             qid = int(qids[qi])
             keep = ids != qid
-            cand_ids, cand = ids[keep], sims[keep, j]
+            cand_ids = ids[keep]
+            cand = _qcos(dots[keep, j], n2[keep], q_n2[qi])
             order = np.lexsort((cand_ids, -cand))[:TOP_K]
             out.append(pd.DataFrame({"query_id": qid,
                                      "vec_id": cand_ids[order],
-                                     "cos": cand[order]}))
+                                     "qcos": cand[order]}))
         return pd.concat(out, ignore_index=True)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(TOP_K)
+        return g.sort_values(["qcos", "vec_id"],
+                             ascending=[False, True]).head(TOP_K)
 
-    df = (emb.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+    df = (_emb(sf_dir)
+             .map_batches(assign, batch_format="pyarrow", batch_size=4096)
              .groupby("bucket")
              .map_groups(bucket_topk, batch_format="pandas")
              .groupby("query_id")
@@ -348,10 +303,13 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
              .to_pandas())
     if df.empty:
         return typed_empty(query_id="int64", vec_id="int64", cos="float64")
-    df["cos"] = round_half_away(df["cos"].to_numpy(), 6)
+    df["cos"] = round_half_away(
+        df["qcos"].to_numpy(np.float64) / KM_COS_GRID, 6)
     df = df.astype({"query_id": np.int64, "vec_id": np.int64})
-    return df.sort_values(["query_id", "cos", "vec_id"],
-                          ascending=[True, False, True]).reset_index(drop=True)
+    return (df[["query_id", "vec_id", "cos"]]
+            .sort_values(["query_id", "cos", "vec_id"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True))
 
 
 # --- LSH-bucketed ANN ----------------------------------------------------------
