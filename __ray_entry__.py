@@ -4451,10 +4451,14 @@ def oracle_sql() -> dict[str, str]:
         # bpe_train / bpe_encode (iterative merge loop; hand-computed
         # merges + sequential-apply-reference pytests),
         # image_phash_dedup (binary media; planted noisy-dup pytest),
-        # emb_pca (iterative float eigendecomposition),
-        # ann_ivf_topk, ann_lsh_topk, ann_pq_topk (seeded k-means /
-        # random-hyperplane / product-quantization indexes; recall@5 >= 0.85
-        # pytests vs exact brute force),
+        # emb_pca (driver-side dim×dim eigensolve; the distributed moment
+        # fold is exact integers since round 4, so the eigensolve input is
+        # bit-identical under any partitioning — only the QR iteration
+        # itself is non-SQL),
+        # ann_pq_topk (product-quantization index; recall@5 >= 0.9 pytest
+        # vs exact brute force). ann_ivf_topk and ann_lsh_topk gained
+        # exact oracles in round 4 (integer-kmeans chain composition;
+        # md5-parity Rademacher planes + integer-grid cosines),
         # audio_frame_energy, video_frame_sample, video_shot_detect
         # (binary media corpora, not SQL tables; shot detection's planted
         # cuts are recovered exactly in pytest). dedup_minhash / dedup_simhash /

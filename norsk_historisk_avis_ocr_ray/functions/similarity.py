@@ -783,17 +783,28 @@ def emb_pca(sf_dir: str, n_components: int = PCA_COMPONENTS) -> pd.DataFrame:
     variance (+ cumulative ratio) from an exact covariance estimate.
 
     Scale shape — one pass of MERGEABLE MOMENTS, never the data matrix:
-    each batch emits its partial ``(n, Σx, ΣxᵀX)`` (dim² floats, independent
-    of N); the driver sums the result-sized partials, forms the exact
-    covariance ``E[xxᵀ] − μμᵀ``, and eigendecomposes a dim×dim matrix.
-    This is the textbook one-pass covariance sketch — the same shape used
-    for feature whitening / dim-reduction over 10^12-row embedding tables,
-    where dim² ≪ N.
+    each batch emits its partial ``(n, Σq, ΣqᵀQ)`` on the 1e-6 integer
+    coordinate grid (dim² int64s, independent of N); the driver folds the
+    result-sized partials as PYTHON ints (the q_zipf_slope pattern — no
+    overflow at any corpus size) and forms the INTEGER scatter matrix
+    ``B = n·Σqqᵀ − (Σq)(Σq)ᵀ``, so the dim×dim eigensolve input is
+    bit-identical under ANY partitioning / batch size / summation order
+    (the round-4 hardening: the previous float moment fold was
+    partition-order-dependent in the last ulp). This is the textbook
+    one-pass covariance sketch used for whitening / dim-reduction over
+    10^12-row embedding tables, where dim² ≪ N.
 
-    Rows-only: eigenvector sign/order make projections non-SQL-comparable;
-    the eigenvalue spectrum itself is pinned in pytest (exact vs an
-    in-memory numpy PCA on the same table) plus invariants (non-increasing
-    spectrum, Σ explained = total variance)."""
+    Rows-only BY NECESSITY, with the boundary drawn as tight as possible:
+    everything distributed (the moment fold) is exact integers; the only
+    non-replayable step is the driver-side dim×dim ``eigvalsh`` — a dense
+    symmetric QR eigensolve with data-dependent Householder/Givens
+    iteration that has no SQL expression (a deflated power iteration WAS
+    prototyped and replays in SQL, but this table's near-flat spectrum —
+    λ₁/λ₂ ≈ 0.99 — needs ~10³ steps per component to order the
+    components, far past any unrollable CTE chain). Correctness gate:
+    pytest pins the spectrum against an in-memory numpy PCA plus
+    invariants (non-increasing spectrum, Σ explained = total variance),
+    and the batch-independence test is exact by construction."""
     emb = _emb(sf_dir)
     head = emb.take(1)
     if not head:
@@ -803,22 +814,30 @@ def emb_pca(sf_dir: str, n_components: int = PCA_COMPONENTS) -> pd.DataFrame:
 
     def moments(t: pa.Table) -> pa.Table:
         _, mat = _batch_matrix(t)
-        x = mat.astype(np.float64)
-        flat = np.concatenate([[float(len(x))], x.sum(axis=0),
-                               (x.T @ x).reshape(-1)])
+        q1, _ = _q1_batch(mat)
+        flat = np.concatenate([
+            np.array([len(q1)], np.int64), q1.sum(axis=0),
+            _int_matmul(q1.T, q1).reshape(-1)])
         return pa.table({"m": pa.array([flat.tobytes()], pa.binary())})
 
     parts = (emb.map_batches(moments, batch_format="pyarrow",
                              batch_size=4096).to_pandas())
-    acc = np.zeros(1 + dim + dim * dim, np.float64)
+    acc = [0] * (1 + dim + dim * dim)   # Python ints: overflow-free fold
     for buf in parts["m"]:
-        acc += np.frombuffer(buf, np.float64)
-    n, s, ss = acc[0], acc[1:1 + dim], acc[1 + dim:].reshape(dim, dim)
+        for idx, val in enumerate(np.frombuffer(buf, np.int64)):
+            acc[idx] += int(val)
+    n = acc[0]
     if n < 2:
         return typed_empty(component="int64", explained_var="float64",
                            cum_ratio="float64")
-    mu = s / n
-    cov = ss / n - np.outer(mu, mu)
+    s = acc[1:1 + dim]
+    ss = acc[1 + dim:]
+    # integer scatter matrix: n²·1e12 × covariance, exact; the float cast
+    # per entry is the single deterministic rounding before the eigensolve
+    scatter = np.array(
+        [[n * ss[i * dim + j] - s[i] * s[j] for j in range(dim)]
+         for i in range(dim)], dtype=np.float64)
+    cov = scatter / (float(n * n) * 1e12)
     evals = np.linalg.eigvalsh(cov)[::-1]          # non-increasing
     evals = np.maximum(evals, 0.0)
     total = evals.sum()
