@@ -1425,6 +1425,132 @@ def _ann_ivf_sql() -> str:
     """
 
 
+def _ann_pq_sql() -> str:
+    """Full replay of the integer-grid product-quantization index
+    (similarity.ann_pq_topk): per-subspace Lloyd chains (the
+    ``_int_kmeans_ctes`` construction sliced to dim/PQ_M coordinates,
+    id-spread init, ties → lower code), integer ADC lookup tables, the
+    GLOBAL (adc DESC, vec_id) top-PQ_PREFILTER cut per query, and the
+    1e-9-grid cosine re-rank with the (qcos DESC, vec_id) top-5
+    tie-break — every compared quantity is an integer."""
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        KM_ITERS, PQ_KS, PQ_M, PQ_PREFILTER)
+
+    # the subspace width is dim/PQ_M; dim is data-derived, so slice with
+    # a computed upper bound per subspace via list_slice on 1-based ends
+    assign = """
+        SELECT vec_id, x, code FROM (
+            SELECT e.vec_id, e.x, c.code,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       c.c2 - 2 * CAST(list_inner_product(e.x, c.c)
+                                       AS BIGINT),
+                       c.code) AS rn
+            FROM {SX} e CROSS JOIN {C} c)
+        WHERE rn = 1
+    """
+    update = """
+        SELECT cl.code, coalesce(u.c, cl.c) AS c,
+               coalesce(u.c2, cl.c2) AS c2
+        FROM {C} cl LEFT JOIN (
+            SELECT code, list(cv ORDER BY i) AS c,
+                   CAST(list_sum(list_transform(list(cv ORDER BY i),
+                                                v -> v * v)) AS BIGINT) AS c2
+            FROM (
+                SELECT code, i,
+                       CAST(round(CAST(sum(v) AS DOUBLE)
+                                  / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                           AS cv
+                FROM (SELECT code, generate_subscripts(x, 1) AS i,
+                             unnest(x) AS v FROM {A})
+                GROUP BY code, i)
+            GROUP BY code) u USING (code)
+    """
+    parts, adc_arms = [], []
+    for mi in range(PQ_M):
+        lo = f"({mi} * sd.sub + 1)"
+        hi = f"(({mi} + 1) * sd.sub)"
+        parts.append(f"""
+        sx{mi} AS MATERIALIZED (
+            SELECT vec_id, list_slice(nx, {lo}, {hi}) AS x
+            FROM nxt CROSS JOIN sd),
+        qsx{mi} AS (SELECT vec_id AS qid, x FROM sx{mi} WHERE vec_id < 10),
+        c{mi}_0 AS MATERIALIZED (
+            SELECT t.j AS code, s.x AS c,
+                   CAST(list_sum(list_transform(s.x, v -> v * v))
+                        AS BIGINT) AS c2
+            FROM range({PQ_KS}) t(j) CROSS JOIN cnt
+            JOIN sx{mi} s ON s.vec_id = (t.j * cnt.n) // {PQ_KS})""")
+        prev = f"c{mi}_0"
+        for it in range(1, KM_ITERS + 1):
+            parts.append(f"a{mi}_{it} AS MATERIALIZED ("
+                         + assign.format(SX=f"sx{mi}", C=prev) + ")")
+            parts.append(f"c{mi}_{it} AS MATERIALIZED ("
+                         + update.format(C=prev, A=f"a{mi}_{it}") + ")")
+            prev = f"c{mi}_{it}"
+        fin = KM_ITERS + 1
+        parts.append(f"a{mi}_{fin} AS MATERIALIZED ("
+                     + assign.format(SX=f"sx{mi}", C=prev) + ")")
+        parts.append(f"""
+        lut{mi} AS MATERIALIZED (
+            SELECT q.qid, c.code,
+                   CAST(list_inner_product(q.x, c.c) AS BIGINT) AS l
+            FROM qsx{mi} q CROSS JOIN {prev} c)""")
+        adc_arms.append(
+            f"SELECT l.qid, a.vec_id, l.l FROM a{mi}_{fin} a "
+            f"JOIN lut{mi} l ON l.code = a.code")
+    body = ",".join(parts)
+    arms = " UNION ALL ".join(adc_arms)
+    return f"""
+        WITH nq AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       round(1000000.0 * CAST(x AS DOUBLE))) AS q1
+            FROM embeddings
+        ), nxt AS MATERIALIZED (
+            SELECT vec_id, CAST(n2 AS BIGINT) AS n2,
+                   CASE WHEN n2 = 0
+                        THEN list_transform(q1, v -> CAST(0 AS BIGINT))
+                        ELSE list_transform(q1, v -> CAST(round(
+                            1000000.0 * v / sqrt(n2)) AS BIGINT))
+                   END AS nx
+            FROM (SELECT vec_id, q1,
+                         list_sum(list_transform(q1, v -> v * v)) AS n2
+                  FROM nq)
+        ), cnt AS (SELECT count(*) AS n FROM nxt),
+        sd AS (SELECT coalesce(max(len(nx)), 0) // {PQ_M} AS sub FROM nxt),
+        {body},
+        adc AS MATERIALIZED (
+            SELECT qid, vec_id, CAST(sum(l) AS BIGINT) AS adc
+            FROM ({arms}) GROUP BY qid, vec_id),
+        pref AS MATERIALIZED (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY adc DESC, vec_id) AS rn
+                FROM adc WHERE vec_id <> qid)
+            WHERE rn <= {PQ_PREFILTER}),
+        scored AS (
+            SELECT p.qid AS query_id, p.vec_id,
+                   CASE WHEN a.n2 = 0 OR q.n2 = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(round(1000000000.0 * (
+                            CAST(list_inner_product(a.nx, q.nx) AS DOUBLE)
+                            / (sqrt(CAST(a.n2 AS DOUBLE))
+                               * sqrt(CAST(q.n2 AS DOUBLE))))) AS BIGINT)
+                   END AS qcos
+            FROM pref p
+            JOIN nxt a ON a.vec_id = p.vec_id
+            JOIN nxt q ON q.vec_id = p.qid),
+        topk AS (
+            SELECT query_id, vec_id, qcos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcos DESC, vec_id) AS rn
+            FROM scored)
+        SELECT query_id, vec_id,
+               round(CAST(qcos AS DOUBLE) / 1000000000.0, 6) AS cos
+        FROM topk WHERE rn <= 5 ORDER BY query_id, vec_id
+    """
+
+
 def _semdedup_sql() -> str:
     """DuckDB replay of similarity.semdedup: the shared k-means chain
     (``_int_kmeans_ctes``) assigns every vector, then the per-cluster
@@ -1642,6 +1768,7 @@ def oracle_sql() -> dict[str, str]:
         # integer-grid k-means replay (round-4 rows-only → exact conversion)
         "emb_kmeans": _emb_kmeans_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "ann_pq_topk": _ann_pq_sql(),
         # SemDeDup greedy prune replay (recursive CTE over kept-set state)
         "semdedup": _semdedup_sql(),
         # cluster × source composition: k-means chain + join + count

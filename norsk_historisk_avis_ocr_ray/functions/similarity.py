@@ -483,28 +483,83 @@ PQ_KS = 32            # centroids per subspace (5-bit codes)
 PQ_PREFILTER = 150    # ADC candidates per (query, batch) before re-rank
 
 
-def _pq_train(sample: np.ndarray, m: int = PQ_M, ks: int = PQ_KS,
-              iters: int = 12, seed: int = 131) -> np.ndarray:
-    """(m, ks, dim/m) PQ codebooks: plain L2 Lloyd k-means per subspace on
-    a driver-side sample (PQ training cost depends on the sample, not N).
-    Deterministic: seeded init, vectorized distance assignment."""
-    rng = np.random.default_rng(seed)
-    n, dim = sample.shape
-    sub = dim // m
-    # clamp the codebook to the sample: a non-empty table with fewer than
-    # `ks` rows must degrade to fewer centroids, not raise (ADVICE r03)
-    ks = min(ks, n)
-    books = np.empty((m, ks, sub))
-    for mi in range(m):
-        x = sample[:, mi * sub:(mi + 1) * sub]
-        cent = x[rng.choice(n, size=ks, replace=False)].copy()
-        for _ in range(iters):
-            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d, axis=1)
-            for k in range(ks):
-                if (a == k).any():
-                    cent[k] = x[a == k].mean(axis=0)
-        books[mi] = cent
+def _int_pq_books(sf_dir: str) -> np.ndarray | None:
+    """(PQ_M, PQ_KS, dim/PQ_M) integer-grid PQ codebooks — the per-subspace
+    analogue of ``_int_kmeans_centroids``, fully DuckDB-replayable: the
+    deterministic id-spread init ``centroid_j = subvector(vec_id = j·N//ks)``
+    (duplicate picks allowed when N < ks — they converge apart or stay
+    empty), then ``KM_ITERS`` streaming Lloyd passes over ALL subspaces at
+    once (one map_batches per pass emits ≤ PQ_M·PQ_KS partial rows per
+    batch; assignment minimizes exact-integer subspace L2, ties → lower
+    code). Returns None on an empty table."""
+    import pyarrow.compute as pc
+
+    emb = _emb(sf_dir)
+    n_rows = emb.count()
+    if n_rows == 0:
+        return None
+
+    targets = sorted({j * n_rows // PQ_KS for j in range(PQ_KS)})
+    init_tbl = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(targets)))
+    ids0, mat0 = _batch_matrix(init_tbl)
+    nx0 = _nq_batch(mat0)
+    by_id = {int(i): r for i, r in zip(ids0, nx0)}
+    dim = nx0.shape[1]
+    sub = dim // PQ_M
+    books = np.stack([
+        np.stack([by_id[j * n_rows // PQ_KS][mi * sub:(mi + 1) * sub]
+                  for j in range(PQ_KS)])
+        for mi in range(PQ_M)]).astype(np.int64)   # (M, KS, sub)
+
+    for _ in range(KM_ITERS):
+        b_ref = ray.put(books)
+
+        def partial(t: pa.Table, b_ref=b_ref) -> pa.Table:
+            books = ray.get(b_ref)
+            _, mat = _batch_matrix(t)
+            if mat.size == 0:
+                return pa.table({"mi": pa.array([], pa.int64()),
+                                 "code": pa.array([], pa.int64()),
+                                 "count": pa.array([], pa.int64()),
+                                 "vecsum": pa.array([], pa.binary())})
+            nx = _nq_batch(mat)
+            xs = nx.reshape(len(nx), PQ_M, sub)
+            mis, cods, cnts, sums = [], [], [], []
+            for mi in range(PQ_M):
+                d = ((xs[:, mi, None, :] - books[None, mi]) ** 2).sum(axis=2)
+                a = np.argmin(d, axis=1)
+                counts = np.bincount(a, minlength=PQ_KS).astype(np.int64)
+                ssum = np.zeros((PQ_KS, sub), np.int64)
+                np.add.at(ssum, a, xs[:, mi])
+                keep = np.flatnonzero(counts > 0)
+                mis.append(np.full(len(keep), mi, np.int64))
+                cods.append(keep.astype(np.int64))
+                cnts.append(counts[keep])
+                sums.extend(ssum[i].tobytes() for i in keep)
+            return pa.table({
+                "mi": pa.array(np.concatenate(mis)),
+                "code": pa.array(np.concatenate(cods)),
+                "count": pa.array(np.concatenate(cnts)),
+                "vecsum": pa.array(sums, pa.binary())})
+
+        sums = np.zeros((PQ_M, PQ_KS, sub), np.int64)
+        counts = np.zeros((PQ_M, PQ_KS), np.int64)
+        for b in (emb.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=4096)
+                    .iter_batches(batch_format="pyarrow")):
+            mi_a = b["mi"].to_numpy()
+            code_a = b["code"].to_numpy()
+            counts[mi_a, code_a] += b["count"].to_numpy()
+            for mi, code, raw in zip(mi_a, code_a, b["vecsum"].to_pylist()):
+                sums[mi, code] += np.frombuffer(raw, np.int64)
+        ne = counts > 0
+        new = books.copy()  # empty codes keep their previous centroid
+        new[ne] = round_half_away(
+            sums[ne].astype(np.float64) / counts[ne][:, None], 0
+        ).astype(np.int64)
+        books = new
     return books
 
 
@@ -513,89 +568,101 @@ def ann_pq_topk(sf_dir: str) -> pd.DataFrame:
     (Jégou et al., "Product Quantization for Nearest Neighbor Search",
     TPAMI 2011): vectors compress to ``PQ_M`` 5-bit codes (PQ_KS=32
     centroids per subspace; stored as 16 small ints ≈ 10 bytes per vector
-    — a 64×float64 vector shrinks ~50×), queries
-    score the codes via per-subspace inner-product lookup tables (ADC),
-    and the ADC top-``PQ_PREFILTER`` per (query, batch) are re-ranked with
-    exact cosine before the global per-query top-k.
+    — a 64×float64 vector shrinks ~50×), queries score the codes via
+    per-subspace inner-product lookup tables (ADC), the GLOBAL ADC
+    top-``PQ_PREFILTER`` per query are re-ranked with the 1e-9-grid
+    cosine, and the top-k is (qcos DESC, vec_id).
 
-    Ray shape: codebooks train on a driver sample, broadcast once
-    (``ray.put``); ONE streaming pass per batch does encode → ADC LUT
-    lookup → prefilter → exact re-rank → local top-k, so the shuffle moves
-    k rows per (query, batch) — identical to ``ann_topk``'s combiner, with
-    the ADC prefilter standing in for the full matmul at scale (the exact
-    re-rank touches |prefilter| rows, not |batch|). Approximate; rows-only
-    with a recall@5 pytest vs exact brute force."""
-    emb = _emb(sf_dir)
-    head = emb.take(1)
-    if not head:
+    Ray shape: integer codebooks train via ``_int_pq_books`` (KM_ITERS
+    streaming passes), broadcast once with the integer LUTs (``ray.put``);
+    ONE streaming pass per batch does encode → ADC LUT gather → per-batch
+    candidate combiner (local ADC top-``PQ_PREFILTER`` per query, with the
+    grid cosine already attached), so the shuffle moves ≤ PREFILTER rows
+    per (query, batch); the final per-query merge takes the global ADC
+    top-PREFILTER then the cosine top-k.
+
+    EXACTLY DuckDB-oracle-replayable (the round-4 conversion from
+    rows-only): codebooks, codes, ADC scores, the prefilter cut
+    (adc DESC, vec_id — a GLOBAL rule, so the result no longer depends on
+    batch boundaries like the old per-batch prefilter did), and the
+    re-rank cosines are all integers. Recall@5 vs exact brute force is
+    additionally asserted in tests."""
+    books = _int_pq_books(sf_dir)
+    if books is None:
         return typed_empty(query_id="int64", vec_id="int64", cos="float64")
-    dim = len(head[0]["embedding"])
-    qids, qmat = _load_queries(sf_dir)
+    qids, qraw = _load_queries_raw(sf_dir)
     if len(qids) == 0:
         return typed_empty(query_id="int64", vec_id="int64", cos="float64")
-
-    n_sample = max(100 * PQ_KS, 1024)
-    rows = emb.limit(n_sample).take_all()
-    sample = _normalize(np.array([r["embedding"] for r in rows],
-                                 dtype=np.float64))
-    books = _pq_train(sample, iters=12)
+    q_nx = _nq_batch(qraw)
+    _, q_n2 = _q1_batch(qraw)
+    dim = q_nx.shape[1]
     sub = dim // PQ_M
-    # per-query ADC lookup tables: lut[q, m, k] = q_sub(m) · C[m, k]
+    # per-query integer ADC LUT: lut[q, m, k] = q_sub(m) · C[m, k] (exact)
     lut = np.einsum("qmd,mkd->qmk",
-                    qmat.reshape(len(qids), PQ_M, sub), books)
-    b_ref = ray.put((books, lut, qids, qmat))
+                    q_nx.reshape(len(qids), PQ_M, sub).astype(np.float64),
+                    books.astype(np.float64))
+    lut = np.rint(lut).astype(np.int64)
+    b_ref = ray.put((books, lut, qids, q_nx, q_n2))
 
     def score_batch(t: pa.Table) -> pa.Table:
-        books, lut, qids, qmat = ray.get(b_ref)
+        books, lut, qids, q_nx, q_n2 = ray.get(b_ref)
         ids, mat = _batch_matrix(t)
         if not len(ids):
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
-                             "cos": pa.array([], pa.float64())})
-        norm = _normalize(mat)
-        xs = norm.reshape(len(ids), PQ_M, sub)
-        # encode: nearest sub-centroid per subspace (vectorized L2)
+                             "adc": pa.array([], pa.int64()),
+                             "qcos": pa.array([], pa.int64())})
+        nx = _nq_batch(mat)
+        _, n2 = _q1_batch(mat)
+        xs = nx.reshape(len(ids), PQ_M, sub)
+        # encode: nearest sub-centroid per subspace (exact integer L2)
         codes = np.empty((len(ids), PQ_M), np.int64)
         for mi in range(PQ_M):
             d = ((xs[:, mi, None, :] - books[None, mi]) ** 2).sum(axis=2)
             codes[:, mi] = np.argmin(d, axis=1)
-        # ADC scores: (queries, n) via LUT gather
-        adc = np.zeros((len(qids), len(ids)))
+        # integer ADC scores: (queries, n) via LUT gather
+        adc = np.zeros((len(qids), len(ids)), np.int64)
         for mi in range(PQ_M):
             adc += lut[:, mi, codes[:, mi]]
-        out_q, out_v, out_c = [], [], []
+        out_q, out_v, out_a, out_c = [], [], [], []
         for qi in range(len(qids)):
             qid = int(qids[qi])
-            nf = min(PQ_PREFILTER, len(ids))
-            pre = np.argpartition(-adc[qi], nf - 1)[:nf]
-            cand_ids = ids[pre]
-            keep = cand_ids != qid
-            cand_ids = cand_ids[keep]
-            exact = norm[pre[keep]] @ qmat[qi]          # re-rank: true cos
-            order = np.lexsort((cand_ids, -exact))[:TOP_K]
-            out_q.append(np.full(len(order), qid, np.int64))
-            out_v.append(cand_ids[order])
-            out_c.append(exact[order])
+            keep = ids != qid
+            cand_ids, cand_adc = ids[keep], adc[qi][keep]
+            nf = min(PQ_PREFILTER, len(cand_ids))
+            pre = np.lexsort((cand_ids, -cand_adc))[:nf]
+            dots = _int_matmul(nx[keep][pre], q_nx[[qi]].T).ravel()
+            qcos = _qcos(dots, n2[keep][pre], q_n2[qi])
+            out_q.append(np.full(nf, qid, np.int64))
+            out_v.append(cand_ids[pre])
+            out_a.append(cand_adc[pre])
+            out_c.append(qcos)
         return pa.table({"query_id": pa.array(np.concatenate(out_q)),
                          "vec_id": pa.array(np.concatenate(out_v)),
-                         "cos": pa.array(np.concatenate(out_c),
-                                         pa.float64())})
+                         "adc": pa.array(np.concatenate(out_a)),
+                         "qcos": pa.array(np.concatenate(out_c))})
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cos", "vec_id"],
+        g = g.sort_values(["adc", "vec_id"],
+                          ascending=[False, True]).head(PQ_PREFILTER)
+        return g.sort_values(["qcos", "vec_id"],
                              ascending=[False, True]).head(TOP_K)
 
-    df = (emb.map_batches(score_batch, batch_format="pyarrow",
+    df = (_emb(sf_dir)
+             .map_batches(score_batch, batch_format="pyarrow",
                           batch_size=4096)
              .groupby("query_id")
              .map_groups(final, batch_format="pandas")
              .to_pandas())
     if df.empty:
         return typed_empty(query_id="int64", vec_id="int64", cos="float64")
-    df["cos"] = round_half_away(df["cos"].to_numpy(), 6)
+    df["cos"] = round_half_away(
+        df["qcos"].to_numpy(np.float64) / KM_COS_GRID, 6)
     df = df.astype({"query_id": np.int64, "vec_id": np.int64})
-    return df.sort_values(["query_id", "cos", "vec_id"],
-                          ascending=[True, False, True]).reset_index(drop=True)
+    return (df[["query_id", "vec_id", "cos"]]
+            .sort_values(["query_id", "cos", "vec_id"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True))
 
 
 # --- embedding k-means clustering (the quantizer as a first-class operator) ----

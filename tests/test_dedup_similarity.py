@@ -167,11 +167,15 @@ def test_pq_recall_vs_exact(clustered_emb_dir):
         p = set(pq_df.loc[pq_df["query_id"] == q, "vec_id"])
         recalls.append(len(e & p) / len(e))
     assert np.mean(recalls) >= 0.9, recalls
-    # re-ranked scores are EXACT cosines: every returned (query, vec) pair
-    # that is also in the exact top-k carries the identical rounded score
+    # re-ranked scores are 1e-9-grid cosines (the DuckDB-replayable
+    # round-4 re-rank): every returned (query, vec) pair that is also in
+    # the exact top-k carries a score within one 1e-6 report-grid step of
+    # the true rounded cosine (grid quantization can move a value that
+    # sits within 5e-10 of a rounding boundary by exactly one step)
     merged = pq_df.merge(exact, on=["query_id", "vec_id"],
                          suffixes=("_pq", "_ex"))
-    assert (merged["cos_pq"] == merged["cos_ex"]).all()
+    assert (np.abs(merged["cos_pq"] - merged["cos_ex"])
+            <= 1e-6 + 1e-12).all()
 
 
 def test_blocked_neardup_matches_bruteforce(clustered_emb_dir):
