@@ -1551,6 +1551,144 @@ def _ann_pq_sql() -> str:
     """
 
 
+def _quality_classifier_sql() -> str:
+    """Full replay of the backtracking-GD quality classifier
+    (functions/classifier.py): md5-bucket hashed-unigram features on the
+    2²⁴ micro-unit grid, per-doc logits as exact integer dots divided
+    once, glibc sigmoid/log (DuckDB exp/ln == math.exp/math.log
+    bit-for-bit — measured; numpy's SIMD exp does NOT match), per-doc
+    gradient/loss contributions rounded half-away onto int64 before any
+    GROUP BY, integer accept tests, and integer-rounded weight steps.
+    State per unrolled round = a weight table + a scalar
+    (loss, gradbias, bias, lr) row, selected by CASE on the integer
+    accept decision — the ``_int_kmeans_ctes`` unrolling precedent."""
+    from norsk_historisk_avis_ocr_ray.functions.classifier import (
+        QC_DIM, QC_ITERS, QC_LR, QC_POS_LANG)
+
+    q = "16777216.0"           # 2^24 micro-unit grid
+    zden = "281474976710656.0"  # 2^48 logit denominator
+
+    def eval_pass(r: str, w: str, b: str, bcol: str) -> str:
+        """zd{r} (per-doc p), ev{r} (integer loss + bias grad), gw{r}
+        (per-feature integer grad) for weights table ``w`` + bias scalar
+        ``b``.``bcol``."""
+        return f"""
+        zd{r} AS MATERIALIZED (
+            SELECT d.doc_id, d.y,
+                   1.0 / (1.0 + exp(-(
+                       CAST(coalesce(s.s, 0) AS DOUBLE) / {zden}
+                       + CAST(b.{bcol} AS DOUBLE) / {q}))) AS p
+            FROM docs d
+            LEFT JOIN (SELECT f.doc_id,
+                              CAST(sum(f.vq * w.wq) AS BIGINT) AS s
+                       FROM feats f JOIN {w} w USING (fid)
+                       GROUP BY f.doc_id) s USING (doc_id)
+            CROSS JOIN {b} b),
+        ev{r} AS MATERIALIZED (
+            SELECT CAST(sum(CAST(round(
+                       (-(y * ln(p + 1e-12)
+                          + (1.0 - y) * ln(1.0 - p + 1e-12))) * {q})
+                       AS BIGINT)) AS BIGINT) AS lq,
+                   CAST(sum(CAST(round((p - y) * {q}) AS BIGINT))
+                        AS BIGINT) AS gb
+            FROM zd{r}),
+        gw{r} AS MATERIALIZED (
+            SELECT f.fid,
+                   CAST(sum(CAST(round((z.p - z.y)
+                                       * CAST(f.vq AS DOUBLE))
+                                 AS BIGINT)) AS BIGINT) AS g
+            FROM feats f JOIN zd{r} z USING (doc_id)
+            GROUP BY f.fid)"""
+
+    parts = [eval_pass("0", "w0", "b0", "bq"), """
+        st0_s AS MATERIALIZED (
+            SELECT e.lq, e.gb, CAST(0 AS BIGINT) AS bq,
+                   CAST(""" + repr(QC_LR) + """ AS DOUBLE) AS lr
+            FROM ev0 e),
+        st0_w AS (SELECT fid, wq FROM w0),
+        st0_g AS (SELECT fid, g FROM gw0)"""]
+    for r in range(1, QC_ITERS):
+        p = r - 1
+        parts.append(f"""
+        cw{r} AS MATERIALIZED (
+            SELECT w.fid,
+                   w.wq - CAST(round({q} * (s.lr * (
+                       CAST(g.g AS DOUBLE) / {q}
+                       / CAST(nn.n AS DOUBLE)))) AS BIGINT) AS wq
+            FROM st{p}_w w JOIN st{p}_g g USING (fid), st{p}_s s, nn),
+        cb{r} AS MATERIALIZED (
+            SELECT s.bq - CAST(round({q} * (s.lr * (
+                       CAST(s.gb AS DOUBLE) / {q}
+                       / CAST(nn.n AS DOUBLE)))) AS BIGINT) AS bq
+            FROM st{p}_s s, nn)""")
+        parts.append(eval_pass(str(r), f"cw{r}", f"cb{r}", "bq"))
+        parts.append(f"""
+        st{r}_s AS MATERIALIZED (
+            SELECT CASE WHEN e.lq <= s.lq THEN e.lq ELSE s.lq END AS lq,
+                   CASE WHEN e.lq <= s.lq THEN e.gb ELSE s.gb END AS gb,
+                   CASE WHEN e.lq <= s.lq THEN c.bq ELSE s.bq END AS bq,
+                   CASE WHEN e.lq <= s.lq THEN s.lr
+                        ELSE s.lr / 2.0 END AS lr
+            FROM ev{r} e, st{p}_s s, cb{r} c),
+        st{r}_w AS MATERIALIZED (
+            SELECT w.fid,
+                   CASE WHEN e.lq <= s.lq THEN c.wq ELSE w.wq END AS wq
+            FROM st{p}_w w JOIN cw{r} c USING (fid), ev{r} e, st{p}_s s),
+        st{r}_g AS MATERIALIZED (
+            SELECT g.fid,
+                   CASE WHEN e.lq <= s.lq THEN ng.g ELSE g.g END AS g
+            FROM st{p}_g g JOIN gw{r} ng USING (fid), ev{r} e,
+                 st{p}_s s)""")
+    last = QC_ITERS - 1
+    body = ",".join(parts)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(CAST(concat('0x', substr(md5(tok), 1, 16))
+                             AS UBIGINT) % {QC_DIM} AS BIGINT) AS fid
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(trim(lower(text)),
+                                                   '\\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''),
+        fcnt AS (SELECT doc_id, fid, count(*) AS c
+                 FROM toks GROUP BY doc_id, fid),
+        ftot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot
+                 FROM fcnt GROUP BY doc_id),
+        feats AS MATERIALIZED (
+            SELECT f.doc_id, f.fid,
+                   CAST(round({q} * (CAST(f.c AS DOUBLE)
+                       / CAST(greatest(t.tot, 1) AS DOUBLE)))
+                        AS BIGINT) AS vq
+            FROM fcnt f JOIN ftot t USING (doc_id)),
+        docs AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN lang = '{QC_POS_LANG}' THEN 1.0
+                        ELSE 0.0 END AS y
+            FROM documents),
+        nn AS (SELECT count(*) AS n FROM docs),
+        w0 AS MATERIALIZED (
+            SELECT DISTINCT fid, CAST(0 AS BIGINT) AS wq FROM feats),
+        b0 AS (SELECT CAST(0 AS BIGINT) AS bq),
+        {body},
+        zfin AS MATERIALIZED (
+            SELECT d.doc_id, d.y,
+                   1.0 / (1.0 + exp(-(
+                       CAST(coalesce(s.s, 0) AS DOUBLE) / {zden}
+                       + CAST(b.bq AS DOUBLE) / {q}))) AS p
+            FROM docs d
+            LEFT JOIN (SELECT f.doc_id,
+                              CAST(sum(f.vq * w.wq) AS BIGINT) AS s
+                       FROM feats f JOIN st{last}_w w USING (fid)
+                       GROUP BY f.doc_id) s USING (doc_id)
+            CROSS JOIN st{last}_s b)
+        SELECT doc_id, CAST(y AS BIGINT) AS label,
+               round(p, 6) AS prob,
+               CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+        FROM zfin ORDER BY doc_id
+    """
+
+
 def _semdedup_sql() -> str:
     """DuckDB replay of similarity.semdedup: the shared k-means chain
     (``_int_kmeans_ctes``) assigns every vector, then the per-cluster
@@ -1769,6 +1907,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": _emb_kmeans_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_pq_topk": _ann_pq_sql(),
+        "quality_classifier": _quality_classifier_sql(),
         # SemDeDup greedy prune replay (recursive CTE over kept-set state)
         "semdedup": _semdedup_sql(),
         # cluster × source composition: k-means chain + join + count
@@ -4573,8 +4712,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         # rows-only (not SQL-expressible):
-        # quality_classifier (iterative optimization — determinism under
-        # any partitioning + planted separation pinned in pytest),
         # bpe_train / bpe_encode (iterative merge loop; hand-computed
         # merges + sequential-apply-reference pytests),
         # image_phash_dedup (binary media; planted noisy-dup pytest),
@@ -4582,13 +4719,15 @@ def oracle_sql() -> dict[str, str]:
         # fold is exact integers since round 4, so the eigensolve input is
         # bit-identical under any partitioning — only the QR iteration
         # itself is non-SQL),
-        # ann_pq_topk (product-quantization index; recall@5 >= 0.9 pytest
-        # vs exact brute force). ann_ivf_topk and ann_lsh_topk gained
-        # exact oracles in round 4 (integer-kmeans chain composition;
-        # md5-parity Rademacher planes + integer-grid cosines),
         # audio_frame_energy, video_frame_sample, video_shot_detect
         # (binary media corpora, not SQL tables; shot detection's planted
-        # cuts are recovered exactly in pytest). dedup_minhash / dedup_simhash /
+        # cuts are recovered exactly in pytest).
+        # ann_ivf_topk / ann_lsh_topk / ann_pq_topk / quality_classifier
+        # gained exact oracles in round 4 (integer-kmeans chain
+        # composition; md5-parity Rademacher planes + integer-grid
+        # cosines; per-subspace integer Lloyd + global ADC prefilter;
+        # unrolled backtracking-GD state CTEs with the glibc sigmoid).
+        # dedup_minhash / dedup_simhash /
         # minhash_clusters / simhash_signatures, seq_pack and
         # winnow_fingerprint gained exact oracles in round 3 (md5/HUGEINT
         # replay; recursive-CTE packing; md5-gram winnowing replay).
