@@ -583,22 +583,29 @@ _GATE_FRONT = [
     # duplicate-graph analytics
     "dup_clusters", "minhash_clusters", "q_pagerank_dups",
     "q_triangle_dups",
-    # similarity / embeddings (incl. the round-4 rows-only→exact
-    # conversions and new ops — freshest driver-divergence risk, so they
-    # take window slots from six already-locally-proven ops)
+    # similarity / embeddings (incl. the late round-4 rows-only→exact
+    # conversions — the ANN family, the GD classifier and the BPE pair
+    # are the freshest driver-divergence risk, so they take window slots
+    # from six ops that ride chains already proven by in-window siblings:
+    # q_hash_sample (md5 bridge == q_hash_split), q_bigram_topk /
+    # q_unigram_ppl (token-count chains == q_pmi_topk / dsir_score),
+    # text_token_stats / quality_score / doc_fingerprint (simple
+    # integer-stat folds, locally green at three scales + fuzz)
     "ann_topk", "embedding_neardup", "emb_kmeans", "semdedup",
-    "q_knn_graph", "q_emb_outliers", "q_hash_sample",
+    "q_knn_graph", "q_emb_outliers",
+    "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
     "q_rep_ngram_ratio",
     # sketches
     "approx_distinct_users", "approx_distinct_hll", "approx_top_users",
     "approx_group_quantiles",
     # retrieval / index
-    "q_bm25_topk", "q_inverted_index", "q_vocab_topk", "q_bigram_topk",
+    "q_bm25_topk", "q_inverted_index", "q_vocab_topk",
     "q_pmi_topk", "tfidf_top_term",
     # text quality / analysis
-    "q_gopher_filter", "q_c4_filter", "lang_id", "text_token_stats",
-    "quality_score", "doc_fingerprint", "dsir_score", "q_unigram_ppl",
-    # training-data prep
+    "q_gopher_filter", "q_c4_filter", "lang_id",
+    "quality_classifier", "dsir_score",
+    # training-data prep (incl. the unrolled-merge-rank BPE replays)
+    "bpe_train", "bpe_encode",
     "q_contamination", "q_training_corpus", "seq_pack", "q_hash_split",
     "q_source_kl",
     # web main-content extraction
@@ -1551,6 +1558,136 @@ def _ann_pq_sql() -> str:
     """
 
 
+def _bpe_chain_ctes() -> tuple[str, str]:
+    """The shared unrolled BPE merge chain (functions/bpe.py): the word
+    histogram (md5-free — plain token counts), then ``BPE_MERGES``
+    iterations of (pair-count → best pair by (count DESC, left, right)
+    with the ≥2 floor → left-to-right merge scan). The scan replays as a
+    window computation: a position merges iff its pair matches the best
+    pair AND it sits at an EVEN offset within its run of consecutive
+    matches (gaps-and-islands) — exactly the sequential
+    ``merge[i] = match[i] ∧ ¬merge[i-1]`` recurrence, closed-form.
+    Returns (cte_body, final_seq_name); ``mrow{r}`` CTEs hold the merge
+    rows. Assumes vocab ≤ BPE_MAX_WORDS (the cap replays as a
+    row_number filter)."""
+    from norsk_historisk_avis_ocr_ray.functions.bpe import (
+        BPE_MAX_WORDS, BPE_MERGES)
+
+    parts = [f"""
+        hist AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+                                                   '\\s+')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY word),
+        histc AS MATERIALIZED (
+            SELECT word, n FROM (
+                SELECT word, n,
+                       row_number() OVER (ORDER BY n DESC, word) AS rn
+                FROM hist)
+            WHERE rn <= {BPE_MAX_WORDS}),
+        seq0 AS MATERIALIZED (
+            SELECT word, n,
+                   array_to_string(list_append(string_split(word, ''),
+                                               '</w>'), ' ') AS ws
+            FROM histc)"""]
+    for r in range(BPE_MERGES):
+        parts.append(f"""
+        pos{r} AS MATERIALIZED (
+            SELECT word, n, generate_subscripts(l, 1) AS i,
+                   unnest(l) AS sym
+            FROM (SELECT word, n, string_split(ws, ' ') AS l
+                  FROM seq{r})),
+        best{r} AS MATERIALIZED (
+            SELECT lft, rgt, cnt FROM (
+                SELECT sym AS lft, nxt AS rgt,
+                       CAST(sum(n) AS BIGINT) AS cnt
+                FROM (SELECT word, n, sym,
+                             lead(sym) OVER (PARTITION BY word
+                                             ORDER BY i) AS nxt
+                      FROM pos{r})
+                WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+            WHERE cnt >= 2 ORDER BY cnt DESC, lft, rgt LIMIT 1),
+        mrow{r} AS (SELECT CAST({r} AS BIGINT) AS rank, lft AS "left",
+                           rgt AS "right", cnt AS pair_count
+                    FROM best{r}),
+        seq{r + 1} AS MATERIALIZED (
+            SELECT word, n,
+                   array_to_string(list(tok ORDER BY i), ' ') AS ws
+            FROM (
+                SELECT word, n, i,
+                       CASE WHEN mg THEN bl || br
+                            WHEN NOT coalesce(lag(mg) OVER (
+                                PARTITION BY word ORDER BY i), FALSE)
+                            THEN sym END AS tok
+                FROM (
+                    SELECT word, n, i, sym, bl, br,
+                           CASE WHEN m THEN (i - min(i) OVER (
+                               PARTITION BY word, grp)) % 2 = 0
+                                ELSE FALSE END AS mg
+                    FROM (
+                        SELECT word, n, i, sym, m, bl, br,
+                               CASE WHEN m THEN i - row_number() OVER (
+                                   PARTITION BY word, m ORDER BY i)
+                               END AS grp
+                        FROM (
+                            SELECT p.word, p.n, p.i, p.sym,
+                                   (b.lft IS NOT NULL AND p.sym = b.lft
+                                    AND lead(p.sym) OVER (
+                                        PARTITION BY p.word ORDER BY p.i)
+                                        = b.rgt) AS m,
+                                   b.lft AS bl, b.rgt AS br
+                            FROM pos{r} p LEFT JOIN best{r} b ON TRUE))))
+            WHERE tok IS NOT NULL GROUP BY word, n)""")
+    mrows = " UNION ALL ".join(f"SELECT * FROM mrow{r}"
+                               for r in range(BPE_MERGES))
+    parts.append(f"merges AS ({mrows})")
+    return ",".join(parts), f"seq{BPE_MERGES}"
+
+
+def _bpe_train_sql() -> str:
+    """bpe_train replay: the shared chain's merge rows."""
+    body, _ = _bpe_chain_ctes()
+    return f"""
+        WITH {body}
+        SELECT rank, "left", "right", pair_count
+        FROM merges ORDER BY rank
+    """
+
+
+def _bpe_encode_sql() -> str:
+    """bpe_encode replay: the shared chain's FINAL per-word sequences,
+    joined back to each document's word stream in order; the token digest
+    folds the chr(0)-joined token sequence through md5 (same bytes as the
+    Ray side's ``"\\x00".join(tokens)``)."""
+    body, final_seq = _bpe_chain_ctes()
+    return f"""
+        WITH {body},
+        dw AS MATERIALIZED (
+            SELECT doc_id, wp, word FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS word,
+                       generate_subscripts(string_split_regex(
+                           trim(lower(text)), '\\s+'), 1) AS wp
+                FROM documents)
+            WHERE word <> ''),
+        enc AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(len(string_split(s.ws, ' '))) AS BIGINT)
+                       AS n_bpe_tokens,
+                   md5(string_agg(replace(s.ws, ' ', chr(0)), chr(0)
+                                  ORDER BY wp)) AS tok_digest
+            FROM dw JOIN {final_seq} s USING (word) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(e.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(e.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+               coalesce(e.tok_digest, md5('')) AS tok_digest
+        FROM documents d LEFT JOIN enc e USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 def _quality_classifier_sql() -> str:
     """Full replay of the backtracking-GD quality classifier
     (functions/classifier.py): md5-bucket hashed-unigram features on the
@@ -1908,6 +2045,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_pq_topk": _ann_pq_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "bpe_train": _bpe_train_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         # SemDeDup greedy prune replay (recursive CTE over kept-set state)
         "semdedup": _semdedup_sql(),
         # cluster × source composition: k-means chain + join + count
@@ -4712,8 +4851,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         # rows-only (not SQL-expressible):
-        # bpe_train / bpe_encode (iterative merge loop; hand-computed
-        # merges + sequential-apply-reference pytests),
         # image_phash_dedup (binary media; planted noisy-dup pytest),
         # emb_pca (driver-side dim×dim eigensolve; the distributed moment
         # fold is exact integers since round 4, so the eigensolve input is
@@ -4723,10 +4860,12 @@ def oracle_sql() -> dict[str, str]:
         # (binary media corpora, not SQL tables; shot detection's planted
         # cuts are recovered exactly in pytest).
         # ann_ivf_topk / ann_lsh_topk / ann_pq_topk / quality_classifier
-        # gained exact oracles in round 4 (integer-kmeans chain
-        # composition; md5-parity Rademacher planes + integer-grid
-        # cosines; per-subspace integer Lloyd + global ADC prefilter;
-        # unrolled backtracking-GD state CTEs with the glibc sigmoid).
+        # / bpe_train / bpe_encode gained exact oracles in round 4
+        # (integer-kmeans chain composition; md5-parity Rademacher planes
+        # + integer-grid cosines; per-subspace integer Lloyd + global ADC
+        # prefilter; unrolled backtracking-GD state CTEs with the glibc
+        # sigmoid; unrolled merge-rank CTEs whose left-to-right merge scan
+        # replays as an even-offset-within-island window computation).
         # dedup_minhash / dedup_simhash /
         # minhash_clusters / simhash_signatures, seq_pack and
         # winnow_fingerprint gained exact oracles in round 3 (md5/HUGEINT

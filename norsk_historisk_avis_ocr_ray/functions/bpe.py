@@ -11,9 +11,13 @@ the top-N words by count for truly unbounded vocabularies (the dropped
 tail carries negligible pair mass — the standard trade).
 
 Deterministic: pair selection breaks ties by (count desc, left, right);
-word counts are integers. Not SQL-expressible (iterative merges) →
-rows-only driver check; pytest pins hand-computed merges on a planted
-corpus and histogram-vs-corpus equivalence.
+word counts are integers. Exact-oracled since round 4: the merge loop is
+bounded (BPE_MERGES ranks), so the oracle unrolls it as one CTE per rank
+and replays the left-to-right merge scan as a window computation (merge
+at even offsets within each island of consecutive pair matches) — see
+``_bpe_chain_ctes`` in ``__ray_entry__.py``. Pytest additionally pins
+hand-computed merges on a planted corpus and histogram-vs-corpus
+equivalence.
 """
 
 from __future__ import annotations
@@ -129,29 +133,39 @@ class BpeApplyStage:
     """Actor-pool tokenizer apply: the learned merge table is broadcast
     once per actor (constructor arg), and encoding memoizes per WORD — the
     corpus word distribution is Zipfian, so the per-actor cache turns the
-    per-word merge loop into a dict hit for almost every token."""
+    per-word merge loop into a dict hit for almost every token.
+
+    Apply semantics: merges in RANK order, each replacing all occurrences
+    with the left-to-right non-overlapping scan — exactly the training
+    loop's apply step (Sennrich subword-nmt style). This is what makes
+    encoding DuckDB-replayable: the oracle's per-rank scan is a window
+    computation (merge at even offsets within runs of consecutive
+    matches), where the old lowest-rank-anywhere greedy was an inherently
+    sequential per-word loop."""
 
     def __init__(self, merges: list[tuple]):
-        self.rank = {(left, right): rank for rank, left, right, _ in merges}
+        self.merges = [(left, right) for _, left, right, _ in merges]
         self.cache: dict[str, tuple] = {}
 
     def _encode_word(self, w: str) -> tuple:
         got = self.cache.get(w)
         if got is not None:
             return got
-        seq = list(w) + [_EOW]
-        while len(seq) > 1:
-            best_rank, best_i = None, -1
-            for i in range(len(seq) - 1):
-                r = self.rank.get((seq[i], seq[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_i = r, i
-            if best_rank is None:
-                break
-            seq[best_i:best_i + 2] = [seq[best_i] + seq[best_i + 1]]
-        out = tuple(seq)
-        self.cache[w] = out
-        return out
+        seq: list[str] = list(w) + [_EOW]
+        for left, right in self.merges:
+            out, i = [], 0
+            while i < len(seq):
+                if (i + 1 < len(seq) and seq[i] == left
+                        and seq[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        res = tuple(seq)
+        self.cache[w] = res
+        return res
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
@@ -182,8 +196,8 @@ def bpe_encode(sf_dir: str, n_merges: int = BPE_MERGES,
     md5 digest of the token sequence (content-verifying, so the pinned
     test catches any apply-order or cache bug). The merge table rides into
     each actor as a constructor arg (broadcast once per actor, never per
-    batch). Per-doc output → streaming Dataset; rows-only (iterative
-    merges), pinned in pytest."""
+    batch). Per-doc output → streaming Dataset; exact-oracled (unrolled
+    merge-rank CTEs) and pinned in pytest."""
     from .collect import ensure_schema
 
     merges_df = bpe_train(sf_dir, n_merges=n_merges, max_words=max_words)

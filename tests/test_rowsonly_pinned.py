@@ -1,10 +1,9 @@
 """Driver-scale pinned ground truth for deterministic rows-only queries.
 
 These pins guard deterministic ops whose primary gate is elsewhere
-(``simhash_signatures`` and ``winnow_fingerprint`` gained exact DuckDB
-oracles in round 3 — the pins stay as batching-independence tripwires;
-``bpe_train`` / ``quality_classifier`` are iterative and rows-only for
-the driver, so these pins ARE their gate). The FULL result table at
+(``simhash_signatures`` / ``winnow_fingerprint`` gained exact DuckDB
+oracles in round 3, ``bpe_train`` / ``quality_classifier`` in round 4 —
+the pins stay as batching-independence tripwires). The FULL result table at
 the driver's gate scale (sf0.01, 500 docs) is hashed against values
 computed once and frozen here — any regression in tokenization, hashing,
 winnowing selection, or batching-dependence flips the digest.
@@ -66,4 +65,7 @@ def test_quality_classifier_pinned_full_table(ray_session):
           .sort_values("doc_id").reset_index(drop=True))
     assert len(df) == 500
     assert df.loc[0, "prob"] == 0.438813
-    assert table_digest(df) == "d0715ef7f4594aa9cc93a54f37e4e92f"
+    # round-4 re-pin: the integer-grid trainer (micro-unit weights, glibc
+    # sigmoid) moves a handful of 6-decimal probs by one grid step; the op
+    # is now ALSO exact-oracled, so this pin is a secondary guard
+    assert table_digest(df) == "af683519398db42ac17ebd4d11dd1813"
