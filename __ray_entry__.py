@@ -677,6 +677,10 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_first_last": relational.q_first_last,
         "q8_market_share": relational.q8_market_share,
         "q9_product_profit": relational.q9_product_profit,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q11_important_stock": relational.q11_important_stock,
+        "q16_supplier_cnt": relational.q16_supplier_cnt,
+        "q20_promotion_suppliers": relational.q20_promotion_suppliers,
         "q_retention_cohorts": relational.q_retention_cohorts,
         "q_length_decile": relational.q_length_decile,
         "q_event_transitions": relational.q_event_transitions,
@@ -4379,6 +4383,94 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o   ON o.o_orderkey = l.l_orderkey
             GROUP BY n.n_name, year(o.o_orderdate)
             ORDER BY nation, o_year DESC
+        """,
+        # Q2 shape over the reduced schema: cost := min cent-quantized
+        # extendedprice per (part, supplier); winner compare is integer
+        "q2_min_cost_supplier": """
+            WITH eu AS (
+                SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+                FROM supplier s
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                     AND r.r_name = 'EUROPE'),
+            offers AS (
+                SELECT l.l_partkey, l.l_suppkey,
+                       min(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                           AS cost_c
+                FROM lineitem l JOIN eu ON eu.s_suppkey = l.l_suppkey
+                GROUP BY l.l_partkey, l.l_suppkey),
+            best AS (SELECT l_partkey, min(cost_c) AS best_c
+                     FROM offers GROUP BY l_partkey)
+            SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+                   CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_name,
+                   round(o.cost_c / 100.0, 2) AS min_cost
+            FROM offers o
+            JOIN best b ON b.l_partkey = o.l_partkey
+                 AND o.cost_c = b.best_c
+            JOIN part p ON p.p_partkey = o.l_partkey
+                 AND p.p_type = 'LARGE' AND p.p_size <= 15
+            JOIN eu ON eu.s_suppkey = o.l_suppkey
+            ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p.p_partkey
+            LIMIT 100
+        """,
+        # Q11 shape: int64 qty×cents value fold; the keep decision is the
+        # cross-multiplied integer predicate 2·val·n > 3·total (1.5× mean)
+        "q11_important_stock": """
+            WITH v AS (
+                SELECT l.l_partkey,
+                       sum(CAST(l.l_quantity AS BIGINT)
+                           * CAST(round(l.l_extendedprice * 100)
+                                  AS BIGINT)) AS val_c
+                FROM lineitem l
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                     AND n.n_name = 'NATION_3'
+                GROUP BY l.l_partkey),
+            tot AS (SELECT sum(val_c) AS t, count(*) AS n FROM v)
+            SELECT CAST(v.l_partkey AS BIGINT) AS p_partkey,
+                   round(v.val_c / 100.0, 2) AS part_value
+            FROM v, tot WHERE 2 * v.val_c * tot.n > 3 * tot.t
+            ORDER BY v.val_c DESC, v.l_partkey
+        """,
+        # Q16 shape: distinct-supplier count per (brand, type, size) with
+        # brand/type exclusions and s_acctbal >= 0 standing in for the
+        # no-complaints NOT IN subquery; pure integer counting
+        "q16_supplier_cnt": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            ok_supp AS (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+            SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT ps.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM ps
+            JOIN part p ON p.p_partkey = ps.l_partkey
+                 AND p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+                 AND p.p_size IN (1, 8, 15, 22, 29, 36, 43, 50)
+            JOIN ok_supp ON ok_supp.s_suppkey = ps.l_suppkey
+            GROUP BY p.p_brand, p.p_type, p.p_size
+            ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """,
+        # Q20 shape: EXISTS over the integer half-sum window predicate
+        # 2·q97 > qtot ∧ qtot ≥ 80 per (part, supplier) on the name sliver
+        "q20_promotion_suppliers": """
+            WITH pq AS (
+                SELECT l.l_partkey, l.l_suppkey,
+                       sum(CASE WHEN l.l_shipdate >= DATE '1997-01-01'
+                                 AND l.l_shipdate < DATE '1998-01-01'
+                            THEN CAST(l.l_quantity AS BIGINT)
+                            ELSE 0 END) AS q97,
+                       sum(CAST(l.l_quantity AS BIGINT)) AS qtot
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                     AND p.p_name LIKE 'small%'
+                GROUP BY l.l_partkey, l.l_suppkey)
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                   n.n_name
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE EXISTS (SELECT 1 FROM pq
+                          WHERE pq.l_suppkey = s.s_suppkey
+                            AND 2 * pq.q97 > pq.qtot AND pq.qtot >= 80)
+            ORDER BY s.s_suppkey
         """,
         "q_retention_cohorts": """
             WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

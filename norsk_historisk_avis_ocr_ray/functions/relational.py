@@ -4132,3 +4132,358 @@ def q_basket_rules(sf_dir: str) -> pd.DataFrame:
         / (n_a * n_b).astype(np.float64), 6)
     return out[["part_a", "part_b", "n_orders",
                 "conf_ab", "conf_ba", "lift"]].reset_index(drop=True)
+
+
+# --- Q2/Q11/Q16/Q20 shapes (reduced schema: no partsupp table) -------------------
+#
+# The test star schema carries no partsupp, so the four remaining classic
+# TPC-H shapes are expressed over lineitem's observed (part, supplier)
+# relationships: a supplier "offers" a part at the minimum extended price
+# it ever shipped it for (Q2), "stocks" the value it shipped (Q11),
+# "supplies" any part it appears with (Q16), and has "availability"
+# proxied by shipped quantity (Q20). The *operator shapes* — correlated
+# MIN subquery, group-sum vs global-scalar threshold, multi-key
+# count-distinct with NOT-IN exclusions, nested EXISTS over a half-sum
+# window predicate — are the TPC-H ones.
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "LARGE"
+Q2_MAX_SIZE = 15
+
+
+def q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 shape: for each part in a type/size sliver, the EUROPE
+    supplier(s) offering it at the minimum cost — the correlated-MIN
+    subquery + 4-way dimension join pattern, cost := min cent-quantized
+    l_extendedprice per (part, supplier).
+
+    Exactness: the per-pair MIN and the per-part argmin both compare
+    exact int64 cents (l_extendedprice lives on the 0.01 grid), so the
+    winner set cannot flip with partitioning; floats appear only in the
+    displayed ``min_cost`` (one division) and the pass-through
+    ``s_acctbal``. Scale: region/nation/supplier/part are dimension
+    slivers (broadcast as sorted key arrays); lineitem is double-pruned
+    per batch BEFORE the pair groupby, so the shuffle moves only the
+    sliver's (part, supplier) partial-min rows; the best-per-part join
+    runs distributed and only the winner rows (≤ ties × sliver parts,
+    LIMIT 100 after a total order) reach the driver."""
+    sup = collect_table(_read(sf_dir, "supplier",
+                              ["s_suppkey", "s_name", "s_acctbal",
+                               "s_nationkey"]))
+    nat = collect_table(_read(sf_dir, "nation",
+                              ["n_nationkey", "n_name", "n_regionkey"]))
+    reg = collect_table(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    empty = typed_empty(s_acctbal="float64", s_name="object",
+                        n_name="object", p_partkey="int64",
+                        p_name="object", min_cost="float64")
+
+    rk = set(reg.filter(pc.equal(reg["r_name"], pa.scalar(Q2_REGION)))
+             ["r_regionkey"].to_pylist())
+    nname = {int(k): v for k, v, g in zip(nat["n_nationkey"].to_pylist(),
+                                          nat["n_name"].to_pylist(),
+                                          nat["n_regionkey"].to_pylist())
+             if g in rk}
+    sdf = sup.to_pandas()
+    sdf = sdf[sdf["s_nationkey"].isin(nname)]
+    if sdf.empty:
+        return empty
+    s_meta = {int(r.s_suppkey): (r.s_name, float(r.s_acctbal),
+                                 nname[int(r.s_nationkey)])
+              for r in sdf.itertuples()}
+
+    part = collect_table(_read(sf_dir, "part",
+                               ["p_partkey", "p_name", "p_type", "p_size"]))
+    part = part.filter(pc.and_(
+        pc.equal(part["p_type"], pa.scalar(Q2_TYPE)),
+        pc.less_equal(part["p_size"], pa.scalar(Q2_MAX_SIZE))))
+    if part.num_rows == 0:
+        return empty
+    pname = dict(zip(part["p_partkey"].to_pylist(),
+                     part["p_name"].to_pylist()))
+    pkeys_ref = ray.put(np.sort(part["p_partkey"].to_numpy()
+                                .astype(np.int64)))
+    skeys_ref = ray.put(np.sort(np.fromiter(s_meta, np.int64,
+                                            len(s_meta))))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = ray.get(pkeys_ref)
+        sk = ray.get(skeys_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((pk[np.minimum(np.searchsorted(pk, lp), len(pk) - 1)] == lp)
+                & (sk[np.minimum(np.searchsorted(sk, ls),
+                                 len(sk) - 1)] == ls))
+        g = (pd.DataFrame({
+                "l_partkey": lp[keep], "l_suppkey": ls[keep],
+                "cost_c": _cents(t["l_extendedprice"]
+                                 .to_numpy(zero_copy_only=False)[keep])})
+             .groupby(["l_partkey", "l_suppkey"], as_index=False)["cost_c"]
+             .min())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    offers = (li.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby(["l_partkey", "l_suppkey"])
+              .aggregate(Min("cost_c", alias_name="cost_c")))
+    best = offers.groupby("l_partkey").aggregate(
+        Min("cost_c", alias_name="best_c"))
+    joined = offers.join(best, join_type="inner",
+                         num_partitions=scale.join_partitions(),
+                         on=("l_partkey",))
+    win = joined.to_pandas()
+    if win.empty:
+        return empty
+    win = win[win["cost_c"] == win["best_c"]].copy()
+    win["s_name"] = win["l_suppkey"].map(lambda k: s_meta[int(k)][0])
+    win["s_acctbal"] = win["l_suppkey"].map(
+        lambda k: s_meta[int(k)][1]).astype(np.float64)
+    win["n_name"] = win["l_suppkey"].map(lambda k: s_meta[int(k)][2])
+    win["p_partkey"] = win["l_partkey"].astype(np.int64)
+    win["p_name"] = win["p_partkey"].map(pname)
+    win["min_cost"] = _r(win["cost_c"] / 100.0, 2)
+    win = win.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True]).head(100)
+    return win[["s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                "min_cost"]].reset_index(drop=True)
+
+
+Q11_NATION = "NATION_3"
+
+
+def q11_important_stock(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape: per-part shipped value for one nation's
+    suppliers, keeping parts whose value exceeds a global threshold —
+    the group-sum vs scalar-subquery pattern (threshold := 1.5× the
+    mean part value, evaluated as the integer predicate
+    ``2·val·n > 3·total``).
+
+    Exactness: value folds as int64 qty×cents per row (both factors on
+    exact grids), the threshold is a cross-multiplied integer
+    comparison — no float enters the keep decision, and the displayed
+    ``part_value`` is one division. int64 headroom: at sf0.1 the
+    corpus total is ~1e13 and the comparison peaks near 2·val·n ≈ 1e18
+    only beyond ~1000× this scale — at that point the fold widens to
+    the HUGEINT-style two-limb pattern the sketch module uses. Scale:
+    the nation's supplier sliver broadcasts as a sorted array; the
+    part-level Sum groupby moves one partial row per (part, batch);
+    the global total is a second tiny aggregate over the part-level
+    dataset, never a re-read."""
+    sup = collect_table(_read(sf_dir, "supplier",
+                              ["s_suppkey", "s_nationkey"]))
+    nat = collect_table(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    empty = typed_empty(p_partkey="int64", part_value="float64")
+    nk = set(nat.filter(pc.equal(nat["n_name"], pa.scalar(Q11_NATION)))
+             ["n_nationkey"].to_pylist())
+    skeys = np.sort(sup.filter(
+        pc.is_in(sup["s_nationkey"],
+                 value_set=pa.array(list(nk), pa.int64())))
+        ["s_suppkey"].to_numpy().astype(np.int64))
+    if not len(skeys):
+        return empty
+    skeys_ref = ray.put(skeys)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = ray.get(skeys_ref)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = sk[np.minimum(np.searchsorted(sk, ls), len(sk) - 1)] == ls
+        qty = (t["l_quantity"].to_numpy(zero_copy_only=False)
+               .astype(np.int64)[keep])
+        val = qty * _cents(t["l_extendedprice"]
+                           .to_numpy(zero_copy_only=False)[keep])
+        g = (pd.DataFrame({
+                "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False)
+                             .astype(np.int64)[keep],
+                "val_c": val})
+             .groupby("l_partkey", as_index=False)["val_c"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    v = (li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+         .groupby("l_partkey").aggregate(Sum("val_c", alias_name="val_c"))
+         .materialize())
+    agg = v.aggregate(Sum("val_c", alias_name="t"),
+                      Count(alias_name="n"))
+    tot = int(agg["t"] or 0)
+    n = int(agg["n"] or 0)
+    if n == 0:
+        return empty
+    df = v.to_pandas()
+    df = df[2 * df["val_c"].to_numpy(np.int64) * n > 3 * tot].copy()
+    df = df.sort_values(["val_c", "l_partkey"],
+                        ascending=[False, True])
+    out = pd.DataFrame({
+        "p_partkey": df["l_partkey"].to_numpy(np.int64),
+        "part_value": _r(df["val_c"] / 100.0, 2).to_numpy()})
+    return out.reset_index(drop=True)
+
+
+Q16_SIZES = (1, 8, 15, 22, 29, 36, 43, 50)
+Q16_EXCL_BRAND = "Brand#13"
+Q16_EXCL_TYPE = "PROMO"
+
+
+def q16_supplier_cnt(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    over observed (part, supplier) pairs, excluding one brand, one type,
+    a size NOT-IN-list complement, and "complaint" suppliers
+    (``s_acctbal < 0`` stands in for the LIKE-complaints NOT IN
+    subquery — the schema has no comment column).
+
+    Exactness: pure integer counting — no float anywhere. Scale: the
+    filtered part attribute map and the ok-supplier set broadcast once
+    (dimension-sized); each batch attaches attributes, dedups its own
+    (brand, type, size, supplier) tuples, and the global dedup is ONE
+    4-key Count groupby whose input is pre-shrunk sliver pairs; the
+    per-group distinct count is a second groupby over the deduped
+    tuples (≤ |brands|·|types|·|sizes| × |suppliers| rows), and only
+    the ≤1200-group result reaches the driver."""
+    part = collect_table(_read(sf_dir, "part",
+                               ["p_partkey", "p_brand", "p_type",
+                                "p_size"]))
+    keep = pc.and_(
+        pc.and_(pc.not_equal(part["p_brand"], pa.scalar(Q16_EXCL_BRAND)),
+                pc.not_equal(part["p_type"], pa.scalar(Q16_EXCL_TYPE))),
+        pc.is_in(part["p_size"],
+                 value_set=pa.array(list(Q16_SIZES),
+                                    part["p_size"].type)))
+    part = part.filter(keep)
+    empty = typed_empty(p_brand="object", p_type="object",
+                        p_size="int64", supplier_cnt="int64")
+    if part.num_rows == 0:
+        return empty
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    attrs_ref = ray.put((
+        pk[order],
+        np.asarray(part["p_brand"].to_pylist(), object)[order],
+        np.asarray(part["p_type"].to_pylist(), object)[order],
+        part["p_size"].to_numpy().astype(np.int64)[order]))
+
+    sup = collect_table(_read(sf_dir, "supplier",
+                              ["s_suppkey", "s_acctbal"]))
+    ok_ref = ray.put(np.sort(sup.filter(
+        pc.greater_equal(sup["s_acctbal"], pa.scalar(0.0)))
+        ["s_suppkey"].to_numpy().astype(np.int64)))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pkeys, brand, ptype, psize = ray.get(attrs_ref)
+        ok = ray.get(ok_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(pkeys, lp), len(pkeys) - 1)
+        m = ((pkeys[pos] == lp)
+             & (ok[np.minimum(np.searchsorted(ok, ls), len(ok) - 1)] == ls))
+        pos = pos[m]
+        g = (pd.DataFrame({
+                "p_brand": brand[pos], "p_type": ptype[pos],
+                "p_size": psize[pos], "l_suppkey": ls[m]})
+             .drop_duplicates())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    deduped = (li.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+               .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+               .aggregate(Count(alias_name="_c"))
+               .groupby(["p_brand", "p_type", "p_size"])
+               .aggregate(Count(alias_name="supplier_cnt")))
+    df = deduped.to_pandas()
+    if df.empty:
+        return empty
+    df["p_size"] = df["p_size"].astype(np.int64)
+    df["supplier_cnt"] = df["supplier_cnt"].astype(np.int64)
+    df = df.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                        ascending=[False, True, True, True])
+    return df[["p_brand", "p_type", "p_size",
+               "supplier_cnt"]].reset_index(drop=True)
+
+
+Q20_NAME_PREFIX = "small"
+Q20_D0 = np.datetime64("1997-01-01", "us")
+Q20_D1 = np.datetime64("1998-01-01", "us")
+Q20_MIN_QTY = 80
+
+
+def q20_promotion_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 shape: suppliers with a concentrated recent position in
+    a name-sliver of parts — EXISTS over the half-sum window predicate
+    ``2·qty_1997 > qty_total ∧ qty_total ≥ 80`` per (part, supplier)
+    (shipped quantity proxies availqty; the schema has no partsupp).
+
+    Exactness: quantities are integral (verified at generation), both
+    window and total fold as int64 Sums, and the qualify predicate is
+    an integer comparison — partitioning cannot flip membership. Scale:
+    the part-name sliver broadcasts as a sorted key array; lineitem is
+    pruned per batch before the ONE (part, supplier) Sum groupby; the
+    qualifying-pair filter projects bare suppkeys, dedups distributed,
+    and only the ≤|supplier| winner keys reach the driver for the
+    dimension attach."""
+    part = collect_table(_read(sf_dir, "part", ["p_partkey", "p_name"]))
+    starts = pc.starts_with(part["p_name"], pattern=Q20_NAME_PREFIX)
+    pkeys = np.sort(part.filter(starts)["p_partkey"].to_numpy()
+                    .astype(np.int64))
+    empty = typed_empty(s_suppkey="int64", s_name="object",
+                        n_name="object")
+    if not len(pkeys):
+        return empty
+    pkeys_ref = ray.put(pkeys)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = ray.get(pkeys_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pk[np.minimum(np.searchsorted(pk, lp), len(pk) - 1)] == lp
+        qty = (t["l_quantity"].to_numpy(zero_copy_only=False)
+               .astype(np.int64)[keep])
+        ship = (t["l_shipdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")[keep])
+        inwin = (ship >= Q20_D0) & (ship < Q20_D1)
+        g = (pd.DataFrame({
+                "l_partkey": lp[keep],
+                "l_suppkey": t["l_suppkey"]
+                             .to_numpy(zero_copy_only=False)
+                             .astype(np.int64)[keep],
+                "q97": np.where(inwin, qty, 0),
+                "qtot": qty})
+             .groupby(["l_partkey", "l_suppkey"], as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = (li.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby(["l_partkey", "l_suppkey"])
+             .aggregate(Sum("q97", alias_name="q97"),
+                        Sum("qtot", alias_name="qtot")))
+
+    def qualify(t: pa.Table) -> pa.Table:
+        q97 = t["q97"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qtot = t["qtot"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (2 * q97 > qtot) & (qtot >= Q20_MIN_QTY)
+        return pa.table({"l_suppkey": t["l_suppkey"].filter(pa.array(m))})
+
+    winners = (pairs.map_batches(qualify, batch_format="pyarrow")
+               .groupby("l_suppkey").aggregate(Count(alias_name="_c"))
+               .to_pandas())
+    if winners.empty:
+        return empty
+    sup = collect_table(_read(sf_dir, "supplier",
+                              ["s_suppkey", "s_name", "s_nationkey"]))
+    nat = collect_table(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nname = dict(zip(nat["n_nationkey"].to_pylist(),
+                     nat["n_name"].to_pylist()))
+    sdf = sup.to_pandas()
+    sdf = sdf[sdf["s_suppkey"].isin(
+        winners["l_suppkey"].to_numpy(np.int64))].copy()
+    out = pd.DataFrame({
+        "s_suppkey": sdf["s_suppkey"].to_numpy(np.int64),
+        "s_name": sdf["s_name"].to_numpy(object),
+        "n_name": sdf["s_nationkey"].map(nname).to_numpy(object)})
+    return (out.sort_values("s_suppkey").reset_index(drop=True))
