@@ -814,6 +814,12 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_split_leakage": mlprep.q_split_leakage,
         # incremental ingest dedup: delta probed against the base corpus
         "q_incremental_dedup": dedup.q_incremental_dedup,
+        # leave-one-out 1-NN label accuracy (embedding-quality eval)
+        "q_knn_accuracy": similarity.q_knn_accuracy,
+        # kNN in-degree (hubness) histogram incl. the orphan row
+        "q_knn_hubness": similarity.q_knn_hubness,
+        # last-write-wins changelog compaction (CDC upsert)
+        "q_cdc_upsert": relational.q_cdc_upsert,
     }
 
 
@@ -2187,6 +2193,121 @@ def oracle_sql() -> dict[str, str]:
                   FROM pairs)
             WHERE rk <= 3
             ORDER BY vec_id, rk
+        """,
+        # leave-one-out 1-NN label accuracy: the knn-graph integer-cosine
+        # ranking at k=1, label joins, int counts + one rounded division
+        "q_knn_accuracy": """
+            WITH nq AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(embedding, x ->
+                           round(1000000.0 * CAST(x AS DOUBLE))) AS q1
+                FROM embeddings
+            ), nxt AS MATERIALIZED (
+                SELECT vec_id, CAST(n2 AS BIGINT) AS n2,
+                       CASE WHEN n2 = 0
+                            THEN list_transform(q1, v -> CAST(0 AS BIGINT))
+                            ELSE list_transform(q1, v -> CAST(round(
+                                1000000.0 * v / sqrt(n2)) AS BIGINT))
+                       END AS nx
+                FROM (SELECT vec_id, q1,
+                             list_sum(list_transform(q1, v -> v * v)) AS n2
+                      FROM nq)
+            ), pairs AS (
+                SELECT a.vec_id, b.vec_id AS nbr_id,
+                       CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(round(1000000000.0 * (
+                                CAST(list_inner_product(a.nx, b.nx)
+                                     AS BIGINT)
+                                / (sqrt(CAST(a.n2 AS DOUBLE))
+                                   * sqrt(CAST(b.n2 AS DOUBLE)))))
+                                AS BIGINT)
+                       END AS qcos
+                FROM nxt a JOIN nxt b ON b.vec_id <> a.vec_id
+            ), nn AS (
+                SELECT vec_id, nbr_id
+                FROM (SELECT vec_id, nbr_id,
+                             row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY qcos DESC, nbr_id)
+                                 AS rk
+                      FROM pairs)
+                WHERE rk = 1)
+            SELECT CAST(e.label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN CAST(e.label AS BIGINT)
+                                      = CAST(b.label AS BIGINT)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                   round(CAST(sum(CASE WHEN CAST(e.label AS BIGINT)
+                                            = CAST(b.label AS BIGINT)
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS acc
+            FROM nn
+            JOIN embeddings e ON e.vec_id = nn.vec_id
+            JOIN embeddings b ON b.vec_id = nn.nbr_id
+            GROUP BY 1 ORDER BY 1
+        """,
+        # kNN in-degree (hubness) histogram: LEFT JOIN keeps the degree-0
+        # orphans; pure integer counting over the same integer ranking
+        "q_knn_hubness": """
+            WITH nq AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(embedding, x ->
+                           round(1000000.0 * CAST(x AS DOUBLE))) AS q1
+                FROM embeddings
+            ), nxt AS MATERIALIZED (
+                SELECT vec_id, CAST(n2 AS BIGINT) AS n2,
+                       CASE WHEN n2 = 0
+                            THEN list_transform(q1, v -> CAST(0 AS BIGINT))
+                            ELSE list_transform(q1, v -> CAST(round(
+                                1000000.0 * v / sqrt(n2)) AS BIGINT))
+                       END AS nx
+                FROM (SELECT vec_id, q1,
+                             list_sum(list_transform(q1, v -> v * v)) AS n2
+                      FROM nq)
+            ), pairs AS (
+                SELECT a.vec_id, b.vec_id AS nbr_id,
+                       CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(round(1000000000.0 * (
+                                CAST(list_inner_product(a.nx, b.nx)
+                                     AS BIGINT)
+                                / (sqrt(CAST(a.n2 AS DOUBLE))
+                                   * sqrt(CAST(b.n2 AS DOUBLE)))))
+                                AS BIGINT)
+                       END AS qcos
+                FROM nxt a JOIN nxt b ON b.vec_id <> a.vec_id
+            ), nn AS (
+                SELECT nbr_id
+                FROM (SELECT vec_id, nbr_id,
+                             row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY qcos DESC, nbr_id)
+                                 AS rk
+                      FROM pairs)
+                WHERE rk <= 3
+            ), deg AS (
+                SELECT e.vec_id, count(n.nbr_id) AS d
+                FROM embeddings e
+                LEFT JOIN nn n ON n.nbr_id = e.vec_id
+                GROUP BY e.vec_id)
+            SELECT CAST(d AS BIGINT) AS in_degree,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM deg GROUP BY 1 ORDER BY 1
+        """,
+        # last-write-wins changelog compaction: integer (ts, event_id)
+        # argmax per key; last_value is a pass-through of the winning row
+        "q_cdc_upsert": """
+            SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+                   CAST(last_ts AS BIGINT) AS last_ts, last_value,
+                   CAST(n_versions AS BIGINT) AS n_versions
+            FROM (SELECT user_id, event_type, epoch_us(ts) AS last_ts,
+                         value AS last_value,
+                         row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY ts DESC, event_id DESC) AS rk,
+                         count(*) OVER (
+                             PARTITION BY user_id, event_type)
+                             AS n_versions
+                  FROM events)
+            WHERE rk = 1
+            ORDER BY user_id, event_type
         """,
         # deterministic per-source hash sampling via the shared md5 bridge
         # split-hygiene: per-gram side flags fold as max; counts integer,

@@ -4487,3 +4487,66 @@ def q20_promotion_suppliers(sf_dir: str) -> pd.DataFrame:
         "s_name": sdf["s_name"].to_numpy(object),
         "n_name": sdf["s_nationkey"].map(nname).to_numpy(object)})
     return (out.sort_values("s_suppkey").reset_index(drop=True))
+
+
+# --- changelog compaction (last-write-wins upsert) --------------------------------
+
+def q_cdc_upsert(sf_dir: str) -> Dataset:
+    """Last-write-wins changelog compaction: the events stream read as a
+    CDC log keyed by (user_id, event_type) — the newest version by
+    (ts, event_id) survives with its value, plus the superseded-version
+    count. This is Kafka log compaction / Delta-Hudi merge-on-read
+    expressed as a dataflow: the standard first step when a mutable
+    operational table is snapshotted into a training corpus.
+
+    EXACTLY oracle-able: the winner is an integer argmax — (ts as epoch
+    micros, event_id) lexicographic max per key — and ``last_value`` is a
+    PASS-THROUGH of the winning row's float (both engines read the same
+    parquet bytes; no arithmetic touches it), so no partitioning can flip
+    a hash.
+
+    Scale shape: winners are REDUCIBLE (the global max-version row is the
+    max of batch-local max rows — the q_first_last endpoint pattern), so
+    each batch collapses to one row per (key, batch) and one bucketed
+    combine (splitmix64(user_id) — both key columns ride the user bucket)
+    folds them vectorized. Output is key-cardinality-sized → streaming
+    Dataset."""
+    from .collect import ensure_schema
+    from .combine import bucketed_combine
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "last_ts": t["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "eid": t["event_id"].to_numpy(zero_copy_only=False),
+            "last_value": t["value"].to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["user_id", "event_type", "last_ts", "eid"],
+                            kind="mergesort")
+        g = df.groupby(["user_id", "event_type"], as_index=False)
+        out = g.nth(-1).reset_index(drop=True)
+        out["n_versions"] = g.size()["size"].to_numpy(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "last_ts", "eid"],
+                          kind="mergesort")
+        grp = g.groupby(["user_id", "event_type"], as_index=False)
+        out = grp.nth(-1).reset_index(drop=True)
+        out["n_versions"] = grp["n_versions"].sum()["n_versions"] \
+            .to_numpy(np.int64)
+        return out[["user_id", "event_type", "last_ts", "last_value",
+                    "n_versions"]]
+
+    return ensure_schema(
+        bucketed_combine(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536),
+            "user_id", fold),
+        pa.schema([("user_id", pa.int64()), ("event_type", pa.string()),
+                   ("last_ts", pa.int64()), ("last_value", pa.float64()),
+                   ("n_versions", pa.int64())]))

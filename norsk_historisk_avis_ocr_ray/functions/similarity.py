@@ -1966,3 +1966,129 @@ def q_emb_histogram(sf_dir: str) -> pd.DataFrame:
         df[c] = df[c].astype(np.int64)
     return (df[["dim", "bin", "n"]]
             .sort_values(["dim", "bin"]).reset_index(drop=True))
+
+
+# --- 1-NN label accuracy (leave-one-out retrieval eval) --------------------------
+
+def q_knn_accuracy(sf_dir: str) -> pd.DataFrame:
+    """Leave-one-out 1-nearest-neighbor label accuracy per class: each
+    vector's nearest OTHER vector (exact integer-grid cosine) predicts its
+    label — the standard embedding-quality / retrieval-eval metric (a
+    label whose members' nearest neighbors are other labels signals a
+    class the embedding space does not separate).
+
+    EXACTLY DuckDB-oracle-replayable: the neighbor ranking rides
+    ``q_knn_graph``'s 1e-9 integer cosine grid with the (qcos desc,
+    nbr_id asc) total order, the correctness flags are integers, and the
+    per-label accuracy is ONE int/int division rounded at the end.
+
+    Ray shape: the k=1 graph streams (vec_id, nbr_id) rows; two
+    distributed hash joins attach the own and neighbor labels (the label
+    column is a slim int read — never the embedding payload); per-batch
+    (label, n, n_correct) partials reduce through one |labels|-sized
+    groupby. Nothing corpus-sized reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    head = _emb(sf_dir).take(1)
+    empty = typed_empty(label="int64", n="int64", n_correct="int64",
+                        acc="float64")
+    if not head:
+        return empty
+
+    path = f"{sf_dir}/embeddings.parquet"
+
+    def _labels(id_name: str, lab_name: str) -> Dataset:
+        ds = ray.data.read_parquet(
+            path, columns=["vec_id", "label"],
+            override_num_blocks=scale.read_blocks_for_path(path))
+
+        def cast(t: pa.Table) -> pa.Table:
+            return pa.table({
+                id_name: t["vec_id"].cast(pa.int64()),
+                lab_name: t["label"].cast(pa.int64())})
+
+        return ds.map_batches(cast, batch_format="pyarrow")
+
+    nn = q_knn_graph(sf_dir, k=1).select_columns(["vec_id", "nbr_id"])
+    joined = (nn.join(_labels("vec_id", "own_label"), join_type="inner",
+                      num_partitions=scale.join_partitions(),
+                      on=("vec_id",))
+              .join(_labels("nbr_id", "nbr_label"), join_type="inner",
+                    num_partitions=scale.join_partitions(),
+                    on=("nbr_id",)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        own = t["own_label"].to_numpy(zero_copy_only=False)
+        nbr = t["nbr_label"].to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"label": own,
+                           "correct": (own == nbr).astype(np.int64)})
+             .groupby("label", as_index=False)
+             .agg(n=("correct", "size"), n_correct=("correct", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (joined.map_batches(partial, batch_format="pyarrow")
+          .groupby("label")
+          .aggregate(Sum("n", alias_name="n"),
+                     Sum("n_correct", alias_name="n_correct"))
+          .to_pandas())        # one row per label — result-sized
+    if df.empty:
+        return empty
+    for c in ("label", "n", "n_correct"):
+        df[c] = df[c].astype(np.int64)
+    df["acc"] = round_half_away(
+        df["n_correct"].to_numpy(np.float64) / df["n"].to_numpy(np.float64),
+        6)
+    return (df[["label", "n", "n_correct", "acc"]]
+            .sort_values("label").reset_index(drop=True))
+
+
+# --- kNN in-degree (hubness) histogram --------------------------------------------
+
+def q_knn_hubness(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
+    """In-degree histogram of the exact kNN graph — the HUBNESS diagnostic
+    (Radovanović et al., JMLR 2010): in high-dimensional spaces a few
+    vectors become "hubs" appearing in many neighbor lists while others
+    are never retrieved (in-degree 0), which skews ANN recall and
+    kNN-classifier quality. Output: (in_degree, n_vecs) including the
+    orphan row at degree 0.
+
+    EXACTLY oracle-able: in-degrees are integer counts over
+    ``q_knn_graph``'s integer-ranked edges; the zero row is
+    |vectors| − |distinct neighbors|, both exact counts.
+
+    Ray shape: the kNN edge stream projects bare ``nbr_id``s into one
+    count groupby (corpus-sized but 2-int rows); per-batch degree
+    bincount partials reduce through a histogram-sized groupby; only the
+    ≤ max-degree histogram reaches the driver, plus one metadata-cheap
+    ``count()`` for the orphan row."""
+    from ray.data.aggregate import Count, Sum
+
+    empty = typed_empty(in_degree="int64", n_vecs="int64")
+    n_total = _emb(sf_dir).count()
+    if n_total == 0:
+        return empty
+
+    deg = (q_knn_graph(sf_dir, k).select_columns(["nbr_id"])
+           .groupby("nbr_id").aggregate(Count(alias_name="deg")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(d, return_counts=True)
+        return pa.table({"in_degree": pa.array(uk),
+                         "n_vecs": pa.array(cnt.astype(np.int64))})
+
+    df = (deg.map_batches(hist, batch_format="pyarrow")
+          .groupby("in_degree").aggregate(Sum("n_vecs", alias_name="n_vecs"))
+          .to_pandas())        # ≤ max-degree rows — result-sized
+    if df.empty:
+        df = pd.DataFrame({"in_degree": pd.Series([], dtype=np.int64),
+                           "n_vecs": pd.Series([], dtype=np.int64)})
+    for c in ("in_degree", "n_vecs"):
+        df[c] = df[c].astype(np.int64)
+    n_zero = n_total - int(df["n_vecs"].sum())
+    if n_zero > 0:
+        df = pd.concat([pd.DataFrame({"in_degree": [0],
+                                      "n_vecs": [n_zero]}),
+                        df], ignore_index=True)
+    return (df[["in_degree", "n_vecs"]]
+            .sort_values("in_degree").reset_index(drop=True))

@@ -110,3 +110,62 @@ def test_q20_half_sum_predicate(ray_session):
         """).df()["l_suppkey"])
     assert set(int(k) for k in df["s_suppkey"]) == set(
         int(k) for k in winners)
+
+
+def test_knn_accuracy_matches_bruteforce(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        q_knn_accuracy)
+
+    df = q_knn_accuracy(SF)
+    assert len(df) > 0
+    assert (df["n_correct"] <= df["n"]).all()
+    assert df["acc"].between(0.0, 1.0).all()
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM "
+        f"'{SF}/embeddings.parquet' ORDER BY vec_id").df()
+    mat = np.stack(emb["embedding"].to_numpy())
+    assert int(df["n"].sum()) == len(emb)
+    # brute-force float 1-NN (cosine, tie-break nbr_id asc via argmax
+    # stability on the exact grid is not reproduced here — so compare
+    # the TOTAL accuracy, which ties cannot move at this scale)
+    n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    sim = n @ n.T
+    np.fill_diagonal(sim, -np.inf)
+    pred = emb["label"].to_numpy()[sim.argmax(axis=1)]
+    acc = float((pred == emb["label"].to_numpy()).mean())
+    got = float(df["n_correct"].sum()) / float(df["n"].sum())
+    assert abs(acc - got) < 0.02
+
+
+def test_knn_hubness_edge_conservation(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        KNN_K, q_knn_hubness)
+
+    df = q_knn_hubness(SF)
+    n_vecs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/embeddings.parquet'").fetchone()[0]
+    # every vector emits exactly K out-edges -> in-degrees sum to K*N,
+    # and every vector appears in exactly one histogram bucket
+    assert int(df["n_vecs"].sum()) == n_vecs
+    assert int((df["in_degree"] * df["n_vecs"]).sum()) == KNN_K * n_vecs
+    assert df["in_degree"].is_monotonic_increasing
+
+
+def test_cdc_upsert_lww_semantics(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_cdc_upsert)
+
+    df = q_cdc_upsert(SF).to_pandas()
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    # compaction conserves the version count and keys are unique
+    assert int(df["n_versions"].sum()) == n_events
+    assert not df.duplicated(["user_id", "event_type"]).any()
+    # the surviving ts is the true per-key max
+    truth = duckdb.sql(f"""
+        SELECT user_id, event_type, max(epoch_us(ts)) AS m
+        FROM '{SF}/events.parquet' GROUP BY 1, 2""").df()
+    m = df.merge(truth, on=["user_id", "event_type"])
+    assert len(m) == len(df)
+    assert (m["last_ts"].to_numpy(np.int64)
+            == m["m"].to_numpy(np.int64)).all()
