@@ -571,42 +571,49 @@ def _video_shot_detect(sf_dir: str) -> Any:
 # original relative order behind the window; rotate again next round.
 _GATE_FRONT = [
     "extract_docs", "ocr_extract", "q10_returned_revenue",
+    # round-4c TPC-H shapes (Q2/Q11/Q16/Q20 over the reduced schema) —
+    # brand-new oracles, the freshest driver-divergence risk
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q16_supplier_cnt", "q20_promotion_suppliers",
     # dedup family (exact oracles incl. the md5-64 MinHash replay).
     # q_minhash_jaccard_est / simhash_signatures ride the same replay
     # chains as dedup_minhash / dedup_simhash — their slots go to the
-    # round-4b composite replays (q_silhouette, emb_dbscan), the freshest
-    # driver-divergence risk.
+    # round-4b composite replays (q_silhouette, emb_dbscan); round 4c
+    # frees seven more sibling-proven slots for its new oracles:
+    # q_dedup_survivorship (md5 exact-dedup chain == dedup_exact),
+    # minhash_clusters (LSH chain == dedup_minhash, components oracle ==
+    # dup_clusters), embedding_neardup (integer-cosine chain ==
+    # q_knn_graph/semdedup), q_emb_outliers (kmeans chain == emb_kmeans),
+    # q_vocab_topk (token-df chain == q_pmi_topk/q_bm25_topk),
+    # q_hash_split (md5 bridge == q_contamination/q_training_corpus),
+    # tfidf_top_term (df chain + the q_user_favorite argmax encode) —
+    # all seven locally green at three scales + CPU fuzz.
     "dedup_exact", "dedup_minhash", "q_silhouette",
     "dedup_simhash", "emb_dbscan", "dedup_ngram_jaccard",
     "dedup_edit_distance", "dedup_substring", "dedup_substring_remove",
-    "line_dedup", "q_dedup_survivorship",
+    "line_dedup",
     # duplicate-graph analytics
-    "dup_clusters", "minhash_clusters", "q_pagerank_dups",
+    "dup_clusters", "q_pagerank_dups",
     "q_triangle_dups",
-    # similarity / embeddings (incl. the late round-4 rows-only→exact
-    # conversions — the ANN family, the GD classifier and the BPE pair
-    # are the freshest driver-divergence risk, so they take window slots
-    # from six ops that ride chains already proven by in-window siblings:
-    # q_hash_sample (md5 bridge == q_hash_split), q_bigram_topk /
-    # q_unigram_ppl (token-count chains == q_pmi_topk / dsir_score),
-    # text_token_stats / quality_score / doc_fingerprint (simple
-    # integer-stat folds, locally green at three scales + fuzz)
-    "ann_topk", "embedding_neardup", "emb_kmeans", "semdedup",
-    "q_knn_graph", "q_emb_outliers",
+    # similarity / embeddings (incl. the round-4 rows-only→exact
+    # conversions and the round-4c kNN-derived evals)
+    "ann_topk", "emb_kmeans", "semdedup",
+    "q_knn_graph", "q_knn_accuracy", "q_knn_hubness",
     "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
     "q_rep_ngram_ratio",
     # sketches
     "approx_distinct_users", "approx_distinct_hll", "approx_top_users",
     "approx_group_quantiles",
     # retrieval / index
-    "q_bm25_topk", "q_inverted_index", "q_vocab_topk",
-    "q_pmi_topk", "tfidf_top_term",
+    "q_bm25_topk", "q_inverted_index",
+    "q_pmi_topk",
     # text quality / analysis
     "q_gopher_filter", "q_c4_filter", "lang_id",
     "quality_classifier", "dsir_score",
     # training-data prep (incl. the unrolled-merge-rank BPE replays)
     "bpe_train", "bpe_encode",
-    "q_contamination", "q_training_corpus", "seq_pack", "q_hash_split",
+    "q_contamination", "q_training_corpus", "seq_pack",
+    "q_cdc_upsert",
     "q_source_kl",
     # web main-content extraction
     "html_main_content",
