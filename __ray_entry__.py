@@ -827,6 +827,10 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_knn_hubness": similarity.q_knn_hubness,
         # last-write-wins changelog compaction (CDC upsert)
         "q_cdc_upsert": relational.q_cdc_upsert,
+        # pairwise KS drift between sources (cross-multiplied int CDFs)
+        "q_ks_drift": textstats.q_ks_drift,
+        # per-source Gini of doc length (tie-run integer rank sums)
+        "q_gini_length": textstats.q_gini_length,
     }
 
 
@@ -2315,6 +2319,58 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE rk = 1
             ORDER BY user_id, event_type
+        """,
+        # pairwise two-sample KS on doc length: integer CDF grid per
+        # source, cross-multiplied max gap, one double division per pair
+        "q_ks_drift": """
+            WITH counts AS (
+                SELECT source, n_chars AS v, count(*) AS c
+                FROM documents GROUP BY 1, 2),
+            srcs AS (SELECT DISTINCT source FROM documents),
+            vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+            grid AS (
+                SELECT s.source, vals.v, coalesce(c.c, 0) AS c
+                FROM srcs s CROSS JOIN vals
+                LEFT JOIN counts c
+                     ON c.source = s.source AND c.v = vals.v),
+            cdf AS (
+                SELECT source, v,
+                       sum(c) OVER (PARTITION BY source ORDER BY v)
+                           AS cum
+                FROM grid),
+            tot AS (SELECT source, count(*) AS n
+                    FROM documents GROUP BY 1)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(ta.n AS BIGINT) AS n_a,
+                   CAST(tb.n AS BIGINT) AS n_b,
+                   round(CAST(max(abs(a.cum * tb.n - b.cum * ta.n))
+                              AS DOUBLE)
+                         / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE)),
+                         6) AS ks
+            FROM cdf a
+            JOIN cdf b ON b.v = a.v AND a.source < b.source
+            JOIN tot ta ON ta.source = a.source
+            JOIN tot tb ON tb.source = b.source
+            GROUP BY a.source, b.source, ta.n, tb.n
+            ORDER BY 1, 2
+        """,
+        # per-source Gini of doc length: rank-weighted integer sums (ties
+        # rank-permutation-invariant), one double division per source
+        "q_gini_length": """
+            WITH r AS (
+                SELECT source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars) AS i
+                FROM documents),
+            a AS (SELECT source, count(*) AS n, sum(n_chars) AS s,
+                         sum(i * n_chars) AS si
+                  FROM r GROUP BY 1)
+            SELECT source, CAST(n AS BIGINT) AS n_docs,
+                   CASE WHEN n * s = 0 THEN 0.0
+                        ELSE round(CAST(2 * si - (n + 1) * s AS DOUBLE)
+                                   / CAST(n * s AS DOUBLE), 6)
+                   END AS gini
+            FROM a ORDER BY source
         """,
         # deterministic per-source hash sampling via the shared md5 bridge
         # split-hygiene: per-gram side flags fold as max; counts integer,

@@ -1120,3 +1120,129 @@ def q_containment_pairs(sf_dir: str, threshold: float = CONTAIN_T,
     if out.empty:
         return typed_empty(a="int64", b="int64", containment="float64")
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# --- distribution drift / concentration over doc length --------------------------
+
+def _length_counts(sf_dir: str) -> pd.DataFrame:
+    """(source, n_chars value, count) — the shared exact reduction behind
+    the KS-drift and Gini operators. One slim 2-column read (the
+    precomputed ``n_chars`` column, never the text payload), per-batch
+    integer count partials, ONE (source × value)-sized groupby. The
+    result is bounded by |sources| × |distinct lengths| — distinct
+    document lengths are capped by the max document size, not the corpus
+    size, so the driver pull stays result-sized at any N."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"],
+        override_num_blocks=scale.read_blocks_for_path(
+            f"{sf_dir}/documents.parquet"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+                "source": t["source"].to_numpy(zero_copy_only=False),
+                "v": t["n_chars"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64)})
+             .groupby(["source", "v"], as_index=False).size()
+             .rename(columns={"size": "c"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536)
+          .groupby(["source", "v"]).aggregate(Sum("c", alias_name="c"))
+          .to_pandas())
+    if not df.empty:
+        df["v"] = df["v"].astype(np.int64)
+        df["c"] = df["c"].astype(np.int64)
+    return df
+
+
+def q_ks_drift(sf_dir: str) -> pd.DataFrame:
+    """Pairwise two-sample Kolmogorov-Smirnov statistic between every
+    source pair on the document-length distribution — the standard
+    distribution-drift monitor between corpus snapshots / data sources
+    (a large KS between an old and a new crawl of the same source flags
+    a pipeline change upstream).
+
+    EXACT under any partitioning: the empirical-CDF gap maximization
+    compares CROSS-MULTIPLIED integers — ``max |cum_a·n_b − cum_b·n_a|``
+    over the merged value grid (Python-int fold on the result-sized
+    count table, overflow-free at any N) — and the single float division
+    by ``n_a·n_b`` happens once per pair at the end.
+
+    Output: one row per unordered source pair (source_a < source_b)."""
+    from .collect import typed_empty
+
+    empty = typed_empty(source_a="object", source_b="object",
+                        n_a="int64", n_b="int64", ks="float64")
+    df = _length_counts(sf_dir)
+    if df.empty:
+        return empty
+    vals = np.sort(df["v"].unique())
+    sources = sorted(df["source"].unique())
+    pos = {v: i for i, v in enumerate(vals)}
+    cums: dict[str, list[int]] = {}
+    tots: dict[str, int] = {}
+    for s in sources:
+        g = df[df["source"] == s]
+        arr = np.zeros(len(vals), np.int64)
+        arr[[pos[v] for v in g["v"]]] = g["c"].to_numpy(np.int64)
+        cum = np.cumsum(arr)
+        cums[s] = [int(x) for x in cum]       # Python ints: no overflow
+        tots[s] = int(cum[-1])
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            na, nb = tots[a], tots[b]
+            num = max(abs(ca * nb - cb * na)
+                      for ca, cb in zip(cums[a], cums[b]))
+            rows.append((a, b, na, nb,
+                         float(round_half_away(
+                             np.float64(num) / (np.float64(na)
+                                                * np.float64(nb)), 6))))
+    out = pd.DataFrame(rows, columns=["source_a", "source_b",
+                                      "n_a", "n_b", "ks"])
+    out["n_a"] = out["n_a"].astype(np.int64)
+    out["n_b"] = out["n_b"].astype(np.int64)
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
+
+
+def q_gini_length(sf_dir: str) -> pd.DataFrame:
+    """Per-source Gini coefficient of the document-length distribution —
+    the concentration diagnostic mixture planning reads next to the
+    Zipf slope (a source whose token mass sits in a few huge documents
+    behaves differently under per-doc dedup and sampling than one with
+    uniform lengths).
+
+    EXACT: Gini over a multiset is ``(2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)``
+    with ranks over the sorted values; from the (value, count) table the
+    rank-weighted sum folds per tie-run as
+    ``v · (c·p + c·(c−1)/2)`` — all Python-int arithmetic on the
+    result-sized count table, ONE float division per source at the end
+    (ties contribute identically under any rank permutation, so the
+    row_number replay in the oracle cannot diverge)."""
+    from .collect import typed_empty
+
+    empty = typed_empty(source="object", n_docs="int64", gini="float64")
+    df = _length_counts(sf_dir)
+    if df.empty:
+        return empty
+    rows = []
+    for s in sorted(df["source"].unique()):
+        g = df[df["source"] == s].sort_values("v")
+        n = tot = si = 0
+        for v, c in zip(g["v"].tolist(), g["c"].tolist()):
+            p = n + 1                         # 1-based start rank of run
+            si += v * (c * p + c * (c - 1) // 2)
+            tot += v * c
+            n += c
+        gini = (0.0 if n * tot == 0 else
+                float(round_half_away(
+                    np.float64(2 * si - (n + 1) * tot)
+                    / np.float64(n * tot), 6)))
+        rows.append((s, n, gini))
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "gini"])
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)

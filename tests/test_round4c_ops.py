@@ -169,3 +169,43 @@ def test_cdc_upsert_lww_semantics(ray_session):
     assert len(m) == len(df)
     assert (m["last_ts"].to_numpy(np.int64)
             == m["m"].to_numpy(np.int64)).all()
+
+
+def test_ks_drift_matches_bruteforce(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.textstats import q_ks_drift
+
+    df = q_ks_drift(SF)
+    docs = duckdb.sql(f"SELECT source, n_chars FROM "
+                      f"'{SF}/documents.parquet'").df()
+    srcs = sorted(docs["source"].unique())
+    assert len(df) == len(srcs) * (len(srcs) - 1) // 2
+    assert df["ks"].between(0.0, 1.0).all()
+    # brute-force KS for three spot pairs
+    for _, r in df.head(3).iterrows():
+        xa = np.sort(docs[docs["source"] == r["source_a"]]
+                     ["n_chars"].to_numpy())
+        xb = np.sort(docs[docs["source"] == r["source_b"]]
+                     ["n_chars"].to_numpy())
+        grid = np.unique(np.concatenate([xa, xb]))
+        ca = np.searchsorted(xa, grid, side="right") / len(xa)
+        cb = np.searchsorted(xb, grid, side="right") / len(xb)
+        assert abs(np.abs(ca - cb).max() - r["ks"]) < 2e-6
+        assert int(r["n_a"]) == len(xa) and int(r["n_b"]) == len(xb)
+
+
+def test_gini_length_matches_bruteforce(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_gini_length)
+
+    df = q_gini_length(SF)
+    docs = duckdb.sql(f"SELECT source, n_chars FROM "
+                      f"'{SF}/documents.parquet'").df()
+    assert set(df["source"]) == set(docs["source"].unique())
+    assert df["gini"].between(0.0, 1.0).all()
+    for _, r in df.head(3).iterrows():
+        x = np.sort(docs[docs["source"] == r["source"]]
+                    ["n_chars"].to_numpy().astype(np.int64))
+        n, s = len(x), x.sum()
+        si = (np.arange(1, n + 1, dtype=np.int64) * x).sum()
+        assert abs((2 * si - (n + 1) * s) / (n * s) - r["gini"]) < 2e-6
+        assert int(r["n_docs"]) == n
