@@ -831,6 +831,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_ks_drift": textstats.q_ks_drift,
         # per-source Gini of doc length (tie-run integer rank sums)
         "q_gini_length": textstats.q_gini_length,
+        # Good-Turing unseen mass per source (hapax / token integers)
+        "q_good_turing": mlprep.q_good_turing,
     }
 
 
@@ -4919,6 +4921,28 @@ def oracle_sql() -> dict[str, str]:
                    round(a.kl_q / 1000000000000.0, 6) AS kl
             FROM agg a JOIN nsrc s USING (source)
             ORDER BY source
+        """,
+        # Good-Turing unseen mass: the q_source_kl tokenizer + counts,
+        # hapax/vocab/token integers, one double division per source
+        "q_good_turing": r"""
+            WITH b AS (SELECT source, lower(coalesce(text, '')) AS tx
+                       FROM documents),
+            wd AS (SELECT source,
+                          unnest(list_filter(
+                              regexp_split_to_array(tx, '\s+'),
+                              x -> x <> '')) AS tok
+                   FROM b),
+            cst AS (SELECT tok, source, count(*)::BIGINT AS c_st
+                    FROM wd GROUP BY tok, source)
+            SELECT source,
+                   CAST(sum(c_st) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(CASE WHEN c_st = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hapax,
+                   round(CAST(sum(CASE WHEN c_st = 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE)
+                         / CAST(sum(c_st) AS DOUBLE), 6) AS gt_unseen
+            FROM cst GROUP BY source ORDER BY source
         """,
         # q_bm25_topk: every per-(doc, term) BM25 contribution is
         # floor(c * 1e9) — an integer, so the per-doc score is an

@@ -1262,6 +1262,93 @@ def q_source_kl(sf_dir: str) -> pd.DataFrame:
             .sort_values("source").reset_index(drop=True))
 
 
+# --- Good-Turing unseen-mass estimate per source ---------------------------------
+
+def q_good_turing(sf_dir: str) -> pd.DataFrame:
+    """Per-source vocabulary statistics with the Good-Turing unseen-mass
+    estimate ``N1/N`` (hapax-legomena count over token count) — the
+    classic coverage diagnostic for corpus sampling: a source whose
+    unseen mass is still high is under-sampled relative to its true
+    vocabulary, one near zero is saturated.
+
+    EXACT: token counts ride the same bucketed-by-token combine as
+    ``q_source_kl`` (every (token, source) pair resolved GLOBALLY inside
+    one bucket, so hapax flags are partitioning-independent integers);
+    n_tokens / vocab / hapax fold as integer Sums and the single double
+    division per source happens once at the end.
+
+    Ray shape: one token-bucketed combine over per-batch count partials;
+    the survivor rows reduce through per-batch (source, 3-int) partials
+    and a |sources|-sized groupby. Nothing vocabulary-sized leaves the
+    workers."""
+    from .combine import bucketed_combine
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        words = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        nw_raw = pc.list_value_length(words).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        keep = pc.utf8_length(flat).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) > 0
+        src = np.repeat(np.asarray(t["source"].to_pylist(), dtype=object),
+                        nw_raw)[keep]
+        toks = np.asarray(flat.to_pylist(), dtype=object)[keep]
+        df = (pd.DataFrame({"tok": toks, "source": src})
+              .groupby(["tok", "source"], as_index=False).size())
+        from .dedup import _hash64
+        cache: dict[str, int] = {}
+        th = np.fromiter(
+            (cache.setdefault(x, _hash64(x) // 2) for x in df["tok"]),
+            np.int64, count=len(df))
+        return pa.table({"tok_h": pa.array(th, pa.int64()),
+                         "tok": pa.array(df["tok"], pa.string()),
+                         "source": pa.array(df["source"], pa.string()),
+                         "c": pa.array(df["size"].to_numpy(np.int64))})
+
+    def per_tok(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["tok", "source"], as_index=False)
+                 .agg(c_st=("c", "sum")))
+
+    counts = bucketed_combine(
+        ds.map_batches(tok_counts, batch_format="pyarrow",
+                       batch_size=8192),
+        "tok_h", per_tok)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t["c_st"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (pd.DataFrame({"source": t["source"].to_numpy(
+                               zero_copy_only=False),
+                           "n_tokens": c,
+                           "vocab": np.ones(len(c), np.int64),
+                           "hapax": (c == 1).astype(np.int64)})
+             .groupby("source", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (counts.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+          .groupby("source")
+          .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                     Sum("vocab", alias_name="vocab"),
+                     Sum("hapax", alias_name="hapax"))
+          .to_pandas())
+    if df.empty:
+        return typed_empty(source="object", n_tokens="int64",
+                           vocab="int64", hapax="int64",
+                           gt_unseen="float64")
+    for c in ("n_tokens", "vocab", "hapax"):
+        df[c] = df[c].astype(np.int64)
+    n = df["n_tokens"].to_numpy(np.float64)
+    df["gt_unseen"] = np.where(
+        n == 0, 0.0,
+        round_half_away(df["hapax"].to_numpy(np.float64)
+                        / np.where(n == 0, 1.0, n), 6))
+    return (df[["source", "n_tokens", "vocab", "hapax", "gt_unseen"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 # --- BM25 top-k retrieval --------------------------------------------------------
 
 BM25_K1 = 1.2

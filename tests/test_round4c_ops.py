@@ -209,3 +209,27 @@ def test_gini_length_matches_bruteforce(ray_session):
         si = (np.arange(1, n + 1, dtype=np.int64) * x).sum()
         assert abs((2 * si - (n + 1) * s) / (n * s) - r["gini"]) < 2e-6
         assert int(r["n_docs"]) == n
+
+
+def test_good_turing_identities(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import q_good_turing
+
+    df = q_good_turing(SF)
+    assert len(df) > 0
+    assert (df["hapax"] <= df["vocab"]).all()
+    assert (df["vocab"] <= df["n_tokens"]).all()
+    assert df["gt_unseen"].between(0.0, 1.0).all()
+    # brute force one source
+    s = df["source"].iloc[0]
+    truth = duckdb.sql(f"""
+        WITH wd AS (SELECT unnest(list_filter(regexp_split_to_array(
+                        lower(coalesce(text, '')), '\\s+'),
+                        x -> x <> '')) AS tok
+                    FROM '{SF}/documents.parquet' WHERE source = '{s}')
+        SELECT count(*) AS n, count(DISTINCT tok) AS v,
+               sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS h
+        FROM (SELECT tok, count(*) AS c FROM wd GROUP BY tok)""").df()
+    # n from the per-token counts: sum(c) == token occurrences
+    r = df[df["source"] == s].iloc[0]
+    assert int(r["vocab"]) == int(truth["v"].iloc[0])
+    assert int(r["hapax"]) == int(truth["h"].iloc[0])
