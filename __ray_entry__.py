@@ -833,6 +833,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_gini_length": textstats.q_gini_length,
         # Good-Turing unseen mass per source (hapax / token integers)
         "q_good_turing": mlprep.q_good_turing,
+        # empirical-quantile (rank) normalization of doc length
+        "q_rank_normalize": mlprep.q_rank_normalize,
     }
 
 
@@ -4943,6 +4945,16 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE)
                          / CAST(sum(c_st) AS DOUBLE), 6) AS gt_unseen
             FROM cst GROUP BY source ORDER BY source
+        """,
+        # rank normalization: cume_dist == count(<= v)/N — the same two
+        # integers divided once on both engines
+        "q_rank_normalize": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   round(cume_dist() OVER (ORDER BY n_chars), 6)
+                       AS pct_rank
+            FROM documents
+            ORDER BY doc_id
         """,
         # q_bm25_topk: every per-(doc, term) BM25 contribution is
         # floor(c * 1e9) — an integer, so the per-doc score is an

@@ -2227,3 +2227,66 @@ def q_split_leakage(sf_dir: str) -> pd.DataFrame:
         "n_test_grams": np.array([nte], np.int64),
         "n_shared": np.array([nsh], np.int64),
         "leak_frac": np.array([leak], np.float64)})
+
+
+# --- empirical-quantile (rank) normalization --------------------------------------
+
+def q_rank_normalize(sf_dir: str) -> Dataset:
+    """Empirical-quantile normalization of document length: every doc's
+    ``n_chars`` maps to its corpus CDF position ``count(≤ v) / N`` — the
+    distribution-free feature transform (quantile/rank normalization)
+    ML-prep applies before mixing heterogeneous sources whose raw scales
+    differ.
+
+    EXACT under any partitioning: the CDF is built from the
+    (value, count) reduction — distinct lengths are bounded by the max
+    document size, not the corpus (the q_ks_drift argument) — so the
+    broadcast table is result-sized; each row's rank is an integer table
+    lookup and the single division ``cum / N`` is the same two integers
+    on both engines. Oracle replays it as ``cume_dist()``.
+
+    Ray shape: pass A = per-batch value-count partials → one
+    |values|-sized groupby → driver fold → ``ray.put`` of the sorted
+    (values, cumulative) arrays; pass B = one streaming searchsorted
+    map over the corpus. Output corpus-sized → Dataset."""
+    from ray.data.aggregate import Sum
+
+    schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64()),
+                        ("pct_rank", pa.float64())])
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(
+        path, columns=["doc_id", "n_chars"],
+        override_num_blocks=scale.read_blocks_for_path(path))
+
+    def vc(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uk),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    counts = (ds.map_batches(vc, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby("v").aggregate(Sum("c", alias_name="c"))
+              .to_pandas())      # |distinct lengths| rows — bounded
+    if counts.empty:
+        return ensure_schema(ray.data.from_items([]), schema)
+    counts = counts.sort_values("v")
+    vals = counts["v"].to_numpy(np.int64)
+    cum = np.cumsum(counts["c"].to_numpy(np.int64))
+    n_total = int(cum[-1])
+    cdf_ref = ray.put((vals, cum, n_total))
+
+    def score(t: pa.Table) -> pa.Table:
+        vals, cum, n = ray.get(cdf_ref)
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(vals, v, side="right") - 1
+        pct = round_half_away(
+            cum[pos].astype(np.float64) / np.float64(n), 6)
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_chars": pa.array(v),
+            "pct_rank": pa.array(pct)})
+
+    return ensure_schema(
+        ds.map_batches(score, batch_format="pyarrow", batch_size=65536),
+        schema)

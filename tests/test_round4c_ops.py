@@ -233,3 +233,21 @@ def test_good_turing_identities(ray_session):
     r = df[df["source"] == s].iloc[0]
     assert int(r["vocab"]) == int(truth["v"].iloc[0])
     assert int(r["hapax"]) == int(truth["h"].iloc[0])
+
+
+def test_rank_normalize_is_cume_dist(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import (
+        q_rank_normalize)
+
+    df = q_rank_normalize(SF).to_pandas().sort_values("doc_id")
+    x = df["n_chars"].to_numpy(np.int64)
+    n = len(x)
+    assert df["pct_rank"].between(0.0, 1.0).all()
+    assert df["pct_rank"].max() == 1.0
+    # monotone in value and equal on ties
+    order = np.argsort(x, kind="mergesort")
+    p = df["pct_rank"].to_numpy()[order]
+    assert (np.diff(p) >= -1e-12).all()
+    xs = np.sort(x)
+    cume = np.searchsorted(xs, x, side="right") / n
+    assert np.abs(cume - df["pct_rank"].to_numpy()).max() < 1e-6
