@@ -2056,20 +2056,36 @@ def q_knn_hubness(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
     ``q_knn_graph``'s integer-ranked edges; the zero row is
     |vectors| − |distinct neighbors|, both exact counts.
 
-    Ray shape: the kNN edge stream projects bare ``nbr_id``s into one
-    count groupby (corpus-sized but 2-int rows); per-batch degree
-    bincount partials reduce through a histogram-sized groupby; only the
-    ≤ max-degree histogram reaches the driver, plus one metadata-cheap
-    ``count()`` for the orphan row."""
-    from ray.data.aggregate import Count, Sum
+    Ray shape: the kNN edge stream projects bare ``nbr_id``s into
+    per-batch count partials folded on the bucketed-combine backbone
+    (Ray's sort-based groupby pays ~0.4 ms of per-key Python — N keys
+    would dominate this op; one vectorized pandas fold per bucket does
+    not); per-batch degree bincount partials then reduce through a
+    histogram-sized groupby; only the ≤ max-degree histogram reaches the
+    driver, plus one metadata-cheap ``count()`` for the orphan row."""
+    from ray.data.aggregate import Sum
+    from .combine import bucketed_combine
 
     empty = typed_empty(in_degree="int64", n_vecs="int64")
     n_total = _emb(sf_dir).count()
     if n_total == 0:
         return empty
 
-    deg = (q_knn_graph(sf_dir, k).select_columns(["nbr_id"])
-           .groupby("nbr_id").aggregate(Count(alias_name="deg")))
+    def nbr_counts(t: pa.Table) -> pa.Table:
+        uk, cnt = np.unique(
+            t["nbr_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True)
+        return pa.table({"nbr_id": pa.array(uk),
+                         "deg": pa.array(cnt.astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("nbr_id", as_index=False)["deg"].sum()
+
+    deg = bucketed_combine(
+        q_knn_graph(sf_dir, k).select_columns(["nbr_id"])
+        .map_batches(nbr_counts, batch_format="pyarrow",
+                     batch_size=65536),
+        "nbr_id", fold)
 
     def hist(t: pa.Table) -> pa.Table:
         d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
