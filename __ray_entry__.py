@@ -835,6 +835,10 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_good_turing": mlprep.q_good_turing,
         # empirical-quantile (rank) normalization of doc length
         "q_rank_normalize": mlprep.q_rank_normalize,
+        # CCNet head/middle/tail perplexity terciles per source
+        "q_ccnet_buckets": mlprep.q_ccnet_buckets,
+        # types needed for 90% token coverage (tokenizer sizing)
+        "q_token_cover": mlprep.q_token_cover,
     }
 
 
@@ -4955,6 +4959,115 @@ def oracle_sql() -> dict[str, str]:
                        AS pct_rank
             FROM documents
             ORDER BY doc_id
+        """,
+        # CCNet terciles: per-doc ppl replays the q_unigram_ppl chain
+        # (md5 feature hash, libm ln/exp, int64 micro-log sums, 1e-6
+        # round), v = floor(100·ln(1+ppl)) on the ROUNDED ppl, and the
+        # head/middle/tail cut is the all-integer cume test
+        # 3·cum > n_s / 3·cum > 2·n_s over the (source, v) CDF.
+        "q_ccnet_buckets": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(tok), 1, 16))
+                            AS UBIGINT) % 4096 AS b
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(lower(text)),
+                                                       '\s+')) AS tok
+                      FROM documents)
+                WHERE tok <> ''
+            ),
+            cnt AS (SELECT b, count(*) AS n FROM toks GROUP BY b),
+            tot AS (SELECT sum(n) AS t FROM cnt),
+            lp AS (SELECT b,
+                          CAST(round(ln((n + 1) / (t + 4096.0))
+                                     * 1000000.0, 0) AS BIGINT) AS lpq
+                   FROM cnt, tot),
+            per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                           CAST(sum(lp.lpq) AS BIGINT) AS s
+                    FROM toks JOIN lp USING (b) GROUP BY doc_id),
+            docppl AS (
+                SELECT d.source,
+                       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS nt,
+                       round(CASE WHEN p.n_tokens IS NULL THEN 0.0
+                                  ELSE exp(-(p.s / 1000000.0)
+                                           / p.n_tokens)
+                             END, 6) AS ppl
+                FROM documents d LEFT JOIN per p USING (doc_id)),
+            vg AS (SELECT source,
+                          CAST(floor(100 * ln(1.0 + ppl)) AS BIGINT) AS v,
+                          nt,
+                          CAST(round(ppl * 1000000.0, 0) AS BIGINT) AS pu
+                   FROM docppl),
+            cdf AS (SELECT source, v, count(*)::BIGINT AS c,
+                           CAST(sum(nt) AS BIGINT) AS nt,
+                           CAST(sum(pu) AS BIGINT) AS sp
+                    FROM vg GROUP BY source, v),
+            cum AS (SELECT source, c, nt, sp,
+                           sum(c) OVER (PARTITION BY source
+                                        ORDER BY v) AS cum_c,
+                           sum(c) OVER (PARTITION BY source) AS n_s
+                    FROM cdf),
+            bk AS (SELECT source,
+                          1 + CASE WHEN 3 * cum_c > n_s
+                                   THEN 1 ELSE 0 END
+                            + CASE WHEN 3 * cum_c > 2 * n_s
+                                   THEN 1 ELSE 0 END AS bucket,
+                          c, nt, sp
+                   FROM cum)
+            SELECT source, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   round((CAST(sum(sp) AS BIGINT) / 1000000.0)
+                         / CAST(sum(c) AS BIGINT), 6) AS mean_ppl
+            FROM bk GROUP BY source, bucket
+            ORDER BY source, bucket
+        """,
+        # token cover: the q_good_turing tokenizer + per-(tok, source)
+        # counts, reduced to the per-source count HISTOGRAM; the walk is
+        # the all-integer partial tie-group take
+        # cover = types_above + ceil((need − mass_above)/c) at the first
+        # descending-count row whose cumulative mass reaches
+        # need = ceil(9·n_tokens/10).
+        "q_token_cover": r"""
+            WITH b AS (SELECT source, lower(coalesce(text, '')) AS tx
+                       FROM documents),
+            wd AS (SELECT source,
+                          unnest(list_filter(
+                              regexp_split_to_array(tx, '\s+'),
+                              x -> x <> '')) AS tok
+                   FROM b),
+            cst AS (SELECT tok, source, count(*)::BIGINT AS c
+                    FROM wd GROUP BY tok, source),
+            hist AS (SELECT source, c, count(*)::BIGINT AS k
+                     FROM cst GROUP BY source, c),
+            cum AS (SELECT source, c, k,
+                           CAST(sum(c * k) OVER (PARTITION BY source
+                                                 ORDER BY c DESC)
+                                AS BIGINT) AS cum_mass,
+                           CAST(sum(k) OVER (PARTITION BY source
+                                             ORDER BY c DESC)
+                                AS BIGINT) AS cum_types,
+                           CAST(sum(c * k) OVER (PARTITION BY source)
+                                AS BIGINT) AS n_tokens,
+                           CAST(sum(k) OVER (PARTITION BY source)
+                                AS BIGINT) AS n_types
+                    FROM hist),
+            pick AS (SELECT source, c, k, cum_mass, cum_types,
+                            n_tokens, n_types,
+                            (9 * n_tokens + 9) // 10 AS need
+                     FROM cum
+                     WHERE cum_mass >= (9 * n_tokens + 9) // 10
+                     QUALIFY row_number() OVER (PARTITION BY source
+                                                ORDER BY c DESC) = 1)
+            SELECT source, n_tokens, n_types,
+                   CAST(cum_types - k
+                        + (need - cum_mass + c * k + c - 1) // c
+                        AS BIGINT) AS cover_types,
+                   round(CAST(cum_types - k
+                              + (need - cum_mass + c * k + c - 1) // c
+                              AS DOUBLE)
+                         / CAST(n_types AS DOUBLE), 6) AS cover_ratio
+            FROM pick ORDER BY source
         """,
         # q_bm25_topk: every per-(doc, term) BM25 contribution is
         # floor(c * 1e9) — an integer, so the per-doc score is an

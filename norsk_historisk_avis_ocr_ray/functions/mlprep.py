@@ -1100,25 +1100,16 @@ def dsir_score(sf_dir: str, target_source: str = DSIR_TARGET_SOURCE,
 
 # --- unigram-LM perplexity quality filter ---------------------------------------
 
-def q_unigram_ppl(sf_dir: str, n_features: int = DSIR_N_FEATURES) -> Dataset:
-    """Perplexity quality filter — the CCNet-style 'score every document by
-    a language model of the corpus' step (Wenzek et al. 2020 use KenLM;
-    the SQL-oracled stand-in is an add-1-smoothed hashed-unigram LM over
-    the corpus itself). Low perplexity = typical text; high = noise.
-
-    Same two-pass shape as dsir_score: one bounded ``groupby(bucket)``
-    count pass (fixed 4096-dim hashed feature space) → driver builds an
-    int64 micro-log-prob table (``math.log`` == DuckDB ``ln`` == glibc
-    libm, bit-identical) → one streaming scoring pass sums each document's
-    token log-probs as integers (order-independent) and exponentiates
-    per doc with ``math.exp`` (== DuckDB ``exp``; np.exp's SIMD rounding
-    differs). ppl = exp(−avg logprob), rounded half-away to 6. Exact
-    DuckDB oracle; per-doc output → streaming Dataset."""
+def _hashed_unigram_lpq(ds: Dataset,
+                        n_features: int = DSIR_N_FEATURES) -> np.ndarray:
+    """Count pass + int64 micro-log-prob table of the add-1-smoothed
+    hashed-unigram LM over ``ds``'s ``text`` column — the shared first
+    half of q_unigram_ppl and q_ccnet_buckets. One bounded
+    ``groupby(bucket)`` count pass (fixed 4096-dim hashed feature space),
+    then the driver folds ``round(ln((c+1)/(tot+F))·1e6)`` per feature
+    with ``math.log`` (== DuckDB ``ln`` == glibc libm, bit-identical;
+    np.log's SIMD rounding differs)."""
     import math
-
-    from .collect import ensure_schema
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
         feats = _dsir_feature_batch(t["text"].to_pylist())
@@ -1136,10 +1127,30 @@ def q_unigram_ppl(sf_dir: str, n_features: int = DSIR_N_FEATURES) -> Dataset:
     if not cnt.empty:
         counts[cnt["b"].to_numpy(np.int64)] = cnt["n"].to_numpy(np.int64)
     tot = float(counts.sum() + n_features)
-    lpq = round_half_away(
+    return round_half_away(
         np.array([math.log((int(c) + 1) / tot) * 1e6 for c in counts],
                  np.float64), 0).astype(np.int64)
-    lp_ref = ray.put(lpq)
+
+
+def q_unigram_ppl(sf_dir: str, n_features: int = DSIR_N_FEATURES) -> Dataset:
+    """Perplexity quality filter — the CCNet-style 'score every document by
+    a language model of the corpus' step (Wenzek et al. 2020 use KenLM;
+    the SQL-oracled stand-in is an add-1-smoothed hashed-unigram LM over
+    the corpus itself). Low perplexity = typical text; high = noise.
+
+    Same two-pass shape as dsir_score: the ``_hashed_unigram_lpq`` count
+    pass builds the int64 micro-log-prob table → one streaming scoring
+    pass sums each document's token log-probs as integers
+    (order-independent) and exponentiates per doc with ``math.exp``
+    (== DuckDB ``exp``; np.exp's SIMD rounding differs).
+    ppl = exp(−avg logprob), rounded half-away to 6. Exact DuckDB
+    oracle; per-doc output → streaming Dataset."""
+    import math
+
+    from .collect import ensure_schema
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    lp_ref = ray.put(_hashed_unigram_lpq(ds, n_features))
 
     def score(t: pa.Table) -> pa.Table:
         lp = ray.get(lp_ref)
@@ -1159,6 +1170,88 @@ def q_unigram_ppl(sf_dir: str, n_features: int = DSIR_N_FEATURES) -> Dataset:
         ds.map_batches(score, batch_format="pyarrow", batch_size=8192),
         pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
                    ("ppl", pa.float64())]))
+
+
+# --- CCNet perplexity buckets (head / middle / tail per source) -----------------
+
+CCNET_GRID = 100       # log-grid resolution: v = floor(100·ln(1+ppl))
+
+
+def q_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020 §4.4): within each
+    source, documents split into perplexity terciles — *head* (lowest-ppl
+    third, cleanest text), *middle*, *tail* — the partition CCNet uses to
+    downsample noisy web text before LM training. Output: per
+    (source, bucket) doc count, token count and mean perplexity.
+
+    EXACT under any partitioning, via three integer devices:
+
+    - per-doc ppl rides the ``_hashed_unigram_lpq`` chain (integer
+      log-prob sums, ``math.exp`` == DuckDB ``exp``), rounded to the 1e-6
+      grid exactly as q_unigram_ppl;
+    - tercile boundaries live on a BOUNDED log grid
+      ``v = floor(100·ln(1+ppl))`` (``math.log`` == DuckDB ``ln``;
+      v ≤ 100·ln(1+corpus tokens) < 4000 however large the corpus, unlike
+      a raw-ppl grid whose distinct values grow with the corpus), so the
+      CDF table the terciles are cut from is result-sized — CCNet itself
+      cuts on histogram quantiles, so grid-resolution terciles are the
+      published semantics, not an approximation;
+    - the bucket test is all-integer cume_dist: ``3·cum > n_s`` /
+      ``3·cum > 2·n_s`` — no float threshold; mean ppl folds from int64
+      1e-6-grid sums and divides ONCE per output row.
+
+    Ray shape: count pass (bounded 4096-row partials) → one streaming
+    scoring pass emitting per-batch (source, v) partials → one bounded
+    ``groupby((source, v))`` → driver folds the ≤ |sources|·4000-row CDF.
+    Result-sized output → DataFrame."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    lp_ref = ray.put(_hashed_unigram_lpq(ds))
+
+    def partial(t: pa.Table) -> pa.Table:
+        lp = ray.get(lp_ref)
+        feats = _dsir_feature_batch(t["text"].to_pylist())
+        lens = np.array([f.size for f in feats], np.int64)
+        ppl = np.array(
+            [math.exp(-(int(lp[f].sum()) / 1e6) / int(n)) if n else 0.0
+             for f, n in zip(feats, lens)], np.float64)
+        ppl = round_half_away(ppl, 6)          # the q_unigram_ppl output grid
+        # math.log per doc: libm-bit-identical to DuckDB ln (np.log is not)
+        v = np.fromiter(
+            (math.floor(CCNET_GRID * math.log(1.0 + p)) for p in ppl),
+            np.int64, count=len(ppl))
+        pu = round_half_away(ppl * 1e6, 0).astype(np.int64)
+        g = (pd.DataFrame({"source": t["source"].to_pylist(), "v": v,
+                           "c": np.ones(len(v), np.int64), "nt": lens,
+                           "sp": pu})
+             .groupby(["source", "v"], as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cdf = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+           .groupby(["source", "v"])
+           .aggregate(Sum("c", alias_name="c"), Sum("nt", alias_name="nt"),
+                      Sum("sp", alias_name="sp"))
+           .to_pandas())                     # bounded: |sources| × grid
+    if cdf.empty:
+        return typed_empty(source="object", bucket="int64", n_docs="int64",
+                           n_tokens="int64", mean_ppl="float64")
+    cdf = cdf.sort_values(["source", "v"], kind="mergesort")
+    cum = cdf.groupby("source")["c"].cumsum().to_numpy(np.int64)
+    ns = cdf.groupby("source")["c"].transform("sum").to_numpy(np.int64)
+    cdf["bucket"] = (1 + (3 * cum > ns).astype(np.int64)
+                     + (3 * cum > 2 * ns).astype(np.int64))
+    out = (cdf.groupby(["source", "bucket"], as_index=False)
+           .agg(n_docs=("c", "sum"), n_tokens=("nt", "sum"),
+                sp=("sp", "sum")))
+    for c in ("bucket", "n_docs", "n_tokens"):
+        out[c] = out[c].astype(np.int64)
+    # sum(pu)/1e6 then /count: both engines convert the same integers to
+    # double and divide in the same order — bit-identical
+    out["mean_ppl"] = _r((out["sp"].astype(np.float64) / 1e6)
+                         / out["n_docs"].astype(np.float64), 6)
+    return (out[["source", "bucket", "n_docs", "n_tokens", "mean_ppl"]]
+            .sort_values(["source", "bucket"]).reset_index(drop=True))
 
 
 # --- per-source KL divergence (corpus-mixture analysis) --------------------------
@@ -1264,26 +1357,13 @@ def q_source_kl(sf_dir: str) -> pd.DataFrame:
 
 # --- Good-Turing unseen-mass estimate per source ---------------------------------
 
-def q_good_turing(sf_dir: str) -> pd.DataFrame:
-    """Per-source vocabulary statistics with the Good-Turing unseen-mass
-    estimate ``N1/N`` (hapax-legomena count over token count) — the
-    classic coverage diagnostic for corpus sampling: a source whose
-    unseen mass is still high is under-sampled relative to its true
-    vocabulary, one near zero is saturated.
-
-    EXACT: token counts ride the same bucketed-by-token combine as
-    ``q_source_kl`` (every (token, source) pair resolved GLOBALLY inside
-    one bucket, so hapax flags are partitioning-independent integers);
-    n_tokens / vocab / hapax fold as integer Sums and the single double
-    division per source happens once at the end.
-
-    Ray shape: one token-bucketed combine over per-batch count partials;
-    the survivor rows reduce through per-batch (source, 3-int) partials
-    and a |sources|-sized groupby. Nothing vocabulary-sized leaves the
-    workers."""
+def _source_tok_rows(ds: Dataset) -> Dataset:
+    """Globally-exact (tok, source, c_st) count rows via ONE token-bucketed
+    combine — the shared backbone of q_good_turing / q_token_cover (and the
+    same shape q_source_kl inlines with its extra per-token corpus total).
+    Tokenization is lowercased whitespace split with empties dropped,
+    matching SQL ``string_split_regex(trim(lower(text)), '\\s+')``."""
     from .combine import bucketed_combine
-
-    ds = _read(sf_dir, "documents", ["source", "text"])
 
     def tok_counts(t: pa.Table) -> pa.Table:
         text = pc.fill_null(t["text"], "")
@@ -1312,10 +1392,31 @@ def q_good_turing(sf_dir: str) -> pd.DataFrame:
         return (g.groupby(["tok", "source"], as_index=False)
                  .agg(c_st=("c", "sum")))
 
-    counts = bucketed_combine(
+    return bucketed_combine(
         ds.map_batches(tok_counts, batch_format="pyarrow",
                        batch_size=8192),
         "tok_h", per_tok)
+
+
+def q_good_turing(sf_dir: str) -> pd.DataFrame:
+    """Per-source vocabulary statistics with the Good-Turing unseen-mass
+    estimate ``N1/N`` (hapax-legomena count over token count) — the
+    classic coverage diagnostic for corpus sampling: a source whose
+    unseen mass is still high is under-sampled relative to its true
+    vocabulary, one near zero is saturated.
+
+    EXACT: token counts ride the same bucketed-by-token combine as
+    ``q_source_kl`` (every (token, source) pair resolved GLOBALLY inside
+    one bucket, so hapax flags are partitioning-independent integers);
+    n_tokens / vocab / hapax fold as integer Sums and the single double
+    division per source happens once at the end.
+
+    Ray shape: one token-bucketed combine over per-batch count partials
+    (``_source_tok_rows``); the survivor rows reduce through per-batch
+    (source, 3-int) partials and a |sources|-sized groupby. Nothing
+    vocabulary-sized leaves the workers."""
+    counts = _source_tok_rows(_read(sf_dir, "documents",
+                                    ["source", "text"]))
 
     def partial(t: pa.Table) -> pa.Table:
         c = t["c_st"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1347,6 +1448,77 @@ def q_good_turing(sf_dir: str) -> pd.DataFrame:
                         / np.where(n == 0, 1.0, n), 6))
     return (df[["source", "n_tokens", "vocab", "hapax", "gt_unseen"]]
             .sort_values("source").reset_index(drop=True))
+
+
+# --- vocabulary coverage: types needed for 90% of token mass --------------------
+
+COVER_PCT_NUM, COVER_PCT_DEN = 9, 10    # cover threshold = 90% of tokens
+
+
+def q_token_cover(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer-sizing diagnostic: per source, the minimum number of
+    vocabulary types that covers ≥ 90% of the token mass (types taken in
+    descending count order). A Zipf-flat source needs a big vocabulary; a
+    boilerplate-heavy one saturates with a few hundred types — the number
+    that sizes BPE vocabularies and spots template-dominated sources.
+
+    EXACT, all-integer, and — the key device — independent of which
+    *specific* types sit at the cut: only the per-source count HISTOGRAM
+    (count value → #types with that count) matters, because types with
+    equal counts are interchangeable and the partial tie-group take is
+    ``ceil((need − mass_above) / c)``. The histogram is bounded (distinct
+    count values are O(√tokens) under Zipf — the q_rank_normalize
+    bounded-CDF argument), so the driver fold is result-sized at any
+    corpus scale.
+
+    Ray shape: the shared ``_source_tok_rows`` token-bucketed combine →
+    per-batch (source, c) histogram partials → one bounded groupby →
+    driver walks each source's descending-count cumulative. Oracle
+    replays the walk with window cumsums + QUALIFY."""
+    counts = _source_tok_rows(_read(sf_dir, "documents",
+                                    ["source", "text"]))
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"source": t["source"].to_numpy(
+                               zero_copy_only=False),
+                           "c": t["c_st"].to_numpy(
+                               zero_copy_only=False).astype(np.int64)})
+             .groupby(["source", "c"], as_index=False).size()
+             .rename(columns={"size": "k"}))
+        g["k"] = g["k"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (counts.map_batches(hist, batch_format="pyarrow",
+                             batch_size=65536)
+          .groupby(["source", "c"]).aggregate(Sum("k", alias_name="k"))
+          .to_pandas())                  # bounded histogram rows
+    if df.empty:
+        return typed_empty(source="object", n_tokens="int64",
+                           n_types="int64", cover_types="int64",
+                           cover_ratio="float64")
+    rows = []
+    for src, g in df.groupby("source", sort=True):
+        g = g.sort_values("c", ascending=False, kind="mergesort")
+        c = g["c"].to_numpy(np.int64)
+        k = g["k"].to_numpy(np.int64)
+        mass = c * k
+        total, types = int(mass.sum()), int(k.sum())
+        need = (COVER_PCT_NUM * total + COVER_PCT_DEN - 1) // COVER_PCT_DEN
+        cum = np.cumsum(mass)
+        i = int(np.searchsorted(cum, need))        # first cum ≥ need
+        before_mass = int(cum[i]) - int(mass[i])
+        before_types = int(k[:i].sum())
+        cover = before_types + (need - before_mass + int(c[i]) - 1) \
+            // int(c[i])
+        rows.append((src, total, types, cover))
+    out = pd.DataFrame(rows, columns=["source", "n_tokens", "n_types",
+                                      "cover_types"])
+    for col in ("n_tokens", "n_types", "cover_types"):
+        out[col] = out[col].astype(np.int64)
+    # one double division of two identical integers per output row
+    out["cover_ratio"] = _r(out["cover_types"].astype(np.float64)
+                            / out["n_types"].astype(np.float64), 6)
+    return out.sort_values("source").reset_index(drop=True)
 
 
 # --- BM25 top-k retrieval --------------------------------------------------------

@@ -235,6 +235,55 @@ def test_good_turing_identities(ray_session):
     assert int(r["hapax"]) == int(truth["h"].iloc[0])
 
 
+def test_ccnet_buckets_tercile_invariants(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import (
+        q_ccnet_buckets, q_unigram_ppl)
+
+    df = q_ccnet_buckets(SF)
+    assert len(df) > 0
+    assert set(df["bucket"]).issubset({1, 2, 3})
+    # every doc lands in exactly one bucket, token totals conserved
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'").fetchone()[0]
+    assert int(df["n_docs"].sum()) == n_docs
+    ppl = q_unigram_ppl(SF).to_pandas()
+    assert int(df["n_tokens"].sum()) == int(ppl["n_tokens"].sum())
+    # within each source: buckets ordered head < middle < tail by mean
+    # ppl (grid-tercile cut is monotone in v, v monotone in ppl), and the
+    # tercile sizes are balanced up to one v-grid tie-group
+    for src, g in df.groupby("source"):
+        g = g.sort_values("bucket")
+        m = g["mean_ppl"].to_numpy()
+        assert (np.diff(m) > 0).all()
+        assert g["n_docs"].min() > 0
+
+
+def test_token_cover_matches_bruteforce(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import q_token_cover
+
+    df = q_token_cover(SF)
+    assert len(df) > 0
+    assert (df["cover_types"] <= df["n_types"]).all()
+    assert (df["cover_types"] > 0).all()
+    assert df["cover_ratio"].between(0.0, 1.0).all()
+    # brute force one source: greedy descending-count prefix cover
+    s = df["source"].iloc[0]
+    cnts = duckdb.sql(f"""
+        WITH wd AS (SELECT unnest(list_filter(regexp_split_to_array(
+                        lower(coalesce(text, '')), '\\s+'),
+                        x -> x <> '')) AS tok
+                    FROM '{SF}/documents.parquet' WHERE source = '{s}')
+        SELECT count(*) AS c FROM wd GROUP BY tok
+        ORDER BY c DESC""").df()["c"].to_numpy(np.int64)
+    total = int(cnts.sum())
+    need = (9 * total + 9) // 10
+    cover = int(np.searchsorted(np.cumsum(cnts), need)) + 1
+    r = df[df["source"] == s].iloc[0]
+    assert int(r["n_tokens"]) == total
+    assert int(r["n_types"]) == len(cnts)
+    assert int(r["cover_types"]) == cover
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
