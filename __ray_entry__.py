@@ -839,6 +839,10 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_ccnet_buckets": mlprep.q_ccnet_buckets,
         # types needed for 90% token coverage (tokenizer sizing)
         "q_token_cover": mlprep.q_token_cover,
+        # cross-source exact-duplicate leakage matrix (md5 chain)
+        "q_dup_leakage": dedup.q_dup_leakage,
+        # declared-lang x predicted-lang confusion matrix (lang_id chain)
+        "q_lang_confusion": textstats.q_lang_confusion,
     }
 
 
@@ -5069,6 +5073,75 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n_types AS DOUBLE), 6) AS cover_ratio
             FROM pick ORDER BY source
         """,
+        # dup leakage: the dedup_exact md5 chain, per-(fp, source) counts
+        # self-joined on fp with a ≤ b — all-integer pair counts
+        # (C(c,2) within a source, c_a·c_b across), n_groups counts
+        # contributing fingerprints per cell.
+        "q_dup_leakage": """
+            WITH h AS (SELECT md5(coalesce(text, '')) AS fp, source
+                       FROM documents),
+            c AS (SELECT fp, source, count(*)::BIGINT AS c
+                  FROM h GROUP BY fp, source),
+            p AS (SELECT a.fp, a.source AS source_a, b.source AS source_b,
+                         CASE WHEN a.source = b.source
+                              THEN a.c * (a.c - 1) // 2
+                              ELSE a.c * b.c END AS np
+                  FROM c a JOIN c b
+                       ON a.fp = b.fp AND a.source <= b.source)
+            SELECT source_a, source_b,
+                   CAST(sum(np) AS BIGINT) AS n_pairs,
+                   CAST(count(*) AS BIGINT) AS n_groups
+            FROM p WHERE np > 0
+            GROUP BY source_a, source_b
+            ORDER BY source_a, source_b
+        """,
+        # lang confusion: the lang_id scoring chain joined back to the
+        # declared lang; per-cell mean score folds 1e-6-grid integers
+        # with one double division per output row.
+        "q_lang_confusion": """
+            WITH sw(word, lang) AS (VALUES {svals}),
+            n AS (
+                SELECT doc_id,
+                       greatest(CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text),
+                                                               '\\s+'))
+                                END, 1) AS ntok
+                FROM documents),
+            tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS w
+                FROM documents WHERE trim(text) <> ''),
+            hh AS (
+                SELECT t.doc_id, s.lang, count(*) AS hits
+                FROM tok t JOIN sw s ON s.word = t.w
+                GROUP BY t.doc_id, s.lang),
+            scored AS (
+                SELECT n.doc_id, l.lang,
+                       coalesce(hh.hits, 0)::DOUBLE / n.ntok::DOUBLE
+                           AS score
+                FROM n CROSS JOIN (SELECT DISTINCT lang FROM sw) l
+                LEFT JOIN hh ON hh.doc_id = n.doc_id AND hh.lang = l.lang),
+            best AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, lang) AS rn
+                FROM scored),
+            pred AS (
+                SELECT doc_id,
+                       CASE WHEN score > 0.05 THEN lang ELSE 'und' END
+                           AS lang_pred,
+                       CAST(round(round(score, 6) * 1000000.0, 0)
+                            AS BIGINT) AS pu
+                FROM best WHERE rn = 1)
+            SELECT d.lang, p.lang_pred,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round((CAST(sum(p.pu) AS BIGINT) / 1000000.0)
+                         / CAST(count(*) AS BIGINT), 6) AS mean_score
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.lang, p.lang_pred
+            ORDER BY d.lang, p.lang_pred
+        """.format(svals=_stopword_values()),
         # q_bm25_topk: every per-(doc, term) BM25 contribution is
         # floor(c * 1e9) — an integer, so the per-doc score is an
         # order-independent sum; ln is glibc-libm (== math.log on the Ray

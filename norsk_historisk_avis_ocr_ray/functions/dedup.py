@@ -222,6 +222,76 @@ def dedup_exact(sf_dir: str) -> Dataset:
         ("fingerprint", pa.string()), ("doc_id", pa.int64())]))
 
 
+def q_dup_leakage(sf_dir: str) -> pd.DataFrame:
+    """Cross-source exact-duplicate leakage matrix: for every source pair
+    (a ≤ b), how many duplicate DOC PAIRS share identical text, and how
+    many distinct contents are involved. The mixture-planning companion of
+    ``dedup_exact``: a hot (a, b) cell means source b republishes source
+    a (mirrors, syndication, scraper overlap), so sampling both at full
+    weight double-counts that content.
+
+    EXACT and all-integer: the md5 fingerprint chain is dedup_exact's;
+    every fingerprint's per-source counts resolve GLOBALLY inside ONE
+    combine bucket (fph is a pure function of the text), so the pair
+    counts c_a·c_b / C(c,2) are partitioning-independent integers and the
+    per-pair group counts are additive across buckets (each fingerprint
+    lives in exactly one).
+
+    Ray shape: per-batch (fph, source, count) partials → one bucketed
+    combine (pandas self-merge per bucket emits ≤ |sources|² rows each) →
+    driver folds the |sources|²-sized matrix. Result-sized → DataFrame."""
+    from .collect import typed_empty
+    from .combine import bucketed_combine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+                for x in t["text"].to_pylist()]
+        fph = np.array([np.uint64(int(m[:16], 16)) for m in md5s],
+                       np.uint64).view(np.int64)
+        g = (pd.DataFrame({"fph": fph,
+                           "source": t["source"].to_numpy(
+                               zero_copy_only=False),
+                           "c": np.ones(len(md5s), np.int64)})
+             .groupby(["fph", "source"], as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cc = g.groupby(["fph", "source"], as_index=False)["c"].sum()
+        m = cc.merge(cc, on="fph", suffixes=("_a", "_b"))
+        m = m[m["source_a"] <= m["source_b"]]
+        if m.empty:
+            return pd.DataFrame({"source_a": pd.Series([], dtype=object),
+                                 "source_b": pd.Series([], dtype=object),
+                                 "n_pairs": pd.Series([], dtype=np.int64),
+                                 "n_groups": pd.Series([], dtype=np.int64)})
+        same = (m["source_a"] == m["source_b"]).to_numpy()
+        ca = m["c_a"].to_numpy(np.int64)
+        cb = m["c_b"].to_numpy(np.int64)
+        m = m.assign(n_pairs=np.where(same, ca * (ca - 1) // 2, ca * cb))
+        m = m[m["n_pairs"] > 0]
+        out = (m.groupby(["source_a", "source_b"], as_index=False)
+                .agg(n_pairs=("n_pairs", "sum"), n_groups=("fph", "size")))
+        for c in ("n_pairs", "n_groups"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    parts = bucketed_combine(
+        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192),
+        "fph", pairs).to_pandas()        # ≤ buckets × |sources|² rows
+    if parts.empty:
+        return typed_empty(source_a="object", source_b="object",
+                           n_pairs="int64", n_groups="int64")
+    out = (parts.groupby(["source_a", "source_b"], as_index=False)
+           .agg(n_pairs=("n_pairs", "sum"), n_groups=("n_groups", "sum")))
+    for c in ("n_pairs", "n_groups"):
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
+
+
 # --- MinHash + LSH -------------------------------------------------------------
 
 class MinHasher:

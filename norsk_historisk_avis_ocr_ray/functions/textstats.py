@@ -261,6 +261,57 @@ def lang_id(sf_dir: str) -> Dataset:
                    ("lang_score", pa.float64())]))
 
 
+def q_lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """Language-ID confusion matrix: declared ``lang`` column × predicted
+    language, with doc counts and the mean detector score per cell — the
+    eval that decides whether the cheap stopword detector is trustworthy
+    enough to route documents in a multilingual pipeline, and which
+    declared-language slices it mangles.
+
+    EXACT: predictions ride the proven ``lang_id`` chain (integer
+    hits/ntok ratios, first-max tie-break over sorted languages, 0.05
+    threshold, 1e-6 half-away grid); per-cell score sums fold as int64
+    1e-6-grid integers with ONE double division per output row (the
+    q_ccnet_buckets device).
+
+    Ray shape: one streaming pass — per-batch LangIdStage scoring +
+    (lang, lang_pred) partials → one ≤ |langs|²-group groupby. Result-
+    sized output → DataFrame."""
+    from ray.data.aggregate import Sum
+
+    from .collect import typed_empty
+    from .rounding import series_round_half_away as _rs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+    stage = LangIdStage()      # tiny state: ships with the task closure
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pred = stage(b)
+        pu = round_half_away(
+            pred["lang_score"].to_numpy() * 1e6, 0).astype(np.int64)
+        return (pd.DataFrame({"lang": b["lang"].to_numpy(),
+                              "lang_pred": pred["lang_pred"].to_numpy(),
+                              "c": np.ones(len(b), np.int64), "sp": pu})
+                .groupby(["lang", "lang_pred"], as_index=False).sum())
+
+    df = (ds.map_batches(partial, batch_format="pandas", batch_size=1024)
+          .groupby(["lang", "lang_pred"])
+          .aggregate(Sum("c", alias_name="n_docs"),
+                     Sum("sp", alias_name="sp"))
+          .to_pandas())                         # ≤ |langs|² rows
+    if df.empty:
+        return typed_empty(lang="object", lang_pred="object",
+                           n_docs="int64", mean_score="float64")
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    # sum(pu)/1e6 then /count: same integers, same division order as the
+    # DuckDB oracle — bit-identical
+    df["mean_score"] = _rs((df["sp"].astype(np.float64) / 1e6)
+                           / df["n_docs"].astype(np.float64), 6)
+    return (df[["lang", "lang_pred", "n_docs", "mean_score"]]
+            .sort_values(["lang", "lang_pred"]).reset_index(drop=True))
+
+
 # --- Gopher-style quality-rule filter ------------------------------------------
 
 GOPHER_MIN_WORDS = 50

@@ -284,6 +284,52 @@ def test_token_cover_matches_bruteforce(ray_session):
     assert int(r["cover_types"]) == cover
 
 
+def test_dup_leakage_matches_bruteforce_sf01(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.dedup import q_dup_leakage
+
+    # sf0.01 has no exact dups — both engines must agree on emptiness
+    assert len(q_dup_leakage(SF)) == 0
+    # sf0.1 plants 8 surplus exact-dup docs — non-trivial path
+    sf1 = "/root/testdata/sf0.1"
+    df = q_dup_leakage(sf1)
+    assert len(df) > 0
+    assert (df["n_pairs"] >= df["n_groups"]).all()
+    truth = duckdb.sql(f"""
+        WITH c AS (SELECT md5(coalesce(text, '')) AS fp, source,
+                          count(*)::BIGINT AS c
+                   FROM '{sf1}/documents.parquet' GROUP BY fp, source)
+        SELECT a.source AS sa, b.source AS sb,
+               sum(CASE WHEN a.source = b.source
+                        THEN a.c * (a.c - 1) // 2
+                        ELSE a.c * b.c END) AS np
+        FROM c a JOIN c b ON a.fp = b.fp AND a.source <= b.source
+        GROUP BY 1, 2 HAVING np > 0 ORDER BY 1, 2""").df()
+    assert len(df) == len(truth)
+    assert (df["n_pairs"].to_numpy(np.int64)
+            == truth["np"].to_numpy(np.int64)).all()
+
+
+def test_lang_confusion_conserves_docs(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        STOPWORDS, lang_id, q_lang_confusion)
+
+    df = q_lang_confusion(SF)
+    docs = duckdb.sql(f"SELECT doc_id, lang FROM "
+                      f"'{SF}/documents.parquet'").df()
+    assert int(df["n_docs"].sum()) == len(docs)
+    assert set(df["lang_pred"]).issubset(set(STOPWORDS) | {"und"})
+    assert set(df["lang"]).issubset(set(docs["lang"].unique()))
+    assert df["mean_score"].between(0.0, 1.0).all()
+    # cell counts replay from the per-doc lang_id predictions
+    pred = lang_id(SF).to_pandas().merge(docs, on="doc_id")
+    truth = (pred.groupby(["lang", "lang_pred"]).size()
+             .reset_index(name="n"))
+    m = df.merge(truth, on=["lang", "lang_pred"], how="outer")
+    assert not m["n_docs"].isna().any() and not m["n"].isna().any()
+    assert (m["n_docs"].to_numpy(np.int64)
+            == m["n"].to_numpy(np.int64)).all()
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
