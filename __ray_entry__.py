@@ -843,6 +843,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_dup_leakage": dedup.q_dup_leakage,
         # declared-lang x predicted-lang confusion matrix (lang_id chain)
         "q_lang_confusion": textstats.q_lang_confusion,
+        # tokenizer fertility per language (subwords/word, chars/subword)
+        "q_fertility": textstats.q_fertility,
     }
 
 
@@ -5142,6 +5144,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.lang, p.lang_pred
             ORDER BY d.lang, p.lang_pred
         """.format(svals=_stopword_values()),
+        # fertility: the text_token_stats integer kernels rolled up per
+        # lang; the two divisions happen once per output row.
+        "q_fertility": """
+            WITH s AS (
+                SELECT lang,
+                       length(text) AS nc,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                       END AS nw,
+                       len(regexp_extract_all(text,
+                           '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+                           AS ns
+                FROM documents)
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nw) AS BIGINT) AS n_words,
+                   CAST(sum(ns) AS BIGINT) AS n_subtokens,
+                   CAST(sum(nc) AS BIGINT) AS n_chars,
+                   round(CAST(sum(ns) AS BIGINT)
+                         / greatest(CAST(sum(nw) AS BIGINT),
+                                    1)::DOUBLE, 6) AS fertility,
+                   round(CAST(sum(nc) AS BIGINT)
+                         / greatest(CAST(sum(ns) AS BIGINT),
+                                    1)::DOUBLE, 6) AS chars_per_subtoken
+            FROM s GROUP BY lang ORDER BY lang
+        """,
         # q_bm25_topk: every per-(doc, term) BM25 contribution is
         # floor(c * 1e9) — an integer, so the per-doc score is an
         # order-independent sum; ln is glibc-libm (== math.log on the Ray

@@ -261,6 +261,74 @@ def lang_id(sf_dir: str) -> Dataset:
                    ("lang_score", pa.float64())]))
 
 
+def q_fertility(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer fertility by declared language: subword tokens per
+    whitespace word (the GPT-2 pre-tokenizer regex as the subword proxy)
+    and chars per subword — the multilingual vocabulary-budget
+    diagnostic: a language whose fertility sits far above the corpus
+    mean is under-served by the tokenizer and burns sequence length
+    (the SentencePiece / XLM-R fertility analysis).
+
+    EXACT: per-doc char/word/subtoken counts are the proven
+    ``text_token_stats`` integer kernels (Arrow count_substring_regex ==
+    DuckDB regexp_extract_all on the same pattern); per-lang sums fold
+    as int64 partials through one ≤ |langs|-group groupby; the two
+    double divisions happen ONCE per output row on identical integers.
+
+    Ray shape: one streaming pass, per-batch (lang, 4-int) partials →
+    tiny groupby. Result-sized output → DataFrame."""
+    from ray.data.aggregate import Sum
+
+    from .collect import typed_empty
+    from .rounding import series_round_half_away as _rs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        nc = pc.utf8_length(text).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        nw = whitespace_token_counts(text)
+        ns = pc.count_substring_regex(text, BPE_SPLIT).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"lang": t["lang"].to_numpy(
+                               zero_copy_only=False),
+                           "c": np.ones(len(nc), np.int64),
+                           "nc": nc.astype(np.int64),
+                           "nw": np.asarray(nw, np.int64),
+                           "ns": ns.astype(np.int64)})
+             .groupby("lang", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+          .groupby("lang")
+          .aggregate(Sum("c", alias_name="n_docs"),
+                     Sum("nw", alias_name="n_words"),
+                     Sum("ns", alias_name="n_subtokens"),
+                     Sum("nc", alias_name="n_chars"))
+          .to_pandas())                          # ≤ |langs| rows
+    if df.empty:
+        return typed_empty(lang="object", n_docs="int64", n_words="int64",
+                           n_subtokens="int64", n_chars="int64",
+                           fertility="float64",
+                           chars_per_subtoken="float64")
+    for c in ("n_docs", "n_words", "n_subtokens", "n_chars"):
+        df[c] = df[c].astype(np.int64)
+    # int64 → float64 then ONE division each: same order as DuckDB
+    df["fertility"] = _rs(
+        df["n_subtokens"].astype(np.float64)
+        / np.maximum(df["n_words"].to_numpy(np.int64), 1)
+        .astype(np.float64), 6)
+    df["chars_per_subtoken"] = _rs(
+        df["n_chars"].astype(np.float64)
+        / np.maximum(df["n_subtokens"].to_numpy(np.int64), 1)
+        .astype(np.float64), 6)
+    return (df[["lang", "n_docs", "n_words", "n_subtokens", "n_chars",
+                "fertility", "chars_per_subtoken"]]
+            .sort_values("lang").reset_index(drop=True))
+
+
 def q_lang_confusion(sf_dir: str) -> pd.DataFrame:
     """Language-ID confusion matrix: declared ``lang`` column × predicted
     language, with doc counts and the mean detector score per cell — the

@@ -330,6 +330,31 @@ def test_lang_confusion_conserves_docs(ray_session):
             == m["n"].to_numpy(np.int64)).all()
 
 
+def test_fertility_matches_per_doc_stats(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_fertility, text_token_stats)
+
+    df = q_fertility(SF)
+    docs = duckdb.sql(f"SELECT doc_id, lang FROM "
+                      f"'{SF}/documents.parquet'").df()
+    assert int(df["n_docs"].sum()) == len(docs)
+    assert (df["fertility"] > 0).all()
+    assert (df["chars_per_subtoken"] > 0).all()
+    # per-lang sums replay from the per-doc text_token_stats rows
+    per = text_token_stats(SF).to_pandas().merge(docs, on="doc_id")
+    truth = per.groupby("lang", as_index=False).agg(
+        nw=("n_tokens", "sum"), ns=("n_subtokens", "sum"),
+        nc=("n_chars", "sum"))
+    m = df.merge(truth, on="lang")
+    assert len(m) == len(df)
+    assert (m["n_words"].to_numpy(np.int64)
+            == m["nw"].to_numpy(np.int64)).all()
+    assert (m["n_subtokens"].to_numpy(np.int64)
+            == m["ns"].to_numpy(np.int64)).all()
+    assert (m["n_chars"].to_numpy(np.int64)
+            == m["nc"].to_numpy(np.int64)).all()
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
