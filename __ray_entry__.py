@@ -845,6 +845,10 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_lang_confusion": textstats.q_lang_confusion,
         # tokenizer fertility per language (subwords/word, chars/subword)
         "q_fertility": textstats.q_fertility,
+        # exact per-source p50/p90/p99 doc length (bounded-CDF walk)
+        "q_length_percentiles": textstats.q_length_percentiles,
+        # DoReMi-style one-step mixture reweighting (excess unigram loss)
+        "q_doremi_weights": mlprep.q_doremi_weights,
     }
 
 
@@ -5170,6 +5174,75 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(CAST(sum(ns) AS BIGINT),
                                     1)::DOUBLE, 6) AS chars_per_subtoken
             FROM s GROUP BY lang ORDER BY lang
+        """,
+        # exact percentiles: inverse empirical CDF on the bounded
+        # (source, n_chars) histogram — min v with 100·cum ≥ q·n, an
+        # all-integer test replayed with window cumsums.
+        "q_length_percentiles": """
+            WITH h AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c
+                       FROM documents GROUP BY source, n_chars),
+            cum AS (SELECT source, v,
+                           sum(c) OVER (PARTITION BY source
+                                        ORDER BY v) AS cm,
+                           sum(c) OVER (PARTITION BY source) AS n
+                    FROM h)
+            SELECT source, CAST(n AS BIGINT) AS n_docs,
+                   CAST(min(CASE WHEN 100 * cm >= 50 * n THEN v END)
+                        AS BIGINT) AS p50,
+                   CAST(min(CASE WHEN 100 * cm >= 90 * n THEN v END)
+                        AS BIGINT) AS p90,
+                   CAST(min(CASE WHEN 100 * cm >= 99 * n THEN v END)
+                        AS BIGINT) AS p99
+            FROM cum GROUP BY source, n ORDER BY source
+        """,
+        # DoReMi one-step reweighting: per-source micro-log loss sums
+        # (the q_unigram_ppl LM chain), excess over the corpus mean,
+        # libm exp, and an int64 1e9-grid normalizing sum so the final
+        # weights are divisions of exact integers.
+        "q_doremi_weights": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(tok), 1, 16))
+                            AS UBIGINT) % 4096 AS b
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(lower(text)),
+                                                       '\s+')) AS tok
+                      FROM documents)
+                WHERE tok <> ''
+            ),
+            cnt AS (SELECT b, count(*) AS n FROM toks GROUP BY b),
+            tot AS (SELECT sum(n) AS t FROM cnt),
+            lp AS (SELECT b,
+                          CAST(round(ln((n + 1) / (t + 4096.0))
+                                     * 1000000.0, 0) AS BIGINT) AS lpq
+                   FROM cnt, tot),
+            per AS (SELECT d.source,
+                           CAST(count(*) AS BIGINT) AS nt,
+                           CAST(sum(lp.lpq) AS BIGINT) AS sp
+                    FROM toks t JOIN lp USING (b)
+                    JOIN documents d USING (doc_id)
+                    GROUP BY d.source),
+            g AS (SELECT CAST(sum(nt) AS BIGINT) AS nt_all,
+                         CAST(sum(sp) AS BIGINT) AS sp_all FROM per),
+            sc AS (SELECT p.source, p.nt,
+                          (-(p.sp) / 1000000.0) / p.nt AS loss,
+                          greatest((-(p.sp) / 1000000.0) / p.nt
+                                   - (-(g.sp_all) / 1000000.0)
+                                     / g.nt_all,
+                                   0.0::DOUBLE) AS excess
+                   FROM per p CROSS JOIN g),
+            w AS (SELECT source, nt, loss, excess,
+                         CAST(floor(exp(excess)
+                                    * 1000000000.0::DOUBLE) AS BIGINT)
+                             AS eq
+                  FROM sc),
+            tw AS (SELECT CAST(sum(eq) AS BIGINT) AS te FROM w)
+            SELECT w.source, w.nt AS n_tokens,
+                   round(w.loss, 6) AS loss,
+                   round(w.excess, 6) AS excess,
+                   round(w.eq / CAST(tw.te AS DOUBLE), 6) AS weight
+            FROM w CROSS JOIN tw
+            ORDER BY w.source
         """,
         # q_bm25_topk: every per-(doc, term) BM25 contribution is
         # floor(c * 1e9) — an integer, so the per-doc score is an

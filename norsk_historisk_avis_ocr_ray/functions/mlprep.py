@@ -1254,6 +1254,79 @@ def q_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
             .sort_values(["source", "bucket"]).reset_index(drop=True))
 
 
+# --- DoReMi-style mixture reweighting --------------------------------------------
+
+DOREMI_ETA = 1.0            # multiplicative-weights step size
+DOREMI_WGRID = 1_000_000_000    # 1e9 weight grid for exact normalization
+
+
+def q_doremi_weights(sf_dir: str) -> pd.DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, one
+    multiplicative-weights step, deterministic stand-in): each source's
+    proxy loss is its mean per-token negative log-likelihood under the
+    corpus-level hashed-unigram LM (the q_unigram_ppl chain standing in
+    for DoReMi's proxy model); sources with EXCESS loss over the corpus
+    mean — the under-trained domains the method upweights — get weight
+    ``u_s · exp(η·excess)``, normalized. Output is the training mixture
+    a sampler like q_mixture_sample consumes.
+
+    EXACT via three devices: per-source log-prob sums fold as int64
+    micro-log integers (order-independent); loss/excess/exp use
+    ``math.log``-free per-source driver arithmetic with ``math.exp`` ==
+    DuckDB ``exp`` (libm-bit-identical); the normalizing sum — the one
+    place float addition order could diverge — happens on an int64 1e9
+    grid (``floor(e_s·1e9)``), so it is an integer sum and the final
+    weight is one double division of two exact integers.
+
+    Ray shape: the ``_hashed_unigram_lpq`` count pass → one streaming
+    scoring pass emitting (source, n_tok, lp_sum) int partials → one
+    ≤ |sources|-group groupby → driver folds the |sources|-row table.
+    Result-sized → DataFrame."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    lp_ref = ray.put(_hashed_unigram_lpq(ds))
+
+    def partial(t: pa.Table) -> pa.Table:
+        lp = ray.get(lp_ref)
+        feats = _dsir_feature_batch(t["text"].to_pylist())
+        nt = np.array([f.size for f in feats], np.int64)
+        sp = np.array([int(lp[f].sum()) for f in feats], np.int64)
+        g = (pd.DataFrame({"source": t["source"].to_pylist(),
+                           "nt": nt, "sp": sp})
+             .groupby("source", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+          .groupby("source")
+          .aggregate(Sum("nt", alias_name="nt"), Sum("sp", alias_name="sp"))
+          .to_pandas())                       # ≤ |sources| rows
+    df = df[df["nt"] > 0]
+    if df.empty:
+        return typed_empty(source="object", n_tokens="int64",
+                           loss="float64", excess="float64",
+                           weight="float64")
+    df = df.sort_values("source").reset_index(drop=True)
+    nt = df["nt"].to_numpy(np.int64)
+    sp = df["sp"].to_numpy(np.int64)
+    # corpus mean loss: the same two exact integers on both engines
+    loss_c = (-float(sp.sum()) / 1e6) / float(nt.sum())
+    # per source: micro-int sums → double loss (one division), libm exp
+    loss = np.array([(-float(s) / 1e6) / float(n)
+                     for s, n in zip(sp, nt)], np.float64)
+    excess = np.maximum(loss - loss_c, 0.0)
+    eq = np.array([math.floor(math.exp(DOREMI_ETA * float(e))
+                              * DOREMI_WGRID) for e in excess], np.int64)
+    tot = int(eq.sum())                       # exact integer sum
+    out = pd.DataFrame({
+        "source": df["source"], "n_tokens": nt,
+        "loss": round_half_away(loss, 6),
+        "excess": round_half_away(excess, 6),
+        "weight": round_half_away(eq.astype(np.float64) / float(tot), 6)})
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out
+
+
 # --- per-source KL divergence (corpus-mixture analysis) --------------------------
 
 KL_SCALE = 1_000_000_000_000   # 1e12 micro-units per contribution

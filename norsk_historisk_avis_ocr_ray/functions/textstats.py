@@ -1328,6 +1328,45 @@ def q_ks_drift(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+PCT_POINTS = (50, 90, 99)     # reported percentiles (inverse-CDF, lower)
+
+
+def q_length_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Per-source EXACT p50/p90/p99 of document length — the
+    batching/packing planner's numbers (p99 sizes the sequence budget,
+    p50 the padding waste), exact where ``approx_group_quantiles`` gives
+    the bottom-k sketch estimate.
+
+    EXACT and all-integer: rides the shared ``_length_counts`` bounded
+    (source, value, count) CDF; percentile q is the inverse empirical
+    CDF ``min v : 100·cum(v) ≥ q·n`` — an integer test with no float
+    thresholds, so any partitioning produces the same value. Oracle
+    replays the same test with window cumsums.
+
+    Ray shape: per-batch count partials → one bounded groupby → driver
+    walks each source's cumulative once. Result-sized → DataFrame."""
+    from .collect import typed_empty
+
+    df = _length_counts(sf_dir)
+    if df.empty:
+        return typed_empty(source="object", n_docs="int64", p50="int64",
+                           p90="int64", p99="int64")
+    rows = []
+    for s, g in df.groupby("source", sort=True):
+        g = g.sort_values("v", kind="mergesort")
+        v = g["v"].to_numpy(np.int64)
+        cum = np.cumsum(g["c"].to_numpy(np.int64))
+        n = int(cum[-1])
+        picks = [int(v[int(np.searchsorted(100 * cum, q * n))])
+                 for q in PCT_POINTS]
+        rows.append((s, n, *picks))
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "p50", "p90",
+                                      "p99"])
+    for c in ("n_docs", "p50", "p90", "p99"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_gini_length(sf_dir: str) -> pd.DataFrame:
     """Per-source Gini coefficient of the document-length distribution —
     the concentration diagnostic mixture planning reads next to the

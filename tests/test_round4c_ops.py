@@ -355,6 +355,51 @@ def test_fertility_matches_per_doc_stats(ray_session):
             == m["nc"].to_numpy(np.int64)).all()
 
 
+def test_length_percentiles_match_bruteforce(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_length_percentiles)
+
+    df = q_length_percentiles(SF)
+    docs = duckdb.sql(f"SELECT source, n_chars FROM "
+                      f"'{SF}/documents.parquet'").df()
+    assert set(df["source"]) == set(docs["source"].unique())
+    assert (df["p50"] <= df["p90"]).all() and (df["p90"] <= df["p99"]).all()
+    for _, r in df.iterrows():
+        x = np.sort(docs[docs["source"] == r["source"]]
+                    ["n_chars"].to_numpy(np.int64))
+        n = len(x)
+        assert int(r["n_docs"]) == n
+        for q, col in ((50, "p50"), (90, "p90"), (99, "p99")):
+            # min v with 100*cum(v) >= q*n == the ceil(q*n/100)-th order
+            # statistic (1-based)
+            k = -(-q * n // 100)
+            assert int(r[col]) == int(x[k - 1])
+
+
+def test_doremi_weights_invariants(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import (
+        q_doremi_weights)
+
+    df = q_doremi_weights(SF)
+    assert len(df) > 0
+    assert (df["loss"] > 0).all()
+    assert (df["excess"] >= 0).all()
+    # the corpus mean is the token-weighted mean of source losses, so at
+    # least one source sits at-or-below it -> zero excess
+    assert df["excess"].min() == 0.0
+    assert abs(df["weight"].sum() - 1.0) < 1e-4
+    # upweighting is monotone in excess
+    s = df.sort_values("excess")
+    assert (np.diff(s["weight"].to_numpy()) >= -1e-12).all()
+    # token conservation vs the oracle tokenizer
+    truth = duckdb.sql(f"""
+        SELECT count(*) FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS tok
+            FROM '{SF}/documents.parquet') WHERE tok <> ''""").fetchone()[0]
+    assert int(df["n_tokens"].sum()) == truth
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
