@@ -849,6 +849,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_length_percentiles": textstats.q_length_percentiles,
         # DoReMi-style one-step mixture reweighting (excess unigram loss)
         "q_doremi_weights": mlprep.q_doremi_weights,
+        # per-source fertility under the TRAINED BPE vocabulary
+        "q_bpe_fertility": _q_bpe_fertility,
     }
 
 
@@ -880,6 +882,11 @@ def _bpe_train(sf_dir: str) -> Any:
 def _bpe_encode(sf_dir: str) -> Any:
     from norsk_historisk_avis_ocr_ray.functions.bpe import bpe_encode
     return bpe_encode(sf_dir)
+
+
+def _q_bpe_fertility(sf_dir: str) -> Any:
+    from norsk_historisk_avis_ocr_ray.functions.bpe import q_bpe_fertility
+    return q_bpe_fertility(sf_dir)
 
 
 def _semdedup(sf_dir: str) -> Any:
@@ -1727,6 +1734,42 @@ def _bpe_encode_sql() -> str:
     """
 
 
+def _q_bpe_fertility_sql() -> str:
+    """q_bpe_fertility replay: the shared chain's final per-word
+    sequences rolled up per source — per-word post-merge token counts
+    summed per source, n_docs from documents, one double division per
+    output row."""
+    body, final_seq = _bpe_chain_ctes()
+    return f"""
+        WITH {body},
+        dw AS MATERIALIZED (
+            SELECT source, word FROM (
+                SELECT source,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS word
+                FROM documents)
+            WHERE word <> ''),
+        agg AS (
+            SELECT dw.source,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(len(string_split(s.ws, ' '))) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM dw JOIN {final_seq} s USING (word)
+            GROUP BY dw.source),
+        nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source)
+        SELECT n.source, n.n_docs,
+               CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT)
+                   AS n_bpe_tokens,
+               round(CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT)
+                     / greatest(CAST(coalesce(a.n_words, 0) AS BIGINT),
+                                1)::DOUBLE, 6) AS bpe_fertility
+        FROM nd n LEFT JOIN agg a USING (source)
+        ORDER BY n.source
+    """
+
+
 def _quality_classifier_sql() -> str:
     """Full replay of the backtracking-GD quality classifier
     (functions/classifier.py): md5-bucket hashed-unigram features on the
@@ -2086,6 +2129,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_sql(),
         "bpe_train": _bpe_train_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "q_bpe_fertility": _q_bpe_fertility_sql(),
         # SemDeDup greedy prune replay (recursive CTE over kept-set state)
         "semdedup": _semdedup_sql(),
         # cluster × source composition: k-means chain + join + count

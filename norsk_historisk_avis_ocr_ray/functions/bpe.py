@@ -189,6 +189,79 @@ class BpeApplyStage:
             "tok_digest": pa.array(digests, pa.string())})
 
 
+class BpeFertilityStage(BpeApplyStage):
+    """BpeApplyStage variant emitting per-batch (source, 3-int) partials
+    instead of per-doc rows — the rollup stays distributed (no
+    corpus-sized doc→source join)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        agg: dict[str, list] = {}
+        for src, txt in zip(batch["source"].to_pylist(),
+                            batch["text"].to_pylist()):
+            words = (txt or "").lower().split()
+            nb = sum(len(self._encode_word(w)) for w in words)
+            a = agg.setdefault(src, [0, 0, 0])
+            a[0] += 1
+            a[1] += len(words)
+            a[2] += nb
+        srcs = sorted(agg)
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "c": pa.array(np.array([agg[s][0] for s in srcs], np.int64)),
+            "nw": pa.array(np.array([agg[s][1] for s in srcs], np.int64)),
+            "nb": pa.array(np.array([agg[s][2] for s in srcs], np.int64))})
+
+
+def q_bpe_fertility(sf_dir: str, n_merges: int = BPE_MERGES,
+                    max_words: int = BPE_MAX_WORDS) -> pd.DataFrame:
+    """Fertility of the TRAINED BPE vocabulary per source: post-merge
+    tokens per word — the after-training counterpart of q_fertility's
+    pre-tokenizer proxy, and the number that tells you which sources the
+    learned vocabulary actually serves (a source full of out-of-merge
+    words fragments to characters and burns sequence budget).
+
+    EXACT: the merge table and per-word encodings ride the proven
+    bpe_train/bpe_encode chain (deterministic tie-breaks, window-replay
+    oracle); per-source counts fold as int64 partials; ONE double
+    division per output row.
+
+    Ray shape: the result-sized merge table broadcasts into each actor
+    as a constructor arg; one streaming actor-pool pass emits (source,
+    3-int) partials → one ≤ |sources|-group groupby. Result-sized →
+    DataFrame."""
+    from .collect import typed_empty
+    from .rounding import series_round_half_away as _rs
+
+    merges_df = bpe_train(sf_dir, n_merges=n_merges, max_words=max_words)
+    merges = [(int(r.rank), r.left, r.right, int(r.pair_count))
+              for r in merges_df.itertuples(index=False)]
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(
+        path, columns=["source", "text"],
+        override_num_blocks=scale.read_blocks_for_path(path))
+    df = (ds.map_batches(BpeFertilityStage, fn_constructor_args=(merges,),
+                         batch_format="pyarrow", batch_size=4096,
+                         concurrency=2, num_cpus=1)
+          .groupby("source")
+          .aggregate(Sum("c", alias_name="n_docs"),
+                     Sum("nw", alias_name="n_words"),
+                     Sum("nb", alias_name="n_bpe_tokens"))
+          .to_pandas())                        # ≤ |sources| rows
+    if df.empty:
+        return typed_empty(source="object", n_docs="int64",
+                           n_words="int64", n_bpe_tokens="int64",
+                           bpe_fertility="float64")
+    for c in ("n_docs", "n_words", "n_bpe_tokens"):
+        df[c] = df[c].astype(np.int64)
+    df["bpe_fertility"] = _rs(
+        df["n_bpe_tokens"].astype(np.float64)
+        / np.maximum(df["n_words"].to_numpy(np.int64), 1)
+        .astype(np.float64), 6)
+    return (df[["source", "n_docs", "n_words", "n_bpe_tokens",
+                "bpe_fertility"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def bpe_encode(sf_dir: str, n_merges: int = BPE_MERGES,
                max_words: int = BPE_MAX_WORDS) -> Dataset:
     """Train-then-apply: learn the merge table (see ``bpe_train``) and

@@ -400,6 +400,29 @@ def test_doremi_weights_invariants(ray_session):
     assert int(df["n_tokens"].sum()) == truth
 
 
+def test_bpe_fertility_matches_per_doc_encode(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.bpe import (
+        bpe_encode, q_bpe_fertility)
+
+    df = q_bpe_fertility(SF)
+    docs = duckdb.sql(f"SELECT doc_id, source FROM "
+                      f"'{SF}/documents.parquet'").df()
+    assert int(df["n_docs"].sum()) == len(docs)
+    # a trained-BPE token is at least one per word (</w> marker)
+    assert (df["n_bpe_tokens"] >= df["n_words"]).all()
+    assert (df["bpe_fertility"] >= 1.0).all()
+    # per-source sums replay from the per-doc bpe_encode rows
+    per = bpe_encode(SF).to_pandas().merge(docs, on="doc_id")
+    truth = per.groupby("source", as_index=False).agg(
+        nw=("n_words", "sum"), nb=("n_bpe_tokens", "sum"))
+    m = df.merge(truth, on="source")
+    assert len(m) == len(df)
+    assert (m["n_words"].to_numpy(np.int64)
+            == m["nw"].to_numpy(np.int64)).all()
+    assert (m["n_bpe_tokens"].to_numpy(np.int64)
+            == m["nb"].to_numpy(np.int64)).all()
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
