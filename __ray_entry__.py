@@ -851,6 +851,10 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_doremi_weights": mlprep.q_doremi_weights,
         # per-source fertility under the TRAINED BPE vocabulary
         "q_bpe_fertility": _q_bpe_fertility,
+        # cross-source near-dup leakage matrix (verified MinHash pairs)
+        "q_near_dup_leakage": dedup.q_near_dup_leakage,
+        # per-cluster label purity + entropy (kmeans external validity)
+        "q_cluster_purity": similarity.q_cluster_purity,
     }
 
 
@@ -1203,6 +1207,21 @@ def _dedup_minhash_sql(threshold: float = 0.8) -> str:
     """
 
 
+def _near_dup_leakage_sql(threshold: float = 0.8) -> str:
+    """q_near_dup_leakage oracle: the verified-pair chain joined to each
+    side's source, least/greatest-ordered, integer-counted per cell."""
+    return f"""
+    WITH {_minhash_pairs_body(threshold)},
+    vp AS (SELECT a, b FROM scored WHERE round(jac, 6) >= {threshold}),
+    sp AS (SELECT least(da.source, db.source) AS source_a,
+                  greatest(da.source, db.source) AS source_b
+           FROM vp JOIN documents da ON da.doc_id = vp.a
+                   JOIN documents db ON db.doc_id = vp.b)
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM sp GROUP BY source_a, source_b ORDER BY source_a, source_b
+    """
+
+
 def _minhash_clusters_sql(threshold: float = 0.8) -> str:
     """Min-label propagation over the verified pairs (dup_clusters oracle
     pattern). vp/bidir are MATERIALIZED: without it DuckDB inlines the whole
@@ -1406,6 +1425,41 @@ def _int_kmeans_ctes() -> tuple[str, str, str]:
         ),
         {',' .join(iters)}"""
     return body, f"a{final_a}", f"c{KM_ITERS}"
+
+
+def _cluster_purity_sql() -> str:
+    """q_cluster_purity oracle: the shared k-means chain's assignments
+    joined to labels; purity = one integer division; entropy terms
+    quantized per (cluster, label) to the int64 1e12 grid (libm ln) and
+    integer-summed — the q_source_kl device."""
+    body, final_a, _ = _int_kmeans_ctes()
+    return f"""
+        WITH {body},
+        cl AS (SELECT a.cluster, e.label, CAST(count(*) AS BIGINT) AS n
+               FROM {final_a} a JOIN embeddings e USING (vec_id)
+               GROUP BY a.cluster, e.label),
+        tot AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS nv,
+                       CAST(count(*) AS BIGINT) AS nl
+                FROM cl GROUP BY cluster),
+        ent AS (SELECT cl.cluster,
+                       CAST(sum(CAST(round(
+                           (cl.n / CAST(t.nv AS DOUBLE))
+                           * ln(cl.n / CAST(t.nv AS DOUBLE))
+                           * 1000000000000.0, 0) AS BIGINT)) AS BIGINT)
+                           AS q
+                FROM cl JOIN tot t USING (cluster) GROUP BY cl.cluster),
+        top AS (SELECT cluster, label AS top_label, n AS top_n
+                FROM (SELECT cluster, label, n,
+                             row_number() OVER (PARTITION BY cluster
+                                 ORDER BY n DESC, label) AS rn
+                      FROM cl) WHERE rn = 1)
+        SELECT t.cluster, t.nv AS n_vecs, t.nl AS n_labels,
+               CAST(p.top_label AS BIGINT) AS top_label,
+               round(p.top_n / CAST(t.nv AS DOUBLE), 6) AS purity,
+               round((-(e.q)) / 1000000000000.0, 6) AS entropy
+        FROM tot t JOIN ent e USING (cluster) JOIN top p USING (cluster)
+        ORDER BY t.cluster
+    """
 
 
 def _emb_kmeans_sql() -> str:
@@ -2124,6 +2178,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer-grid k-means replay (round-4 rows-only → exact conversion)
         "emb_kmeans": _emb_kmeans_sql(),
+        "q_cluster_purity": _cluster_purity_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_pq_topk": _ann_pq_sql(),
         "quality_classifier": _quality_classifier_sql(),
@@ -3103,6 +3158,7 @@ def oracle_sql() -> dict[str, str]:
         # MinHash / SimHash: fully replayed in SQL (md5 token hash + HUGEINT
         # uint64/mod-p arithmetic) — see the oracle-machinery helpers above.
         "dedup_minhash": _dedup_minhash_sql(),
+        "q_near_dup_leakage": _near_dup_leakage_sql(),
         "q_minhash_recall": _minhash_recall_sql(),
         # incremental dedup: delta docs probed against base fingerprints
         # (64-bit md5 truncation — the ENGINE's exact hash) and base band

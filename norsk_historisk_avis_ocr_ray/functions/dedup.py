@@ -292,6 +292,52 @@ def q_dup_leakage(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_near_dup_leakage(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """Cross-source NEAR-duplicate leakage matrix: the q_dup_leakage
+    question asked of the verified MinHash pairs (word-3-gram Jaccard ≥
+    threshold) instead of exact hashes — the matrix that actually lights
+    up on a web corpus, where syndication edits a headline or a byline
+    and exact-hash leakage reads zero.
+
+    EXACT: pairs ride the full proven ``dedup_minhash`` chain (LSH
+    candidates → semi-join-reduced verify); source attachment is a second
+    semi-join reduction (the pair-involved doc-ids — O(result) ints —
+    broadcast into one filtered scan, never a corpus-sized join);
+    least/greatest source ordering and the count are integers.
+
+    Result-sized output → DataFrame."""
+    import pyarrow.compute as pc
+
+    from .collect import typed_empty
+
+    empty = typed_empty(source_a="object", source_b="object",
+                        n_pairs="int64")
+    pairs = dedup_minhash(sf_dir, threshold=threshold)
+    if pairs.empty:
+        return empty
+    id_set = pa.array(np.unique(np.concatenate(
+        [pairs["a"].to_numpy(np.int64), pairs["b"].to_numpy(np.int64)])))
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+
+    def only_involved(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=id_set))
+
+    sl = docs.map_batches(only_involved,
+                          batch_format="pyarrow").to_pandas()  # O(result)
+    src = dict(zip(sl["doc_id"].to_numpy(np.int64), sl["source"]))
+    sa = pairs["a"].map(src).to_numpy()
+    sb = pairs["b"].map(src).to_numpy()
+    lo = np.where(sa <= sb, sa, sb)
+    hi = np.where(sa <= sb, sb, sa)
+    out = (pd.DataFrame({"source_a": lo, "source_b": hi})
+           .groupby(["source_a", "source_b"], as_index=False).size()
+           .rename(columns={"size": "n_pairs"}))
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
+
+
 # --- MinHash + LSH -------------------------------------------------------------
 
 class MinHasher:

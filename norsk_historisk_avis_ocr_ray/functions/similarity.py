@@ -1450,6 +1450,90 @@ def q_cluster_sources(sf_dir: str,
             .sort_values(["cluster", "source"]).reset_index(drop=True))
 
 
+PURITY_ENT_GRID = 1_000_000_000_000   # 1e12 grid for entropy terms
+
+
+def q_cluster_purity(sf_dir: str,
+                     n_clusters: int = IVF_CENTROIDS) -> pd.DataFrame:
+    """Per-cluster label purity and entropy of the integer-grid k-means —
+    the external-validity eval (does unsupervised structure recover the
+    labels?): majority-label fraction plus the label-distribution entropy
+    per cluster. The standard companion to silhouette when ground-truth
+    labels exist.
+
+    EXACT: assignments ride the shared ``_int_kmeans_centroids`` chain;
+    per-(cluster, label) counts fold as integers; purity is ONE division
+    of two integers; entropy terms ``p·ln(p)`` quantize per (cluster,
+    label) onto an int64 1e12 grid (``math.log`` == DuckDB ``ln``) and
+    fold as an order-independent integer sum — the q_source_kl device.
+    Top label breaks ties toward the smaller label on both engines.
+
+    Ray shape: one streaming assignment pass (centroids via ``ray.put``)
+    emitting per-batch (cluster, label) count partials → one
+    |clusters|×|labels|-group groupby → driver folds the result-sized
+    table. → DataFrame."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    empty = typed_empty(cluster="int64", n_vecs="int64", n_labels="int64",
+                        top_label="int64", purity="float64",
+                        entropy="float64")
+    cent = _int_kmeans_centroids(sf_dir, n_clusters)
+    if cent is None:
+        return empty
+    c_ref = ray.put(cent)
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(
+        path, columns=["vec_id", "embedding", "label"],
+        override_num_blocks=scale.read_blocks_for_path(path))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        _, mat = _batch_matrix(t)
+        if mat.size == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        nx = _nq_batch(mat)
+        a, _, _, _ = _assign(c, nx)
+        g = (pd.DataFrame({"cluster": a.astype(np.int64),
+                           "label": t["label"].to_numpy(
+                               zero_copy_only=False).astype(np.int64)})
+             .groupby(["cluster", "label"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+          .groupby(["cluster", "label"])
+          .aggregate(Sum("n", alias_name="n")).to_pandas())
+    if df.empty:
+        return empty
+    rows = []
+    for cl, g in df.groupby("cluster", sort=True):
+        n = int(g["n"].sum())
+        top = g.sort_values(["n", "label"],
+                            ascending=[False, True]).iloc[0]
+        # entropy: each p·ln(p) term quantized to the 1e12 integer grid,
+        # summed as ints, ONE division at the end (order-independent)
+        q = 0
+        for c in g["n"].to_numpy(np.int64):
+            p = float(c) / float(n)
+            q += int(round_half_away(
+                np.float64(p * math.log(p) * PURITY_ENT_GRID), 0))
+        rows.append((int(cl), n, len(g), int(top["label"]),
+                     float(round_half_away(
+                         np.float64(int(top["n"]) / float(n)), 6)),
+                     float(round_half_away(
+                         np.float64(-q / float(PURITY_ENT_GRID)), 6))))
+    out = pd.DataFrame(rows, columns=["cluster", "n_vecs", "n_labels",
+                                      "top_label", "purity", "entropy"])
+    for c in ("cluster", "n_vecs", "n_labels", "top_label"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 # --- cluster silhouette on the integer grid --------------------------------------
 
 SIL_DIST_GRID = 1_000.0   # pairwise euclidean distances quantize to 1e-3

@@ -423,6 +423,49 @@ def test_bpe_fertility_matches_per_doc_encode(ray_session):
             == m["nb"].to_numpy(np.int64)).all()
 
 
+def test_near_dup_leakage_counts_verified_pairs(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.dedup import (
+        dedup_minhash, q_near_dup_leakage)
+
+    df = q_near_dup_leakage(SF)
+    pairs = dedup_minhash(SF)
+    # every verified pair lands in exactly one matrix cell
+    assert int(df["n_pairs"].sum()) == len(pairs)
+    assert (df["source_a"] <= df["source_b"]).all()
+    if len(pairs):
+        # spot-replay one pair's cell membership
+        docs = duckdb.sql(f"SELECT doc_id, source FROM "
+                          f"'{SF}/documents.parquet'").df()
+        src = dict(zip(docs["doc_id"], docs["source"]))
+        p = pairs.iloc[0]
+        sa, sb = sorted((src[int(p["a"])], src[int(p["b"])]))
+        cell = df[(df["source_a"] == sa) & (df["source_b"] == sb)]
+        assert len(cell) == 1 and int(cell["n_pairs"].iloc[0]) >= 1
+
+
+def test_cluster_purity_invariants(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        emb_kmeans, q_cluster_purity)
+
+    df = q_cluster_purity(SF)
+    n_vecs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/embeddings.parquet'").fetchone()[0]
+    assert int(df["n_vecs"].sum()) == n_vecs
+    assert (df["purity"] > 0).all() and (df["purity"] <= 1.0).all()
+    assert (df["entropy"] >= 0).all()
+    # single-label clusters have zero entropy and purity 1
+    one = df[df["n_labels"] == 1]
+    if len(one):
+        assert (one["entropy"] == 0.0).all()
+        assert (one["purity"] == 1.0).all()
+    # cluster ids and sizes agree with the emb_kmeans summary
+    km = emb_kmeans(SF)
+    m = df.merge(km, on="cluster")
+    assert len(m) == len(df)
+    assert (m["n_vecs"].to_numpy(np.int64)
+            == m["n"].to_numpy(np.int64)).all()
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
