@@ -855,6 +855,10 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_near_dup_leakage": dedup.q_near_dup_leakage,
         # per-cluster label purity + entropy (kmeans external validity)
         "q_cluster_purity": similarity.q_cluster_purity,
+        # packing-efficiency fill-decile histogram (all-integer rollup)
+        "q_pack_stats": mlprep.q_pack_stats,
+        # Gopher-keep x exact-dup 2x2 contingency (curation ablation)
+        "q_quality_vs_dup": mlprep.q_quality_vs_dup,
     }
 
 
@@ -2167,7 +2171,7 @@ def oracle_sql() -> dict[str, str]:
     # ocr_extract oracle below can read it regardless of whether the Ray
     # query or the SQL runs first (pure numpy, no Ray session needed).
     golden = _golden_dump_path()
-    return {
+    oracles = {
         # Flagship image pipeline vs generator GROUND TRUTH (not a replay
         # of engine arithmetic): layout → mock OCR → reading-order repack →
         # correction must reproduce the corpus generator's expected
@@ -3484,6 +3488,42 @@ def oracle_sql() -> dict[str, str]:
                    max_by(cur_toks, rn) AS n_tokens,
                    round(max_by(cur_toks, rn) / 512.0, 6) AS fill
             FROM st GROUP BY shard, bin_idx ORDER BY shard, bin_idx
+        """,
+        # q_pack_stats: the seq_pack recursive greedy chain rolled up
+        # into the all-integer fill-decile histogram (deciles > 10 =
+        # oversize docs that overflow a bin alone).
+        "q_pack_stats": r"""
+            WITH RECURSIVE
+            d AS (SELECT doc_id // 256 AS shard, doc_id,
+                         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                              ELSE len(regexp_split_to_array(trim(text),
+                                                             '\s+'))
+                         END AS nt,
+                         row_number() OVER (PARTITION BY doc_id // 256
+                                            ORDER BY doc_id) AS rn
+                  FROM documents),
+            st(shard, rn, bin_idx, cur_docs, cur_toks) AS (
+                SELECT shard, rn, 0::BIGINT, 1::BIGINT, nt::BIGINT
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.shard, d.rn,
+                       CASE WHEN st.cur_toks + d.nt > 512
+                            THEN st.bin_idx + 1 ELSE st.bin_idx END,
+                       CASE WHEN st.cur_toks + d.nt > 512
+                            THEN 1::BIGINT ELSE st.cur_docs + 1 END,
+                       CASE WHEN st.cur_toks + d.nt > 512
+                            THEN d.nt::BIGINT ELSE st.cur_toks + d.nt END
+                FROM st JOIN d ON d.shard = st.shard AND d.rn = st.rn + 1
+            ),
+            bins AS (SELECT shard, bin_idx,
+                            max_by(cur_docs, rn) AS n_docs,
+                            max_by(cur_toks, rn) AS n_tokens
+                     FROM st GROUP BY shard, bin_idx)
+            SELECT CAST((10 * n_tokens) // 512 AS BIGINT) AS fill_decile,
+                   CAST(count(*) AS BIGINT) AS n_bins,
+                   CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM bins GROUP BY 1 ORDER BY 1
         """,
         "q_contamination": r"""
             WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
@@ -5571,3 +5611,20 @@ def oracle_sql() -> dict[str, str]:
         # winnow_fingerprint gained exact oracles in round 3 (md5/HUGEINT
         # replay; recursive-CTE packing; md5-gram winnowing replay).
     }
+    # q_quality_vs_dup composes the PROVEN q_gopher_filter replay (taken
+    # from the dict so the keep predicate can never drift from the gated
+    # oracle) with the md5 dup-group flag.
+    oracles["q_quality_vs_dup"] = f"""
+        WITH gf AS ({oracles['q_gopher_filter']}),
+        dup AS (SELECT doc_id,
+                       count(*) OVER (PARTITION BY md5(coalesce(text, '')))
+                           > 1 AS isd
+                FROM documents)
+        SELECT CAST(g.keep AS BIGINT) AS keep,
+               CAST(CASE WHEN d.isd THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_dup,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM gf g JOIN dup d USING (doc_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    return oracles

@@ -453,6 +453,142 @@ def seq_pack(sf_dir: str, capacity: int = PACK_CAPACITY,
     return df.sort_values(["shard", "bin_idx"]).reset_index(drop=True)
 
 
+def q_pack_stats(sf_dir: str, capacity: int = PACK_CAPACITY,
+                 shard_size: int = PACK_SHARD) -> pd.DataFrame:
+    """Packing-efficiency report over the ``seq_pack`` bins: the fill-rate
+    histogram (decile of capacity per bin, deciles > 10 = oversize docs
+    that overflow a bin alone) with bin/doc/token counts per decile — the
+    number that says how much sequence budget the packer wastes and how
+    heavy the oversize tail is.
+
+    EXACT and ALL-integer: bins ride the proven per-shard greedy chain
+    (deterministic under any partitioning); ``fill_decile =
+    (10·n_tokens) // capacity`` is integer division; counts fold as
+    integer Sums. Unlike ``seq_pack`` (whose per-bin rows the driver
+    pulls), the rollup here stays distributed: per-batch decile partials
+    → one ≤ few-dozen-group groupby. Result-sized → DataFrame."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist()).fillna("")
+        n_tok = s.str.split().str.len().to_numpy(dtype=np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"shard": pa.array(ids // shard_size, pa.int64()),
+                         "doc_id": t["doc_id"],
+                         "n_tokens": pa.array(n_tok, pa.int64())})
+
+    def pack_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        n_docs, n_toks = [], []
+        cur_docs = cur_toks = 0
+        for nt in g["n_tokens"].to_numpy():
+            if cur_docs and cur_toks + nt > capacity:
+                n_docs.append(cur_docs)
+                n_toks.append(cur_toks)
+                cur_docs = cur_toks = 0
+            cur_docs += 1
+            cur_toks += int(nt)
+        if cur_docs:
+            n_docs.append(cur_docs)
+            n_toks.append(cur_toks)
+        toks = np.array(n_toks, np.int64)
+        out = (pd.DataFrame({"fill_decile": (10 * toks) // capacity,
+                             "n_bins": np.ones(len(toks), np.int64),
+                             "n_docs": np.array(n_docs, np.int64),
+                             "n_tokens": toks})
+               .groupby("fill_decile", as_index=False).sum())
+        return out
+
+    df = (ds.map_batches(tok_counts, batch_format="pyarrow",
+                         batch_size=8192)
+          .groupby("shard").map_groups(pack_partial,
+                                       batch_format="pandas")
+          .groupby("fill_decile")
+          .aggregate(Sum("n_bins", alias_name="n_bins"),
+                     Sum("n_docs", alias_name="n_docs"),
+                     Sum("n_tokens", alias_name="n_tokens"))
+          .to_pandas())                      # ≤ max-decile rows
+    if df.empty:
+        return typed_empty(fill_decile="int64", n_bins="int64",
+                           n_docs="int64", n_tokens="int64")
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return (df[["fill_decile", "n_bins", "n_docs", "n_tokens"]]
+            .sort_values("fill_decile").reset_index(drop=True))
+
+
+def q_quality_vs_dup(sf_dir: str) -> pd.DataFrame:
+    """Quality × duplication contingency: the Gopher keep decision
+    crossed with exact-duplicate membership (md5 group size ≥ 2) — the
+    FineWeb-style ablation question "are duplicates lower-quality?",
+    answered as a 2×2 integer table before anyone spends a dedup pass.
+
+    EXACT: keep flags ride the proven ``q_gopher_filter`` chain
+    (all-integer predicates); dup membership resolves globally inside
+    one md5-bucketed combine (the dedup_exact chain); cell counts fold
+    as integer Sums. The dup-id set is the dedup SURPLUS — a sliver on
+    real corpora (8 ids at sf0.1) — broadcast into the flagging scan via
+    closure (the dedup_substring broadcast-below-cutover contract; above
+    it, flag by a distributed join instead).
+
+    Ray shape: one bucketed combine emits dup ids → one streaming pass
+    over the gopher stream emits (keep, is_dup) partials → a ≤ 4-group
+    groupby. Result-sized → DataFrame."""
+    import pyarrow.compute as pc
+
+    from .combine import bucketed_combine
+    from .textstats import q_gopher_filter
+
+    empty = typed_empty(keep="int64", is_dup="int64", n_docs="int64")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+                for x in t["text"].to_pylist()]
+        fph = np.array([np.uint64(int(m[:16], 16)) for m in md5s],
+                       np.uint64).view(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "fph": pa.array(fph, pa.int64())})
+
+    def dup_only(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("fph")["doc_id"].transform("size")
+        out = g.loc[cnt > 1, ["doc_id"]].copy()
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        return out
+
+    dups = bucketed_combine(
+        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192),
+        "fph", dup_only).to_pandas()          # the dedup surplus sliver
+    id_set = (pa.array(dups["doc_id"].to_numpy(np.int64))
+              if len(dups) else None)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = t["keep"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if id_set is None:
+            isd = np.zeros(len(keep), np.int64)
+        else:
+            isd = pc.is_in(t["doc_id"], value_set=id_set).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        g = (pd.DataFrame({"keep": keep, "is_dup": isd,
+                           "n": np.ones(len(keep), np.int64)})
+             .groupby(["keep", "is_dup"], as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (q_gopher_filter(sf_dir)
+          .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+          .groupby(["keep", "is_dup"])
+          .aggregate(Sum("n", alias_name="n_docs"))
+          .to_pandas())                        # ≤ 4 rows
+    if df.empty or "keep" not in df.columns:
+        return empty
+    for c in ("keep", "is_dup", "n_docs"):
+        df[c] = df[c].astype(np.int64)
+    return (df[["keep", "is_dup", "n_docs"]]
+            .sort_values(["keep", "is_dup"]).reset_index(drop=True))
+
+
 # --- benchmark-contamination check ---------------------------------------------
 
 CONTAM_MOD = 20   # docs with doc_id % 20 == 0 form the "benchmark" set
@@ -1301,6 +1437,12 @@ def q_doremi_weights(sf_dir: str) -> pd.DataFrame:
           .groupby("source")
           .aggregate(Sum("nt", alias_name="nt"), Sum("sp", alias_name="sp"))
           .to_pandas())                       # ≤ |sources| rows
+    # empty corpus: Ray's empty aggregate loses its columns — bail before
+    # the nt filter would KeyError
+    if df.empty or "nt" not in df.columns:
+        return typed_empty(source="object", n_tokens="int64",
+                           loss="float64", excess="float64",
+                           weight="float64")
     df = df[df["nt"] > 0]
     if df.empty:
         return typed_empty(source="object", n_tokens="int64",

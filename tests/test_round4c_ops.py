@@ -5,6 +5,7 @@ tools/check_oracle.py; these pin the qualitative semantics."""
 
 import duckdb
 import numpy as np
+import pandas as pd
 
 SF = "/root/testdata/sf0.01"
 
@@ -464,6 +465,45 @@ def test_cluster_purity_invariants(ray_session):
     assert len(m) == len(df)
     assert (m["n_vecs"].to_numpy(np.int64)
             == m["n"].to_numpy(np.int64)).all()
+
+
+def test_pack_stats_matches_seq_pack_rollup(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import (
+        PACK_CAPACITY, q_pack_stats, seq_pack)
+
+    df = q_pack_stats(SF)
+    bins = seq_pack(SF)
+    assert int(df["n_bins"].sum()) == len(bins)
+    assert int(df["n_tokens"].sum()) == int(bins["n_tokens"].sum())
+    assert int(df["n_docs"].sum()) == int(bins["n_docs"].sum())
+    truth = ((10 * bins["n_tokens"].to_numpy(np.int64)) // PACK_CAPACITY)
+    t = (pd.Series(truth).value_counts().sort_index())
+    assert list(df["fill_decile"]) == list(t.index)
+    assert list(df["n_bins"]) == list(t.to_numpy())
+
+
+def test_quality_vs_dup_contingency(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import (
+        q_quality_vs_dup)
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_gopher_filter)
+
+    # sf0.1 has planted exact dups -> the dup column is exercised
+    sf1 = "/root/testdata/sf0.1"
+    df = q_quality_vs_dup(sf1)
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf1}/documents.parquet'").fetchone()[0]
+    assert int(df["n_docs"].sum()) == n_docs
+    assert set(zip(df["keep"], df["is_dup"])) <= {(0, 0), (0, 1),
+                                                  (1, 0), (1, 1)}
+    assert int(df[df["is_dup"] == 1]["n_docs"].sum()) == duckdb.sql(f"""
+        SELECT count(*) FROM (
+            SELECT count(*) OVER (PARTITION BY md5(coalesce(text, '')))
+                   AS c
+            FROM '{sf1}/documents.parquet') WHERE c > 1""").fetchone()[0]
+    # keep margin agrees with the gopher stream
+    keep = q_gopher_filter(sf1).to_pandas()["keep"].to_numpy(np.int64)
+    assert int(df[df["keep"] == 1]["n_docs"].sum()) == int(keep.sum())
 
 
 def test_rank_normalize_is_cume_dist(ray_session):
