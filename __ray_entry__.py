@@ -859,6 +859,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_pack_stats": mlprep.q_pack_stats,
         # Gopher-keep x exact-dup 2x2 contingency (curation ablation)
         "q_quality_vs_dup": mlprep.q_quality_vs_dup,
+        # content-defined chunking stats (Rabin-style CDC, md5-64 grams)
+        "q_cdc_chunks": textstats.q_cdc_chunks,
     }
 
 
@@ -3033,6 +3035,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY md5(text)
             ORDER BY doc_id
+        """,
+        # CDC chunking: the winnowing gram-hash chain with the h % 64
+        # boundary test; chunk lengths via lag over boundary positions
+        # plus the trailing partial chunk — all integers.
+        "q_cdc_chunks": """
+            WITH d AS (
+                SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t) - 7, 1) + 1)) AS i
+                FROM d),
+            g AS (
+                SELECT doc_id, i,
+                       ('0x' || substr(md5(substr(t, i::INTEGER, 8)),
+                                       1, 16))::UBIGINT AS h
+                FROM pos),
+            n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                  FROM g GROUP BY doc_id),
+            b AS (SELECT doc_id, i FROM g WHERE h % 64 = 0),
+            lens AS (SELECT doc_id,
+                            i - coalesce(lag(i) OVER (PARTITION BY doc_id
+                                                      ORDER BY i), 0) AS L
+                     FROM b),
+            lastc AS (SELECT n.doc_id,
+                             n.n_grams - coalesce(max(b.i), 0) AS L
+                      FROM n LEFT JOIN b USING (doc_id)
+                      GROUP BY n.doc_id, n.n_grams),
+            alllens AS (SELECT * FROM lens
+                        UNION ALL SELECT * FROM lastc),
+            agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                           CAST(max(L) AS BIGINT) AS max_chunk
+                    FROM alllens GROUP BY doc_id)
+            SELECT n.doc_id, n.n_grams, a.n_chunks, a.max_chunk
+            FROM n JOIN agg a USING (doc_id) ORDER BY n.doc_id
         """,
         # winnowing containment: hub fingerprints (df > 16) drop FIRST,
         # set sizes count AFTER, containment = c / least(n_a, n_b) is one

@@ -124,6 +124,31 @@ WINNOW_K = 8          # k-gram length (characters)
 WINNOW_W = 4          # winnowing window (hashes)
 
 
+def _gram_hashes(text: str, cache: dict | None = None) -> np.ndarray:
+    """md5-64 hash of every character k-gram of ``text`` at positions
+    0..max(len−k, 0) — the shared first half of winnow_hashes and
+    q_cdc_chunks (same substr semantics as the DuckDB replay; ``cache``
+    amortizes the md5 across a batch — see winnow_hashes)."""
+    from .dedup import _md5_64
+
+    t = text or ""
+    n = max(len(t) - WINNOW_K + 1, 1)
+    if cache is None:
+        return np.fromiter((_md5_64(t[i:i + WINNOW_K]) for i in range(n)),
+                           dtype=np.uint64, count=n)
+    get = cache.get
+
+    def hv(i: int) -> int:
+        g = t[i:i + WINNOW_K]
+        v = get(g)
+        if v is None:
+            v = _md5_64(g)
+            cache[g] = v
+        return v
+
+    return np.fromiter(map(hv, range(n)), dtype=np.uint64, count=n)
+
+
 def winnow_hashes(text: str, cache: dict | None = None) -> np.ndarray:
     """Selected k-gram hash values of ``text`` under winnowing
     (Schleimer/Wilkerson/Aiken, SIGMOD'03): an md5-derived 64-bit hash of
@@ -142,25 +167,8 @@ def winnow_hashes(text: str, cache: dict | None = None) -> np.ndarray:
     across a batch: natural-language 8-grams repeat heavily (~2% distinct
     across a 2k-doc batch at sf0.1), so a shared per-batch dict cuts the
     digest calls ~45×."""
-    from .dedup import _md5_64
-
-    t = text or ""
-    n = max(len(t) - WINNOW_K + 1, 1)
-    if cache is None:
-        h = np.fromiter((_md5_64(t[i:i + WINNOW_K]) for i in range(n)),
-                        dtype=np.uint64, count=n)
-    else:
-        get = cache.get
-
-        def hv(i: int) -> int:
-            g = t[i:i + WINNOW_K]
-            v = get(g)
-            if v is None:
-                v = _md5_64(g)
-                cache[g] = v
-            return v
-
-        h = np.fromiter(map(hv, range(n)), dtype=np.uint64, count=n)
+    h = _gram_hashes(text, cache)
+    n = len(h)
     if n <= WINNOW_W - 1:
         sel = np.minimum.accumulate(h)
     else:
@@ -200,6 +208,50 @@ def winnow_fingerprint(sf_dir: str) -> Dataset:
                                   batch_size=None),
         pa.schema([("doc_id", pa.int64()), ("n_fingerprints", pa.int64()),
                    ("fp_digest", pa.string())]))
+
+
+CDC_MASK = 64      # boundary where gram_hash % 64 == 0 (~64-gram chunks)
+
+
+def q_cdc_chunks(sf_dir: str) -> Dataset:
+    """Content-defined chunking (Rabin-style CDC, the storage-dedup /
+    incremental-sync primitive — LBFS, Muthitacharoen et al. 2001): a
+    chunk boundary wherever the character-8-gram hash satisfies
+    ``h % 64 == 0``, so boundaries survive insertions/deletions (unlike
+    fixed-size chunking) and shared content between near-identical
+    documents chunks identically. Per doc: gram count, chunk count, max
+    chunk length — the stats that size a CDC dedup store.
+
+    EXACT: the gram hash is the winnowing chain's md5-64
+    (``_gram_hashes`` — md5 is the digest DuckDB shares with Python);
+    the boundary test and chunk lengths are pure integers. One streaming
+    pass, zero shuffles; per-doc output → streaming Dataset."""
+
+    def chunks(t: pa.Table) -> pa.Table:
+        n_grams, n_chunks, max_chunk = [], [], []
+        cache: dict = {}
+        for x in t["text"].to_pylist():
+            h = _gram_hashes(x or "", cache)
+            n = len(h)
+            pos = np.nonzero(h % np.uint64(CDC_MASK)
+                             == np.uint64(0))[0] + 1   # 1-based
+            lens = np.diff(np.concatenate(
+                [[0], pos, [n]]).astype(np.int64))
+            n_grams.append(n)
+            n_chunks.append(len(pos) + 1)
+            max_chunk.append(int(lens.max()))
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_grams": pa.array(n_grams, pa.int64()),
+                         "n_chunks": pa.array(n_chunks, pa.int64()),
+                         "max_chunk": pa.array(max_chunk, pa.int64())})
+
+    return ensure_schema(
+        # batch_size=None: one batch per read block — the per-gram Python
+        # scan parallelizes (the winnow_fingerprint lesson)
+        _docs(sf_dir).map_batches(chunks, batch_format="pyarrow",
+                                  batch_size=None),
+        pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64()),
+                   ("n_chunks", pa.int64()), ("max_chunk", pa.int64())]))
 
 
 # --- language identification (stateful stopword profiles) --------------------

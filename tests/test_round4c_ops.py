@@ -506,6 +506,37 @@ def test_quality_vs_dup_contingency(ray_session):
     assert int(df[df["keep"] == 1]["n_docs"].sum()) == int(keep.sum())
 
 
+def test_cdc_chunks_bruteforce_and_edit_stability(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        CDC_MASK, _gram_hashes, q_cdc_chunks)
+
+    df = q_cdc_chunks(SF).to_pandas().sort_values("doc_id")
+    docs = duckdb.sql(f"SELECT doc_id, text FROM "
+                      f"'{SF}/documents.parquet' ORDER BY doc_id").df()
+    assert len(df) == len(docs)
+    assert (df["n_chunks"] >= 1).all()
+    assert (df["max_chunk"] <= df["n_grams"]).all()
+    # brute-force three docs
+    for _, r in docs.head(3).iterrows():
+        h = _gram_hashes(r["text"] or "")
+        pos = np.nonzero(h % np.uint64(CDC_MASK) == 0)[0] + 1
+        got = df[df["doc_id"] == r["doc_id"]].iloc[0]
+        assert int(got["n_grams"]) == len(h)
+        assert int(got["n_chunks"]) == len(pos) + 1
+    # the CDC property: a prefix edit shifts content but boundaries
+    # re-synchronize — chunks after the first boundary are identical
+    t = docs["text"].iloc[0]
+    if isinstance(t, str) and len(t) > 200:
+        h1 = _gram_hashes(t)
+        h2 = _gram_hashes("XYZ " + t)
+        b1 = set((np.nonzero(h1 % np.uint64(CDC_MASK) == 0)[0]).tolist())
+        b2 = set((np.nonzero(h2 % np.uint64(CDC_MASK) == 0)[0] - 4)
+                 .tolist())
+        if b1:
+            first = min(b1)
+            assert {x for x in b1 if x > first} <= b2
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
