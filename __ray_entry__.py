@@ -861,6 +861,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_quality_vs_dup": mlprep.q_quality_vs_dup,
         # content-defined chunking stats (Rabin-style CDC, md5-64 grams)
         "q_cdc_chunks": textstats.q_cdc_chunks,
+        # per-source encoding health (non-ASCII / U+FFFD / control chars)
+        "q_encoding_health": textstats.q_encoding_health,
     }
 
 
@@ -3069,6 +3071,37 @@ def oracle_sql() -> dict[str, str]:
                     FROM alllens GROUP BY doc_id)
             SELECT n.doc_id, n.n_grams, a.n_chunks, a.max_chunk
             FROM n JOIN agg a USING (doc_id) ORDER BY n.doc_id
+        """,
+        # encoding health: identical RE2 classes on both engines
+        # (Arrow replace_substring_regex == regexp_replace g); codepoint
+        # arithmetic is all-integer, one division per output row.
+        "q_encoding_health": r"""
+            WITH s AS (
+                SELECT source,
+                       length(coalesce(text, '')) AS nc,
+                       length(coalesce(text, ''))
+                       - length(regexp_replace(coalesce(text, ''),
+                                               '[^\x00-\x7F]', '', 'g'))
+                           AS na,
+                       length(coalesce(text, ''))
+                       - length(replace(coalesce(text, ''),
+                                        chr(65533), '')) AS nf,
+                       length(coalesce(text, ''))
+                       - length(regexp_replace(
+                             coalesce(text, ''),
+                             '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
+                           AS nk
+                FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nc) AS BIGINT) AS n_chars,
+                   CAST(sum(na) AS BIGINT) AS n_non_ascii,
+                   CAST(sum(nf) AS BIGINT) AS n_replacement,
+                   CAST(sum(nk) AS BIGINT) AS n_control,
+                   round(CAST(sum(na) AS BIGINT)
+                         / greatest(CAST(sum(nc) AS BIGINT),
+                                    1)::DOUBLE, 6) AS non_ascii_ratio
+            FROM s GROUP BY source ORDER BY source
         """,
         # winnowing containment: hub fingerprints (df > 16) drop FIRST,
         # set sizes count AFTER, containment = c / least(n_a, n_b) is one

@@ -210,6 +210,75 @@ def winnow_fingerprint(sf_dir: str) -> Dataset:
                    ("fp_digest", pa.string())]))
 
 
+def q_encoding_health(sf_dir: str) -> pd.DataFrame:
+    """Per-source encoding-health scan: non-ASCII codepoint ratio,
+    U+FFFD replacement-character count (the mojibake smoking gun), and
+    control-character count — the triage that catches a bad
+    decode/transcode step before it poisons a training corpus (a source
+    whose FFFD count is nonzero went through a wrong-charset decode).
+
+    EXACT: counts are integer codepoint arithmetic via the SAME RE2
+    class on both engines (Arrow ``replace_substring_regex`` == DuckDB
+    ``regexp_replace g``); per-source sums fold as int64 partials; one
+    double division per output row.
+
+    Ray shape: one vectorized Arrow pass → per-batch (source, 4-int)
+    partials → ≤ |sources|-group groupby. Result-sized → DataFrame."""
+    from ray.data.aggregate import Sum
+
+    from .collect import typed_empty
+    from .rounding import series_round_half_away as _rs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        nc = pc.utf8_length(text).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ascii_only = pc.utf8_length(pc.replace_substring_regex(
+            text, r"[^\x00-\x7F]", "")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n_fffd = pc.count_substring(text, "�").cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        no_ctrl = pc.utf8_length(pc.replace_substring_regex(
+            text, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"source": t["source"].to_numpy(
+                               zero_copy_only=False),
+                           "c": np.ones(len(nc), np.int64),
+                           "nc": nc.astype(np.int64),
+                           "na": (nc - ascii_only).astype(np.int64),
+                           "nf": n_fffd.astype(np.int64),
+                           "nk": (nc - no_ctrl).astype(np.int64)})
+             .groupby("source", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+          .groupby("source")
+          .aggregate(Sum("c", alias_name="n_docs"),
+                     Sum("nc", alias_name="n_chars"),
+                     Sum("na", alias_name="n_non_ascii"),
+                     Sum("nf", alias_name="n_replacement"),
+                     Sum("nk", alias_name="n_control"))
+          .to_pandas())                         # ≤ |sources| rows
+    if df.empty:
+        return typed_empty(source="object", n_docs="int64",
+                           n_chars="int64", n_non_ascii="int64",
+                           n_replacement="int64", n_control="int64",
+                           non_ascii_ratio="float64")
+    for c in ("n_docs", "n_chars", "n_non_ascii", "n_replacement",
+              "n_control"):
+        df[c] = df[c].astype(np.int64)
+    df["non_ascii_ratio"] = _rs(
+        df["n_non_ascii"].astype(np.float64)
+        / np.maximum(df["n_chars"].to_numpy(np.int64), 1)
+        .astype(np.float64), 6)
+    return (df[["source", "n_docs", "n_chars", "n_non_ascii",
+                "n_replacement", "n_control", "non_ascii_ratio"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 CDC_MASK = 64      # boundary where gram_hash % 64 == 0 (~64-gram chunks)
 
 

@@ -537,6 +537,27 @@ def test_cdc_chunks_bruteforce_and_edit_stability(ray_session):
             assert {x for x in b1 if x > first} <= b2
 
 
+def test_encoding_health_matches_python(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_encoding_health)
+
+    df = q_encoding_health(SF)
+    docs = duckdb.sql(f"SELECT source, text FROM "
+                      f"'{SF}/documents.parquet'").df()
+    assert int(df["n_docs"].sum()) == len(docs)
+    assert df["non_ascii_ratio"].between(0.0, 1.0).all()
+    # brute-force one source in plain Python codepoint space
+    s = df["source"].iloc[0]
+    texts = docs[docs["source"] == s]["text"].fillna("")
+    nc = sum(len(t) for t in texts)
+    na = sum(sum(1 for ch in t if ord(ch) > 0x7F) for t in texts)
+    nf = sum(t.count("�") for t in texts)
+    r = df[df["source"] == s].iloc[0]
+    assert int(r["n_chars"]) == nc
+    assert int(r["n_non_ascii"]) == na
+    assert int(r["n_replacement"]) == nf
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
