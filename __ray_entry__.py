@@ -863,6 +863,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_cdc_chunks": textstats.q_cdc_chunks,
         # per-source encoding health (non-ASCII / U+FFFD / control chars)
         "q_encoding_health": textstats.q_encoding_health,
+        # prepare-job shard-balance forecast (splitmix64 % 32 loads)
+        "q_shard_skew": mlprep.q_shard_skew,
     }
 
 
@@ -1212,6 +1214,27 @@ def _dedup_minhash_sql(threshold: float = 0.8) -> str:
     SELECT a, b, round(jac, 6) AS jaccard
     FROM scored WHERE round(jac, 6) >= {threshold}
     ORDER BY a, b
+    """
+
+
+def _shard_skew_sql(n_shards: int = 32) -> str:
+    """q_shard_skew oracle: splitmix64(doc_id) % n_shards via the
+    _fmix_proj HUGEINT bridge, integer loads, one division per row."""
+    return f"""
+        WITH fm AS (SELECT n_chars,
+                           {_fmix_proj('CAST(doc_id AS UBIGINT)',
+                                       'fx', 'sk_')}
+                    FROM documents),
+        s AS (SELECT CAST(fx % {n_shards} AS BIGINT) AS shard, n_chars
+              FROM fm),
+        g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS n_chars
+              FROM s GROUP BY shard),
+        tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS t FROM g)
+        SELECT shard, n_docs, n_chars,
+               round(n_chars / greatest(CAST(t AS DOUBLE), 1.0), 6)
+                   AS load_frac
+        FROM g CROSS JOIN tot ORDER BY shard
     """
 
 
@@ -3232,6 +3255,7 @@ def oracle_sql() -> dict[str, str]:
         # uint64/mod-p arithmetic) — see the oracle-machinery helpers above.
         "dedup_minhash": _dedup_minhash_sql(),
         "q_near_dup_leakage": _near_dup_leakage_sql(),
+        "q_shard_skew": _shard_skew_sql(),
         "q_minhash_recall": _minhash_recall_sql(),
         # incremental dedup: delta docs probed against base fingerprints
         # (64-bit md5 truncation — the ENGINE's exact hash) and base band

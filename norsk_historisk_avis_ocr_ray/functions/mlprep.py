@@ -519,6 +519,55 @@ def q_pack_stats(sf_dir: str, capacity: int = PACK_CAPACITY,
             .sort_values("fill_decile").reset_index(drop=True))
 
 
+SKEW_SHARDS = 32     # == pipelines.prepare.PREPARE_SHARDS
+
+
+def q_shard_skew(sf_dir: str, n_shards: int = SKEW_SHARDS) -> pd.DataFrame:
+    """Shard-balance forecast for the resumable prepare job: per
+    ``splitmix64(doc_id) % n_shards`` shard (the EXACT sharding
+    ``pipelines/prepare.py`` uses), doc count, char load and load
+    fraction — read this before launching a 100-TB prepare run to see
+    whether any output shard will straggle.
+
+    EXACT: splitmix64 replays in SQL via the ``_fmix_proj`` HUGEINT
+    expression (the LSH band-key bridge); counts fold as int64 partials;
+    the one double division per row divides two exact integers.
+
+    Ray shape: one slim 2-column pass → per-batch (shard, 2-int)
+    partials → ≤ n_shards-group groupby. Result-sized → DataFrame."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import _fmix64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sh = (_fmix64(ids) % np.uint64(n_shards)).astype(np.int64)
+        g = (pd.DataFrame({"shard": sh,
+                           "c": np.ones(len(sh), np.int64),
+                           "nc": t["n_chars"].to_numpy(
+                               zero_copy_only=False).astype(np.int64)})
+             .groupby("shard", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+          .groupby("shard")
+          .aggregate(Sum("c", alias_name="n_docs"),
+                     Sum("nc", alias_name="n_chars"))
+          .to_pandas())                         # ≤ n_shards rows
+    if df.empty:
+        return typed_empty(shard="int64", n_docs="int64", n_chars="int64",
+                           load_frac="float64")
+    for c in ("shard", "n_docs", "n_chars"):
+        df[c] = df[c].astype(np.int64)
+    tot = int(df["n_chars"].sum())
+    df["load_frac"] = _r(df["n_chars"].astype(np.float64)
+                         / np.float64(max(tot, 1)), 6)
+    return (df[["shard", "n_docs", "n_chars", "load_frac"]]
+            .sort_values("shard").reset_index(drop=True))
+
+
 def q_quality_vs_dup(sf_dir: str) -> pd.DataFrame:
     """Quality × duplication contingency: the Gopher keep decision
     crossed with exact-duplicate membership (md5 group size ≥ 2) — the

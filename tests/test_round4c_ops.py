@@ -558,6 +558,28 @@ def test_encoding_health_matches_python(ray_session):
     assert int(r["n_replacement"]) == nf
 
 
+def test_shard_skew_matches_prepare_sharding(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.dedup import _fmix64
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import (
+        SKEW_SHARDS, q_shard_skew)
+    from norsk_historisk_avis_ocr_ray.pipelines.prepare import (
+        PREPARE_SHARDS)
+
+    assert SKEW_SHARDS == PREPARE_SHARDS   # forecasts the ACTUAL job
+    df = q_shard_skew(SF)
+    docs = duckdb.sql(f"SELECT doc_id, n_chars FROM "
+                      f"'{SF}/documents.parquet'").df()
+    assert int(df["n_docs"].sum()) == len(docs)
+    assert abs(df["load_frac"].sum() - 1.0) < 1e-4
+    # replay the sharding exactly
+    sh = (_fmix64(docs["doc_id"].to_numpy(np.uint64))
+          % np.uint64(SKEW_SHARDS)).astype(np.int64)
+    truth = pd.Series(sh).value_counts().sort_index()
+    m = df.set_index("shard")["n_docs"]
+    assert (m.reindex(truth.index).to_numpy(np.int64)
+            == truth.to_numpy(np.int64)).all()
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
