@@ -865,6 +865,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_encoding_health": textstats.q_encoding_health,
         # prepare-job shard-balance forecast (splitmix64 % 32 loads)
         "q_shard_skew": mlprep.q_shard_skew,
+        # per-source curation scorecard (fused gopher+LM+encoding pass)
+        "q_curation_report": mlprep.q_curation_report,
     }
 
 
@@ -5719,5 +5721,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_docs
         FROM gf g JOIN dup d USING (doc_id)
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # q_curation_report composes the gated q_gopher_filter replay with the
+    # unigram-LM and encoding chains — per-source scorecard.
+    oracles["q_curation_report"] = f"""
+        WITH gf AS ({oracles['q_gopher_filter']}),
+        toksr AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 16))
+                        AS UBIGINT) % 4096 AS b
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(trim(lower(text)),
+                                                   '\\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''),
+        cntr AS (SELECT b, count(*) AS n FROM toksr GROUP BY b),
+        totr AS (SELECT sum(n) AS t FROM cntr),
+        lpr AS (SELECT b, CAST(round(ln((n + 1) / (t + 4096.0))
+                                     * 1000000.0, 0) AS BIGINT) AS lpq
+                FROM cntr, totr),
+        dtl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+                       CAST(sum(lpr.lpq) AS BIGINT) AS sp
+                FROM toksr JOIN lpr USING (b) GROUP BY doc_id),
+        encx AS (SELECT doc_id,
+                        length(coalesce(text, '')) AS nc,
+                        length(coalesce(text, ''))
+                        - length(regexp_replace(coalesce(text, ''),
+                                                '[^\\x00-\\x7F]', '',
+                                                'g')) AS na
+                 FROM documents),
+        j AS (SELECT d.source,
+                     coalesce(t.nt, 0) AS nt, coalesce(t.sp, 0) AS sp,
+                     g.keep, e.nc, e.na
+              FROM documents d
+              LEFT JOIN dtl t USING (doc_id)
+              JOIN gf g USING (doc_id)
+              JOIN encx e USING (doc_id))
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               round(CAST(sum(keep) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
+               round(CASE WHEN sum(nt) = 0 THEN 0.0
+                          ELSE (-(CAST(sum(sp) AS BIGINT)) / 1000000.0)
+                               / CAST(sum(nt) AS BIGINT)
+                     END, 6) AS mean_nll,
+               round(CAST(sum(na) AS BIGINT)
+                     / greatest(CAST(sum(nc) AS BIGINT), 1)::DOUBLE, 6)
+                   AS non_ascii_ratio
+        FROM j GROUP BY source ORDER BY source
     """
     return oracles

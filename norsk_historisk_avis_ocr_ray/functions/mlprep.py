@@ -1518,6 +1518,83 @@ def q_doremi_weights(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_curation_report(sf_dir: str) -> pd.DataFrame:
+    """Per-source curation scorecard — the first table a corpus owner
+    pulls before planning a training mix: doc/token counts, Gopher
+    keep-rate, mean token NLL under the corpus unigram LM (the CCNet
+    quality axis), and non-ASCII ratio (the encoding axis), one row per
+    source. Composes three PROVEN chains (q_gopher_filter,
+    q_unigram_ppl's LM, q_encoding_health) into ONE fused streaming
+    pass — the per-batch partial computes all six integers together, so
+    the corpus is read once (plus the bounded LM count pass), not three
+    times.
+
+    EXACT: every folded quantity is an int64 partial; the three ratios
+    divide exact integers once per output row; mean NLL follows the
+    q_doremi_weights arithmetic. Oracle composes the gated
+    q_gopher_filter SQL (taken from the dict — cannot drift) with the
+    unigram-LM and encoding replays."""
+    import pyarrow.compute as pc
+
+    from .textstats import _gopher_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    lp_ref = ray.put(_hashed_unigram_lpq(ds))
+
+    def partial(t: pa.Table) -> pa.Table:
+        lp = ray.get(lp_ref)
+        feats = _dsir_feature_batch(t["text"].to_pylist())
+        nt = np.array([f.size for f in feats], np.int64)
+        sp = np.array([int(lp[f].sum()) for f in feats], np.int64)
+        keep = _gopher_batch(t)["keep"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        text = pc.fill_null(t["text"], "")
+        nc = pc.utf8_length(text).cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        na = nc - pc.utf8_length(pc.replace_substring_regex(
+            text, r"[^\x00-\x7F]", "")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = (pd.DataFrame({"source": t["source"].to_numpy(
+                               zero_copy_only=False),
+                           "c": np.ones(len(nt), np.int64),
+                           "nt": nt, "sp": sp, "keep": keep,
+                           "nc": nc, "na": na})
+             .groupby("source", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+          .groupby("source")
+          .aggregate(Sum("c", alias_name="n_docs"),
+                     Sum("nt", alias_name="n_tokens"),
+                     Sum("sp", alias_name="sp"),
+                     Sum("keep", alias_name="n_keep"),
+                     Sum("nc", alias_name="n_chars"),
+                     Sum("na", alias_name="na"))
+          .to_pandas())                         # ≤ |sources| rows
+    if df.empty or "n_docs" not in df.columns:
+        return typed_empty(source="object", n_docs="int64",
+                           n_tokens="int64", keep_rate="float64",
+                           mean_nll="float64",
+                           non_ascii_ratio="float64")
+    for c in ("n_docs", "n_tokens", "sp", "n_keep", "n_chars", "na"):
+        df[c] = df[c].astype(np.int64)
+    nt = df["n_tokens"].to_numpy(np.int64)
+    sp = df["sp"].to_numpy(np.int64)
+    df["keep_rate"] = _r(df["n_keep"].astype(np.float64)
+                         / df["n_docs"].astype(np.float64), 6)
+    # the q_doremi_weights arithmetic: (-sp/1e6)/nt, one division each
+    df["mean_nll"] = round_half_away(np.array(
+        [((-float(s) / 1e6) / float(n)) if n else 0.0
+         for s, n in zip(sp, nt)], np.float64), 6)
+    df["non_ascii_ratio"] = _r(
+        df["na"].astype(np.float64)
+        / np.maximum(df["n_chars"].to_numpy(np.int64), 1)
+        .astype(np.float64), 6)
+    return (df[["source", "n_docs", "n_tokens", "keep_rate", "mean_nll",
+                "non_ascii_ratio"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 # --- per-source KL divergence (corpus-mixture analysis) --------------------------
 
 KL_SCALE = 1_000_000_000_000   # 1e12 micro-units per contribution

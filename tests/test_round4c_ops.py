@@ -580,6 +580,35 @@ def test_shard_skew_matches_prepare_sharding(ray_session):
             == truth.to_numpy(np.int64)).all()
 
 
+def test_curation_report_margins_match_component_ops(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import (
+        q_curation_report, q_doremi_weights)
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_encoding_health, q_gopher_filter)
+
+    df = q_curation_report(SF)
+    docs = duckdb.sql(f"SELECT doc_id, source FROM "
+                      f"'{SF}/documents.parquet'").df()
+    assert int(df["n_docs"].sum()) == len(docs)
+    assert df["keep_rate"].between(0.0, 1.0).all()
+    # keep margin == the gopher stream's
+    keep = q_gopher_filter(SF).to_pandas().merge(docs, on="doc_id")
+    truth = keep.groupby("source")["keep"].sum()
+    m = df.set_index("source")
+    assert (m["keep_rate"] * m["n_docs"]).round().astype(np.int64).equals(
+        truth.reindex(m.index).astype(np.int64))
+    # mean_nll == q_doremi_weights' loss for every source present there
+    dw = q_doremi_weights(SF).set_index("source")
+    for s in dw.index:
+        assert abs(float(m.loc[s, "mean_nll"])
+                   - float(dw.loc[s, "loss"])) < 2e-6
+    # non-ASCII ratio == q_encoding_health's
+    eh = q_encoding_health(SF).set_index("source")
+    for s in m.index:
+        assert float(m.loc[s, "non_ascii_ratio"]) == float(
+            eh.loc[s, "non_ascii_ratio"])
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
