@@ -867,6 +867,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_shard_skew": mlprep.q_shard_skew,
         # per-source curation scorecard (fused gopher+LM+encoding pass)
         "q_curation_report": mlprep.q_curation_report,
+        # dedup-stage funnel (input/exact/near-dup independent counts)
+        "q_dedup_funnel": dedup.q_dedup_funnel,
     }
 
 
@@ -1252,6 +1254,44 @@ def _near_dup_leakage_sql(threshold: float = 0.8) -> str:
                    JOIN documents db ON db.doc_id = vp.b)
     SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
     FROM sp GROUP BY source_a, source_b ORDER BY source_a, source_b
+    """
+
+
+def _dedup_funnel_sql(threshold: float = 0.8) -> str:
+    """q_dedup_funnel oracle: input/exact counts + the minhash-cluster
+    chain's member/component counts, three independent stage rows."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_body(threshold)},
+    vp AS MATERIALIZED (SELECT a, b FROM scored
+                        WHERE round(jac, 6) >= {threshold}),
+    bidir AS MATERIALIZED (SELECT a, b FROM vp UNION SELECT b, a FROM vp),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM bidir),
+    lab(node, label) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT bd.a, lab.label FROM lab
+        JOIN bidir bd ON bd.b = lab.node
+        WHERE lab.label < bd.a
+    ),
+    comp AS (SELECT node, min(label) AS cl FROM lab GROUP BY node),
+    mh AS (SELECT CAST(count(*) AS BIGINT) AS members,
+                  CAST(count(DISTINCT cl) AS BIGINT) AS clusters
+           FROM comp),
+    ex AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(DISTINCT md5(coalesce(text, '')))
+                       AS BIGINT) AS d
+           FROM documents)
+    SELECT stage, n_kept, n_removed FROM (
+        SELECT 'input' AS stage, n AS n_kept, CAST(0 AS BIGINT)
+               AS n_removed FROM ex
+        UNION ALL
+        SELECT 'exact', d, n - d FROM ex
+        UNION ALL
+        SELECT 'near_dup', e.n - (m.members - m.clusters),
+               m.members - m.clusters
+        FROM ex e CROSS JOIN mh m)
+    WHERE EXISTS (SELECT 1 FROM documents)
+    ORDER BY stage
     """
 
 
@@ -3257,6 +3297,7 @@ def oracle_sql() -> dict[str, str]:
         # uint64/mod-p arithmetic) — see the oracle-machinery helpers above.
         "dedup_minhash": _dedup_minhash_sql(),
         "q_near_dup_leakage": _near_dup_leakage_sql(),
+        "q_dedup_funnel": _dedup_funnel_sql(),
         "q_shard_skew": _shard_skew_sql(),
         "q_minhash_recall": _minhash_recall_sql(),
         # incremental dedup: delta docs probed against base fingerprints

@@ -338,6 +338,61 @@ def q_near_dup_leakage(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_dedup_funnel(sf_dir: str) -> pd.DataFrame:
+    """Dedup-pipeline funnel: how many documents each dedup stage would
+    keep, measured INDEPENDENTLY on the full corpus — 'input' (all
+    docs), 'exact' (distinct md5 contents), 'near_dup' (docs minus
+    removable MinHash near-dup cluster members, one representative kept
+    per component). The planning table that says what an exact pass
+    buys vs a full MinHash pass before anyone runs either at scale.
+
+    EXACT: the md5 distinct count resolves per combine bucket (fph
+    partitions the key space, so per-bucket nunique sums are the global
+    distinct count); near-dup members/components ride the proven
+    ``minhash_clusters`` chain. All integers.
+
+    Ray shape: one count, one bucketed-combine distinct count, and the
+    result-sized cluster table. 3-row output → DataFrame."""
+    from .collect import typed_empty
+    from .combine import bucketed_combine
+
+    empty = typed_empty(stage="object", n_kept="int64",
+                        n_removed="int64")
+    docs = _docs(sf_dir)
+    n = docs.count()
+    if n == 0:
+        return empty
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+                for x in t["text"].to_pylist()]
+        fph = np.array([np.uint64(int(m[:16], 16)) for m in md5s],
+                       np.uint64).view(np.int64)
+        # per-batch distinct first: the combine only needs unique keys
+        u = np.unique(fph)
+        return pa.table({"fph": pa.array(u, pa.int64())})
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"d": np.array([g["fph"].nunique()],
+                                           np.int64)})
+
+    d = int(bucketed_combine(
+        docs.map_batches(add_hash, batch_format="pyarrow",
+                         batch_size=8192),
+        "fph", uniq).to_pandas()["d"].sum())
+
+    from .cluster import minhash_clusters   # function-local: cluster
+    cl = minhash_clusters(sf_dir)            # imports dedup at top level
+    members, clusters = len(cl), int(cl["cluster_id"].nunique())
+    rows = [("exact", d, n - d),
+            ("input", n, 0),
+            ("near_dup", n - (members - clusters), members - clusters)]
+    out = pd.DataFrame(rows, columns=["stage", "n_kept", "n_removed"])
+    for c in ("n_kept", "n_removed"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("stage").reset_index(drop=True)
+
+
 # --- MinHash + LSH -------------------------------------------------------------
 
 class MinHasher:

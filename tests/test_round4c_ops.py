@@ -609,6 +609,29 @@ def test_curation_report_margins_match_component_ops(ray_session):
             eh.loc[s, "non_ascii_ratio"])
 
 
+def test_dedup_funnel_stage_identities(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.cluster import (
+        minhash_clusters)
+    from norsk_historisk_avis_ocr_ray.functions.dedup import q_dedup_funnel
+
+    sf1 = "/root/testdata/sf0.1"    # has planted exact dups
+    df = q_dedup_funnel(sf1).set_index("stage")
+    n, d, dup = duckdb.sql(f"""
+        SELECT count(*), count(DISTINCT md5(coalesce(text, ''))),
+               count(*) - count(DISTINCT md5(coalesce(text, '')))
+        FROM '{sf1}/documents.parquet'""").fetchone()
+    assert int(df.loc["input", "n_kept"]) == n
+    assert int(df.loc["exact", "n_kept"]) == d
+    assert int(df.loc["exact", "n_removed"]) == dup
+    cl = minhash_clusters(sf1)
+    removed = len(cl) - cl["cluster_id"].nunique()
+    assert int(df.loc["near_dup", "n_removed"]) == removed
+    assert int(df.loc["near_dup", "n_kept"]) == n - removed
+    # near-dup removes at least the exact surplus (exact dups are
+    # jaccard-1 pairs, so they are members of some near-dup cluster)
+    assert removed >= dup
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
