@@ -869,6 +869,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_curation_report": mlprep.q_curation_report,
         # dedup-stage funnel (input/exact/near-dup independent counts)
         "q_dedup_funnel": dedup.q_dedup_funnel,
+        # contrastive hard-negative mining (globally hardest per anchor)
+        "q_hard_negatives": similarity.q_hard_negatives,
     }
 
 
@@ -2394,6 +2396,54 @@ def oracle_sql() -> dict[str, str]:
                   FROM pairs)
             WHERE rk <= 3
             ORDER BY vec_id, rk
+        """,
+        # hard negatives: the knn-graph integer-cosine pairs restricted
+        # to differing labels, (qcos DESC, neg_id) argmax per anchor
+        "q_hard_negatives": """
+            WITH nq AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(embedding, x ->
+                           round(1000000.0 * CAST(x AS DOUBLE))) AS q1
+                FROM embeddings
+            ), nxt AS MATERIALIZED (
+                SELECT vec_id, CAST(n2 AS BIGINT) AS n2,
+                       CASE WHEN n2 = 0
+                            THEN list_transform(q1, v -> CAST(0 AS BIGINT))
+                            ELSE list_transform(q1, v -> CAST(round(
+                                1000000.0 * v / sqrt(n2)) AS BIGINT))
+                       END AS nx
+                FROM (SELECT vec_id, q1,
+                             list_sum(list_transform(q1, v -> v * v)) AS n2
+                      FROM nq)
+            ), pairs AS (
+                SELECT a.vec_id, b.vec_id AS nbr_id,
+                       CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(round(1000000000.0 * (
+                                CAST(list_inner_product(a.nx, b.nx)
+                                     AS BIGINT)
+                                / (sqrt(CAST(a.n2 AS DOUBLE))
+                                   * sqrt(CAST(b.n2 AS DOUBLE)))))
+                                AS BIGINT)
+                       END AS qcos
+                FROM nxt a JOIN nxt b ON b.vec_id <> a.vec_id),
+            lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                    FROM embeddings),
+            cand AS (
+                SELECT p.vec_id, la.label, p.nbr_id AS neg_id,
+                       lb.label AS neg_label, p.qcos
+                FROM pairs p
+                JOIN lab la ON la.vec_id = p.vec_id
+                JOIN lab lb ON lb.vec_id = p.nbr_id
+                WHERE la.label <> lb.label)
+            SELECT vec_id, label, neg_id, neg_label,
+                   round(CAST(qcos AS DOUBLE) / 1000000000.0, 6) AS cos
+            FROM (SELECT vec_id, label, neg_id, neg_label, qcos,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY qcos DESC, neg_id)
+                             AS rn
+                  FROM cand)
+            WHERE rn = 1
+            ORDER BY vec_id
         """,
         # leave-one-out 1-NN label accuracy: the knn-graph integer-cosine
         # ranking at k=1, label joins, int counts + one rounded division

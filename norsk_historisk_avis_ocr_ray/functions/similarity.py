@@ -1385,6 +1385,130 @@ def q_knn_graph(sf_dir: str, k: int = KNN_K,
                          schema)
 
 
+def q_hard_negatives(sf_dir: str,
+                     n_blocks: int | None = None) -> "ray.data.Dataset":
+    """Hard-negative mining for contrastive training (the DPR / SimCSE
+    batch-construction step): for every vector, the GLOBALLY
+    most-similar vector carrying a DIFFERENT label — the 'hardest
+    negative' an in-batch-negatives builder pairs with each anchor.
+    Vectors whose labels match the whole corpus (single-label input)
+    emit nothing.
+
+    EXACT: cosines ride the q_knn_graph 1e-9 integer grid, so the
+    (qcos DESC, neg_id ASC) argmax compares integers and no float ulp
+    can flip a winner across partitionings; labels travel with the
+    vectors through the sweep.
+
+    Ray shape: the same blocked all-pairs sweep as q_knn_graph (no
+    worker holds the full matrix) with a per-pair-group LOCAL
+    best-differing-label combiner (≤ 1 row per vector per group) → one
+    bucketed combine resolves the global winner. Corpus-sized output →
+    streaming Dataset."""
+    from .collect import ensure_schema
+    from .combine import bucketed_combine
+
+    if n_blocks is None:
+        n_blocks = scale.pair_blocks()
+
+    schema = pa.schema([("vec_id", pa.int64()), ("label", pa.int64()),
+                        ("neg_id", pa.int64()), ("neg_label", pa.int64()),
+                        ("cos", pa.float64())])
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(
+        path, columns=["vec_id", "embedding", "label"],
+        override_num_blocks=scale.read_blocks_for_path(path))
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        if mat.size == 0:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "blk": pa.array([], pa.int64()),
+                             "n2": pa.array([], pa.int64()),
+                             "lab": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.binary())})
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nx = _nq_batch(mat)
+        n2 = (nx * nx).sum(axis=1)
+        blk = (ids % n_blocks).astype(np.int64)
+        n = len(ids)
+        rep = np.repeat(np.arange(n), n_blocks)
+        partner = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+        lo = np.minimum(blk[rep], partner)
+        hi = np.maximum(blk[rep], partner)
+        return pa.table({
+            "pair": pa.array(lo * n_blocks + hi),
+            "vec_id": pa.array(ids[rep].astype(np.int64)),
+            "blk": pa.array(blk[rep]),
+            "n2": pa.array(n2[rep]),
+            "lab": pa.array(lab[rep]),
+            "vec": pa.array([nx[i].tobytes() for i in rep], pa.binary())})
+
+    def _qcos(mat_a, n2_a, mat_b, n2_b):
+        dots = _int_matmul(mat_a, mat_b.T).astype(np.float64)
+        den = (np.sqrt(n2_a.astype(np.float64))[:, None]
+               * np.sqrt(n2_b.astype(np.float64))[None, :])
+        zero = (n2_a[:, None] == 0) | (n2_b[None, :] == 0)
+        return round_half_away(
+            np.where(zero, 0.0,
+                     KM_COS_GRID * (dots / np.where(den == 0, 1.0, den))),
+            0).astype(np.int64)
+
+    def local_best(g: pd.DataFrame) -> pd.DataFrame:
+        pair = int(g["pair"].iloc[0])
+        lo, hi = pair // n_blocks, pair % n_blocks
+        g = g.drop_duplicates("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        n2 = g["n2"].to_numpy(np.int64)
+        lab = g["lab"].to_numpy(np.int64)
+        mat = np.stack([np.frombuffer(r, np.int64) for r in g["vec"]])
+        blk = g["blk"].to_numpy(np.int64)
+        frames = []
+        dirs = ([(blk == lo, blk == hi), (blk == hi, blk == lo)]
+                if lo != hi else [(blk == lo, blk == lo)])
+        for qa, qb in dirs:
+            q = _qcos(mat[qa], n2[qa], mat[qb], n2[qb])
+            ia, ib = ids[qa], ids[qb]
+            la, lb = lab[qa], lab[qb]
+            d = pd.DataFrame({
+                "vec_id": np.repeat(ia, len(ib)),
+                "label": np.repeat(la, len(ib)),
+                "neg_id": np.tile(ib, len(ia)),
+                "neg_label": np.tile(lb, len(ia)),
+                "qcos": q.ravel()})
+            d = d[(d["vec_id"] != d["neg_id"])
+                  & (d["label"] != d["neg_label"])]
+            d = (d.sort_values(["vec_id", "qcos", "neg_id"],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+                 .groupby("vec_id", sort=False).head(1))
+            frames.append(d)
+        if not frames:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("vec_id", "label", "neg_id",
+                                           "neg_label", "qcos")})
+        return pd.concat(frames, ignore_index=True).astype(np.int64)
+
+    def final_combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["vec_id", "qcos", "neg_id"],
+                           ascending=[True, False, True], kind="mergesort")
+             .groupby("vec_id", sort=False).head(1))
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].to_numpy(np.int64),
+            "label": g["label"].to_numpy(np.int64),
+            "neg_id": g["neg_id"].to_numpy(np.int64),
+            "neg_label": g["neg_label"].to_numpy(np.int64),
+            "cos": round_half_away(
+                g["qcos"].to_numpy(np.float64) / KM_COS_GRID, 6)})
+
+    cand = (ds.map_batches(expand, batch_format="pyarrow",
+                           batch_size=4096)
+            .groupby("pair").map_groups(local_best,
+                                        batch_format="pandas"))
+    return ensure_schema(bucketed_combine(cand, "vec_id", final_combine),
+                         schema)
+
+
 # --- cluster × source composition (cross-modal mixture diagnostic) --------------
 
 def q_cluster_sources(sf_dir: str,

@@ -632,6 +632,31 @@ def test_dedup_funnel_stage_identities(ray_session):
     assert removed >= dup
 
 
+def test_hard_negatives_bruteforce(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        q_hard_negatives)
+
+    df = q_hard_negatives(SF).to_pandas().sort_values("vec_id")
+    emb = duckdb.sql(f"SELECT vec_id, embedding, label FROM "
+                     f"'{SF}/embeddings.parquet' ORDER BY vec_id").df()
+    # every vector has some differing-label peer in this corpus
+    assert len(df) == len(emb)
+    assert (df["label"] != df["neg_label"]).all()
+    # brute-force float argmax for three anchors (ties can't move the
+    # winner at float precision on this data)
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    nrm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                           1e-30)
+    labs = emb["label"].to_numpy()
+    ids = emb["vec_id"].to_numpy(np.int64)
+    for row in range(3):
+        sims = nrm[row] @ nrm.T
+        mask = (labs != labs[row]) & (ids != ids[row])
+        best = ids[mask][np.argmax(sims[mask])]
+        got = df[df["vec_id"] == ids[row]].iloc[0]
+        assert int(got["neg_id"]) == int(best)
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
