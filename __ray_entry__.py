@@ -871,6 +871,10 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_dedup_funnel": dedup.q_dedup_funnel,
         # contrastive hard-negative mining (globally hardest per anchor)
         "q_hard_negatives": similarity.q_hard_negatives,
+        # positive-pair mining (nearest same-label, SupCon builder)
+        "q_positive_pairs": similarity.q_positive_pairs,
+        # per-label contrastive margin (alignment vs separation eval)
+        "q_contrastive_margin": similarity.q_contrastive_margin,
     }
 
 
@@ -2444,6 +2448,113 @@ def oracle_sql() -> dict[str, str]:
                   FROM cand)
             WHERE rn = 1
             ORDER BY vec_id
+        """,
+        # positive pairs: the same chain with label EQUALITY
+        "q_positive_pairs": """
+            WITH nq AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(embedding, x ->
+                           round(1000000.0 * CAST(x AS DOUBLE))) AS q1
+                FROM embeddings
+            ), nxt AS MATERIALIZED (
+                SELECT vec_id, CAST(n2 AS BIGINT) AS n2,
+                       CASE WHEN n2 = 0
+                            THEN list_transform(q1, v -> CAST(0 AS BIGINT))
+                            ELSE list_transform(q1, v -> CAST(round(
+                                1000000.0 * v / sqrt(n2)) AS BIGINT))
+                       END AS nx
+                FROM (SELECT vec_id, q1,
+                             list_sum(list_transform(q1, v -> v * v)) AS n2
+                      FROM nq)
+            ), pairs AS (
+                SELECT a.vec_id, b.vec_id AS nbr_id,
+                       CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(round(1000000000.0 * (
+                                CAST(list_inner_product(a.nx, b.nx)
+                                     AS BIGINT)
+                                / (sqrt(CAST(a.n2 AS DOUBLE))
+                                   * sqrt(CAST(b.n2 AS DOUBLE)))))
+                                AS BIGINT)
+                       END AS qcos
+                FROM nxt a JOIN nxt b ON b.vec_id <> a.vec_id),
+            lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                    FROM embeddings),
+            cand AS (
+                SELECT p.vec_id, la.label, p.nbr_id AS pos_id, p.qcos
+                FROM pairs p
+                JOIN lab la ON la.vec_id = p.vec_id
+                JOIN lab lb ON lb.vec_id = p.nbr_id
+                WHERE la.label = lb.label)
+            SELECT vec_id, label, pos_id,
+                   round(CAST(qcos AS DOUBLE) / 1000000000.0, 6) AS cos
+            FROM (SELECT vec_id, label, pos_id, qcos,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY qcos DESC, pos_id)
+                             AS rn
+                  FROM cand)
+            WHERE rn = 1
+            ORDER BY vec_id
+        """,
+        # contrastive margin: nearest-positive vs hardest-negative per
+        # anchor (inner join), per-label int qcos sums, three divisions
+        "q_contrastive_margin": """
+            WITH nq AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(embedding, x ->
+                           round(1000000.0 * CAST(x AS DOUBLE))) AS q1
+                FROM embeddings
+            ), nxt AS MATERIALIZED (
+                SELECT vec_id, CAST(n2 AS BIGINT) AS n2,
+                       CASE WHEN n2 = 0
+                            THEN list_transform(q1, v -> CAST(0 AS BIGINT))
+                            ELSE list_transform(q1, v -> CAST(round(
+                                1000000.0 * v / sqrt(n2)) AS BIGINT))
+                       END AS nx
+                FROM (SELECT vec_id, q1,
+                             list_sum(list_transform(q1, v -> v * v)) AS n2
+                      FROM nq)
+            ), pairs AS (
+                SELECT a.vec_id, b.vec_id AS nbr_id,
+                       CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(round(1000000000.0 * (
+                                CAST(list_inner_product(a.nx, b.nx)
+                                     AS BIGINT)
+                                / (sqrt(CAST(a.n2 AS DOUBLE))
+                                   * sqrt(CAST(b.n2 AS DOUBLE)))))
+                                AS BIGINT)
+                       END AS qcos
+                FROM nxt a JOIN nxt b ON b.vec_id <> a.vec_id),
+            lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                    FROM embeddings),
+            cand AS (
+                SELECT p.vec_id, la.label, lb.label AS ol,
+                       p.nbr_id, p.qcos
+                FROM pairs p
+                JOIN lab la ON la.vec_id = p.vec_id
+                JOIN lab lb ON lb.vec_id = p.nbr_id),
+            posb AS (SELECT vec_id, label, qcos FROM (
+                         SELECT vec_id, label, qcos,
+                                row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY qcos DESC, nbr_id) AS rn
+                         FROM cand WHERE label = ol)
+                     WHERE rn = 1),
+            negb AS (SELECT vec_id, qcos FROM (
+                         SELECT vec_id, qcos,
+                                row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY qcos DESC, nbr_id) AS rn
+                         FROM cand WHERE label <> ol)
+                     WHERE rn = 1),
+            j AS (SELECT p.label, p.qcos AS pq, n.qcos AS nq
+                  FROM posb p JOIN negb n USING (vec_id))
+            SELECT label, CAST(count(*) AS BIGINT) AS n,
+                   round((CAST(sum(pq) AS BIGINT) / 1000000000.0)
+                         / CAST(count(*) AS BIGINT), 6) AS mean_pos_cos,
+                   round((CAST(sum(nq) AS BIGINT) / 1000000000.0)
+                         / CAST(count(*) AS BIGINT), 6) AS mean_neg_cos,
+                   round((CAST(sum(pq) - sum(nq) AS BIGINT)
+                          / 1000000000.0)
+                         / CAST(count(*) AS BIGINT), 6) AS mean_margin
+            FROM j GROUP BY label ORDER BY label
         """,
         # leave-one-out 1-NN label accuracy: the knn-graph integer-cosine
         # ranking at k=1, label joins, int counts + one rounded division

@@ -1385,25 +1385,14 @@ def q_knn_graph(sf_dir: str, k: int = KNN_K,
                          schema)
 
 
-def q_hard_negatives(sf_dir: str,
-                     n_blocks: int | None = None) -> "ray.data.Dataset":
-    """Hard-negative mining for contrastive training (the DPR / SimCSE
-    batch-construction step): for every vector, the GLOBALLY
-    most-similar vector carrying a DIFFERENT label — the 'hardest
-    negative' an in-batch-negatives builder pairs with each anchor.
-    Vectors whose labels match the whole corpus (single-label input)
-    emit nothing.
-
-    EXACT: cosines ride the q_knn_graph 1e-9 integer grid, so the
-    (qcos DESC, neg_id ASC) argmax compares integers and no float ulp
-    can flip a winner across partitionings; labels travel with the
-    vectors through the sweep.
-
-    Ray shape: the same blocked all-pairs sweep as q_knn_graph (no
-    worker holds the full matrix) with a per-pair-group LOCAL
-    best-differing-label combiner (≤ 1 row per vector per group) → one
-    bucketed combine resolves the global winner. Corpus-sized output →
-    streaming Dataset."""
+def _label_best(sf_dir: str, same_label: bool,
+                n_blocks: int | None = None) -> "ray.data.Dataset":
+    """Per-anchor globally most-similar vector whose label is equal
+    (``same_label=True``, positive mining) or different (``False``, hard
+    negatives) — the shared blocked-sweep backbone of q_hard_negatives /
+    q_positive_pairs / q_contrastive_margin. Output: (vec_id, label,
+    other_id, other_label, qcos) with qcos on the 1e-9 integer grid;
+    anchors with no qualifying peer emit nothing."""
     from .collect import ensure_schema
     from .combine import bucketed_combine
 
@@ -1411,8 +1400,9 @@ def q_hard_negatives(sf_dir: str,
         n_blocks = scale.pair_blocks()
 
     schema = pa.schema([("vec_id", pa.int64()), ("label", pa.int64()),
-                        ("neg_id", pa.int64()), ("neg_label", pa.int64()),
-                        ("cos", pa.float64())])
+                        ("other_id", pa.int64()),
+                        ("other_label", pa.int64()),
+                        ("qcos", pa.int64())])
     path = f"{sf_dir}/embeddings.parquet"
     ds = ray.data.read_parquet(
         path, columns=["vec_id", "embedding", "label"],
@@ -1473,33 +1463,33 @@ def q_hard_negatives(sf_dir: str,
             d = pd.DataFrame({
                 "vec_id": np.repeat(ia, len(ib)),
                 "label": np.repeat(la, len(ib)),
-                "neg_id": np.tile(ib, len(ia)),
-                "neg_label": np.tile(lb, len(ia)),
+                "other_id": np.tile(ib, len(ia)),
+                "other_label": np.tile(lb, len(ia)),
                 "qcos": q.ravel()})
-            d = d[(d["vec_id"] != d["neg_id"])
-                  & (d["label"] != d["neg_label"])]
-            d = (d.sort_values(["vec_id", "qcos", "neg_id"],
+            rel = (d["label"] == d["other_label"] if same_label
+                   else d["label"] != d["other_label"])
+            d = d[(d["vec_id"] != d["other_id"]) & rel]
+            d = (d.sort_values(["vec_id", "qcos", "other_id"],
                                ascending=[True, False, True],
                                kind="mergesort")
                  .groupby("vec_id", sort=False).head(1))
             frames.append(d)
         if not frames:
             return pd.DataFrame({c: pd.Series([], dtype="int64")
-                                 for c in ("vec_id", "label", "neg_id",
-                                           "neg_label", "qcos")})
+                                 for c in ("vec_id", "label", "other_id",
+                                           "other_label", "qcos")})
         return pd.concat(frames, ignore_index=True).astype(np.int64)
 
     def final_combine(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.sort_values(["vec_id", "qcos", "neg_id"],
+        g = (g.sort_values(["vec_id", "qcos", "other_id"],
                            ascending=[True, False, True], kind="mergesort")
              .groupby("vec_id", sort=False).head(1))
         return pd.DataFrame({
             "vec_id": g["vec_id"].to_numpy(np.int64),
             "label": g["label"].to_numpy(np.int64),
-            "neg_id": g["neg_id"].to_numpy(np.int64),
-            "neg_label": g["neg_label"].to_numpy(np.int64),
-            "cos": round_half_away(
-                g["qcos"].to_numpy(np.float64) / KM_COS_GRID, 6)})
+            "other_id": g["other_id"].to_numpy(np.int64),
+            "other_label": g["other_label"].to_numpy(np.int64),
+            "qcos": g["qcos"].to_numpy(np.int64)})
 
     cand = (ds.map_batches(expand, batch_format="pyarrow",
                            batch_size=4096)
@@ -1507,6 +1497,126 @@ def q_hard_negatives(sf_dir: str,
                                         batch_format="pandas"))
     return ensure_schema(bucketed_combine(cand, "vec_id", final_combine),
                          schema)
+
+
+def q_hard_negatives(sf_dir: str,
+                     n_blocks: int | None = None) -> "ray.data.Dataset":
+    """Hard-negative mining for contrastive training (the DPR / SimCSE
+    batch-construction step): for every vector, the GLOBALLY
+    most-similar vector carrying a DIFFERENT label — the 'hardest
+    negative' an in-batch-negatives builder pairs with each anchor.
+    Vectors whose labels match the whole corpus (single-label input)
+    emit nothing.
+
+    EXACT: cosines ride the q_knn_graph 1e-9 integer grid, so the
+    (qcos DESC, neg_id ASC) argmax compares integers and no float ulp
+    can flip a winner across partitionings; labels travel with the
+    vectors through the ``_label_best`` blocked sweep (no worker holds
+    the full matrix). Corpus-sized output → streaming Dataset."""
+    from .collect import ensure_schema
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t["vec_id"], "label": t["label"],
+            "neg_id": t["other_id"], "neg_label": t["other_label"],
+            "cos": pa.array(round_half_away(
+                t["qcos"].to_numpy(zero_copy_only=False)
+                .astype(np.float64) / KM_COS_GRID, 6))})
+
+    return ensure_schema(
+        _label_best(sf_dir, same_label=False, n_blocks=n_blocks)
+        .map_batches(rename, batch_format="pyarrow"),
+        pa.schema([("vec_id", pa.int64()), ("label", pa.int64()),
+                   ("neg_id", pa.int64()), ("neg_label", pa.int64()),
+                   ("cos", pa.float64())]))
+
+
+def q_positive_pairs(sf_dir: str,
+                     n_blocks: int | None = None) -> "ray.data.Dataset":
+    """Positive-pair mining: per anchor the globally most-similar
+    SAME-label vector — the supervised-contrastive (SupCon) pair
+    builder, and the alignment half of the alignment/uniformity eval.
+    Singleton-label anchors emit nothing. Same exactness and sweep as
+    q_hard_negatives (``_label_best`` with ``same_label=True``)."""
+    from .collect import ensure_schema
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t["vec_id"], "label": t["label"],
+            "pos_id": t["other_id"],
+            "cos": pa.array(round_half_away(
+                t["qcos"].to_numpy(zero_copy_only=False)
+                .astype(np.float64) / KM_COS_GRID, 6))})
+
+    return ensure_schema(
+        _label_best(sf_dir, same_label=True, n_blocks=n_blocks)
+        .map_batches(rename, batch_format="pyarrow"),
+        pa.schema([("vec_id", pa.int64()), ("label", pa.int64()),
+                   ("pos_id", pa.int64()), ("cos", pa.float64())]))
+
+
+def q_contrastive_margin(sf_dir: str,
+                         n_blocks: int | None = None) -> pd.DataFrame:
+    """Per-label contrastive margin report: mean cos(nearest positive),
+    mean cos(hardest negative) and the mean margin between them — the
+    Wang-&-Isola-style alignment/separation eval that says whether an
+    embedding space can be trained against or is already collapsed
+    (margin ≤ 0 = hardest negatives sit closer than nearest positives).
+
+    EXACT: both sides ride the ``_label_best`` integer-grid sweeps;
+    per-label sums fold as int64 qcos integers (margins are DIFFERENCES
+    of grid integers — exact); three double divisions per output row.
+    Anchors joined INNER: only vectors having both a positive and a
+    negative peer contribute (the oracle mirrors this).
+
+    Ray shape: two blocked sweeps → one distributed hash join on vec_id
+    → per-batch (label, 3-int) partials → ≤ |labels|-group groupby.
+    Result-sized → DataFrame."""
+    from ray.data.aggregate import Sum
+
+    pos = _label_best(sf_dir, same_label=True, n_blocks=n_blocks)
+    neg = (_label_best(sf_dir, same_label=False, n_blocks=n_blocks)
+           .map_batches(lambda t: pa.table(
+               {"vec_id": t["vec_id"], "nq": t["qcos"]}),
+               batch_format="pyarrow"))
+    joined = pos.join(neg, join_type="inner",
+                      num_partitions=scale.join_partitions(),
+                      on=("vec_id",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pq = t["qcos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nq = t["nq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (pd.DataFrame({"label": t["label"].to_numpy(
+                               zero_copy_only=False).astype(np.int64),
+                           "c": np.ones(len(pq), np.int64),
+                           "pq": pq, "nq": nq})
+             .groupby("label", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (joined.map_batches(partial, batch_format="pyarrow",
+                             batch_size=8192)
+          .groupby("label")
+          .aggregate(Sum("c", alias_name="n"),
+                     Sum("pq", alias_name="pq"),
+                     Sum("nq", alias_name="nq"))
+          .to_pandas())                        # ≤ |labels| rows
+    if df.empty or "n" not in df.columns:
+        return typed_empty(label="int64", n="int64",
+                           mean_pos_cos="float64",
+                           mean_neg_cos="float64",
+                           mean_margin="float64")
+    for c in ("label", "n", "pq", "nq"):
+        df[c] = df[c].astype(np.int64)
+    n = df["n"].astype(np.float64)
+    df["mean_pos_cos"] = round_half_away(
+        (df["pq"].astype(np.float64) / KM_COS_GRID) / n, 6)
+    df["mean_neg_cos"] = round_half_away(
+        (df["nq"].astype(np.float64) / KM_COS_GRID) / n, 6)
+    df["mean_margin"] = round_half_away(
+        ((df["pq"] - df["nq"]).astype(np.float64) / KM_COS_GRID) / n, 6)
+    return (df[["label", "n", "mean_pos_cos", "mean_neg_cos",
+                "mean_margin"]]
+            .sort_values("label").reset_index(drop=True))
 
 
 # --- cluster × source composition (cross-modal mixture diagnostic) --------------

@@ -657,6 +657,29 @@ def test_hard_negatives_bruteforce(ray_session):
         assert int(got["neg_id"]) == int(best)
 
 
+def test_contrastive_margin_consistency(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        q_contrastive_margin, q_hard_negatives, q_positive_pairs)
+
+    df = q_contrastive_margin(SF)
+    pos = q_positive_pairs(SF).to_pandas()
+    neg = q_hard_negatives(SF).to_pandas()
+    assert len(df) > 0
+    # anchors contributing = inner join of the two mining outputs
+    j = pos.merge(neg[["vec_id", "cos"]], on="vec_id",
+                  suffixes=("_p", "_n"))
+    assert int(df["n"].sum()) == len(j)
+    # margin identity per label (to rounding)
+    t = (j.assign(m=j["cos_p"] - j["cos_n"])
+         .groupby("label")["m"].mean())
+    m = df.set_index("label")["mean_margin"]
+    for lb in m.index:
+        assert abs(float(m.loc[lb]) - float(t.loc[lb])) < 5e-6
+    # a same-label pair is a valid positive; labels agree on both sides
+    assert (pos["label"] == pos.merge(
+        neg[["vec_id", "label"]], on="vec_id")["label_y"]).all()
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
