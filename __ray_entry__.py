@@ -875,6 +875,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_positive_pairs": similarity.q_positive_pairs,
         # per-label contrastive margin (alignment vs separation eval)
         "q_contrastive_margin": similarity.q_contrastive_margin,
+        # hour-of-day arrival profile per event type (diurnal load)
+        "q_diurnal_profile": relational.q_diurnal_profile,
     }
 
 
@@ -2930,6 +2932,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type, win
             ORDER BY event_type, win
+        """,
+        # diurnal profile: integer epoch-hour-of-day, cents-grid value,
+        # distinct users as counted triple rows
+        "q_diurnal_profile": """
+            SELECT event_type,
+                   CAST((floor(epoch(ts) / 3600) % 24) AS BIGINT)
+                       AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                              AS DOUBLE) / 100.0, 4) AS sum_value
+            FROM events
+            GROUP BY event_type, hour
+            ORDER BY event_type, hour
         """,
         "q_top_users": """
             SELECT user_id, count(*) AS n_events,

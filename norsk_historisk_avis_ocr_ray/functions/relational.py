@@ -324,6 +324,73 @@ def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
               .sort_values(["event_type", "win"]).reset_index(drop=True))
 
 
+def q_diurnal_profile(sf_dir: str) -> pd.DataFrame:
+    """Hour-of-day arrival profile per event type: events, DISTINCT
+    users and total value per (event_type, hour) — the diurnal-load
+    table capacity planning and bot-detection read first (a type whose
+    traffic ignores the day/night cycle is automation).
+
+    EXACT: the hour is integer epoch arithmetic; value rides the cents
+    grid (``_cents``); the distinct-user count resolves as one
+    (type, hour, user) groupby whose ROWS are then counted — all
+    integers, partitioning-independent.
+
+    Ray shape: per-batch (type, hour, user) partials → one groupby on
+    the triple (cardinality ≤ events) → per-batch cell partials → one
+    ≤ |types|·24-group groupby. Result-sized → DataFrame."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id", "value"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        s = t["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        hour = ((s // 3600) % 24).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "hour": hour,
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "n": np.ones(len(hour), np.int64),
+            "qv": _cents(t["value"].to_numpy())})
+        g = df.groupby(["event_type", "hour", "user_id"],
+                       as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    triples = (ds.map_batches(per_user, batch_format="pyarrow",
+                              batch_size=65536)
+               .groupby(["event_type", "hour", "user_id"])
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("qv", alias_name="qv")))
+
+    def per_cell(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "hour": t["hour"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "n": t["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "qv": t["qv"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "u": np.ones(t.num_rows, np.int64)})
+        g = df.groupby(["event_type", "hour"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (triples.map_batches(per_cell, batch_format="pyarrow",
+                              batch_size=65536)
+          .groupby(["event_type", "hour"])
+          .aggregate(Sum("n", alias_name="n_events"),
+                     Sum("u", alias_name="n_users"),
+                     Sum("qv", alias_name="qv"))
+          .to_pandas())                      # ≤ |types|·24 rows
+    if df.empty or "n_events" not in df.columns:
+        return typed_empty(event_type="object", hour="int64",
+                           n_events="int64", n_users="int64",
+                           sum_value="float64")
+    for c in ("hour", "n_events", "n_users"):
+        df[c] = df[c].astype(np.int64)
+    df["sum_value"] = _r(df["qv"].astype(np.float64) / 100.0, 4)
+    return (df[["event_type", "hour", "n_events", "n_users",
+                "sum_value"]]
+            .sort_values(["event_type", "hour"]).reset_index(drop=True))
+
+
 # --- events: top users by total value (agg + top-k) --------------------------
 
 def q_top_users(sf_dir: str) -> pd.DataFrame:

@@ -680,6 +680,26 @@ def test_contrastive_margin_consistency(ray_session):
         neg[["vec_id", "label"]], on="vec_id")["label_y"]).all()
 
 
+def test_diurnal_profile_conservation(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_diurnal_profile)
+
+    df = q_diurnal_profile(SF)
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    assert int(df["n_events"].sum()) == n_events
+    assert df["hour"].between(0, 23).all()
+    assert (df["n_users"] <= df["n_events"]).all()
+    # spot-check one cell's distinct users
+    r = df.iloc[0]
+    truth = duckdb.sql(f"""
+        SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'
+        WHERE event_type = '{r["event_type"]}'
+          AND (floor(epoch(ts) / 3600) % 24) = {int(r["hour"])}
+        """).fetchone()[0]
+    assert int(r["n_users"]) == truth
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
