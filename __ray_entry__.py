@@ -877,6 +877,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_contrastive_margin": similarity.q_contrastive_margin,
         # hour-of-day arrival profile per event type (diurnal load)
         "q_diurnal_profile": relational.q_diurnal_profile,
+        # session-depth histogram (engagement shape, sessionize chain)
+        "q_session_hist": relational.q_session_hist,
     }
 
 
@@ -3005,6 +3007,35 @@ def oracle_sql() -> dict[str, str]:
             FROM sessioned
             GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        # session-depth histogram: the q_sessionize chain rolled up per
+        # depth — integer session/duration sums, one division per row
+        "q_session_hist": """
+            WITH e AS (
+                SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                FROM events
+            ), marked AS (
+                SELECT *, CASE WHEN sec - lag(sec) OVER w > 1800
+                               THEN 1 ELSE 0 END AS new_session
+                FROM e WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY sec, event_id)
+            ), sessioned AS (
+                SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                                 ORDER BY sec, event_id
+                                                 ROWS UNBOUNDED PRECEDING)
+                              AS session_idx
+                FROM marked
+            ), sess AS (
+                SELECT user_id, session_idx,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(max(sec) - min(sec) AS BIGINT) AS dur
+                FROM sessioned GROUP BY user_id, session_idx)
+            SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions,
+                   round(CAST(sum(dur) AS BIGINT)
+                         / CAST(count(*) AS BIGINT), 6)
+                       AS mean_duration_s
+            FROM sess GROUP BY n_events ORDER BY n_events
         """,
         # q_funnel: strictly-after min-ts step semantics; fractions are one
         # division of identical int64 counts per row (CASE 0-guard matches

@@ -587,6 +587,49 @@ def q_sessionize(sf_dir: str) -> Dataset:
                    ("duration_s", pa.int64())]))
 
 
+def q_session_hist(sf_dir: str) -> pd.DataFrame:
+    """Session-depth histogram: for each session length (events per
+    session), how many sessions have it and their mean duration — the
+    engagement-shape table (a depth-1 spike is bounce traffic, a long
+    tail is power users) product analytics derives from sessionization.
+
+    EXACT: rides the proven ``q_sessionize`` bucketed-window chain
+    (sessions resolve whole inside a user bucket); the histogram folds
+    integer (n_sessions, duration) partials per depth; ONE double
+    division per output row. Histogram rows are bounded by the maximum
+    session depth, not the corpus.
+
+    Ray shape: the sessionize stream → per-batch (depth, 2-int)
+    partials → one bounded groupby. Result-sized → DataFrame."""
+    ds = q_sessionize(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+                "n_events": t["n_events"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "c": np.ones(t.num_rows, np.int64),
+                "dur": t["duration_s"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)})
+             .groupby("n_events", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536)
+          .groupby("n_events")
+          .aggregate(Sum("c", alias_name="n_sessions"),
+                     Sum("dur", alias_name="dur"))
+          .to_pandas())                     # ≤ max-depth rows
+    if df.empty or "n_sessions" not in df.columns:
+        return typed_empty(n_events="int64", n_sessions="int64",
+                           mean_duration_s="float64")
+    for c in ("n_events", "n_sessions", "dur"):
+        df[c] = df[c].astype(np.int64)
+    df["mean_duration_s"] = _r(df["dur"].astype(np.float64)
+                               / df["n_sessions"].astype(np.float64), 6)
+    return (df[["n_events", "n_sessions", "mean_duration_s"]]
+            .sort_values("n_events").reset_index(drop=True))
+
+
 # --- rolling distinct: daily active users + 7-day window -----------------------
 
 DAU_WINDOW_DAYS = 7

@@ -700,6 +700,25 @@ def test_diurnal_profile_conservation(ray_session):
     assert int(r["n_users"]) == truth
 
 
+def test_session_hist_matches_sessionize_rollup(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_session_hist, q_sessionize)
+
+    df = q_session_hist(SF)
+    sess = q_sessionize(SF).to_pandas()
+    assert int(df["n_sessions"].sum()) == len(sess)
+    assert int((df["n_events"] * df["n_sessions"]).sum()) == int(
+        sess["n_events"].sum())
+    truth = (sess.groupby("n_events")
+             .agg(c=("n_events", "size"), d=("duration_s", "mean")))
+    m = df.set_index("n_events")
+    for depth in truth.index:
+        assert int(m.loc[depth, "n_sessions"]) == int(
+            truth.loc[depth, "c"])
+        assert abs(float(m.loc[depth, "mean_duration_s"])
+                   - float(truth.loc[depth, "d"])) < 2e-6
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
