@@ -1574,7 +1574,16 @@ def q_contrastive_margin(sf_dir: str,
     Result-sized → DataFrame."""
     from ray.data.aggregate import Sum
 
-    pos = _label_best(sf_dir, same_label=True, n_blocks=n_blocks)
+    # materialize + count: slim int rows, two-consumer pin; Ray's hash
+    # join crashes on schema-less empty sides (the q_containment_pairs
+    # guard) and an empty corpus is a routine condition
+    pos = _label_best(sf_dir, same_label=True,
+                      n_blocks=n_blocks).materialize()
+    if pos.count() == 0:
+        return typed_empty(label="int64", n="int64",
+                           mean_pos_cos="float64",
+                           mean_neg_cos="float64",
+                           mean_margin="float64")
     neg = (_label_best(sf_dir, same_label=False, n_blocks=n_blocks)
            .map_batches(lambda t: pa.table(
                {"vec_id": t["vec_id"], "nq": t["qcos"]}),
