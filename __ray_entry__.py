@@ -879,6 +879,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_diurnal_profile": relational.q_diurnal_profile,
         # session-depth histogram (engagement shape, sessionize chain)
         "q_session_hist": relational.q_session_hist,
+        # daily-volume 3-sigma anomaly scan (all-integer decision)
+        "q_anomaly_days": relational.q_anomaly_days,
     }
 
 
@@ -3036,6 +3038,31 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS BIGINT), 6)
                        AS mean_duration_s
             FROM sess GROUP BY n_events ORDER BY n_events
+        """,
+        # anomaly days: the all-integer 3-sigma test
+        # (n*D - S)^2 > 9*(D*Q - S^2) on HUGEINT moments; z is display
+        # math on the same exact integers (libm sqrt, one division)
+        "q_anomaly_days": """
+            WITH d AS (SELECT event_type,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                                  AS day
+                       FROM events),
+            c AS (SELECT event_type, day, count(*)::BIGINT AS n
+                  FROM d GROUP BY event_type, day),
+            s AS (SELECT event_type, count(*)::BIGINT AS dd,
+                         CAST(sum(n) AS BIGINT) AS sn,
+                         CAST(sum(n * n) AS BIGINT) AS qn
+                  FROM c GROUP BY event_type),
+            f AS (SELECT c.event_type, c.day, c.n,
+                         CAST(c.n AS HUGEINT) * s.dd - s.sn AS dev,
+                         CAST(s.dd AS HUGEINT) * s.qn
+                         - CAST(s.sn AS HUGEINT) * s.sn AS var_q
+                  FROM c JOIN s USING (event_type))
+            SELECT event_type, day, n,
+                   round(abs(CAST(dev AS DOUBLE))
+                         / sqrt(CAST(var_q AS DOUBLE)), 6) AS z
+            FROM f WHERE dev * dev > 9 * var_q
+            ORDER BY event_type, day
         """,
         # q_funnel: strictly-after min-ts step semantics; fractions are one
         # division of identical int64 counts per row (CASE 0-guard matches

@@ -587,6 +587,65 @@ def q_sessionize(sf_dir: str) -> Dataset:
                    ("duration_s", pa.int64())]))
 
 
+def q_anomaly_days(sf_dir: str) -> pd.DataFrame:
+    """Daily-volume anomaly scan: per event type, the days whose event
+    count sits more than 3σ from that type's mean daily count — the
+    telemetry-pipeline data-quality tripwire (an ingest gap or a bot
+    flood both land here before they poison downstream aggregates).
+
+    EXACT via an ALL-INTEGER 3σ test: with D observed days, S = Σn,
+    Q = Σn², the condition |n − S/D| > 3·σ rewrites as
+    ``(n·D − S)² > 9·(D·Q − S²)`` — pure integer arithmetic, no float
+    threshold anywhere in the decision. The reported z-score
+    (|n·D − S| / √(D·Q − S²)) is display math on exact integers (libm
+    sqrt, one division), rounded to 6.
+
+    Ray shape: per-batch (type, day) count partials → one bounded
+    groupby (types × observed days) → driver folds per-type moments and
+    flags. Result-sized → DataFrame."""
+    import math
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        day = (s // 86400).astype(np.int64)
+        g = (pd.DataFrame({
+                "event_type": t["event_type"].to_numpy(
+                    zero_copy_only=False),
+                "day": day, "n": np.ones(len(day), np.int64)})
+             .groupby(["event_type", "day"], as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536)
+          .groupby(["event_type", "day"])
+          .aggregate(Sum("n", alias_name="n"))
+          .to_pandas())                    # bounded: types × days
+    if df.empty or "n" not in df.columns:
+        return typed_empty(event_type="object", day="int64", n="int64",
+                           z="float64")
+    rows = []
+    for et, g in df.groupby("event_type", sort=True):
+        ns = [int(x) for x in g["n"]]          # Python ints: no overflow
+        dd, sn, qn = len(ns), sum(ns), sum(x * x for x in ns)
+        var_q = dd * qn - sn * sn
+        for day, n in zip(g["day"], ns):
+            dev = n * dd - sn
+            if dev * dev > 9 * var_q:          # all-integer 3σ test
+                z = round_half_away(np.float64(
+                    abs(float(dev)) / math.sqrt(float(var_q))), 6)
+                rows.append((et, int(day), n, float(z)))
+    if not rows:
+        return typed_empty(event_type="object", day="int64", n="int64",
+                           z="float64")
+    out = pd.DataFrame(rows, columns=["event_type", "day", "n", "z"])
+    for c in ("day", "n"):
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["event_type", "day"])
+            .reset_index(drop=True))
+
+
 def q_session_hist(sf_dir: str) -> pd.DataFrame:
     """Session-depth histogram: for each session length (events per
     session), how many sessions have it and their mean duration — the

@@ -719,6 +719,28 @@ def test_session_hist_matches_sessionize_rollup(ray_session):
                    - float(truth.loc[depth, "d"])) < 2e-6
 
 
+def test_anomaly_days_integer_test_matches_float(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_anomaly_days)
+
+    # sf0.1 exhibits >3-sigma days; verify against float z-scores
+    sf1 = "/root/testdata/sf0.1"
+    df = q_anomaly_days(sf1)
+    counts = duckdb.sql(f"""
+        SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+               AS day, count(*) AS n
+        FROM '{sf1}/events.parquet' GROUP BY 1, 2""").df()
+    flagged = set()
+    for et, g in counts.groupby("event_type"):
+        n = g["n"].to_numpy(np.float64)
+        mu, sd = n.mean(), n.std()   # population sigma, matches D*Q-S^2
+        for day, x in zip(g["day"], n):
+            if sd > 0 and abs(x - mu) > 3 * sd:
+                flagged.add((et, int(day)))
+    assert set(zip(df["event_type"], df["day"].astype(int))) == flagged
+    assert (df["z"] > 3.0).all()
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
