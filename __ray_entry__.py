@@ -881,6 +881,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_session_hist": relational.q_session_hist,
         # daily-volume 3-sigma anomaly scan (all-integer decision)
         "q_anomaly_days": relational.q_anomaly_days,
+        # gopher keep-rate by global length decile (filter ablation)
+        "q_keep_by_length": textstats.q_keep_by_length,
     }
 
 
@@ -5997,6 +5999,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_docs
         FROM gf g JOIN dup d USING (doc_id)
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # q_keep_by_length: gopher keep (derived from the gated SQL) per
+    # global length decile; cuts replay the all-integer inverse-CDF test
+    oracles["q_keep_by_length"] = f"""
+        WITH gf AS ({oracles['q_gopher_filter']}),
+        h AS (SELECT n_chars AS v, count(*)::BIGINT AS c
+              FROM documents GROUP BY n_chars),
+        cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cm,
+                       sum(c) OVER () AS n
+                FROM h),
+        qs AS (SELECT unnest(range(1, 10)) AS q),
+        cuts AS (SELECT q.q,
+                        min(CASE WHEN 10 * cum.cm >= q.q * cum.n
+                                 THEN cum.v END) AS vq
+                 FROM qs q CROSS JOIN cum GROUP BY q.q),
+        dd AS (SELECT d.doc_id,
+                      1 + (SELECT count(*) FROM cuts
+                           WHERE cuts.vq < d.n_chars) AS decile
+               FROM documents d)
+        SELECT CAST(dd.decile AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(g.keep) AS BIGINT) AS n_keep,
+               round(CAST(sum(g.keep) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+        FROM dd JOIN gf g USING (doc_id)
+        GROUP BY dd.decile ORDER BY decile
     """
     # q_curation_report composes the gated q_gopher_filter replay with the
     # unigram-LM and encoding chains — per-source scorecard.

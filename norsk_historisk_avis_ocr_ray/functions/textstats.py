@@ -1449,6 +1449,72 @@ def q_ks_drift(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_keep_by_length(sf_dir: str) -> pd.DataFrame:
+    """Gopher-keep rate by document-length decile — the filter-ablation
+    curve that answers "is the quality filter just a length proxy?"
+    before anyone tunes thresholds: per global length decile, doc count,
+    kept count and keep rate.
+
+    EXACT: decile cuts come from the bounded (n_chars, count) CDF with
+    the all-integer inverse-CDF test ``min v : 10·cum ≥ q·n`` (the
+    q_length_percentiles device); a doc's decile is
+    ``1 + #{cuts < n_chars}`` — integer comparisons against 9 broadcast
+    cut values, no NTILE remainder ambiguity to replay; keep flags ride
+    the proven ``_gopher_batch`` integer predicates; ONE division per
+    output row.
+
+    Ray shape: the slim CDF pass folds 9 cuts on the driver (bounded
+    table) → one text pass computes keep + decile per batch and emits
+    (decile, 2-int) partials → a ≤ 10-group groupby. Result-sized →
+    DataFrame."""
+    from ray.data.aggregate import Sum
+
+    from .collect import typed_empty
+
+    cdf = _length_counts(sf_dir)
+    if cdf.empty:
+        return typed_empty(decile="int64", n_docs="int64",
+                           n_keep="int64", keep_rate="float64")
+    g = (cdf.groupby("v", as_index=False)["c"].sum()
+         .sort_values("v", kind="mergesort"))
+    v = g["v"].to_numpy(np.int64)
+    cum = np.cumsum(g["c"].to_numpy(np.int64))
+    n = int(cum[-1])
+    cuts = np.array(sorted(
+        int(v[int(np.searchsorted(10 * cum, q * n))])
+        for q in range(1, 10)), np.int64)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = _gopher_batch(t)["keep"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dec = 1 + np.searchsorted(cuts, nc, side="left").astype(np.int64)
+        gg = (pd.DataFrame({"decile": dec,
+                            "c": np.ones(len(nc), np.int64),
+                            "k": keep})
+              .groupby("decile", as_index=False).sum())
+        return pa.Table.from_pandas(gg, preserve_index=False)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+          .groupby("decile")
+          .aggregate(Sum("c", alias_name="n_docs"),
+                     Sum("k", alias_name="n_keep"))
+          .to_pandas())                       # ≤ 10 rows
+    if df.empty or "n_docs" not in df.columns:
+        return typed_empty(decile="int64", n_docs="int64",
+                           n_keep="int64", keep_rate="float64")
+    for c in ("decile", "n_docs", "n_keep"):
+        df[c] = df[c].astype(np.int64)
+    df["keep_rate"] = round_half_away(
+        df["n_keep"].to_numpy(np.float64)
+        / df["n_docs"].to_numpy(np.float64), 6)
+    return (df[["decile", "n_docs", "n_keep", "keep_rate"]]
+            .sort_values("decile").reset_index(drop=True))
+
+
 PCT_POINTS = (50, 90, 99)     # reported percentiles (inverse-CDF, lower)
 
 

@@ -741,6 +741,23 @@ def test_anomaly_days_integer_test_matches_float(ray_session):
     assert (df["z"] > 3.0).all()
 
 
+def test_keep_by_length_margins(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_gopher_filter, q_keep_by_length)
+
+    df = q_keep_by_length(SF)
+    docs = duckdb.sql(f"SELECT count(*) FROM "
+                      f"'{SF}/documents.parquet'").fetchone()[0]
+    assert int(df["n_docs"].sum()) == docs
+    assert set(df["decile"]).issubset(set(range(1, 11)))
+    assert df["keep_rate"].between(0.0, 1.0).all()
+    # keep margin equals the gopher stream's total
+    keep = q_gopher_filter(SF).to_pandas()["keep"].to_numpy(np.int64)
+    assert int(df["n_keep"].sum()) == int(keep.sum())
+    # deciles are roughly balanced (within one tie-run of n/10)
+    assert df["n_docs"].max() <= docs // 10 + docs // 2
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
