@@ -569,6 +569,14 @@ def _video_shot_detect(sf_dir: str) -> Any:
 # LSH-cluster / ANN / sketch / retrieval / text-quality / training-prep
 # surface (all with exact DuckDB oracles). Everything else keeps its
 # original relative order behind the window; rotate again next round.
+#
+# ROUND-5 ROTATION CANDIDATES (never driver-gated, all exact-oracled at
+# three scales + CPU fuzz locally): the ~45 round-4c/4d additions at the
+# tail of _queries_base() — q_ks_drift .. q_keep_by_length (incl. the
+# Q2/Q11/Q16/Q20 window already gated r4, the mixture/fertility/CCNet
+# family, the leakage matrices, curation report, dedup funnel, the
+# contrastive-mining trio, and the event rollups) — plus any first-50
+# slot whose chain is proven transitively by a gated sibling.
 _GATE_FRONT = [
     "extract_docs", "ocr_extract", "q10_returned_revenue",
     # round-4c TPC-H shapes (Q2/Q11/Q16/Q20 over the reduced schema) —
