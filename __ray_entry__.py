@@ -891,6 +891,10 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_anomaly_days": relational.q_anomaly_days,
         # gopher keep-rate by global length decile (filter ablation)
         "q_keep_by_length": textstats.q_keep_by_length,
+        # first-touch attribution (earliest event type per user)
+        "q_first_touch": relational.q_first_touch,
+        # user-activity Pareto: top-decile share + Gini (80/20 table)
+        "q_user_concentration": relational.q_user_concentration,
     }
 
 
@@ -3073,6 +3077,75 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt(CAST(var_q AS DOUBLE)), 6) AS z
             FROM f WHERE dev * dev > 9 * var_q
             ORDER BY event_type, day
+        """,
+        # first touch: (floored-second, event_id) argmin per user — the
+        # q_sessionize ordering convention — joined to per-user totals
+        "q_first_touch": """
+            WITH e AS (SELECT user_id, event_id, event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                              CAST(round(value * 100) AS BIGINT) AS qv
+                       FROM events),
+            f AS (SELECT user_id, event_type AS first_type FROM (
+                      SELECT user_id, event_type,
+                             row_number() OVER (PARTITION BY user_id
+                                 ORDER BY sec, event_id) AS rn
+                      FROM e) WHERE rn = 1),
+            s AS (SELECT user_id, CAST(sum(qv) AS BIGINT) AS qv,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM e GROUP BY user_id)
+            SELECT f.first_type,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(s.n) AS BIGINT) AS n_events,
+                   round((CAST(sum(s.qv) AS BIGINT) / 100.0)
+                         / CAST(count(*) AS BIGINT), 6)
+                       AS mean_user_value
+            FROM f JOIN s USING (user_id)
+            GROUP BY f.first_type ORDER BY f.first_type
+        """,
+        # user concentration: bounded count histogram, top-decile
+        # tie-group walk + Gini tie-run rank sums — all integers, two
+        # divisions total
+        "q_user_concentration": """
+            WITH c AS (SELECT user_id, count(*)::BIGINT AS n
+                       FROM events GROUP BY user_id),
+            h AS (SELECT n AS v, count(*)::BIGINT AS k
+                  FROM c GROUP BY n),
+            tot AS (SELECT CAST(sum(v * k) AS BIGINT) AS e,
+                           CAST(sum(k) AS BIGINT) AS u
+                    FROM h),
+            cum AS (SELECT v, k,
+                           CAST(sum(k) OVER (ORDER BY v DESC) AS BIGINT)
+                               AS cu,
+                           CAST(sum(v * k) OVER (ORDER BY v DESC)
+                                AS BIGINT) AS ce
+                    FROM h),
+            nd AS (SELECT (u + 9) // 10 AS nu, e, u FROM tot),
+            pick AS (SELECT cum.v, cum.k, cum.cu, cum.ce,
+                            nd.nu, nd.e, nd.u
+                     FROM cum CROSS JOIN nd
+                     WHERE cum.cu >= nd.nu
+                     QUALIFY row_number() OVER (ORDER BY cum.v DESC) = 1),
+            asc_ AS (SELECT v, k,
+                            CAST(sum(k) OVER (ORDER BY v) - k AS BIGINT)
+                                AS pb
+                     FROM h),
+            gq AS (SELECT CAST(sum(v * (k * (pb + 1)
+                                        + k * (k - 1) // 2))
+                               AS HUGEINT) AS si
+                   FROM asc_)
+            SELECT p.u AS n_users, p.e AS n_events,
+                   CAST(p.nu AS BIGINT) AS top10_users,
+                   CAST(p.ce - p.v * p.k + (p.nu - (p.cu - p.k)) * p.v
+                        AS BIGINT) AS top10_events,
+                   round(CAST(p.ce - p.v * p.k
+                              + (p.nu - (p.cu - p.k)) * p.v AS DOUBLE)
+                         / CAST(p.e AS DOUBLE), 6) AS top10_share,
+                   round(CAST(2 * g.si
+                              - (CAST(p.u AS HUGEINT) + 1) * p.e
+                              AS DOUBLE)
+                         / CAST(CAST(p.u AS HUGEINT) * p.e AS DOUBLE), 6)
+                       AS gini
+            FROM pick p CROSS JOIN gq g
         """,
         # q_funnel: strictly-after min-ts step semantics; fractions are one
         # division of identical int64 counts per row (CASE 0-guard matches

@@ -594,6 +594,161 @@ def q_sessionize(sf_dir: str) -> Dataset:
                    ("duration_s", pa.int64())]))
 
 
+def q_first_touch(sf_dir: str) -> pd.DataFrame:
+    """First-touch attribution: which event type each user STARTED with
+    (earliest ts, ties to the lower event_id), counted per type with the
+    users' total downstream value — the acquisition-channel table
+    marketing analytics reads against last-touch conversion.
+
+    EXACT: the first-event argmin compares (integer second, event_id)
+    pairs inside the user's hash bucket (the windowed contract — a
+    user's rows never split); value rides the cents grid; ONE division
+    per output row for the mean.
+
+    Ray shape: per-batch (bucket, user) local-argmin + value partials →
+    one hash-bucket shuffle → per-bucket vectorized argmin + per-type
+    rollup → NB × |types| partials fold on the driver. Result-sized →
+    DataFrame."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+    bucketize = _user_bucketizer()
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = bucketize(t)
+        sec = t["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        df = pd.DataFrame({
+            "bucket": t["bucket"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "sec": sec,
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "qv": _cents(t["value"].to_numpy()),
+            "n": np.ones(len(sec), np.int64)})
+        # batch-local argmin per user (correct partial: the global argmin
+        # survives any subset argmin chain) + batch-local value sums
+        first = (df.sort_values(["user_id", "sec", "event_id"],
+                                kind="mergesort")
+                 .groupby("user_id", as_index=False).first()
+                 [["bucket", "user_id", "sec", "event_id", "event_type"]])
+        sums = (df.groupby(["bucket", "user_id"], as_index=False)
+                .agg(qv=("qv", "sum"), n=("n", "sum")))
+        out = first.merge(sums, on=["bucket", "user_id"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        first = (g.sort_values(["user_id", "sec", "event_id"],
+                               kind="mergesort")
+                 .groupby("user_id", as_index=False)
+                 .agg(event_type=("event_type", "first")))
+        sums = (g.groupby("user_id", as_index=False)
+                .agg(qv=("qv", "sum"), n=("n", "sum")))
+        j = first.merge(sums, on="user_id")
+        cell = (j.groupby("event_type", as_index=False)
+                .agg(u=("user_id", "size"), qv=("qv", "sum"),
+                     n=("n", "sum")))
+        for c in ("u", "qv", "n"):
+            cell[c] = cell[c].astype(np.int64)
+        return cell
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas")
+             .to_pandas())               # ≤ NB × |types| rows
+    if parts.empty:
+        return typed_empty(first_type="object", n_users="int64",
+                           n_events="int64", mean_user_value="float64")
+    df = (parts.groupby("event_type", as_index=False)
+          .agg(n_users=("u", "sum"), n_events=("n", "sum"),
+               qv=("qv", "sum"))
+          .rename(columns={"event_type": "first_type"}))
+    for c in ("n_users", "n_events"):
+        df[c] = df[c].astype(np.int64)
+    # total downstream value per first-touch cohort / its users
+    df["mean_user_value"] = _r((df["qv"].astype(np.float64) / 100.0)
+                               / df["n_users"].astype(np.float64), 6)
+    return (df[["first_type", "n_users", "n_events", "mean_user_value"]]
+            .sort_values("first_type").reset_index(drop=True))
+
+
+def q_user_concentration(sf_dir: str) -> pd.DataFrame:
+    """Event-volume concentration across users: the 80/20 table — what
+    share of all events the top-10%-most-active users generate, plus
+    the Gini coefficient of per-user activity. The abuse/bot and
+    sampling-bias read: a share near 1 means a handful of accounts ARE
+    the corpus.
+
+    EXACT via the bounded count HISTOGRAM (the q_token_cover device):
+    only (events-per-user → #users) matters, users with equal counts
+    are interchangeable, and the top-decile take is the all-integer
+    partial tie-group walk ``ceil((need − users_above)·v)``; Gini folds
+    tie-run integer rank sums (the q_gini_length formula). Histogram
+    rows are bounded by the max per-user count, not the user count.
+
+    Ray shape: per-batch user-count partials → one user-bucketed
+    combine emitting bucket-local histograms (a user lives in exactly
+    one bucket, so they are additive) → driver walks the bounded
+    histogram. One-row output → DataFrame."""
+    from .combine import bucketed_combine
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def cnts(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"user_id": t["user_id"].to_numpy(
+                               zero_copy_only=False).astype(np.int64),
+                           "n": np.ones(t.num_rows, np.int64)})
+             .groupby("user_id", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("user_id")["n"].sum()
+        h = s.value_counts().rename_axis("v").reset_index(name="k")
+        h["v"] = h["v"].astype(np.int64)
+        h["k"] = h["k"].astype(np.int64)
+        return h[["v", "k"]]
+
+    parts = bucketed_combine(
+        ds.map_batches(cnts, batch_format="pyarrow", batch_size=65536),
+        "user_id", hist).to_pandas()
+    if parts.empty:
+        return typed_empty(n_users="int64", n_events="int64",
+                           top10_users="int64", top10_events="int64",
+                           top10_share="float64", gini="float64")
+    h = (parts.groupby("v", as_index=False)["k"].sum()
+         .sort_values("v", kind="mergesort"))
+    v = [int(x) for x in h["v"]]              # Python ints: no overflow
+    k = [int(x) for x in h["k"]]
+    u, e = sum(k), sum(a * b for a, b in zip(v, k))
+    need = (u + 9) // 10                      # ceil(U/10)
+    # top-decile walk, descending count order
+    top_events, users_seen = 0, 0
+    for vi, ki in zip(reversed(v), reversed(k)):
+        if users_seen + ki >= need:
+            top_events += (need - users_seen) * vi
+            break
+        top_events += ki * vi
+        users_seen += ki
+    # Gini over users: ascending tie-run rank sums (q_gini_length)
+    si, p = 0, 0
+    for vi, ki in zip(v, k):
+        si += vi * (ki * (p + 1) + ki * (ki - 1) // 2)
+        p += ki
+    gini = (0.0 if u * e == 0 else float(round_half_away(
+        np.float64(2 * si - (u + 1) * e) / np.float64(u * e), 6)))
+    out = pd.DataFrame({
+        "n_users": pd.Series([u], dtype="int64"),
+        "n_events": pd.Series([e], dtype="int64"),
+        "top10_users": pd.Series([need], dtype="int64"),
+        "top10_events": pd.Series([top_events], dtype="int64"),
+        "top10_share": [float(round_half_away(
+            np.float64(top_events) / np.float64(e), 6))],
+        "gini": [gini]})
+    return out
+
+
 def q_anomaly_days(sf_dir: str) -> pd.DataFrame:
     """Daily-volume anomaly scan: per event type, the days whose event
     count sits more than 3σ from that type's mean daily count — the

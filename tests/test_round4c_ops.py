@@ -758,6 +758,49 @@ def test_keep_by_length_margins(ray_session):
     assert df["n_docs"].max() <= docs // 10 + docs // 2
 
 
+def test_first_touch_matches_bruteforce(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_first_touch)
+
+    df = q_first_touch(SF)
+    ev = duckdb.sql(f"""
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM '{SF}/events.parquet'""").df()
+    n_users = ev["user_id"].nunique()
+    assert int(df["n_users"].sum()) == n_users
+    assert int(df["n_events"].sum()) == len(ev)
+    first = (ev.sort_values(["user_id", "sec", "event_id"])
+             .groupby("user_id").first())
+    truth = first["event_type"].value_counts()
+    m = df.set_index("first_type")["n_users"]
+    for et in truth.index:
+        assert int(m.loc[et]) == int(truth.loc[et])
+
+
+def test_user_concentration_bruteforce(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_user_concentration)
+
+    df = q_user_concentration(SF)
+    assert len(df) == 1
+    r = df.iloc[0]
+    counts = duckdb.sql(f"""
+        SELECT count(*) AS n FROM '{SF}/events.parquet'
+        GROUP BY user_id""").df()["n"].to_numpy(np.int64)
+    u, e = len(counts), int(counts.sum())
+    assert int(r["n_users"]) == u and int(r["n_events"]) == e
+    need = (u + 9) // 10
+    top = int(np.sort(counts)[::-1][:need].sum())
+    assert int(r["top10_events"]) == top
+    assert abs(float(r["top10_share"]) - top / e) < 2e-6
+    # Gini against the float formula
+    x = np.sort(counts).astype(np.float64)
+    i = np.arange(1, u + 1, dtype=np.float64)
+    g = float((2 * (i * x).sum() - (u + 1) * x.sum()) / (u * x.sum()))
+    assert abs(float(r["gini"]) - g) < 2e-6
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
