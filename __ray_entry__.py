@@ -895,6 +895,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_first_touch": relational.q_first_touch,
         # user-activity Pareto: top-decile share + Gini (80/20 table)
         "q_user_concentration": relational.q_user_concentration,
+        # RFM segmentation: R/F/M terciles on bounded grids (27 cells)
+        "q_rfm_segments": relational.q_rfm_segments,
     }
 
 
@@ -3146,6 +3148,62 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(CAST(p.u AS HUGEINT) * p.e AS DOUBLE), 6)
                        AS gini
             FROM pick p CROSS JOIN gq g
+        """,
+        # RFM: per-user (recency-days, count, log-grid monetary) triples,
+        # per-dimension all-integer tercile cume tests (recency ascending
+        # = most recent is tercile 1; frequency/monetary descending)
+        "q_rfm_segments": """
+            WITH e AS (SELECT user_id,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                              CAST(round(value * 100) AS BIGINT) AS qv
+                       FROM events),
+            tmx AS (SELECT CAST(max(sec) AS BIGINT) AS tmax FROM e),
+            u AS (SELECT user_id,
+                         CAST((tmx.tmax - max(sec)) // 86400 AS BIGINT)
+                             AS rg,
+                         CAST(count(*) AS BIGINT) AS fg,
+                         CAST(floor(100 * ln(1.0
+                                    + CAST(sum(qv) AS DOUBLE)))
+                              AS BIGINT) AS mg
+                  FROM e CROSS JOIN tmx GROUP BY user_id, tmx.tmax),
+            hr AS (SELECT rg AS v, count(*)::BIGINT AS k
+                   FROM u GROUP BY rg),
+            tr AS (SELECT v, 1 + CASE WHEN 3 * (cum - k) >= n
+                                      THEN 1 ELSE 0 END
+                            + CASE WHEN 3 * (cum - k) >= 2 * n
+                                   THEN 1 ELSE 0 END AS t
+                   FROM (SELECT v, k, sum(k) OVER (ORDER BY v) AS cum,
+                                sum(k) OVER () AS n
+                         FROM hr)),
+            hf AS (SELECT fg AS v, count(*)::BIGINT AS k
+                   FROM u GROUP BY fg),
+            tf AS (SELECT v, 1 + CASE WHEN 3 * (cum - k) >= n
+                                      THEN 1 ELSE 0 END
+                            + CASE WHEN 3 * (cum - k) >= 2 * n
+                                   THEN 1 ELSE 0 END AS t
+                   FROM (SELECT v, k,
+                                sum(k) OVER (ORDER BY v DESC) AS cum,
+                                sum(k) OVER () AS n
+                         FROM hf)),
+            hm AS (SELECT mg AS v, count(*)::BIGINT AS k
+                   FROM u GROUP BY mg),
+            tm2 AS (SELECT v, 1 + CASE WHEN 3 * (cum - k) >= n
+                                       THEN 1 ELSE 0 END
+                             + CASE WHEN 3 * (cum - k) >= 2 * n
+                                    THEN 1 ELSE 0 END AS t
+                    FROM (SELECT v, k,
+                                 sum(k) OVER (ORDER BY v DESC) AS cum,
+                                 sum(k) OVER () AS n
+                          FROM hm))
+            SELECT CAST(tr.t AS BIGINT) AS r, CAST(tf.t AS BIGINT) AS f,
+                   CAST(tm2.t AS BIGINT) AS m,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM u
+            JOIN tr ON tr.v = u.rg
+            JOIN tf ON tf.v = u.fg
+            JOIN tm2 ON tm2.v = u.mg
+            GROUP BY tr.t, tf.t, tm2.t
+            ORDER BY r, f, m
         """,
         # q_funnel: strictly-after min-ts step semantics; fractions are one
         # division of identical int64 counts per row (CASE 0-guard matches

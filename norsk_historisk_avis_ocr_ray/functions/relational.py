@@ -674,6 +674,136 @@ def q_first_touch(sf_dir: str) -> pd.DataFrame:
             .sort_values("first_type").reset_index(drop=True))
 
 
+RFM_MGRID = 100     # monetary log-grid: mg = floor(100·ln(1+cents))
+
+
+def q_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM segmentation — the classic CRM operator: each user scored
+    into Recency / Frequency / Monetary terciles (1 = top third), users
+    counted per (r, f, m) cell (≤ 27 rows). The cohort table churn
+    models and campaign targeting start from.
+
+    EXACT via three bounded per-dimension histograms: recency in WHOLE
+    DAYS since the corpus max timestamp (bounded by the time span),
+    frequency in raw event counts (bounded by max events/user), and
+    monetary on the q_ccnet_buckets log grid ``floor(100·ln(1+cents))``
+    (bounded however large the totals — ``math.log`` == DuckDB ``ln``).
+    Tercile cuts per dimension are the all-integer cume test
+    ``3·cum > U`` / ``3·cum > 2·U`` over users; cell counts are integer
+    sums. A user's triple resolves whole inside its hash bucket.
+
+    Ray shape: pass 1 — global max second (one aggregate); pass 2 —
+    user-bucketed combine emits bucket-local (dimension, grid value,
+    users) histogram rows (additive; bounded); driver folds cuts;
+    pass 3 — the same combine re-runs with the three bounded cut maps
+    broadcast, emitting (r, f, m, users) cell partials. Result-sized →
+    DataFrame."""
+    import math
+
+    from ray.data.aggregate import Max, Sum
+
+    from .combine import bucketed_combine
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def secs(t: pa.Table) -> pa.Table:
+        s = t["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        return pa.table({"s": pa.array(s, pa.int64())})
+
+    tmax_df = (ds.map_batches(secs, batch_format="pyarrow",
+                              batch_size=65536)
+               .aggregate(Max("s")))
+    if not tmax_df or tmax_df.get("max(s)") is None:
+        return typed_empty(r="int64", f="int64", m="int64",
+                           n_users="int64")
+    tmax = int(tmax_df["max(s)"])
+
+    def per_user_partial(t: pa.Table) -> pa.Table:
+        s = t["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "last": s,
+            "n": np.ones(len(s), np.int64),
+            "qv": _cents(t["value"].to_numpy())})
+        g = (df.groupby("user_id", as_index=False)
+             .agg(last=("last", "max"), n=("n", "sum"),
+                  qv=("qv", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def user_triples(g: pd.DataFrame) -> pd.DataFrame:
+        u = (g.groupby("user_id", as_index=False)
+             .agg(last=("last", "max"), n=("n", "sum"), qv=("qv", "sum")))
+        u["rg"] = ((tmax - u["last"].to_numpy(np.int64)) // 86400
+                   ).astype(np.int64)
+        u["fg"] = u["n"].astype(np.int64)
+        # math.log per user: libm == DuckDB ln (np.log is not)
+        u["mg"] = np.fromiter(
+            (math.floor(RFM_MGRID * math.log(1.0 + float(q)))
+             for q in u["qv"].to_numpy(np.int64)),
+            np.int64, count=len(u))
+        return u[["user_id", "rg", "fg", "mg"]]
+
+    # two consumers (histogram pass + cell pass): pin the slim 4-int
+    # partial rows once instead of re-reading events per pass
+    counts = ds.map_batches(per_user_partial, batch_format="pyarrow",
+                            batch_size=65536).materialize()
+
+    def hists(g: pd.DataFrame) -> pd.DataFrame:
+        u = user_triples(g)
+        frames = []
+        for dim, col in (("r", "rg"), ("f", "fg"), ("m", "mg")):
+            h = (u.groupby(col).size().rename_axis("v")
+                 .reset_index(name="k"))
+            h["dim"] = dim
+            frames.append(h[["dim", "v", "k"]])
+        out = pd.concat(frames, ignore_index=True)
+        out["v"] = out["v"].astype(np.int64)
+        out["k"] = out["k"].astype(np.int64)
+        return out
+
+    hdf = (bucketed_combine(counts, "user_id", hists).to_pandas()
+           .groupby(["dim", "v"], as_index=False)["k"].sum())
+    if hdf.empty:
+        return typed_empty(r="int64", f="int64", m="int64",
+                           n_users="int64")
+
+    def tercile_map(h: pd.DataFrame, asc: bool) -> dict:
+        # tercile 1 = the "best" third: most recent (ascending recency
+        # days), most frequent / highest monetary (descending value).
+        # The cut tests the BEFORE-cumulative (3·cum_before ≥ q·n), so a
+        # tie group containing a boundary takes the BETTER tercile — a
+        # single dominant group (everyone active the same day) reads as
+        # tercile 1, not 3.
+        h = h.sort_values("v", ascending=asc, kind="mergesort")
+        k = h["k"].to_numpy(np.int64)
+        cumb = np.cumsum(k) - k
+        n = int(k.sum())
+        t = 1 + (3 * cumb >= n).astype(np.int64) \
+            + (3 * cumb >= 2 * n).astype(np.int64)
+        return dict(zip((int(x) for x in h["v"]), (int(x) for x in t)))
+
+    rmap = tercile_map(hdf[hdf["dim"] == "r"], asc=True)
+    fmap = tercile_map(hdf[hdf["dim"] == "f"], asc=False)
+    mmap = tercile_map(hdf[hdf["dim"] == "m"], asc=False)
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        u = user_triples(g)
+        out = pd.DataFrame({
+            "r": u["rg"].map(rmap).astype(np.int64),
+            "f": u["fg"].map(fmap).astype(np.int64),
+            "m": u["mg"].map(mmap).astype(np.int64),
+            "n_users": np.ones(len(u), np.int64)})
+        return out.groupby(["r", "f", "m"], as_index=False).sum()
+
+    parts = bucketed_combine(counts, "user_id", cells).to_pandas()
+    df = (parts.groupby(["r", "f", "m"], as_index=False)["n_users"]
+          .sum())
+    for c in ("r", "f", "m", "n_users"):
+        df[c] = df[c].astype(np.int64)
+    return (df.sort_values(["r", "f", "m"]).reset_index(drop=True))
+
+
 def q_user_concentration(sf_dir: str) -> pd.DataFrame:
     """Event-volume concentration across users: the 80/20 table — what
     share of all events the top-10%-most-active users generate, plus

@@ -801,6 +801,27 @@ def test_user_concentration_bruteforce(ray_session):
     assert abs(float(r["gini"]) - g) < 2e-6
 
 
+def test_rfm_segments_invariants(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_rfm_segments)
+
+    df = q_rfm_segments(SF)
+    n_users = duckdb.sql(f"SELECT count(DISTINCT user_id) FROM "
+                         f"'{SF}/events.parquet'").fetchone()[0]
+    assert int(df["n_users"].sum()) == n_users
+    for c in ("r", "f", "m"):
+        assert df[c].between(1, 3).all()
+        marg = df.groupby(c)["n_users"].sum()
+        # tercile 1 always populated (ties take the better tercile); a
+        # dominant tie group may legitimately empty tercile 2
+        assert 1 in marg.index
+        assert marg.loc[1] >= n_users // 3
+    # frequency/monetary are well-spread in this corpus: all terciles
+    for c in ("f", "m"):
+        assert set(df.groupby(c)["n_users"].sum().index) == {1, 2, 3}
+    assert not df.duplicated(["r", "f", "m"]).any()
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
