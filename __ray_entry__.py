@@ -897,6 +897,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_user_concentration": relational.q_user_concentration,
         # RFM segmentation: R/F/M terciles on bounded grids (27 cells)
         "q_rfm_segments": relational.q_rfm_segments,
+        # timed transition matrix (mean gap per type pair)
+        "q_transition_time": relational.q_transition_time,
     }
 
 
@@ -5361,6 +5363,23 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sum(n) OVER (PARTITION BY prev_type)
                                 AS DOUBLE), 6) AS p
             FROM c ORDER BY prev_type, next_type
+        """,
+        # timed transitions: epoch_us lag gaps fold as exact integers,
+        # the mean divides twice in fixed order ((sum/1e6)/n)
+        "q_transition_time": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER w AS prev_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round((CAST(sum(gap_us) AS BIGINT) / 1000000.0)
+                         / CAST(count(*) AS BIGINT), 6) AS mean_gap_s
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+            ORDER BY prev_type, next_type
         """,
         # each decay term quantizes to floor(qv·pow(0.9,k)·1e6): DuckDB
         # pow and CPython math.pow are the same glibc libm binary, the

@@ -674,6 +674,68 @@ def q_first_touch(sf_dir: str) -> pd.DataFrame:
             .sort_values("first_type").reset_index(drop=True))
 
 
+def q_transition_time(sf_dir: str) -> pd.DataFrame:
+    """Timed transition matrix: for every (prev_type → next_type) pair
+    of consecutive same-user events, the count and the MEAN gap in
+    seconds — q_event_transitions with the timing dimension, the table
+    that separates an instant UI flow from an overnight return.
+
+    EXACT: ordering is (microsecond timestamp, event_id) inside the
+    user's hash bucket (a user's rows never split); gaps fold as int64
+    microsecond sums; the mean divides exact integers twice in a fixed
+    order ((Σus / 1e6) / n, the q_ccnet device).
+
+    Ray shape: one hash-bucket shuffle → vectorized multi-user lag scan
+    per bucket → (from, to, 2-int) partials fold through a
+    ≤ |types|²-group driver rollup. Result-sized → DataFrame."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    bucketize = _user_bucketizer()
+
+    def add_us(t: pa.Table) -> pa.Table:
+        t = bucketize(t)
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "bucket": t["bucket"],
+            "user_id": t["user_id"],
+            "us": pa.array(us, pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"]})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift()).fillna(False)
+        prev = g["event_type"].shift()
+        gap = g["us"].diff()
+        d = pd.DataFrame({
+            "prev_type": prev[same].to_numpy(),
+            "next_type": g.loc[same, "event_type"].to_numpy(),
+            "n": np.ones(int(same.sum()), np.int64),
+            "gap_us": gap[same].to_numpy(np.int64)})
+        out = (d.groupby(["prev_type", "next_type"], as_index=False)
+               .sum())
+        out["n"] = out["n"].astype(np.int64)
+        out["gap_us"] = out["gap_us"].astype(np.int64)
+        return out
+
+    parts = (ds.map_batches(add_us, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas")
+             .to_pandas())                  # ≤ NB × |types|² rows
+    if parts.empty:
+        return typed_empty(prev_type="object", next_type="object",
+                           n="int64", mean_gap_s="float64")
+    df = (parts.groupby(["prev_type", "next_type"], as_index=False)
+          .agg(n=("n", "sum"), gap_us=("gap_us", "sum")))
+    df["n"] = df["n"].astype(np.int64)
+    df["mean_gap_s"] = _r((df["gap_us"].astype(np.float64) / 1e6)
+                          / df["n"].astype(np.float64), 6)
+    return (df[["prev_type", "next_type", "n", "mean_gap_s"]]
+            .sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True))
+
+
 RFM_MGRID = 100     # monetary log-grid: mg = floor(100·ln(1+cents))
 
 

@@ -822,6 +822,33 @@ def test_rfm_segments_invariants(ray_session):
     assert not df.duplicated(["r", "f", "m"]).any()
 
 
+def test_transition_time_matches_transitions(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_event_transitions, q_transition_time)
+
+    df = q_transition_time(SF)
+    base = q_event_transitions(SF)
+    # the timed matrix has exactly the transition matrix's cells/counts
+    m = df.merge(base, on=["prev_type", "next_type"])
+    assert len(m) == len(df) == len(base)
+    assert (m["n_x"].to_numpy(np.int64)
+            == m["n_y"].to_numpy(np.int64)).all()
+    assert (df["mean_gap_s"] >= 0).all()
+    # spot-check one cell against a brute-force lag mean
+    r = df.iloc[0]
+    truth = duckdb.sql(f"""
+        WITH s AS (SELECT user_id, event_type,
+                          lag(event_type) OVER w AS pt,
+                          epoch_us(ts) - lag(epoch_us(ts)) OVER w AS g
+                   FROM '{SF}/events.parquet'
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id))
+        SELECT avg(g / 1000000.0) FROM s
+        WHERE pt = '{r["prev_type"]}'
+          AND event_type = '{r["next_type"]}'""").fetchone()[0]
+    assert abs(float(r["mean_gap_s"]) - float(truth)) < 1e-4
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
