@@ -899,6 +899,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_rfm_segments": relational.q_rfm_segments,
         # timed transition matrix (mean gap per type pair)
         "q_transition_time": relational.q_transition_time,
+        # near-dup threshold tuning curve (one sweep, three counts)
+        "q_dedup_thresholds": dedup.q_dedup_thresholds,
     }
 
 
@@ -1284,6 +1286,23 @@ def _near_dup_leakage_sql(threshold: float = 0.8) -> str:
                    JOIN documents db ON db.doc_id = vp.b)
     SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
     FROM sp GROUP BY source_a, source_b ORDER BY source_a, source_b
+    """
+
+
+def _dedup_thresholds_sql() -> str:
+    """q_dedup_thresholds oracle: the candidate chain at the LOWEST
+    curve threshold, counted at each grid threshold (all ::DOUBLE
+    literals — bare 0.7 parses DECIMAL)."""
+    return f"""
+    WITH {_minhash_pairs_body(0.7)},
+    v AS (SELECT round(jac, 6) AS j FROM scored),
+    t(threshold) AS (VALUES (0.7::DOUBLE), (0.8::DOUBLE),
+                            (0.9::DOUBLE))
+    SELECT t.threshold,
+           CAST((SELECT count(*) FROM v WHERE v.j >= t.threshold)
+                AS BIGINT) AS n_pairs
+    FROM t WHERE EXISTS (SELECT 1 FROM documents)
+    ORDER BY t.threshold
     """
 
 
@@ -3676,6 +3695,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _dedup_minhash_sql(),
         "q_near_dup_leakage": _near_dup_leakage_sql(),
         "q_dedup_funnel": _dedup_funnel_sql(),
+        "q_dedup_thresholds": _dedup_thresholds_sql(),
         "q_shard_skew": _shard_skew_sql(),
         "q_minhash_recall": _minhash_recall_sql(),
         # incremental dedup: delta docs probed against base fingerprints

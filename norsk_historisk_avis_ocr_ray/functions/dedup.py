@@ -338,6 +338,40 @@ def q_near_dup_leakage(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+DEDUP_T_CURVE = (0.7, 0.8, 0.9)    # thresholds the curve reports
+
+
+def q_dedup_thresholds(sf_dir: str) -> pd.DataFrame:
+    """Near-dup threshold-tuning curve: how many LSH-candidate pairs
+    verify at Jaccard ≥ t for t ∈ {0.7, 0.8, 0.9} — from ONE candidate
+    sweep and one verification pass, the curve that picks the dedup
+    threshold before a corpus-scale run. (Pairs are candidate-verified:
+    banding is tuned for 0.8, so the 0.7 row reports the band-recalled
+    subset — the same estimate an operator tuning DOWN from 0.8 reads.)
+
+    EXACT: verified jaccards ride the proven ``dedup_minhash`` chain
+    rounded to the 1e-6 grid; per-threshold counts are integer
+    comparisons on that grid.
+
+    Ray shape: one ``dedup_minhash`` run at the lowest threshold (the
+    superset), then three integer counts over the result-sized pair
+    list. 3-row output → DataFrame (empty corpus → zero rows, the
+    empty-safety contract)."""
+    from .collect import typed_empty
+
+    if _docs(sf_dir).count() == 0:
+        return typed_empty(threshold="float64", n_pairs="int64")
+    pairs = dedup_minhash(sf_dir, threshold=min(DEDUP_T_CURVE))
+    rows = []
+    jac = (pairs["jaccard"].to_numpy(np.float64)
+           if len(pairs) else np.zeros(0))
+    for t in DEDUP_T_CURVE:
+        rows.append((float(t), int((jac >= t).sum())))
+    out = pd.DataFrame(rows, columns=["threshold", "n_pairs"])
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out.sort_values("threshold").reset_index(drop=True)
+
+
 def q_dedup_funnel(sf_dir: str) -> pd.DataFrame:
     """Dedup-pipeline funnel: how many documents each dedup stage would
     keep, measured INDEPENDENTLY on the full corpus — 'input' (all

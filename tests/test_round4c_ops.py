@@ -849,6 +849,19 @@ def test_transition_time_matches_transitions(ray_session):
     assert abs(float(r["mean_gap_s"]) - float(truth)) < 1e-4
 
 
+def test_dedup_thresholds_monotone_and_consistent(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.dedup import (
+        dedup_minhash, q_dedup_thresholds)
+
+    df = q_dedup_thresholds(SF)
+    assert list(df["threshold"]) == [0.7, 0.8, 0.9]
+    n = df["n_pairs"].to_numpy(np.int64)
+    assert (np.diff(n) <= 0).all()         # monotone non-increasing
+    # the 0.8 row equals the default dedup_minhash pair count
+    assert int(df[df["threshold"] == 0.8]["n_pairs"].iloc[0]) == len(
+        dedup_minhash(SF))
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
