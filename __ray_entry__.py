@@ -901,6 +901,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_transition_time": relational.q_transition_time,
         # near-dup threshold tuning curve (one sweep, three counts)
         "q_dedup_thresholds": dedup.q_dedup_thresholds,
+        # per-source unigram Shannon entropy (lexical complexity)
+        "q_source_entropy": mlprep.q_source_entropy,
     }
 
 
@@ -5597,6 +5599,34 @@ def oracle_sql() -> dict[str, str]:
         # floor(c * 1e12) BIGINT before summing (a DOUBLE sum of the
         # micro-units could pass 2^53 and go order-dependent); ln args are
         # integer-product ratios, ln is glibc-libm (== math.log).
+        # source entropy: the q_source_kl tokenizer/quantization with
+        # the plain p·ln(p) term — floor(·1e12) int64, one division
+        "q_source_entropy": r"""
+            WITH b AS (SELECT source, lower(coalesce(text, '')) AS tx
+                       FROM documents),
+            wd AS (SELECT source,
+                          unnest(list_filter(
+                              regexp_split_to_array(tx, '\s+'),
+                              x -> x <> '')) AS tok
+                   FROM b),
+            cst AS (SELECT tok, source, count(*)::BIGINT AS c_st
+                    FROM wd GROUP BY tok, source),
+            nsrc AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+                     FROM cst GROUP BY source),
+            terms AS (SELECT c.source,
+                             CAST(floor(
+                                 (c.c_st * 1.0 / s.n_s)
+                                 * ln(c.c_st * 1.0 / s.n_s)
+                                 * 1000000000000.0) AS BIGINT) AS q
+                      FROM cst c JOIN nsrc s USING (source)),
+            agg AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+                           CAST(sum(q) AS BIGINT) AS ent_q
+                    FROM terms GROUP BY source)
+            SELECT a.source, s.n_s AS n_tokens, a.vocab, a.ent_q,
+                   round(-(a.ent_q) / 1000000000000.0, 6) AS entropy
+            FROM agg a JOIN nsrc s USING (source)
+            ORDER BY a.source
+        """,
         "q_source_kl": r"""
             WITH b AS (SELECT source, lower(coalesce(text, '')) AS tx
                        FROM documents),

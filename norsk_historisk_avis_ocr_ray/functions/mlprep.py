@@ -1600,6 +1600,70 @@ def q_curation_report(sf_dir: str) -> pd.DataFrame:
 KL_SCALE = 1_000_000_000_000   # 1e12 micro-units per contribution
 
 
+def q_source_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy of each source's unigram distribution —
+    H_s = −Σ_t (c_st/n_s)·ln(c_st/n_s) — the lexical-complexity
+    companion of q_source_kl: a low-entropy source is template/
+    boilerplate text however large it is, a high-entropy one carries
+    real language. Reported with the vocabulary size per source.
+
+    EXACT by the q_source_kl discipline: every (token, source) count
+    resolves globally inside one combine bucket (``_source_tok_rows``);
+    each term quantizes to ``floor(p·ln(p)·1e12)`` int64 (``math.log``
+    == DuckDB ``ln``) so the per-source sum is order-independent; ONE
+    double division per output row.
+
+    Ray shape: the shared token-bucketed combine → per-source totals
+    broadcast → one streaming scoring map over the vocabulary-sized
+    count rows → a |sources|-group groupby."""
+    import math
+
+    counts = _source_tok_rows(_read(sf_dir, "documents",
+                                    ["source", "text"])).materialize()
+    totals = (counts.groupby("source")
+              .aggregate(Sum("c_st", alias_name="n_s")).to_pandas())
+    if totals.empty or "n_s" not in totals.columns:
+        return typed_empty(source="object", n_tokens="int64",
+                           vocab="int64", ent_q="int64",
+                           entropy="float64")
+    ns_map = {s: int(v) for s, v in zip(totals["source"], totals["n_s"])}
+    ns_ref = ray.put(ns_map)
+
+    def score(t: pa.Table) -> pa.Table:
+        nm = ray.get(ns_ref)
+        src = t["source"].to_pylist()
+        c = t["c_st"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = np.array([nm[s] for s in src], np.int64)
+        # math.log per vocabulary row: libm == DuckDB ln (np.log is not)
+        q = np.fromiter(
+            (math.floor((float(ci) * 1.0 / float(n))
+                        * math.log(float(ci) * 1.0 / float(n))
+                        * 1e12)
+             for ci, n in zip(c, ns)), np.int64, count=len(c))
+        g = (pd.DataFrame({"source": src,
+                           "v": np.ones(len(c), np.int64), "q": q})
+             .groupby("source", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (counts.map_batches(score, batch_format="pyarrow",
+                             batch_size=65536)
+          .groupby("source")
+          .aggregate(Sum("v", alias_name="vocab"),
+                     Sum("q", alias_name="ent_q"))
+          .to_pandas())
+    if df.empty:
+        return typed_empty(source="object", n_tokens="int64",
+                           vocab="int64", ent_q="int64",
+                           entropy="float64")
+    df = df.merge(totals, on="source")
+    df["n_tokens"] = df["n_s"].astype(np.int64)
+    for c in ("vocab", "ent_q"):
+        df[c] = df[c].astype(np.int64)
+    df["entropy"] = _r(-df["ent_q"].astype(np.float64) / 1e12, 6)
+    return (df[["source", "n_tokens", "vocab", "ent_q", "entropy"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def q_source_kl(sf_dir: str) -> pd.DataFrame:
     """KL(source ‖ corpus) over unigram distributions — the data-mixture
     diagnostic of a multi-source training corpus (which sources diverge

@@ -862,6 +862,32 @@ def test_dedup_thresholds_monotone_and_consistent(ray_session):
         dedup_minhash(SF))
 
 
+def test_source_entropy_matches_scipy_form(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.mlprep import (
+        q_source_entropy)
+
+    df = q_source_entropy(SF)
+    assert len(df) > 0
+    assert (df["entropy"] > 0).all()
+    # entropy <= ln(vocab) (uniform bound)
+    assert (df["entropy"].to_numpy()
+            <= np.log(df["vocab"].to_numpy(np.float64)) + 1e-6).all()
+    # brute-force one source
+    s = df["source"].iloc[0]
+    cnt = duckdb.sql(f"""
+        WITH wd AS (SELECT unnest(list_filter(regexp_split_to_array(
+                        lower(coalesce(text, '')), '\\s+'),
+                        x -> x <> '')) AS tok
+                    FROM '{SF}/documents.parquet' WHERE source = '{s}')
+        SELECT count(*) AS c FROM wd GROUP BY tok""").df()["c"].to_numpy(
+        np.float64)
+    p = cnt / cnt.sum()
+    h = float(-(p * np.log(p)).sum())
+    r = df[df["source"] == s].iloc[0]
+    assert abs(float(r["entropy"]) - h) < 1e-4
+    assert int(r["vocab"]) == len(cnt)
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
