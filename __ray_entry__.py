@@ -903,6 +903,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_dedup_thresholds": dedup.q_dedup_thresholds,
         # per-source unigram Shannon entropy (lexical complexity)
         "q_source_entropy": mlprep.q_source_entropy,
+        # cross-table key-coverage health (orphans both ways, 2 pairs)
+        "q_ref_integrity": relational.q_ref_integrity,
     }
 
 
@@ -5385,6 +5387,46 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sum(n) OVER (PARTITION BY prev_type)
                                 AS DOUBLE), 6) AS p
             FROM c ORDER BY prev_type, next_type
+        """,
+        # referential integrity: FULL OUTER presence counts per linked
+        # table pair — distinct keys, all-integer
+        "q_ref_integrity": """
+            WITH de AS (
+                SELECT 'documents-embeddings' AS pair,
+                       CAST(count(*) FILTER (d.k IS NOT NULL) AS BIGINT)
+                           AS n_left,
+                       CAST(count(*) FILTER (e.k IS NOT NULL) AS BIGINT)
+                           AS n_right,
+                       CAST(count(*) FILTER (d.k IS NOT NULL
+                                             AND e.k IS NOT NULL)
+                            AS BIGINT) AS n_matched,
+                       CAST(count(*) FILTER (e.k IS NULL) AS BIGINT)
+                           AS n_left_only,
+                       CAST(count(*) FILTER (d.k IS NULL) AS BIGINT)
+                           AS n_right_only
+                FROM (SELECT DISTINCT doc_id AS k FROM documents) d
+                FULL OUTER JOIN
+                     (SELECT DISTINCT vec_id AS k FROM embeddings) e
+                     USING (k)),
+            ec AS (
+                SELECT 'events-customer' AS pair,
+                       CAST(count(*) FILTER (l.k IS NOT NULL) AS BIGINT)
+                           AS n_left,
+                       CAST(count(*) FILTER (r.k IS NOT NULL) AS BIGINT)
+                           AS n_right,
+                       CAST(count(*) FILTER (l.k IS NOT NULL
+                                             AND r.k IS NOT NULL)
+                            AS BIGINT) AS n_matched,
+                       CAST(count(*) FILTER (r.k IS NULL) AS BIGINT)
+                           AS n_left_only,
+                       CAST(count(*) FILTER (l.k IS NULL) AS BIGINT)
+                           AS n_right_only
+                FROM (SELECT DISTINCT user_id AS k FROM events) l
+                FULL OUTER JOIN
+                     (SELECT DISTINCT c_custkey AS k FROM customer) r
+                     USING (k))
+            SELECT * FROM de UNION ALL SELECT * FROM ec
+            ORDER BY pair
         """,
         # timed transitions: epoch_us lag gaps fold as exact integers,
         # the mean divides twice in fixed order ((sum/1e6)/n)

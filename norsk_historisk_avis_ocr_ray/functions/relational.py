@@ -674,6 +674,66 @@ def q_first_touch(sf_dir: str) -> pd.DataFrame:
             .sort_values("first_type").reset_index(drop=True))
 
 
+def q_ref_integrity(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity health across the engine's cross-table
+    joins: for each linked pair — documents↔embeddings (doc_id=vec_id),
+    events↔customer (user_id=c_custkey) — the matched/orphan key counts
+    both ways. The pre-flight every cross-modal or cross-table operator
+    should read: a nonzero orphan column is silent row loss in every
+    inner join downstream.
+
+    EXACT and all-integer: each side reduces to its DISTINCT key set
+    per batch; one bucketed combine per pair resolves key presence
+    (a key's rows land whole in one bucket, so side-presence counts are
+    additive). Output: 2 rows.
+
+    Ray shape: two slim 1-column reads per pair → per-batch distinct
+    partials → one bucketed combine each → driver folds four integers
+    per pair. Result-sized → DataFrame."""
+    from .combine import bucketed_combine
+
+    def side_ids(path: str, col: str, bit: int):
+        ds = ray.data.read_parquet(f"{sf_dir}/{path}.parquet",
+                                   columns=[col])
+
+        def partial(t: pa.Table) -> pa.Table:
+            ids = np.unique(t[col].to_numpy(zero_copy_only=False)
+                            .astype(np.int64))
+            return pa.table({"key": pa.array(ids, pa.int64()),
+                             "b": pa.array(
+                                 np.full(len(ids), bit, np.int64))})
+
+        return ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+
+    def presence(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct (key, bit) rows then a vectorized sum: 1 = left only,
+        # 2 = right only, 3 = both (bits are {1, 2})
+        m = (g.drop_duplicates(["key", "b"])
+             .groupby("key")["b"].sum())
+        return pd.DataFrame({"matched": [int((m == 3).sum())],
+                             "left_only": [int((m == 1).sum())],
+                             "right_only": [int((m == 2).sum())]})
+
+    rows = []
+    for pair, (lp, lc), (rp, rc) in (
+            ("documents-embeddings", ("documents", "doc_id"),
+             ("embeddings", "vec_id")),
+            ("events-customer", ("events", "user_id"),
+             ("customer", "c_custkey"))):
+        u = side_ids(lp, lc, 1).union(side_ids(rp, rc, 2))
+        f = bucketed_combine(u, "key", presence).to_pandas().sum()
+        matched, lo, ro = (int(f["matched"]), int(f["left_only"]),
+                           int(f["right_only"]))
+        rows.append((pair, matched + lo, matched + ro, matched, lo, ro))
+    out = pd.DataFrame(rows, columns=["pair", "n_left", "n_right",
+                                      "n_matched", "n_left_only",
+                                      "n_right_only"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("pair").reset_index(drop=True)
+
+
 def q_transition_time(sf_dir: str) -> pd.DataFrame:
     """Timed transition matrix: for every (prev_type → next_type) pair
     of consecutive same-user events, the count and the MEAN gap in

@@ -888,6 +888,30 @@ def test_source_entropy_matches_scipy_form(ray_session):
     assert int(r["vocab"]) == len(cnt)
 
 
+def test_ref_integrity_matches_bruteforce(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_ref_integrity)
+
+    df = q_ref_integrity(SF).set_index("pair")
+    d = set(duckdb.sql(f"SELECT DISTINCT doc_id FROM "
+                       f"'{SF}/documents.parquet'").df()["doc_id"])
+    e = set(duckdb.sql(f"SELECT DISTINCT vec_id FROM "
+                       f"'{SF}/embeddings.parquet'").df()["vec_id"])
+    r = df.loc["documents-embeddings"]
+    assert int(r["n_left"]) == len(d) and int(r["n_right"]) == len(e)
+    assert int(r["n_matched"]) == len(d & e)
+    assert int(r["n_left_only"]) == len(d - e)
+    assert int(r["n_right_only"]) == len(e - d)
+    u = set(duckdb.sql(f"SELECT DISTINCT user_id FROM "
+                       f"'{SF}/events.parquet'").df()["user_id"])
+    c = set(duckdb.sql(f"SELECT DISTINCT c_custkey FROM "
+                       f"'{SF}/customer.parquet'").df()["c_custkey"])
+    r = df.loc["events-customer"]
+    assert int(r["n_matched"]) == len(u & c)
+    assert int(r["n_left_only"]) == len(u - c)
+    assert int(r["n_right_only"]) == len(c - u)
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
