@@ -905,6 +905,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_source_entropy": mlprep.q_source_entropy,
         # cross-table key-coverage health (orphans both ways, 2 pairs)
         "q_ref_integrity": relational.q_ref_integrity,
+        # per-source stopword token mass (fluency profile)
+        "q_stopword_profile": textstats.q_stopword_profile,
     }
 
 
@@ -6177,6 +6179,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN sym s USING (doc_id)
             LEFT JOIN ns USING (doc_id)
             ORDER BY doc_id
+        """.format(gstops=_gopher_stop_values()),
+        # stopword mass: the gopher stop list as token-mass fraction per
+        # source — integer counts, one division per row
+        "q_stopword_profile": """
+            WITH stops(w) AS (VALUES {gstops}),
+            wd AS (SELECT source,
+                          unnest(list_filter(regexp_split_to_array(
+                              lower(coalesce(text, '')), '\\s+'),
+                              x -> x <> '')) AS tok
+                   FROM documents)
+            SELECT w.source,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(s.w) AS BIGINT) AS n_stop,
+                   round(CAST(count(s.w) AS BIGINT)
+                         / greatest(CAST(count(*) AS BIGINT),
+                                    1)::DOUBLE, 6) AS stop_frac
+            FROM wd w LEFT JOIN stops s ON s.w = w.tok
+            GROUP BY w.source ORDER BY w.source
         """.format(gstops=_gopher_stop_values()),
         "lang_id": f"""
             WITH sw(word, lang) AS (VALUES {_stopword_values()}),

@@ -1449,6 +1449,71 @@ def q_ks_drift(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_stopword_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-source stopword MASS: what fraction of a source's tokens are
+    function words (the GOPHER_STOPS list) — the fluency signal CCNet
+    and Gopher both lean on, as a source-level profile (natural prose
+    sits in a band; OCR noise and keyword-stuffed spam fall far below
+    it). Distinct from q_gopher_filter's per-doc DISTINCT-stopword
+    count: this is token mass, per source.
+
+    EXACT: token counts are one vectorized Arrow pass (``index_in``
+    against the sorted stop list — the _gopher_batch kernel); per-source
+    int64 partials; ONE division per output row.
+
+    Ray shape: one streaming pass → ≤ |sources|-group groupby.
+    Result-sized → DataFrame."""
+    from ray.data.aggregate import Sum
+
+    from .collect import typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    stops = pa.array(sorted(GOPHER_STOPS))
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        words = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        nw_raw = pc.list_value_length(words).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        nonempty = (pc.utf8_length(flat).cast(pa.int64())
+                    .to_numpy(zero_copy_only=False) > 0)
+        si = pc.index_in(flat, value_set=stops).to_numpy(
+            zero_copy_only=False)
+        hit = (~np.isnan(si) if si.dtype.kind == "f"
+               else si >= 0).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(nw_raw), dtype=np.int64),
+                            nw_raw)
+        nt = np.bincount(doc_idx[nonempty],
+                         minlength=len(nw_raw)).astype(np.int64)
+        ns = np.bincount(doc_idx, weights=hit,
+                         minlength=len(nw_raw)).astype(np.int64)
+        g = (pd.DataFrame({"source": t["source"].to_numpy(
+                               zero_copy_only=False),
+                           "nt": nt, "ns": ns})
+             .groupby("source", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=8192)
+          .groupby("source")
+          .aggregate(Sum("nt", alias_name="n_tokens"),
+                     Sum("ns", alias_name="n_stop"))
+          .to_pandas())
+    if df.empty or "n_tokens" not in df.columns:
+        return typed_empty(source="object", n_tokens="int64",
+                           n_stop="int64", stop_frac="float64")
+    for c in ("n_tokens", "n_stop"):
+        df[c] = df[c].astype(np.int64)
+    df["stop_frac"] = round_half_away(
+        df["n_stop"].to_numpy(np.float64)
+        / np.maximum(df["n_tokens"].to_numpy(np.int64), 1)
+        .astype(np.float64), 6)
+    return (df[["source", "n_tokens", "n_stop", "stop_frac"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def q_keep_by_length(sf_dir: str) -> pd.DataFrame:
     """Gopher-keep rate by document-length decile — the filter-ablation
     curve that answers "is the quality filter just a length proxy?"

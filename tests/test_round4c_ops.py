@@ -912,6 +912,21 @@ def test_ref_integrity_matches_bruteforce(ray_session):
     assert int(r["n_right_only"]) == len(c - u)
 
 
+def test_stopword_profile_bruteforce(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        GOPHER_STOPS, q_stopword_profile)
+
+    df = q_stopword_profile(SF)
+    assert df["stop_frac"].between(0.0, 1.0).all()
+    s = df["source"].iloc[0]
+    texts = duckdb.sql(f"SELECT text FROM '{SF}/documents.parquet' "
+                       f"WHERE source = '{s}'").df()["text"].fillna("")
+    toks = [w for t in texts for w in t.lower().split()]
+    r = df[df["source"] == s].iloc[0]
+    assert int(r["n_tokens"]) == len(toks)
+    assert int(r["n_stop"]) == sum(1 for w in toks if w in GOPHER_STOPS)
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
