@@ -907,6 +907,10 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_ref_integrity": relational.q_ref_integrity,
         # per-source stopword token mass (fluency profile)
         "q_stopword_profile": textstats.q_stopword_profile,
+        # dup-pair doc_id distance histogram (crawl-locality lens)
+        "q_dup_distance": dedup.q_dup_distance,
+        # Markov predictability: H(next|prev) per event type
+        "q_transition_entropy": relational.q_transition_entropy,
     }
 
 
@@ -1292,6 +1296,23 @@ def _near_dup_leakage_sql(threshold: float = 0.8) -> str:
                    JOIN documents db ON db.doc_id = vp.b)
     SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
     FROM sp GROUP BY source_a, source_b ORDER BY source_a, source_b
+    """
+
+
+def _dup_distance_sql(threshold: float = 0.8) -> str:
+    """q_dup_distance oracle: verified pairs → floor(100·ln(1+|a−b|))
+    log-grid histogram with min/max raw distance per bucket."""
+    return f"""
+    WITH {_minhash_pairs_body(threshold)},
+    vp AS (SELECT a, b FROM scored WHERE round(jac, 6) >= {threshold}),
+    d AS (SELECT abs(a - b) AS dist,
+                 CAST(floor(100 * ln(1.0 + abs(a - b))) AS BIGINT)
+                     AS dist_bucket
+          FROM vp)
+    SELECT dist_bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(dist) AS BIGINT) AS min_dist,
+           CAST(max(dist) AS BIGINT) AS max_dist
+    FROM d GROUP BY dist_bucket ORDER BY dist_bucket
     """
 
 
@@ -3702,6 +3723,7 @@ def oracle_sql() -> dict[str, str]:
         "q_near_dup_leakage": _near_dup_leakage_sql(),
         "q_dedup_funnel": _dedup_funnel_sql(),
         "q_dedup_thresholds": _dedup_thresholds_sql(),
+        "q_dup_distance": _dup_distance_sql(),
         "q_shard_skew": _shard_skew_sql(),
         "q_minhash_recall": _minhash_recall_sql(),
         # incremental dedup: delta docs probed against base fingerprints
@@ -5429,6 +5451,36 @@ def oracle_sql() -> dict[str, str]:
                      USING (k))
             SELECT * FROM de UNION ALL SELECT * FROM ec
             ORDER BY pair
+        """,
+        # transition entropy: the q_event_transitions counts folded on
+        # the floor(p*ln(p)*1e12) grid, one division per row
+        "q_transition_entropy": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events),
+            c AS (SELECT prev_type, event_type AS next_type,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM s WHERE prev_type IS NOT NULL
+                  GROUP BY prev_type, event_type),
+            t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+                  FROM c GROUP BY prev_type),
+            terms AS (SELECT c.prev_type,
+                             CAST(floor((c.n * 1.0 / t.tot)
+                                        * ln(c.n * 1.0 / t.tot)
+                                        * 1000000000000.0) AS BIGINT)
+                                 AS q
+                      FROM c JOIN t USING (prev_type))
+            SELECT tm.prev_type, t.tot AS n,
+                   CAST(tm.k AS BIGINT) AS n_next_types,
+                   round(-(tm.s) / 1000000000000.0, 6) AS entropy
+            FROM (SELECT prev_type, count(*) AS k,
+                         CAST(sum(q) AS BIGINT) AS s
+                  FROM terms GROUP BY prev_type) tm
+            JOIN t USING (prev_type)
+            ORDER BY tm.prev_type
         """,
         # timed transitions: epoch_us lag gaps fold as exact integers,
         # the mean divides twice in fixed order ((sum/1e6)/n)

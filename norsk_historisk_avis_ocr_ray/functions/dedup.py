@@ -338,6 +338,45 @@ def q_near_dup_leakage(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+DUP_DIST_GRID = 100    # distance log-grid: g = floor(100·ln(1+|a−b|))
+
+
+def q_dup_distance(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-locality histogram: the doc_id distance |a − b| of every
+    verified MinHash near-dup pair on a bounded log grid — the lens that
+    separates crawl-revisit duplication (near pairs: the same site
+    scraped twice in sequence) from cross-site syndication (far pairs),
+    which need different dedup strategies upstream.
+
+    EXACT: pairs ride the proven ``dedup_minhash`` chain; the grid is
+    the q_ccnet device ``floor(100·ln(1+d))`` (``math.log`` == DuckDB
+    ``ln``; bounded by 100·ln(corpus size) however large the id space);
+    counts are integers.
+
+    Result-sized throughout (the verified pair list) → DataFrame."""
+    import math
+
+    from .collect import typed_empty
+
+    pairs = dedup_minhash(sf_dir)
+    if pairs.empty:
+        return typed_empty(dist_bucket="int64", n_pairs="int64",
+                           min_dist="int64", max_dist="int64")
+    d = np.abs(pairs["a"].to_numpy(np.int64)
+               - pairs["b"].to_numpy(np.int64))
+    g = np.fromiter((math.floor(
+        DUP_DIST_GRID * math.log(1.0 + float(x))) for x in d),
+        np.int64, count=len(d))
+    out = (pd.DataFrame({"dist_bucket": g, "n_pairs": 1, "min_dist": d,
+                         "max_dist": d})
+           .groupby("dist_bucket", as_index=False)
+           .agg(n_pairs=("n_pairs", "sum"), min_dist=("min_dist", "min"),
+                max_dist=("max_dist", "max")))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("dist_bucket").reset_index(drop=True)
+
+
 DEDUP_T_CURVE = (0.7, 0.8, 0.9)    # thresholds the curve reports
 
 

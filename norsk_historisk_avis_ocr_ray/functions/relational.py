@@ -674,6 +674,40 @@ def q_first_touch(sf_dir: str) -> pd.DataFrame:
             .sort_values("first_type").reset_index(drop=True))
 
 
+def q_transition_entropy(sf_dir: str) -> pd.DataFrame:
+    """Markov predictability of the event stream: per previous type, the
+    Shannon entropy H(next | prev) of the transition row — near zero
+    means the next action is scripted (bots, rigid funnels), near
+    ln(|types|) means memoryless browsing. The one-number-per-state
+    companion of q_event_transitions.
+
+    EXACT: transition counts ride the proven q_event_transitions chain;
+    each term quantizes to ``floor((c/n)·ln(c/n)·1e12)`` int64 on the
+    driver over the result-sized |types|² matrix (``math.log`` == DuckDB
+    ``ln``); one division per output row."""
+    import math
+
+    base = q_event_transitions(sf_dir)
+    if base.empty:
+        return typed_empty(prev_type="object", n="int64",
+                           n_next_types="int64", entropy="float64")
+    rows = []
+    for pt, g in base.groupby("prev_type", sort=True):
+        c = g["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        q = 0
+        for ci in c:
+            p = float(int(ci)) * 1.0 / float(n)
+            q += math.floor(p * math.log(p) * 1e12)
+        rows.append((pt, n, len(c), float(round_half_away(
+            np.float64(-q) / 1e12, 6))))
+    out = pd.DataFrame(rows, columns=["prev_type", "n", "n_next_types",
+                                      "entropy"])
+    for c in ("n", "n_next_types"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("prev_type").reset_index(drop=True)
+
+
 def q_ref_integrity(sf_dir: str) -> pd.DataFrame:
     """Referential-integrity health across the engine's cross-table
     joins: for each linked pair — documents↔embeddings (doc_id=vec_id),

@@ -927,6 +927,42 @@ def test_stopword_profile_bruteforce(ray_session):
     assert int(r["n_stop"]) == sum(1 for w in toks if w in GOPHER_STOPS)
 
 
+def test_dup_distance_covers_pairs(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.dedup import (
+        dedup_minhash, q_dup_distance)
+
+    df = q_dup_distance(SF)
+    pairs = dedup_minhash(SF)
+    assert int(df["n_pairs"].sum()) == len(pairs)
+    assert (df["min_dist"] <= df["max_dist"]).all()
+    assert df["dist_bucket"].is_monotonic_increasing
+    # grid consistency: bucket == floor(100*ln(1+min_dist)) for each row
+    import math
+    for _, r in df.iterrows():
+        assert int(r["dist_bucket"]) == math.floor(
+            100 * math.log(1.0 + float(r["min_dist"])))
+
+
+def test_transition_entropy_bounds(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_event_transitions, q_transition_entropy)
+
+    df = q_transition_entropy(SF)
+    base = q_event_transitions(SF)
+    assert set(df["prev_type"]) == set(base["prev_type"].unique())
+    assert (df["entropy"] >= 0).all()
+    assert (df["entropy"].to_numpy()
+            <= np.log(df["n_next_types"].to_numpy(np.float64))
+            + 1e-9).all()
+    # brute-force one row
+    pt = df["prev_type"].iloc[0]
+    c = base[base["prev_type"] == pt]["n"].to_numpy(np.float64)
+    p = c / c.sum()
+    h = float(-(p * np.log(p)).sum())
+    assert abs(float(df[df["prev_type"] == pt]["entropy"].iloc[0])
+               - h) < 1e-4
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
