@@ -911,6 +911,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_dup_distance": dedup.q_dup_distance,
         # Markov predictability: H(next|prev) per event type
         "q_transition_entropy": relational.q_transition_entropy,
+        # daily actives split new vs returning (growth dashboard row)
+        "q_daily_actives": relational.q_daily_actives,
     }
 
 
@@ -5451,6 +5453,26 @@ def oracle_sql() -> dict[str, str]:
                      USING (k))
             SELECT * FROM de UNION ALL SELECT * FROM ec
             ORDER BY pair
+        """,
+        # daily actives: integer epoch days, per-user first-day argmin,
+        # distinct (user, day) counts — all integers
+        "q_daily_actives": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                                   AS day
+                        FROM events),
+            f AS (SELECT user_id, min(day) AS fday FROM ud
+                  GROUP BY user_id)
+            SELECT ud.day,
+                   CAST(count(*) AS BIGINT) AS n_active,
+                   CAST(sum(CASE WHEN ud.day = f.fday THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(count(*)
+                        - sum(CASE WHEN ud.day = f.fday
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_returning
+            FROM ud JOIN f USING (user_id)
+            GROUP BY ud.day ORDER BY ud.day
         """,
         # transition entropy: the q_event_transitions counts folded on
         # the floor(p*ln(p)*1e12) grid, one division per row

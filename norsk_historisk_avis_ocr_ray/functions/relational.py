@@ -674,6 +674,65 @@ def q_first_touch(sf_dir: str) -> pd.DataFrame:
             .sort_values("first_type").reset_index(drop=True))
 
 
+def q_daily_actives(sf_dir: str) -> pd.DataFrame:
+    """Daily active users split into NEW vs RETURNING — the growth
+    dashboard's top row (is today's traffic acquisition or retention?):
+    per day, distinct active users, users whose FIRST-ever event lands
+    that day, and the returning remainder.
+
+    EXACT and all-integer: a user's first day is an argmin over integer
+    epoch days resolved whole inside the user's hash bucket; per-day
+    distinct actives count bucket-local (user, day) rows (additive — a
+    user lives in one bucket); returning = active − new.
+
+    Ray shape: per-batch (bucket, user, day) distinct partials → ONE
+    hash-bucket shuffle → per-bucket first-day + per-day rollup →
+    NB × days partials fold on the driver. Result-sized → DataFrame."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    bucketize = _user_bucketizer()
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = bucketize(t)
+        s = t["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        df = (pd.DataFrame({
+                "bucket": t["bucket"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "day": (s // 86400).astype(np.int64)})
+              .drop_duplicates(["user_id", "day"]))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        first = g.groupby("user_id")["day"].transform("min")
+        cell = (pd.DataFrame({"day": g["day"].to_numpy(np.int64),
+                              "a": np.ones(len(g), np.int64),
+                              "nw": (g["day"].to_numpy(np.int64)
+                                     == first.to_numpy(np.int64))
+                              .astype(np.int64)})
+                .groupby("day", as_index=False).sum())
+        for c in ("a", "nw"):
+            cell[c] = cell[c].astype(np.int64)
+        return cell
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas")
+             .to_pandas())                  # ≤ NB × days rows
+    if parts.empty:
+        return typed_empty(day="int64", n_active="int64", n_new="int64",
+                           n_returning="int64")
+    df = (parts.groupby("day", as_index=False)
+          .agg(n_active=("a", "sum"), n_new=("nw", "sum")))
+    df["n_returning"] = df["n_active"] - df["n_new"]
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return (df[["day", "n_active", "n_new", "n_returning"]]
+            .sort_values("day").reset_index(drop=True))
+
+
 def q_transition_entropy(sf_dir: str) -> pd.DataFrame:
     """Markov predictability of the event stream: per previous type, the
     Shannon entropy H(next | prev) of the transition row — near zero

@@ -963,6 +963,26 @@ def test_transition_entropy_bounds(ray_session):
                - h) < 1e-4
 
 
+def test_daily_actives_identities(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_daily_actives)
+
+    df = q_daily_actives(SF)
+    n_users = duckdb.sql(f"SELECT count(DISTINCT user_id) FROM "
+                         f"'{SF}/events.parquet'").fetchone()[0]
+    # every user is new exactly once
+    assert int(df["n_new"].sum()) == n_users
+    assert (df["n_active"] == df["n_new"] + df["n_returning"]).all()
+    # day-one actives are all new
+    assert int(df.iloc[0]["n_returning"]) == 0
+    # active sum equals distinct (user, day) pairs
+    pairs = duckdb.sql(f"""
+        SELECT count(*) FROM (SELECT DISTINCT user_id,
+            CAST(floor(epoch(ts) / 86400) AS BIGINT)
+        FROM '{SF}/events.parquet')""").fetchone()[0]
+    assert int(df["n_active"].sum()) == pairs
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
