@@ -913,6 +913,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_transition_entropy": relational.q_transition_entropy,
         # daily actives split new vs returning (growth dashboard row)
         "q_daily_actives": relational.q_daily_actives,
+        # per-source char-class mix (prose vs tables vs markup residue)
+        "q_charclass_profile": textstats.q_charclass_profile,
     }
 
 
@@ -6254,6 +6256,35 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ns USING (doc_id)
             ORDER BY doc_id
         """.format(gstops=_gopher_stop_values()),
+        # char-class mix: identical RE2 classes, codepoint arithmetic
+        "q_charclass_profile": r"""
+            WITH s AS (
+                SELECT source,
+                       length(coalesce(text, '')) AS nc,
+                       length(coalesce(text, ''))
+                       - length(regexp_replace(coalesce(text, ''),
+                                               '[A-Za-zæøåÆØÅ]', '',
+                                               'g')) AS nl,
+                       length(coalesce(text, ''))
+                       - length(regexp_replace(coalesce(text, ''),
+                                               '[0-9]', '', 'g')) AS nd,
+                       length(coalesce(text, ''))
+                       - length(regexp_replace(coalesce(text, ''),
+                                               '\s', '', 'g')) AS nw
+                FROM documents)
+            SELECT source,
+                   CAST(sum(nc) AS BIGINT) AS n_chars,
+                   round(CAST(sum(nl) AS BIGINT)
+                         / greatest(CAST(sum(nc) AS BIGINT),
+                                    1)::DOUBLE, 6) AS letter_frac,
+                   round(CAST(sum(nd) AS BIGINT)
+                         / greatest(CAST(sum(nc) AS BIGINT),
+                                    1)::DOUBLE, 6) AS digit_frac,
+                   round(CAST(sum(nw) AS BIGINT)
+                         / greatest(CAST(sum(nc) AS BIGINT),
+                                    1)::DOUBLE, 6) AS space_frac
+            FROM s GROUP BY source ORDER BY source
+        """,
         # stopword mass: the gopher stop list as token-mass fraction per
         # source — integer counts, one division per row
         "q_stopword_profile": """

@@ -1449,6 +1449,74 @@ def q_ks_drift(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_charclass_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-source character-class mix: letters, digits, whitespace,
+    punctuation/other as fractions of all codepoints — the content-type
+    profile that separates prose from number-heavy tables and markup
+    residue before any tokenizer sees the text. Companion of
+    q_encoding_health on the same codepoint-arithmetic discipline.
+
+    EXACT: class counts are length-differences under identical RE2
+    classes on both engines (Arrow ``replace_substring_regex`` ==
+    DuckDB ``regexp_replace g``); int64 partials; three divisions per
+    output row (other = remainder).
+
+    Ray shape: one vectorized Arrow pass → ≤ |sources|-group groupby.
+    Result-sized → DataFrame."""
+    from ray.data.aggregate import Sum
+
+    from .collect import typed_empty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def _cnt(text, pattern):
+        return pc.utf8_length(pc.replace_substring_regex(
+            text, pattern, "")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        nc = pc.utf8_length(text).cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nl = nc - _cnt(text, r"[A-Za-zæøåÆØÅ]")
+        nd = nc - _cnt(text, r"[0-9]")
+        nw = nc - _cnt(text, r"\s")
+        g = (pd.DataFrame({"source": t["source"].to_numpy(
+                               zero_copy_only=False),
+                           "nc": nc, "nl": nl.astype(np.int64),
+                           "nd": nd.astype(np.int64),
+                           "nw": nw.astype(np.int64)})
+             .groupby("source", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=8192)
+          .groupby("source")
+          .aggregate(Sum("nc", alias_name="n_chars"),
+                     Sum("nl", alias_name="n_letters"),
+                     Sum("nd", alias_name="n_digits"),
+                     Sum("nw", alias_name="n_space"))
+          .to_pandas())
+    if df.empty or "n_chars" not in df.columns:
+        return typed_empty(source="object", n_chars="int64",
+                           letter_frac="float64", digit_frac="float64",
+                           space_frac="float64")
+    for c in ("n_chars", "n_letters", "n_digits", "n_space"):
+        df[c] = df[c].astype(np.int64)
+    den = np.maximum(df["n_chars"].to_numpy(np.int64), 1).astype(
+        np.float64)
+    df["letter_frac"] = round_half_away(
+        df["n_letters"].to_numpy(np.float64) / den, 6)
+    df["digit_frac"] = round_half_away(
+        df["n_digits"].to_numpy(np.float64) / den, 6)
+    df["space_frac"] = round_half_away(
+        df["n_space"].to_numpy(np.float64) / den, 6)
+    return (df[["source", "n_chars", "letter_frac", "digit_frac",
+                "space_frac"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def q_stopword_profile(sf_dir: str) -> pd.DataFrame:
     """Per-source stopword MASS: what fraction of a source's tokens are
     function words (the GOPHER_STOPS list) — the fluency signal CCNet

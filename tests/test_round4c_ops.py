@@ -983,6 +983,25 @@ def test_daily_actives_identities(ray_session):
     assert int(df["n_active"].sum()) == pairs
 
 
+def test_charclass_profile_bruteforce(ray_session):
+    import re
+
+    from norsk_historisk_avis_ocr_ray.functions.textstats import (
+        q_charclass_profile)
+
+    df = q_charclass_profile(SF)
+    for c in ("letter_frac", "digit_frac", "space_frac"):
+        assert df[c].between(0.0, 1.0).all()
+    s = df["source"].iloc[0]
+    texts = duckdb.sql(f"SELECT text FROM '{SF}/documents.parquet' "
+                       f"WHERE source = '{s}'").df()["text"].fillna("")
+    blob = "".join(texts)
+    r = df[df["source"] == s].iloc[0]
+    assert int(r["n_chars"]) == len(blob)
+    nl = len(re.findall(r"[A-Za-zæøåÆØÅ]", blob))
+    assert abs(float(r["letter_frac"]) - nl / len(blob)) < 2e-6
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
