@@ -5453,7 +5453,9 @@ def oracle_sql() -> dict[str, str]:
                 FULL OUTER JOIN
                      (SELECT DISTINCT c_custkey AS k FROM customer) r
                      USING (k))
-            SELECT * FROM de UNION ALL SELECT * FROM ec
+            SELECT * FROM (
+                SELECT * FROM de UNION ALL SELECT * FROM ec)
+            WHERE n_left + n_right > 0
             ORDER BY pair
         """,
         # daily actives: integer epoch days, per-user first-day argmin,

@@ -815,10 +815,20 @@ def q_ref_integrity(sf_dir: str) -> pd.DataFrame:
             ("events-customer", ("events", "user_id"),
              ("customer", "c_custkey"))):
         u = side_ids(lp, lc, 1).union(side_ids(rp, rc, 2))
-        f = bucketed_combine(u, "key", presence).to_pandas().sum()
+        fdf = bucketed_combine(u, "key", presence).to_pandas()
+        if fdf.empty or "matched" not in fdf.columns:
+            # empty pair (empty corpus): the combine emits no rows and
+            # the frame loses its columns — drop the pair entirely (the
+            # oracle's keyless-pair filter matches)
+            continue
+        f = fdf.sum()
         matched, lo, ro = (int(f["matched"]), int(f["left_only"]),
                            int(f["right_only"]))
         rows.append((pair, matched + lo, matched + ro, matched, lo, ro))
+    if not rows:
+        return typed_empty(pair="object", n_left="int64",
+                           n_right="int64", n_matched="int64",
+                           n_left_only="int64", n_right_only="int64")
     out = pd.DataFrame(rows, columns=["pair", "n_left", "n_right",
                                       "n_matched", "n_left_only",
                                       "n_right_only"])
