@@ -915,6 +915,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_daily_actives": relational.q_daily_actives,
         # per-source char-class mix (prose vs tables vs markup residue)
         "q_charclass_profile": textstats.q_charclass_profile,
+        # per-cluster medoid selection (exemplar sampler, integer argmin)
+        "q_cluster_medoids": similarity.q_cluster_medoids,
     }
 
 
@@ -1578,6 +1580,31 @@ def _int_kmeans_ctes() -> tuple[str, str, str]:
         ),
         {',' .join(iters)}"""
     return body, f"a{final_a}", f"c{KM_ITERS}"
+
+
+def _cluster_medoids_sql() -> str:
+    """q_cluster_medoids oracle: the shared k-means chain's assignments
+    with the exact-integer dist² = n2 + c2 − 2·dot, (dist², vec_id)
+    argmin per cluster."""
+    body, final_a, final_c = _int_kmeans_ctes()
+    return f"""
+        WITH {body},
+        d AS (SELECT a.vec_id, a.cluster,
+                     a.n2 + c.c2
+                     - 2 * CAST(a.dot AS BIGINT) AS dist2
+              FROM {final_a} a JOIN {final_c} c USING (cluster)),
+        sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
+               FROM d GROUP BY cluster),
+        m AS (SELECT cluster, vec_id AS medoid_id, dist2 FROM (
+                  SELECT cluster, vec_id, dist2,
+                         row_number() OVER (PARTITION BY cluster
+                             ORDER BY dist2, vec_id) AS rn
+                  FROM d) WHERE rn = 1)
+        SELECT m.cluster, m.medoid_id, CAST(m.dist2 AS BIGINT) AS dist2,
+               s.n_vecs
+        FROM m JOIN sz s USING (cluster)
+        ORDER BY m.cluster
+    """
 
 
 def _cluster_purity_sql() -> str:
@@ -2332,6 +2359,7 @@ def oracle_sql() -> dict[str, str]:
         # integer-grid k-means replay (round-4 rows-only → exact conversion)
         "emb_kmeans": _emb_kmeans_sql(),
         "q_cluster_purity": _cluster_purity_sql(),
+        "q_cluster_medoids": _cluster_medoids_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_pq_topk": _ann_pq_sql(),
         "quality_classifier": _quality_classifier_sql(),

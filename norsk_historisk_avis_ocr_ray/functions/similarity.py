@@ -1693,6 +1693,75 @@ def q_cluster_sources(sf_dir: str,
             .sort_values(["cluster", "source"]).reset_index(drop=True))
 
 
+def q_cluster_medoids(sf_dir: str,
+                      n_clusters: int = IVF_CENTROIDS) -> pd.DataFrame:
+    """Representative selection: per k-means cluster the MEDOID — the
+    member vector closest to its centroid, ties to the lower vec_id —
+    plus the cluster size. The 'one exemplar per semantic cluster'
+    sampler cluster-balanced data selection and eval-set construction
+    start from.
+
+    EXACT: assignment and distances ride the shared integer-grid
+    k-means chain — dist² = n2 + c2 − 2·dot is an exact integer, so the
+    (dist², vec_id) argmin compares integers and no partitioning can
+    flip a winner.
+
+    Ray shape: one streaming assignment pass emits per-batch LOCAL
+    per-cluster argmins (≤ k rows per batch) → driver folds ≤ k ×
+    batches rows. Result-sized → DataFrame."""
+    from ray.data.aggregate import Sum
+
+    empty = typed_empty(cluster="int64", medoid_id="int64",
+                        dist2="int64", n_vecs="int64")
+    cent = _int_kmeans_centroids(sf_dir, n_clusters)
+    if cent is None:
+        return empty
+    c_ref = ray.put(cent)
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(
+        path, columns=["vec_id", "embedding"],
+        override_num_blocks=scale.read_blocks_for_path(path))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        ids, mat = _batch_matrix(t)
+        if mat.size == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "dist2": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        nx = _nq_batch(mat)
+        a, dots, nx2, c2 = _assign(c, nx)
+        dist2 = nx2 + c2[a] - 2 * dots[np.arange(len(a)), a]
+        df = pd.DataFrame({"cluster": a.astype(np.int64),
+                           "vec_id": ids.astype(np.int64),
+                           "dist2": dist2.astype(np.int64),
+                           "n": np.ones(len(a), np.int64)})
+        best = (df.sort_values(["cluster", "dist2", "vec_id"],
+                               kind="mergesort")
+                .groupby("cluster", as_index=False).first()
+                [["cluster", "vec_id", "dist2"]])
+        sizes = df.groupby("cluster", as_index=False)["n"].sum()
+        out = best.merge(sizes, on="cluster")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=4096).to_pandas())  # ≤ k×batches
+    if parts.empty:
+        return empty
+    best = (parts.sort_values(["cluster", "dist2", "vec_id"],
+                              kind="mergesort")
+            .groupby("cluster", as_index=False).first()
+            [["cluster", "vec_id", "dist2"]]
+            .rename(columns={"vec_id": "medoid_id"}))
+    sizes = parts.groupby("cluster", as_index=False)["n"].sum()
+    out = best.merge(sizes.rename(columns={"n": "n_vecs"}), on="cluster")
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out[["cluster", "medoid_id", "dist2", "n_vecs"]]
+            .sort_values("cluster").reset_index(drop=True))
+
+
 PURITY_ENT_GRID = 1_000_000_000_000   # 1e12 grid for entropy terms
 
 

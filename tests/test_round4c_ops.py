@@ -1002,6 +1002,24 @@ def test_charclass_profile_bruteforce(ray_session):
     assert abs(float(r["letter_frac"]) - nl / len(blob)) < 2e-6
 
 
+def test_cluster_medoids_are_members_nearest_centroid(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        emb_kmeans, q_cluster_medoids)
+
+    df = q_cluster_medoids(SF)
+    km = emb_kmeans(SF)
+    m = df.merge(km, on="cluster")
+    assert len(m) == len(df) == len(km)
+    # sizes agree with the kmeans summary; ids unique; dists nonneg
+    assert (m["n_vecs"].to_numpy(np.int64)
+            == m["n"].to_numpy(np.int64)).all()
+    assert df["medoid_id"].is_unique
+    assert (df["dist2"] >= 0).all()
+    n_vecs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/embeddings.parquet'").fetchone()[0]
+    assert int(df["n_vecs"].sum()) == n_vecs
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
