@@ -917,6 +917,10 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_charclass_profile": textstats.q_charclass_profile,
         # per-cluster medoid selection (exemplar sampler, integer argmin)
         "q_cluster_medoids": similarity.q_cluster_medoids,
+        # embedding label balance (class-share table)
+        "q_label_balance": similarity.q_label_balance,
+        # exact-dedup savings budget (docs/chars removed, one row)
+        "q_dedup_savings": dedup.q_dedup_savings,
     }
 
 
@@ -3558,6 +3562,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY md5(text)
             ORDER BY doc_id
+        """,
+        # dedup savings: min-survivor groups, integer doc/char removals,
+        # one division; the n_docs > 0 wrapper matches Ray's zero-row
+        # empty-corpus contract
+        "q_dedup_savings": """
+            SELECT * FROM (
+                WITH k AS (SELECT doc_id, md5(coalesce(text, '')) AS fp,
+                                  length(coalesce(text, '')) AS nc
+                           FROM documents),
+                m AS (SELECT doc_id, nc,
+                             min(doc_id) OVER (PARTITION BY fp) AS mn
+                      FROM k)
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(CASE WHEN doc_id <> mn THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_removed,
+                       CAST(sum(nc) AS BIGINT) AS n_chars,
+                       CAST(sum(CASE WHEN doc_id <> mn THEN nc ELSE 0
+                                END) AS BIGINT) AS chars_removed,
+                       round(CAST(sum(CASE WHEN doc_id <> mn
+                                      THEN nc ELSE 0 END) AS BIGINT)
+                             / greatest(CAST(sum(nc) AS BIGINT),
+                                        1)::DOUBLE, 6) AS saved_frac
+                FROM m)
+            WHERE n_docs > 0
+        """,
+        # label balance: integer counts, one division per row
+        "q_label_balance": """
+            WITH c AS (SELECT CAST(label AS BIGINT) AS label,
+                              CAST(count(*) AS BIGINT) AS n_vecs
+                       FROM embeddings GROUP BY label),
+            t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS tot FROM c)
+            SELECT c.label, c.n_vecs,
+                   round(c.n_vecs / CAST(t.tot AS DOUBLE), 6) AS frac
+            FROM c CROSS JOIN t ORDER BY c.label
         """,
         # CDC chunking: the winnowing gram-hash chain with the h % 64
         # boundary test; chunk lengths via lag over boundary positions

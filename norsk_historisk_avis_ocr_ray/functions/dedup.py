@@ -338,6 +338,69 @@ def q_near_dup_leakage(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_dedup_savings(sf_dir: str) -> pd.DataFrame:
+    """What an exact-dedup pass SAVES: documents and characters removed
+    when each md5-content group keeps its min-doc_id survivor — the
+    storage/compute budget line that justifies (or kills) running dedup
+    at all. One row: removed doc/char counts, totals, and the saved
+    fraction.
+
+    EXACT and all-integer: group resolution rides the dedup_exact
+    bucketed combine (a fingerprint's rows land whole in one bucket, so
+    per-bucket removed-docs/removed-chars sums are additive); one
+    division at the end.
+
+    Ray shape: one md5 pass → one bucketed combine emitting per-bucket
+    2-int partials → driver folds four integers. 1-row → DataFrame
+    (empty corpus → zero rows)."""
+    from .collect import typed_empty
+    from .combine import bucketed_combine
+    from .rounding import round_half_away
+
+    empty = typed_empty(n_docs="int64", n_removed="int64",
+                        n_chars="int64", chars_removed="int64",
+                        saved_frac="float64")
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        md5s = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+                for x in texts]
+        fph = np.array([np.uint64(int(m[:16], 16)) for m in md5s],
+                       np.uint64).view(np.int64)
+        nc = np.array([len(x or "") for x in texts], np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "fph": pa.array(fph, pa.int64()),
+                         "nc": pa.array(nc, pa.int64())})
+
+    def savings(g: pd.DataFrame) -> pd.DataFrame:
+        surv = g.groupby("fph")["doc_id"].transform("min")
+        rem = g["doc_id"].to_numpy(np.int64) != surv.to_numpy(np.int64)
+        return pd.DataFrame({
+            "d": np.array([len(g)], np.int64),
+            "dr": np.array([int(rem.sum())], np.int64),
+            "c": np.array([int(g["nc"].sum())], np.int64),
+            "cr": np.array([int(g.loc[rem, "nc"].sum())], np.int64)})
+
+    f = bucketed_combine(
+        ds.map_batches(add_hash, batch_format="pyarrow",
+                       batch_size=8192),
+        "fph", savings).to_pandas()
+    if f.empty or "d" not in f.columns:
+        return empty
+    s = f.sum()
+    n, dr, c, cr = (int(s["d"]), int(s["dr"]), int(s["c"]),
+                    int(s["cr"]))
+    return pd.DataFrame({
+        "n_docs": pd.Series([n], dtype="int64"),
+        "n_removed": pd.Series([dr], dtype="int64"),
+        "n_chars": pd.Series([c], dtype="int64"),
+        "chars_removed": pd.Series([cr], dtype="int64"),
+        "saved_frac": [float(round_half_away(
+            np.float64(cr) / np.float64(max(c, 1)), 6))]})
+
+
 DUP_DIST_GRID = 100    # distance log-grid: g = floor(100·ln(1+|a−b|))
 
 

@@ -1775,6 +1775,41 @@ def q_cluster_sources(sf_dir: str,
             .sort_values(["cluster", "source"]).reset_index(drop=True))
 
 
+def q_label_balance(sf_dir: str) -> pd.DataFrame:
+    """Class-balance check over the embedding labels — the first table
+    anyone training a classifier on this corpus reads: per label the
+    vector count and share, so imbalance is visible before it skews a
+    loss. All-integer counts, one division per row.
+
+    Ray shape: per-batch label count partials → one ≤ |labels|-group
+    groupby. Result-sized → DataFrame."""
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(
+        path, columns=["label"],
+        override_num_blocks=scale.read_blocks_for_path(path))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t["label"].combine_chunks().value_counts()
+        return pa.table({"label": c.field("values").cast(pa.int64()),
+                         "n": c.field("counts").cast(pa.int64())})
+
+    df = (ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536)
+          .groupby("label").aggregate(Sum("n", alias_name="n_vecs"))
+          .to_pandas())
+    if df.empty or "n_vecs" not in df.columns:
+        return typed_empty(label="int64", n_vecs="int64", frac="float64")
+    df["label"] = df["label"].astype(np.int64)
+    df["n_vecs"] = df["n_vecs"].astype(np.int64)
+    tot = int(df["n_vecs"].sum())
+    df["frac"] = round_half_away(
+        df["n_vecs"].to_numpy(np.float64) / np.float64(tot), 6)
+    return (df[["label", "n_vecs", "frac"]]
+            .sort_values("label").reset_index(drop=True))
+
+
 def q_cluster_medoids(sf_dir: str,
                       n_clusters: int = IVF_CENTROIDS) -> pd.DataFrame:
     """Representative selection: per k-means cluster the MEDOID — the

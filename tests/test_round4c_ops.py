@@ -1020,6 +1020,31 @@ def test_cluster_medoids_are_members_nearest_centroid(ray_session):
     assert int(df["n_vecs"].sum()) == n_vecs
 
 
+def test_label_balance_and_dedup_savings(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.dedup import (
+        q_dedup_savings)
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        q_label_balance)
+
+    lb = q_label_balance(SF)
+    n_vecs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/embeddings.parquet'").fetchone()[0]
+    assert int(lb["n_vecs"].sum()) == n_vecs
+    assert abs(lb["frac"].sum() - 1.0) < 1e-4
+
+    # sf0.1 has exact dups: savings must be positive there, zero at SF
+    sv = q_dedup_savings(SF)
+    assert len(sv) == 1 and int(sv["n_removed"].iloc[0]) == 0
+    sv1 = q_dedup_savings("/root/testdata/sf0.1").iloc[0]
+    n, d = duckdb.sql("""
+        SELECT count(*), count(*) - count(DISTINCT md5(coalesce(text, '')))
+        FROM '/root/testdata/sf0.1/documents.parquet'""").fetchone()
+    assert int(sv1["n_docs"]) == n
+    assert int(sv1["n_removed"]) == d
+    assert int(sv1["chars_removed"]) > 0
+    assert 0 < float(sv1["saved_frac"]) < 1
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
