@@ -921,6 +921,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_label_balance": similarity.q_label_balance,
         # exact-dedup savings budget (docs/chars removed, one row)
         "q_dedup_savings": dedup.q_dedup_savings,
+        # near-dup component-size histogram (duplication structure)
+        "q_dup_cluster_sizes": _q_dup_cluster_sizes,
     }
 
 
@@ -937,6 +939,12 @@ def _dup_clusters(sf_dir: str) -> Any:
 def _minhash_clusters(sf_dir: str) -> Any:
     from norsk_historisk_avis_ocr_ray.functions.cluster import minhash_clusters
     return minhash_clusters(sf_dir)
+
+
+def _q_dup_cluster_sizes(sf_dir: str) -> Any:
+    from norsk_historisk_avis_ocr_ray.functions.cluster import (
+        q_dup_cluster_sizes)
+    return q_dup_cluster_sizes(sf_dir)
 
 
 def _q_pagerank_dups(sf_dir: str) -> Any:
@@ -1340,6 +1348,31 @@ def _dedup_thresholds_sql() -> str:
                 AS BIGINT) AS n_pairs
     FROM t WHERE EXISTS (SELECT 1 FROM documents)
     ORDER BY t.threshold
+    """
+
+
+def _dup_cluster_sizes_sql(threshold: float = 0.8) -> str:
+    """q_dup_cluster_sizes oracle: the minhash component closure reduced
+    to the (size → clusters) histogram."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_body(threshold)},
+    vp AS MATERIALIZED (SELECT a, b FROM scored
+                        WHERE round(jac, 6) >= {threshold}),
+    bidir AS MATERIALIZED (SELECT a, b FROM vp UNION SELECT b, a FROM vp),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM bidir),
+    lab(node, label) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT bd.a, lab.label FROM lab
+        JOIN bidir bd ON bd.b = lab.node
+        WHERE lab.label < bd.a
+    ),
+    comp AS (SELECT node, min(label) AS cl FROM lab GROUP BY node),
+    sz AS (SELECT cl, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM comp GROUP BY cl)
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sz GROUP BY cluster_size ORDER BY cluster_size
     """
 
 
@@ -3794,6 +3827,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_funnel": _dedup_funnel_sql(),
         "q_dedup_thresholds": _dedup_thresholds_sql(),
         "q_dup_distance": _dup_distance_sql(),
+        "q_dup_cluster_sizes": _dup_cluster_sizes_sql(),
         "q_shard_skew": _shard_skew_sql(),
         "q_minhash_recall": _minhash_recall_sql(),
         # incremental dedup: delta docs probed against base fingerprints

@@ -220,6 +220,31 @@ def dup_clusters(sf_dir: str, k: int = 8,
         pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]))
 
 
+def q_dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Near-dup cluster-size histogram: how many MinHash components have
+    2 members, 3 members, … — the duplication-structure fingerprint
+    (FineWeb-style analysis: a few giant clusters = boilerplate
+    templates; many pairs = genuine near-copies), and the direct read
+    of how much a cluster-collapse pass would remove per size.
+
+    EXACT: components ride the proven ``minhash_clusters`` closure; the
+    histogram is an integer fold of its result-sized output.
+    Result-sized → DataFrame."""
+    cl = minhash_clusters(sf_dir)
+    if cl.empty:
+        from .collect import typed_empty
+        return typed_empty(cluster_size="int64", n_clusters="int64",
+                           n_docs="int64")
+    sizes = cl.groupby("cluster_id").size()
+    h = sizes.value_counts().rename_axis("cluster_size").reset_index(
+        name="n_clusters")
+    h["cluster_size"] = h["cluster_size"].astype(np.int64)
+    h["n_clusters"] = h["n_clusters"].astype(np.int64)
+    h["n_docs"] = (h["cluster_size"] * h["n_clusters"]).astype(np.int64)
+    return (h[["cluster_size", "n_clusters", "n_docs"]]
+            .sort_values("cluster_size").reset_index(drop=True))
+
+
 def minhash_clusters(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     """(doc_id, cluster_id) over documents in at least one VERIFIED MinHash
     near-dup pair (jaccard ≥ threshold); cluster_id = component min doc_id.

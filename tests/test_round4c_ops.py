@@ -1045,6 +1045,19 @@ def test_label_balance_and_dedup_savings(ray_session):
     assert 0 < float(sv1["saved_frac"]) < 1
 
 
+def test_dup_cluster_sizes_matches_components(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.cluster import (
+        minhash_clusters, q_dup_cluster_sizes)
+
+    df = q_dup_cluster_sizes(SF)
+    cl = minhash_clusters(SF)
+    assert int(df["n_docs"].sum()) == len(cl)
+    assert int(df["n_clusters"].sum()) == cl["cluster_id"].nunique()
+    assert (df["cluster_size"] >= 2).all()   # components have >= 2 members
+    assert (df["n_docs"]
+            == df["cluster_size"] * df["n_clusters"]).all()
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
