@@ -923,6 +923,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "q_dedup_savings": dedup.q_dedup_savings,
         # near-dup component-size histogram (duplication structure)
         "q_dup_cluster_sizes": _q_dup_cluster_sizes,
+        # 3-sigma user spend outliers (whale / abuse triage)
+        "q_outlier_users": relational.q_outlier_users,
     }
 
 
@@ -5557,6 +5559,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM de UNION ALL SELECT * FROM ec)
             WHERE n_left + n_right > 0
             ORDER BY pair
+        """,
+        # user spend outliers: the q_anomaly_days all-integer sigma test
+        # on per-user cents totals (HUGEINT moments)
+        "q_outlier_users": """
+            WITH u AS (SELECT user_id,
+                              CAST(count(*) AS BIGINT) AS n_events,
+                              CAST(sum(CAST(round(value * 100)
+                                            AS BIGINT)) AS BIGINT) AS t
+                       FROM events GROUP BY user_id),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS dd,
+                         CAST(sum(t) AS BIGINT) AS sn,
+                         CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT)
+                             AS qn
+                  FROM u),
+            f AS (SELECT u.user_id, u.n_events, u.t,
+                         CAST(u.t AS HUGEINT) * m.dd - m.sn AS dev,
+                         CAST(m.dd AS HUGEINT) * m.qn
+                         - CAST(m.sn AS HUGEINT) * m.sn AS var_q
+                  FROM u CROSS JOIN m)
+            SELECT user_id, n_events,
+                   round(CAST(t AS DOUBLE) / 100.0, 4) AS total_value,
+                   round(abs(CAST(dev AS DOUBLE))
+                         / sqrt(CAST(var_q AS DOUBLE)), 6) AS z
+            FROM f WHERE dev * dev > 9 * var_q
+            ORDER BY user_id
         """,
         # daily actives: integer epoch days, per-user first-day argmin,
         # distinct (user, day) counts — all integers

@@ -674,6 +674,102 @@ def q_first_touch(sf_dir: str) -> pd.DataFrame:
             .sort_values("first_type").reset_index(drop=True))
 
 
+def q_outlier_users(sf_dir: str) -> pd.DataFrame:
+    """Spend-anomaly users: accounts whose TOTAL event value deviates
+    more than 3σ from the mean user total — q_anomaly_days' all-integer
+    σ test applied to users instead of days (whale detection / abuse
+    triage). With D users, S = Σtᵤ, Q = Σtᵤ² (cents), the decision is
+    ``(tᵤ·D − S)² > 9·(D·Q − S²)`` — pure integers; the reported z is
+    display math on the same exact integers.
+
+    Ray shape: per-batch (user, cents) partials → one user-bucketed
+    combine resolves complete totals (slim rows, pinned once for the
+    moment fold and the outlier filter) → driver computes global
+    moments → one vectorized filter over the pinned totals. Outlier
+    rows are result-sized → DataFrame."""
+    import math
+
+    from .combine import bucketed_combine
+
+    empty = typed_empty(user_id="int64", n_events="int64",
+                        total_value="float64", z="float64")
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"user_id": t["user_id"].to_numpy(
+                               zero_copy_only=False).astype(np.int64),
+                           "n": np.ones(t.num_rows, np.int64),
+                           "qv": _cents(t["value"].to_numpy())})
+             .groupby("user_id", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def totals(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False).sum()
+        out["n"] = out["n"].astype(np.int64)
+        out["qv"] = out["qv"].astype(np.int64)
+        return out
+
+    # two consumers (moment fold + outlier filter): pin the slim
+    # per-user totals once — never a corpus-sized driver pull
+    tot_ds = bucketed_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536),
+        "user_id", totals).materialize()
+
+    def moments(t: pa.Table) -> pa.Table:
+        qv = t["qv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # python-int partials: qv² sums exceed int64 long before 2^63
+        # corpus-wide at web scale; per-batch they stay small and the
+        # driver folds exact python ints
+        return pa.table({"d": pa.array([len(qv)], pa.int64()),
+                         "s": pa.array([int(qv.sum())], pa.int64()),
+                         "q": pa.array([sum(int(x) * int(x)
+                                            for x in qv)], pa.int64())})
+
+    m = tot_ds.map_batches(moments, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    if m.empty or "d" not in m.columns:
+        return empty
+    dd = int(m["d"].sum())
+    sn = int(m["s"].sum())
+    qn = sum(int(x) for x in m["q"])
+    var_q = dd * qn - sn * sn
+
+    def flag(t: pa.Table) -> pa.Table:
+        qv = t["qv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = []
+        for i, tu in enumerate(qv):
+            dev = int(tu) * dd - sn           # python-int test
+            if dev * dev > 9 * var_q:
+                keep.append(i)
+        if not keep:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "qv": pa.array([], pa.int64())})
+        k = np.array(keep, np.int64)
+        return pa.table({
+            "user_id": pa.array(t["user_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[k]),
+            "n_events": pa.array(t["n"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[k]),
+            "qv": pa.array(qv[k])})
+
+    out = (tot_ds.map_batches(flag, batch_format="pyarrow",
+                              batch_size=65536)
+           .to_pandas())                    # result-sized outliers
+    if out.empty:
+        return empty
+    out["total_value"] = round_half_away(
+        out["qv"].to_numpy(np.float64) / 100.0, 4)
+    out["z"] = round_half_away(np.array(
+        [abs(float(int(tu) * dd - sn)) / math.sqrt(float(var_q))
+         for tu in out["qv"]], np.float64), 6)
+    for c in ("user_id", "n_events"):
+        out[c] = out[c].astype(np.int64)
+    return (out[["user_id", "n_events", "total_value", "z"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def q_daily_actives(sf_dir: str) -> pd.DataFrame:
     """Daily active users split into NEW vs RETURNING — the growth
     dashboard's top row (is today's traffic acquisition or retention?):

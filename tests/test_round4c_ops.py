@@ -1058,6 +1058,23 @@ def test_dup_cluster_sizes_matches_components(ray_session):
             == df["cluster_size"] * df["n_clusters"]).all()
 
 
+def test_outlier_users_matches_float_sigma(ray_session):
+    from norsk_historisk_avis_ocr_ray.functions.relational import (
+        q_outlier_users)
+
+    sf1 = "/root/testdata/sf0.1"      # has 9 spend outliers
+    df = q_outlier_users(sf1)
+    totals = duckdb.sql(f"""
+        SELECT user_id, sum(round(value * 100)) AS t
+        FROM '{sf1}/events.parquet' GROUP BY user_id""").df()
+    t = totals["t"].to_numpy(np.float64)
+    mu, sd = t.mean(), t.std()
+    flagged = set(totals.loc[np.abs(t - mu) > 3 * sd, "user_id"]
+                  .astype(int))
+    assert set(df["user_id"].astype(int)) == flagged
+    assert (df["z"] > 3.0).all()
+
+
 def test_rank_normalize_is_cume_dist(ray_session):
     from norsk_historisk_avis_ocr_ray.functions.mlprep import (
         q_rank_normalize)
