@@ -146,9 +146,11 @@ def pair_blocks(floor: int = 4, cap: int = 64) -> int:
     (the fixed 4 gave only 10 groups — 22 idle cores on a 32-CPU box, and
     a 256-node cluster would cap at 10 tasks). Replication factor per row
     is B, so the cap bounds object-store amplification. Exactness-neutral
-    ONLY for integer-grid pair math (int64 matmuls are exact under any
-    shape); float-cosine sweeps (``embedding_neardup``) keep their fixed
-    width because BLAS blocking varies with operand shape."""
+    for integer-grid pair math (int64 matmuls are exact under any shape);
+    the float-cosine sweep (``embedding_neardup``) also derives from this
+    since round 5 — its embeddings are integer-grid, so each float64 dot
+    is exact under any BLAS blocking (verified: identical output at
+    n_blocks ∈ {3,4,7,8,13,64})."""
     import math
 
     b = max(floor, math.isqrt(2 * cluster_cpus() - 1) + 1)
