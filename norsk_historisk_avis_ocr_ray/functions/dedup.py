@@ -757,6 +757,52 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8,
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def minhash_pairs_stream(sf_dir: str, threshold: float = 0.8,
+                         cands: Dataset | None = None) -> Dataset:
+    """Verified near-dup pair STREAM — the corpus-scale form of
+    ``dedup_minhash``: the candidate list stays a Dataset end-to-end (no
+    driver pull, no ``is_in`` id broadcast — both are O(candidates) and on
+    a duplicated 100-TB crawl the candidate list grows with the corpus);
+    texts attach through two distributed hash joins and verification runs
+    as a map_batches over the joined stream. Returns (a, b, jaccard) with
+    ``jaccard`` ≥ threshold.
+
+    Distinctness contract: pairs are distinct only batch-locally (the
+    banding stage's per-batch combiner); rare cross-block repeats verify
+    to identical rows. The intended consumer — the distributed min-label
+    component closure (``cluster._close_edges_distributed``) — is
+    idempotent to duplicate edges, so no global distinct shuffle is spent
+    here. Callers needing an exactly-distinct pair LIST should use
+    ``dedup_minhash`` (driver path) or add a (a, b) groupby."""
+    docs = _docs(sf_dir, num_blocks=scale.read_blocks())
+    if cands is None:
+        cands = minhash_candidates(docs).materialize()
+    if cands.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}))
+
+    from .rounding import round_half_away
+
+    docs_a = docs.rename_columns({"doc_id": "a", "text": "text_a"})
+    docs_b = docs.rename_columns({"doc_id": "b", "text": "text_b"})
+    joined = (cands
+              .join(docs_a, join_type="inner",
+                    num_partitions=scale.join_partitions(), on=("a",))
+              .join(docs_b, join_type="inner",
+                    num_partitions=scale.join_partitions(), on=("b",)))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        jac = round_half_away(
+            [ngram_jaccard(ta, tb)
+             for ta, tb in zip(batch["text_a"], batch["text_b"])], 6)
+        batch = batch.assign(jaccard=jac)
+        return batch.loc[batch["jaccard"] >= threshold,
+                         ["a", "b", "jaccard"]]
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
 # --- exact n-gram Jaccard dedup -------------------------------------------------
 
 def q_minhash_jaccard_est(sf_dir: str) -> pd.DataFrame:

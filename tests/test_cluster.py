@@ -123,20 +123,8 @@ def test_union_find_closure_pure():
     """Driver union-find on a synthetic pair frame (no Ray): chain + star."""
     pairs = pd.DataFrame({"a": [1, 2, 5, 5], "b": [2, 3, 6, 7],
                           "jaccard": [1.0] * 4})
-    parent = {}
-
-    # reuse the module's own closure via a tiny monkeypatched dedup
     import norsk_historisk_avis_ocr_ray.functions.cluster as cl
-    orig = cl.__dict__["minhash_clusters"]
-    # inline: emulate by calling the union-find logic through a stub
-    def fake_dedup(sf_dir, threshold=0.8):
-        return pairs
-    import norsk_historisk_avis_ocr_ray.functions.dedup as dd
-    old = dd.dedup_minhash
-    dd.dedup_minhash = fake_dedup
-    try:
-        out = cl.minhash_clusters("unused")
-    finally:
-        dd.dedup_minhash = old
+
+    out = cl._union_find_pairs(pairs)
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 5}
