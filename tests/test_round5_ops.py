@@ -94,6 +94,40 @@ class TestDistributedClosure:
         assert all(lab[n] == 30 for n in (30, 31, 32))
         assert lab[40] == lab[41] == 40
 
+    def test_triangle_census_distributed_matches_driver(self):
+        from norsk_historisk_avis_ocr_ray.functions.cluster import (
+            q_triangle_dups)
+
+        drv = q_triangle_dups(SF).sort_values("doc_id").reset_index(
+            drop=True).astype("int64")
+        dist = q_triangle_dups(SF, edge_cutover=0)
+        import ray.data as rd
+
+        assert isinstance(dist, rd.Dataset)
+        ddf = (dist.to_pandas().sort_values("doc_id")
+               .reset_index(drop=True).astype("int64"))
+        pd.testing.assert_frame_equal(drv, ddf)
+
+    def test_triangle_census_planted(self):
+        """Known graph: K4 on {1,2,3,4} (4 triangles, 3 per node), one
+        pendant node 5 off node 1 (0 triangles), plus duplicate edges."""
+        import pyarrow as pa
+        import ray
+
+        from norsk_historisk_avis_ocr_ray.functions.cluster import (
+            _triangle_census_distributed)
+
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5),
+                 (1, 2), (3, 4)]  # duplicates must not perturb
+        et = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                       "b": pa.array([b for _, b in edges], pa.int64())})
+        out = (_triangle_census_distributed(ray.data.from_arrow(et))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        got = {int(r.doc_id): (int(r.deg), int(r.n_triangles))
+               for r in out.itertuples()}
+        assert got == {1: (4, 3), 2: (3, 3), 3: (3, 3), 4: (3, 3),
+                       5: (1, 0)}
+
     def test_dup_cluster_sizes_distributed_fold(self):
         """q_dup_cluster_sizes must produce the identical histogram when
         the closure returns a streaming Dataset (distributed fold) as when
