@@ -138,3 +138,43 @@ class TestDistributedClosure:
         drv = q_dup_cluster_sizes(SF)
         dist = q_dup_cluster_sizes(SF, closure_cutover=0)
         pd.testing.assert_frame_equal(drv, dist)
+
+
+class TestMediaGoldens:
+    """Round-5 media golden oracles (synth/media_golden.py): the replay
+    hash hinges on the golden module's independent splitmix64 copy staying
+    in sync with the generator's, and on each pipeline reproducing its
+    golden bit-for-bit (the oracle gate asserts this at sf0.01/0.1; pin it
+    here at sf0.001 so a divergence fails fast in pytest too)."""
+
+    def test_fmix_copies_agree(self):
+        from norsk_historisk_avis_ocr_ray.functions.dedup import _fmix64
+        from norsk_historisk_avis_ocr_ray.synth.media_golden import _fmix
+
+        x = np.arange(0, 1 << 20, 9973, dtype=np.uint64)
+        assert (_fmix(x) == _fmix64(x.copy())).all()
+
+    def test_video_shot_pipeline_matches_ground_truth(self):
+        import __ray_entry__ as e
+        from norsk_historisk_avis_ocr_ray.synth import media_golden as mg
+
+        got = (e._video_shot_detect(SF).to_pandas()
+               .sort_values("media_ref").reset_index(drop=True))
+        ids = sorted(int(r.split("//")[1]) for r in got["media_ref"])
+        exp = (mg.video_shot_golden(ids).to_pandas()
+               .drop(columns=["doc_id"])
+               .sort_values("media_ref").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_audio_energy_pipeline_matches_replay(self):
+        import __ray_entry__ as e
+        from norsk_historisk_avis_ocr_ray.synth import media_golden as mg
+
+        got = (e._audio_frame_energy(SF).to_pandas()
+               .sort_values("media_ref").reset_index(drop=True))
+        ids = sorted(int(r.split("//")[1]) for r in got["media_ref"])
+        exp = (mg.audio_energy_golden(ids).to_pandas()
+               .drop(columns=["doc_id"])
+               .sort_values("media_ref").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                      check_exact=True)
