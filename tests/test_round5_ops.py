@@ -140,6 +140,75 @@ class TestDistributedClosure:
         pd.testing.assert_frame_equal(drv, dist)
 
 
+class TestAnnContrastiveMining:
+    """VERDICT r4 item 7: the IVF-probed contrastive-mining path must keep
+    the exact sweep's schema and cosine grid and recall ≥ 0.9 of the
+    exact per-anchor bests (a recalled pair scores IDENTICALLY — both
+    paths share the 1e-9 integer grid, so value-recall is exact integer
+    equality)."""
+
+    @pytest.mark.parametrize("same_label", [False, True])
+    def test_recall_vs_exact(self, same_label):
+        from norsk_historisk_avis_ocr_ray.functions.similarity import (
+            _label_best, _label_best_ann)
+
+        ex = _label_best(SF, same_label).to_pandas().set_index("vec_id")
+        an = _label_best_ann(SF, same_label).to_pandas().set_index("vec_id")
+        assert len(ex) > 0
+        hits = sum(1 for v in ex.index
+                   if v in an.index
+                   and int(an.loc[v, "qcos"]) == int(ex.loc[v, "qcos"]))
+        assert hits / len(ex) >= 0.9
+
+    def test_ivf_method_same_schema(self):
+        from norsk_historisk_avis_ocr_ray.functions.similarity import (
+            q_hard_negatives, q_positive_pairs)
+
+        hn = q_hard_negatives(SF, method="ivf").to_pandas()
+        assert list(hn.columns) == ["vec_id", "label", "neg_id",
+                                    "neg_label", "cos"]
+        assert (hn["label"] != hn["neg_label"]).all()
+        pp = q_positive_pairs(SF, method="ivf").to_pandas()
+        assert list(pp.columns) == ["vec_id", "label", "pos_id", "cos"]
+
+
+class TestDupLeakagePlanted:
+    """VERDICT r4 item 6: q_dup_leakage matched its oracle on 0 rows at
+    sf0.01 — prove the non-trivial path with a PLANTED corpus whose exact
+    leakage matrix is known, including a genuinely CROSS-source cell
+    (the sf0.1 check asserts non-emptiness but not cross-source-ness)."""
+
+    def test_known_cross_source_matrix(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from norsk_historisk_avis_ocr_ray.functions.dedup import (
+            q_dup_leakage)
+
+        rows = [
+            # content X: 2 copies in src1, 1 in src2
+            (1, "src1", "content X"), (2, "src1", "content X"),
+            (3, "src2", "content X"),
+            # content Y: 1 copy in src2, 2 in src3
+            (4, "src2", "content Y"), (5, "src3", "content Y"),
+            (6, "src3", "content Y"),
+            # unique content — must not appear anywhere
+            (7, "src1", "unique A"), (8, "src2", "unique B"),
+        ]
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string())})
+        pq.write_table(t, tmp_path / "documents.parquet")
+        df = q_dup_leakage(str(tmp_path))
+        got = {(r.source_a, r.source_b): (int(r.n_pairs), int(r.n_groups))
+               for r in df.itertuples()}
+        assert got == {("src1", "src1"): (1, 1),   # C(2,2) of content X
+                       ("src1", "src2"): (2, 1),   # 2×1 cross pairs of X
+                       ("src2", "src3"): (2, 1),   # 1×2 cross pairs of Y
+                       ("src3", "src3"): (1, 1)}   # C(2,2) of content Y
+
+
 class TestMediaGoldens:
     """Round-5 media golden oracles (synth/media_golden.py): the replay
     hash hinges on the golden module's independent splitmix64 copy staying
