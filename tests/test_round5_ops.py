@@ -140,6 +140,49 @@ class TestDistributedClosure:
         pd.testing.assert_frame_equal(drv, dist)
 
 
+class TestPcaProjection:
+    """VERDICT r4 item 8: pin the FULL PCA projection (not just the
+    spectrum) against an independent in-memory numpy PCA."""
+
+    def test_projection_matches_numpy(self):
+        import pyarrow.parquet as pq
+
+        from norsk_historisk_avis_ocr_ray.functions.similarity import (
+            emb_pca_project)
+
+        out = emb_pca_project(SF, n_components=4).to_pandas()
+        emb = pq.read_table(f"{SF}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        ids = np.asarray(emb["vec_id"].to_pylist(), np.int64)
+        x = np.stack(emb["embedding"].to_pylist()).astype(np.float64)
+        xc = x - x.mean(axis=0)
+        cov = np.cov(x, rowvar=False, bias=True)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(-evals, kind="stable")
+        v = evecs[:, order[:4]]
+        for j in range(4):
+            if v[np.argmax(np.abs(v[:, j])), j] < 0:
+                v[:, j] = -v[:, j]
+        want = xc @ v
+        got = (out.set_index("vec_id").loc[ids, "proj"]
+               .map(np.asarray).to_numpy())
+        got = np.stack(got)
+        # same sign convention both sides; tolerance absorbs the operator's
+        # 1e-6 input quantization only
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_projection_variance_equals_spectrum(self):
+        from norsk_historisk_avis_ocr_ray.functions.similarity import (
+            emb_pca, emb_pca_project)
+
+        spec = emb_pca(SF, n_components=4)
+        proj = np.stack(emb_pca_project(SF, n_components=4)
+                        .to_pandas()["proj"].map(np.asarray).to_numpy())
+        var = proj.var(axis=0)  # biased, matching the covariance estimate
+        np.testing.assert_allclose(
+            var, spec["explained_var"].to_numpy(), atol=5e-5)
+
+
 class TestAnnContrastiveMining:
     """VERDICT r4 item 7: the IVF-probed contrastive-mining path must keep
     the exact sweep's schema and cosine grid and recall ≥ 0.9 of the
