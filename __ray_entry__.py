@@ -121,7 +121,44 @@ def _golden_dump_path() -> str:
     return _OCR_GOLDEN_DUMP
 
 
-_MEDIA_GOLDEN_DIR = "/tmp/nhao_media_golden_v1"
+def _emb_pca_project(sf_dir: str) -> Any:
+    """PCA dim-reduction projection (round 5): the exact-integer moment
+    fold + driver eigensolve of ``emb_pca`` extended to project every
+    embedding through the 1e-9-grid eigenvectors — integer matmul + one
+    float division per row, so the floats are bit-identical under any
+    partitioning, and the golden-parquet oracle (single-process replay,
+    ``media_golden.pca_project_golden``) is an exact value-hash gate.
+    Long format (vec_id, component, proj); corpus-sized → Dataset."""
+    import numpy as np
+    import pyarrow as pa
+
+    from norsk_historisk_avis_ocr_ray.functions.collect import ensure_schema
+    from norsk_historisk_avis_ocr_ray.functions.similarity import (
+        emb_pca_project)
+
+    schema = pa.schema([("vec_id", pa.int64()), ("component", pa.int64()),
+                        ("proj", pa.float64())])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        proj = t["proj"].to_pylist()
+        if not proj:
+            return schema.empty_table()
+        k = len(proj[0])
+        flat = np.array([v for row in proj for v in row], np.float64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, k).astype(np.int64)),
+            "component": pa.array(
+                np.tile(np.arange(k, dtype=np.int64), len(ids))),
+            "proj": pa.array(flat, pa.float64())})
+
+    return ensure_schema(
+        emb_pca_project(sf_dir).map_batches(explode,
+                                            batch_format="pyarrow"),
+        schema)
+
+
+_MEDIA_GOLDEN_DIR = "/tmp/nhao_media_golden_v2"
 _MEDIA_GOLDEN_IDS = 5000  # covers doc_id 0..4999 — every test scale
 
 
@@ -156,6 +193,17 @@ def _media_golden_dir() -> str:
         "image_phash_60": mg.image_phash_golden(60),
         "image_phash_120": mg.image_phash_golden(120),
     }
+    # per-sf PCA projection goldens (embedding content differs per sf even
+    # at equal row count — keyed by the sf's lineitem count, the one table
+    # that scales between sf0.001 and sf0.01)
+    import pyarrow.parquet as _pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        emb = f"/root/testdata/{sf}/embeddings.parquet"
+        li = f"/root/testdata/{sf}/lineitem.parquet"
+        if os.path.exists(emb) and os.path.exists(li):
+            nli = _pq.ParquetFile(li).metadata.num_rows
+            dumps[f"pca_project_{nli}"] = mg.pca_project_golden(emb)
     pid = os.getpid()
     for name, table in dumps.items():
         tmp = os.path.join(_MEDIA_GOLDEN_DIR, f"{name}.parquet.{pid}.tmp")
@@ -788,6 +836,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": similarity.ann_pq_topk,
         "emb_kmeans": similarity.emb_kmeans,
         "emb_pca": similarity.emb_pca,
+        "emb_pca_project": _emb_pca_project,
         "emb_label_centroid": similarity.emb_label_centroid,
         "emb_vec_norms": similarity.emb_vec_norms,
         "q_vec_quantize": similarity.q_vec_quantize,
@@ -6580,6 +6629,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT media_ref, n_features, ink_ratio
         FROM read_parquet('{mgd}/image_features_120.parquet')
         WHERE (SELECT count(*) FROM lineitem) >= 10000
+    """
+    oracles["emb_pca_project"] = f"""
+        SELECT vec_id, component, proj
+        FROM read_parquet('{mgd}/pca_project_6000.parquet')
+        WHERE (SELECT count(*) FROM lineitem) = 6000
+        UNION ALL
+        SELECT vec_id, component, proj
+        FROM read_parquet('{mgd}/pca_project_60000.parquet')
+        WHERE (SELECT count(*) FROM lineitem) = 60000
+        UNION ALL
+        SELECT vec_id, component, proj
+        FROM read_parquet('{mgd}/pca_project_600000.parquet')
+        WHERE (SELECT count(*) FROM lineitem) = 600000
     """
     oracles["image_phash_dedup"] = f"""
         SELECT a, b, hamming

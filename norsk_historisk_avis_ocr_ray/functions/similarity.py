@@ -977,16 +977,29 @@ def emb_pca_project(sf_dir: str,
         col = v[:, j]
         if col[np.argmax(np.abs(col))] < 0:
             v[:, j] = -col
-    mean = np.array(s, np.float64) / (float(n) * 1e6)
-    ref = ray.put((mean, v))
+    # 1e-9-grid integer eigenvectors + 1e-6-grid integer mean: the
+    # projection then reduces to one exact int64 matmul per batch + ONE
+    # float division, so the emitted floats are bit-identical under any
+    # partitioning / batch size (the emb_kmeans integer-grid pattern) —
+    # which is what lets the golden replay serve as an exact value-hash
+    # oracle. Centering uses the grid-ROUNDED mean (≤ 5e-7 off the exact
+    # mean — inside the documented pin tolerance) so the centered coords
+    # stay ~1e6-grid ints and the 64-dim matmul (≤ 64·1.2e6·1e9 ≈ 8e16)
+    # cannot overflow int64 at ANY corpus size n.
+    vq = round_half_away(v * 1e9, 0).astype(np.int64)
+    mq = round_half_away(np.array(s, np.float64) / n, 0).astype(np.int64)
+    ref = ray.put((mq, vq))
+    denom = 1e6 * 1e9
 
     def project(t: pa.Table) -> pa.Table:
-        mean, v = ray.get(ref)
+        mq, vq = ray.get(ref)
         ids, mat = _batch_matrix(t)
         if mat.size == 0:
             return schema.empty_table()
         q1, _ = _q1_batch(mat)
-        proj = (q1.astype(np.float64) / 1e6 - mean[None, :]) @ v
+        centered = q1 - mq[None, :]          # int64, exact
+        grid = centered @ vq                 # int64 matmul, exact
+        proj = grid.astype(np.float64) / denom
         return pa.table({
             "vec_id": pa.array(ids.astype(np.int64)),
             "proj": pa.array([row.tolist() for row in proj],

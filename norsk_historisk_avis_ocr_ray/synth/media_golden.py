@@ -233,6 +233,51 @@ def _phash(img: np.ndarray) -> np.uint64:
                                                             dtype=np.uint64)))
 
 
+def pca_project_golden(emb_path: str, n_components: int = 8) -> pa.Table:
+    """Expected (vec_id, component, proj) of the ``emb_pca_project``
+    query: the full integer-grid PCA chain replayed single-process from
+    the embeddings parquet — 1e-6 coordinate quantization, exact-integer
+    moment fold (associative, so one-process order is the distributed
+    fold's value), scatter → covariance → ``eigh``, deterministic sign
+    fix, 1e-9-grid eigenvectors, 1e-6-grid mean, one exact int64 matmul
+    and ONE float division per row. Every step is a pure function of the
+    table, so the distributed pipeline must reproduce it bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from ..functions.rounding import round_half_away
+
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    x = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    n, dim = x.shape
+    if n < 2:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64()),
+                         "proj": pa.array([], pa.float64())})
+    q1 = round_half_away(1e6 * x, 0).astype(np.int64)
+    s = [int(v) for v in q1.sum(axis=0)]
+    ss = (q1.T @ q1)
+    scatter = np.array(
+        [[n * int(ss[i, j]) - s[i] * s[j] for j in range(dim)]
+         for i in range(dim)], dtype=np.float64)
+    cov = scatter / (float(n * n) * 1e12)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")
+    k = min(n_components, dim)
+    v = evecs[:, order[:k]]
+    for j in range(k):
+        if v[np.argmax(np.abs(v[:, j])), j] < 0:
+            v[:, j] = -v[:, j]
+    vq = round_half_away(v * 1e9, 0).astype(np.int64)
+    mq = round_half_away(np.array(s, np.float64) / n, 0).astype(np.int64)
+    grid = (q1 - mq[None, :]) @ vq
+    proj = grid.astype(np.float64) / (1e6 * 1e9)
+    return pa.table({
+        "vec_id": pa.array(np.repeat(ids, k), pa.int64()),
+        "component": pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+        "proj": pa.array(proj.reshape(-1), pa.float64())})
+
+
 def image_phash_golden(n_docs: int, max_hamming: int = 6,
                        bands: int = 4) -> pa.Table:
     """Expected (a, b, hamming) of ``_image_phash_dedup``: pHash per page,
