@@ -95,13 +95,16 @@ def run_shuffle_pipeline(corpus_dir: str, ncpu: int) -> float:
     # 24→37.7s, 28→38.4s same-session); at bs=16 anything past 5N/8
     # collapsed against the join/sort stages (26 actors measured 75s).
     # Round-5 re-profile (stats): the path is OCR-COMPUTE-bound, not
-    # shuffle-bound — 368.8s of remote OCR wall over 24 actors ≈ 16.8
-    # effective workers at 22.2-23.3s wall; the join moves only
-    # (doc_id, in_offset, media_ref) × the text-only region rows and its
-    # aggregate+sort tail is <2s. Re-swept this round: 24/48 ≈ 24/64 ≈
-    # 22/48 ≈ 20/48 (22.0-23.3s, host noise), 26/48 → 29.5s and
-    # 28/48 → 30.0s (actor pool starves the dataflow task ops) — the
-    # r3-tuned 3N/4 @ 48 remains the optimum.
+    # shuffle-bound — after the layout AND/OR rewrite, 271.7s of remote OCR
+    # wall over 24 actors (11.3s busy floor, 66% pool utilization: actor
+    # ramp + 200-page block granularity tail; finer page blocks backfire,
+    # override_num_blocks=400 → 44s from row-group re-reads). Re-swept at
+    # 4 join partitions: 24/48 → 21.1s, 26/48 → 29.2s, 28/48 → 29.0s
+    # (the cliff past 24 actors persists at any join width — executor
+    # starves the dataflow task ops). Elastic-task OCR (ocr_compute=
+    # 'tasks', read->OCR fused) measured 26.4s — the reservation
+    # allocator caps the fused op near 10 effective workers, so the
+    # tuned 3N/4-actor pool @ 48 remains the optimum.
     out = extract(docs, os.path.join(corpus_dir, "pages"),
                   ocr_concurrency=max(2, (3 * ncpu) // 4),
                   ocr_batch_size=48,

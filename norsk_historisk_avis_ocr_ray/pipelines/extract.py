@@ -75,6 +75,7 @@ def extract(
     correction: bool = True,
     emit_diff: bool = True,
     media_resolution: str = "auto",
+    ocr_compute: str = "actors",
     skew_split_width: int | None = None,
     span_checkpoint: str | None = None,
 ) -> Dataset:
@@ -94,9 +95,19 @@ def extract(
     read+explode — 2× source-read I/O, zero pin. Round 2 used
     ``materialize()`` here, which pinned the whole corpus-sized span stream
     in the object store — disqualifying at 100× scale.
+    ocr_compute: 'actors' (default) runs OCR as a sized actor pool;
+    'tasks' (dataflow mode only) runs it as elastic Ray tasks with a
+    per-worker-process engine cache (stages/ocr.py:page_ocr_batch) — OCR
+    then shares CPUs cooperatively with the dataflow operators, no pool
+    sizing and no starvation clamp. Right whenever engine setup is cheap
+    enough to pay once per worker process (mock/tesseract); keep 'actors'
+    for heavyweight engines (LLM clients with connection state).
     """
     if media_resolution == "auto":
         media_resolution = "broadcast" if pages is None else "dataflow"
+    ocr_tasks = ocr_compute == "tasks" and media_resolution == "dataflow"
+    if ocr_tasks:
+        skew_split_width = None  # elastic tasks self-balance; no pool split
 
     # Deadlock guard: actor pools that reserve every CPU of the session
     # starve the task operators (read/clean/sort/join aggregators) and the
@@ -108,7 +119,7 @@ def extract(
     if skew_split_width is not None and media_resolution == "dataflow":
         # the skew split opens a second pool of at least 1 actor
         budget = max(1, budget - 1)
-    if _int_concurrency(ocr_concurrency) + n_corr > budget:
+    if not ocr_tasks and _int_concurrency(ocr_concurrency) + n_corr > budget:
         ocr_concurrency = max(1, budget - n_corr)
         if _int_concurrency(ocr_concurrency) + n_corr > budget:
             corrector_concurrency = None  # fall back to task-form corrector
@@ -139,7 +150,19 @@ def extract(
         # by width at ingest); otherwise small ocr_batch_size already bounds
         # per-task cost variance (a 6-col broadsheet is ~6× a 1-col page),
         # and the sharded pipeline handles skew by shard-count ≫ core-count.
-        if skew_split_width is not None:
+        if ocr_tasks:
+            from functools import partial
+
+            from ..stages.ocr import page_ocr_batch
+
+            media_texts = pages_ds.map_batches(
+                partial(page_ocr_batch, engine_factory=engine_factory),
+                batch_format="pyarrow",
+                batch_size=None,  # whole read block per call → the executor
+                # fuses ReadParquet->page_ocr_batch into ONE task op: image
+                # bytes never cross the object store at all
+            )
+        elif skew_split_width is not None:
             total = _int_concurrency(ocr_concurrency)
             heavy_conc = max(1, total // 3)
             light_conc = max(1, total - heavy_conc)
@@ -182,7 +205,7 @@ def extract(
         # cluster-size-aware: at least the cluster-wide join default, but
         # never fewer partitions than the OCR pool can feed concurrently
         n_parts = max(scale.join_partitions(),
-                      _int_concurrency(ocr_concurrency) // 3)
+                      _int_concurrency(ocr_concurrency) // 6)
         joined = media_spans.join(media_texts, join_type="left_outer",
                                   num_partitions=n_parts, on=("media_ref",))
         joined = joined.map_batches(_finalize_joined, batch_format="pyarrow")

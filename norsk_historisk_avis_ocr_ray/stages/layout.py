@@ -161,25 +161,34 @@ def find_gap_boundaries(
         # counts (this VM's scaling ceiling; see BASELINE.md).  int16
         # accumulators: cumsums along the slice never exceed its width.
         sw = c1 - c0
-        idx = np.arange(sw)                         # slice-relative positions
-        k_hi = np.minimum(idx, sw - g) + 1          # covering windows [k_lo, k_hi)
-        k_lo = np.maximum(idx - g + 1, 0)
+        nok = sw - g + 1  # in-slice all-light windows [k, k+g), k in [0, sw-g]
+        # Window membership via shifted boolean reductions, not cumsum scans:
+        # ok[k] = AND of g shifts of the light mask; covered[j] = OR of g
+        # shifts of zero-padded ok (the pad encodes the [k_lo, k_hi) clamps —
         # windows straddling the slice edge exist only when the slice edge is
-        # the segment edge (c0==0 / c1==seg_width) — the clamps above are then
-        # exactly the reference's behavior at the segment boundary.
+        # the segment edge (c0==0 / c1==seg_width), where the clamp is exactly
+        # the reference's behavior). Boolean AND/OR over 128-row slabs are
+        # SIMD byte ops; the scalar int16 cumsum scans they replace were 3x
+        # the whole stage's barcode-OCR cost (round-5 profile: 1.9s of 6.4s
+        # per 800 pages).
         coverage = np.zeros(sw, dtype=np.int32)
-        cs = np.zeros((128, sw + 1), dtype=np.int16)
-        okc = np.zeros((128, sw - g + 2), dtype=np.int16)
-        for r0 in range(0, height, 128):
-            r1 = min(r0 + 128, height)
-            nr = r1 - r0
-            light = img[y_start + r0:y_start + r1,
-                        x_start + c0:x_start + c1] >= threshold
-            np.cumsum(light, axis=1, out=cs[:nr, 1:])
-            ok = (cs[:nr, g:] - cs[:nr, :-g]) == g  # window [k, k+g) all light
-            np.cumsum(ok, axis=1, out=okc[:nr, 1:])
-            coverage += ((okc[:nr, k_hi] - okc[:nr, k_lo]) > 0).sum(
-                axis=0, dtype=np.int32)
+        if nok > 0:
+            okpad = np.zeros((128, sw + g - 1), dtype=bool)
+            covered = np.empty((128, sw), dtype=bool)
+            for r0 in range(0, height, 128):
+                r1 = min(r0 + 128, height)
+                nr = r1 - r0
+                light = img[y_start + r0:y_start + r1,
+                            x_start + c0:x_start + c1] >= threshold
+                ok = okpad[:nr, g - 1:sw]           # back/front pads stay False
+                np.copyto(ok, light[:, :nok])
+                for t in range(1, g):
+                    ok &= light[:, t:nok + t]
+                cov = covered[:nr]
+                np.copyto(cov, okpad[:nr, 0:sw])
+                for t in range(1, g):
+                    cov |= okpad[:nr, t:t + sw]
+                coverage += cov.sum(axis=0, dtype=np.int32)
         coverage = coverage.astype(np.float64)
 
         # 15px centered moving average (never clamped: w_lo-7 >= 43 > 0).

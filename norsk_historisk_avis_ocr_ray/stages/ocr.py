@@ -263,6 +263,36 @@ class PageOcrStage:
         return pa.Table.from_arrays(arrays, schema=PAGE_OUT_SCHEMA)
 
 
+_PROCESS_PAGE_STAGE: dict[tuple, PageOcrStage] = {}
+
+
+def page_ocr_batch(batch: pa.Table,
+                   engine_factory: Callable[[], Any] = MockBarcodeOcr,
+                   overlap_px: int = OVERLAP_PX) -> pa.Table:
+    """Task-form PageOcrStage: per-worker-process cached engine.
+
+    Same semantics as the actor-pool form, but scheduled as elastic Ray
+    tasks — OCR work shares the session's CPUs with the dataflow operators
+    (read / join / groupby aggregators) instead of carving out a static
+    actor pool, so no pool-size tuning and no starvation clamp. The engine
+    loads once per worker *process* (cache keyed by factory class), exactly
+    the `correct_batch` pattern in stages/correct.py.
+
+    Engine factories that are not plain classes (closures, partials) don't
+    key a stable per-process cache across task deserializations — use the
+    actor-pool form for those, or for engines whose setup is too heavy to
+    pay once per worker process.
+    """
+    key = (engine_factory if isinstance(engine_factory, type) else None,
+           overlap_px)
+    stage = _PROCESS_PAGE_STAGE.get(key) if key[0] is not None else None
+    if stage is None:
+        stage = PageOcrStage(engine_factory, overlap_px)
+        if key[0] is not None:
+            _PROCESS_PAGE_STAGE[key] = stage
+    return stage(batch)
+
+
 class _RowSink:
     def __init__(self):
         self.cols: list[list] = [[] for _ in OUT_FIELDS]

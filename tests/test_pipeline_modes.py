@@ -62,6 +62,15 @@ def test_dataflow_mode(corpus_dir):
     check(out, corpus_dir)
 
 
+def test_dataflow_task_form_ocr(corpus_dir):
+    # elastic-task OCR (per-worker-process engine cache, read->OCR fusion)
+    # must be span-for-span identical to the actor-pool form
+    docs, pages = _docs_pages(corpus_dir)
+    out = extract(docs, pages, ocr_concurrency=2, media_resolution="dataflow",
+                  ocr_compute="tasks")
+    check(out, corpus_dir)
+
+
 def test_dataflow_span_checkpoint(corpus_dir, tmp_path):
     # checkpointed exploded-span stream (parquet roundtrip + column-pruned
     # re-read) must be span-for-span identical to the recompute default
