@@ -167,29 +167,40 @@ def find_gap_boundaries(
         # shifts of zero-padded ok (the pad encodes the [k_lo, k_hi) clamps —
         # windows straddling the slice edge exist only when the slice edge is
         # the segment edge (c0==0 / c1==seg_width), where the clamp is exactly
-        # the reference's behavior). Boolean AND/OR over 128-row slabs are
-        # SIMD byte ops; the scalar int16 cumsum scans they replace were 3x
-        # the whole stage's barcode-OCR cost (round-5 profile: 1.9s of 6.4s
-        # per 800 pages).
-        coverage = np.zeros(sw, dtype=np.int32)
+        # the reference's behavior). SIMD byte ops over the full-height slice
+        # in single passes: the scalar int16 cumsum scans + 128-row slab loop
+        # they replace cost 25x the light-compare floor in numpy small-array
+        # overhead (round-5 profile: 7.2 -> 0.8 ms per broadsheet segment);
+        # byte passes stream ~17 x height x sw ≈ 14 MB at DRAM bandwidth.
+        # The shifts run on FLATTENED contiguous buffers: a 2D shifted op on
+        # (height, ~sw) views pays numpy's per-row iteration setup ~height
+        # times per op (measured 5.3ms of the 6.7ms call); flat windows that
+        # would cross a row edge land only at per-row positions k >= nok
+        # (resp. j >= sw), which the final slices discard — so full-SIMD
+        # single passes are exact.
         if nok > 0:
-            okpad = np.zeros((128, sw + g - 1), dtype=bool)
-            covered = np.empty((128, sw), dtype=bool)
-            for r0 in range(0, height, 128):
-                r1 = min(r0 + 128, height)
-                nr = r1 - r0
-                light = img[y_start + r0:y_start + r1,
-                            x_start + c0:x_start + c1] >= threshold
-                ok = okpad[:nr, g - 1:sw]           # back/front pads stay False
-                np.copyto(ok, light[:, :nok])
-                for t in range(1, g):
-                    ok &= light[:, t:nok + t]
-                cov = covered[:nr]
-                np.copyto(cov, okpad[:nr, 0:sw])
-                for t in range(1, g):
-                    cov |= okpad[:nr, t:t + sw]
-                coverage += cov.sum(axis=0, dtype=np.int32)
-        coverage = coverage.astype(np.float64)
+            light = img[y_start:y_end, x_start + c0:x_start + c1] >= threshold
+            lf = light.ravel()                      # C-contiguous by constr.
+            n = lf.size
+            andbuf = np.empty(n, dtype=bool)
+            a = andbuf[:n - g + 1]
+            np.copyto(a, lf[:n - g + 1])
+            for t in range(1, g):
+                a &= lf[t:n - g + 1 + t]
+            swp = sw + g - 1
+            okpad = np.zeros((height, swp), dtype=bool)
+            okpad[:, g - 1:sw] = andbuf.reshape(height, sw)[:, :nok]
+            opf = okpad.ravel()
+            npad = opf.size
+            covbuf = np.empty(npad, dtype=bool)
+            c = covbuf[:npad - g + 1]
+            np.copyto(c, opf[:npad - g + 1])
+            for t in range(1, g):
+                c |= opf[t:npad - g + 1 + t]
+            coverage = covbuf.reshape(height, swp)[:, :sw].sum(
+                axis=0, dtype=np.int32).astype(np.float64)
+        else:
+            coverage = np.zeros(sw, dtype=np.float64)
 
         # 15px centered moving average (never clamped: w_lo-7 >= 43 > 0).
         csum = np.concatenate(([0.0], np.cumsum(coverage)))
