@@ -81,6 +81,117 @@ class TestGapBoundaries:
         assert find_gap_boundaries(img, 0, 800, 0, 1000, 730) == []
 
 
+def _find_gap_boundaries_r4(img, x_start, x_end, y_start, y_end,
+                            expected_col_width, threshold=200,
+                            min_gap_px=8, min_coverage=0.55):
+    """The round-4 cumsum formulation (driver-hash-proven e2e), kept as the
+    equivalence reference for the flattened boolean-shift rewrite."""
+    seg_width = x_end - x_start
+    height = y_end - y_start
+    if seg_width < 50 or height < 50:
+        return []
+    n_expected = round(seg_width / expected_col_width)
+    if n_expected < 2:
+        return []
+    g = min_gap_px
+    half_w = 7
+    search_radius = int(expected_col_width * 0.3)
+    boundaries = []
+    for b in range(1, n_expected):
+        expected_rx = int(b * seg_width / n_expected)
+        w_lo = max(50, expected_rx - search_radius)
+        w_hi = min(seg_width - 50, expected_rx + search_radius)
+        if w_lo >= w_hi:
+            continue
+        c0 = max(0, w_lo - half_w - (g - 1))
+        c1 = min(seg_width, w_hi + 1 + half_w + (g - 1))
+        sw = c1 - c0
+        if sw - g + 1 <= 0:
+            coverage = np.zeros(sw, dtype=np.float64)
+        else:
+            idx = np.arange(sw)
+            k_hi = np.minimum(idx, sw - g) + 1
+            k_lo = np.maximum(idx - g + 1, 0)
+            light = (img[y_start:y_end, x_start + c0:x_start + c1]
+                     >= threshold)
+            cs = np.zeros((height, sw + 1), dtype=np.int32)
+            np.cumsum(light, axis=1, out=cs[:, 1:])
+            ok = (cs[:, g:] - cs[:, :-g]) == g
+            okc = np.zeros((height, sw - g + 2), dtype=np.int32)
+            np.cumsum(ok, axis=1, out=okc[:, 1:])
+            coverage = ((okc[:, k_hi] - okc[:, k_lo]) > 0).sum(
+                axis=0, dtype=np.int32).astype(np.float64)
+        csum = np.concatenate(([0.0], np.cumsum(coverage)))
+        j = np.arange(w_lo - c0, w_hi + 1 - c0)
+        smoothed = (csum[j + half_w + 1] - csum[j - half_w]) \
+            / (2 * half_w + 1) / height
+        best = int(np.argmax(smoothed))
+        if smoothed[best] >= min_coverage:
+            boundaries.append(x_start + w_lo + best)
+    return boundaries
+
+
+class TestGapBoundaryEquivalence:
+    """The flattened boolean-shift rewrite must match the round-4 cumsum
+    formulation bit-for-bit on randomized inputs, across gap widths and
+    segment geometries (incl. slice-at-segment-edge clamps and the
+    sw < min_gap_px degenerate)."""
+
+    def test_randomized_equivalence(self):
+        rng = np.random.default_rng(1234)
+        for trial in range(60):
+            h = int(rng.integers(50, 400))
+            w = int(rng.integers(120, 900))
+            colw = int(rng.integers(40, max(41, w // 2 + 1)))
+            g = int(rng.integers(2, 21))
+            thr = int(rng.integers(100, 240))
+            # mostly-dark page with planted light gutters + noise
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            n_g = int(rng.integers(0, 4))
+            for _ in range(n_g):
+                gx = int(rng.integers(0, max(1, w - g)))
+                img[:, gx:gx + g + int(rng.integers(0, 5))] = 250
+            # speckle some gutters so coverage is fractional
+            mask = rng.random((h, w)) < 0.02
+            img[mask] = 0
+            x0 = int(rng.integers(0, 30))
+            x1 = w - int(rng.integers(0, 30))
+            y0 = int(rng.integers(0, 10))
+            y1 = h - int(rng.integers(0, 10))
+            got = find_gap_boundaries(img, x0, x1, y0, y1, colw,
+                                      threshold=thr, min_gap_px=g)
+            want = _find_gap_boundaries_r4(img, x0, x1, y0, y1, colw,
+                                           threshold=thr, min_gap_px=g)
+            assert got == want, (trial, h, w, colw, g, thr)
+
+    def test_tiny_gap_param(self):
+        # g=1: every light pixel is its own window (degenerate shifts)
+        img = np.full((200, 600), 0, np.uint8)
+        img[:, 295:305] = 255
+        got = find_gap_boundaries(img, 0, 600, 0, 200, 300, min_gap_px=1)
+        want = _find_gap_boundaries_r4(img, 0, 600, 0, 200, 300,
+                                       min_gap_px=1)
+        assert got == want
+
+    def test_gap_wider_than_segment(self):
+        # min_gap_px wider than the whole segment: no window fits anywhere
+        img = np.full((200, 600), 255, np.uint8)
+        got = find_gap_boundaries(img, 0, 600, 0, 200, 300, min_gap_px=700)
+        want = _find_gap_boundaries_r4(img, 0, 600, 0, 200, 300,
+                                       min_gap_px=700)
+        assert got == want == []
+
+    def test_gap_wider_than_search_window_still_covers(self):
+        # g wider than the search window but inside the margin-extended
+        # slice: every position is covered on an all-light page — both
+        # formulations must agree (boundary at w_lo)
+        img = np.full((200, 600), 255, np.uint8)
+        got = find_gap_boundaries(img, 0, 600, 0, 200, 300, min_gap_px=500)
+        want = _find_gap_boundaries_r4(img, 0, 600, 0, 200, 300,
+                                       min_gap_px=500)
+        assert got == want == [210]
+
+
 class TestTitleRegion:
     def test_title_detected(self):
         img, truth = render(3, pagegen.INK, has_title=True)
