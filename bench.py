@@ -275,12 +275,15 @@ def main() -> None:
         "docs_per_sec": headline["docs_per_sec"],
     }
     print(json.dumps(full))
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_QUERIES.json"), "w") as f:
-            json.dump(full, f, indent=1)
-    except OSError:
-        pass
+    if not headline_only:
+        # scaling/headline-only child runs must not clobber the full-suite
+        # sidecar with an empty query map
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_QUERIES.json"), "w") as f:
+                json.dump(full, f, indent=1)
+        except OSError:
+            pass
     slowest = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:8])
     print(json.dumps({
         "metric": "ocr_extract_wall_sec",
