@@ -71,6 +71,25 @@ def test_dataflow_task_form_ocr(corpus_dir):
     check(out, corpus_dir)
 
 
+def test_page_ocr_batch_matches_stage(corpus_dir):
+    # task-form wrapper == actor stage, for class factories (cached) and
+    # non-class factories (uncached fallback path) alike — no Ray involved
+    from functools import partial
+
+    import pyarrow.parquet as pq
+    from norsk_historisk_avis_ocr_ray.stages.ocr import (
+        MockBarcodeOcr, PageOcrStage, page_ocr_batch)
+
+    t = pq.read_table(f"{corpus_dir}/pages.parquet",
+                      columns=["media_ref", "image", "width", "height",
+                               "codec"])
+    want = PageOcrStage()(t)
+    assert page_ocr_batch(t).equals(want)
+    # partial() is not a type -> constructed per call, same output
+    assert page_ocr_batch(t, engine_factory=partial(MockBarcodeOcr)).equals(
+        want)
+
+
 def test_dataflow_span_checkpoint(corpus_dir, tmp_path):
     # checkpointed exploded-span stream (parquet roundtrip + column-pruned
     # re-read) must be span-for-span identical to the recompute default
