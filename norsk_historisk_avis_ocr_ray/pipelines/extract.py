@@ -136,7 +136,8 @@ def extract(
         # scalable default for media-heavy inputs.
         if isinstance(pages, str):
             pages_ds = ray.data.read_parquet(
-                pages, columns=["media_ref", "image", "width", "height", "codec"])
+                _lpt_parquet_paths(pages),
+                columns=["media_ref", "image", "width", "height", "codec"])
         elif isinstance(pages, Dataset):
             pages_ds = pages.select_columns(
                 ["media_ref", "image", "width", "height", "codec"])
@@ -291,6 +292,23 @@ def extract(
 
 def _int_concurrency(c) -> int:
     return c[1] if isinstance(c, tuple) else int(c)
+
+
+def _lpt_parquet_paths(path: str) -> "str | list[str]":
+    """Largest-file-first ordering for a pages directory (LPT schedule,
+    same rationale as sharded.list_shards): read tasks are launched roughly
+    in input order, so heavy page files land early and the final OCR wave
+    holds only small ones — scheduling only, per-file results unchanged.
+    Non-directories (single file, remote URI) pass through untouched."""
+    import os as _os
+
+    if not _os.path.isdir(path):
+        return path
+    files = [_os.path.join(path, f) for f in _os.listdir(path)
+             if f.endswith(".parquet")]
+    if not files:
+        return path
+    return sorted(files, key=lambda p: -_os.path.getsize(p))
 
 
 def _finalize_joined(t: pa.Table) -> pa.Table:
